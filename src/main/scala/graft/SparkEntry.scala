@@ -1,13 +1,195 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.operators.Relational
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Every key in [[queries]] is one operator/capability from SURVEY.md §2
+  * expressed as a Spark plan over the driver-provided parquet tables; the
+  * matching key in [[oracleSql]] is the ANSI-SQL equivalent the driver
+  * runs in DuckDB over the same files. Column names and value rounding
+  * are kept identical on both sides (the driver hash-compares values
+  * after sorting columns by name).
+  */
 object SparkEntry {
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+    Relational.pricingSummary(spark, "/root/testdata/sf0.001")
+
+  type Q = (SparkSession, String) => DataFrame
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+  def queries: Map[String, Q] = Map[String, Q](
+    "q01_pricing_summary" -> (Relational.pricingSummary _),
+    "q02_filter_project"  -> (Relational.filterProject _),
+    "q03_join_agg"        -> (Relational.joinAgg _),
+    "q04_star_join"       -> (Relational.starJoin _),
+    "q05_topn"            -> (Relational.topN _),
+    "q06_window"          -> (Relational.windowFuncs _),
+    "q07_distinct_agg"    -> (Relational.distinctAgg _),
+    "q08_time_bucket"     -> (Relational.timeBucket _),
+    "q09_cte"             -> (Relational.cteTopSpenders _),
+    "q10_scalar_subquery" -> (Relational.scalarSubquery _),
+    "q11_set_ops"         -> (Relational.setOps _),
+    "q12_scalar_funcs"    -> (Relational.scalarFuncs _),
+    "q13_grouping_sets"   -> (Relational.groupingSets _),
+    "q14_having"          -> (Relational.havingFilter _),
+    "q15_exists_semi"     -> (Relational.existsSemi _),
+    "q16_not_exists_anti" -> (Relational.notExistsAnti _),
+    "q17_like_in_between" -> (Relational.likeInBetween _),
+    "q18_string_agg"      -> (Relational.stringAgg _),
+    "q19_avg_decompose"   -> (Relational.avgDecompose _),
+    "q20_date_parts"      -> (Relational.dateParts _),
+    "q21_json_extract"    -> (Relational.jsonExtract _),
+    "q22_range_join"      -> (Relational.rangeJoin _),
+  )
+
+  /** DuckDB-runnable equivalents (same parquet tables registered under
+    * their bare names). Keys absent here get a rows-only check. */
+  def oracleSql: Map[String, String] = Map(
+    "q01_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+        | round(sum(l_quantity),2) AS sum_qty,
+        | round(sum(l_extendedprice),2) AS sum_base_price,
+        | round(sum(l_extendedprice*(1-l_discount)),2) AS sum_disc_price,
+        | round(avg(l_quantity),4) AS avg_qty,
+        | count(*) AS count_order
+        |FROM lineitem
+        |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "q02_filter_project" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
+        |FROM lineitem WHERE l_quantity > 45 AND l_returnflag = 'R'
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "q03_join_agg" ->
+      """SELECT o_orderkey, o_orderdate,
+        | round(sum(l_extendedprice*(1-l_discount)),2) AS revenue
+        |FROM customer JOIN orders ON o_custkey = c_custkey
+        | JOIN lineitem ON l_orderkey = o_orderkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |GROUP BY o_orderkey, o_orderdate
+        |ORDER BY revenue DESC, o_orderkey LIMIT 10""".stripMargin,
+    "q04_star_join" ->
+      """SELECT n_name,
+        | round(sum(l_extendedprice*(1-l_discount)),2) AS revenue
+        |FROM lineitem
+        | JOIN orders ON l_orderkey = o_orderkey
+        | JOIN customer ON o_custkey = c_custkey
+        | JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        | JOIN nation ON s_nationkey = n_nationkey
+        | JOIN region ON n_regionkey = r_regionkey
+        |WHERE r_name = 'ASIA'
+        |GROUP BY n_name
+        |ORDER BY revenue DESC, n_name""".stripMargin,
+    "q05_topn" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""".stripMargin,
+    "q06_window" ->
+      """SELECT o_custkey, rn, o_orderkey, run_total FROM (
+        | SELECT o_custkey, o_orderkey,
+        |  CAST(row_number() OVER w AS BIGINT) AS rn,
+        |  round(sum(o_totalprice) OVER (PARTITION BY o_custkey
+        |    ORDER BY o_orderdate, o_orderkey
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),2) AS run_total
+        | FROM orders
+        | WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+        |) t WHERE rn <= 3 ORDER BY o_custkey, rn""".stripMargin,
+    "q07_distinct_agg" ->
+      """SELECT l_returnflag,
+        | count(DISTINCT l_orderkey) AS n_orders,
+        | count(DISTINCT l_suppkey) AS n_supp
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "q08_time_bucket" ->
+      """SELECT date_trunc('hour', ts) AS h, event_type,
+        | count(*) AS n, round(sum(value),2) AS total
+        |FROM events GROUP BY 1, 2 ORDER BY h, event_type""".stripMargin,
+    "q09_cte" ->
+      """WITH spent AS (
+        | SELECT o_custkey, round(sum(o_totalprice),2) AS spent
+        | FROM orders GROUP BY o_custkey)
+        |SELECT c_custkey, c_name, spent
+        |FROM customer JOIN spent ON c_custkey = o_custkey
+        |ORDER BY spent DESC, c_custkey LIMIT 20""".stripMargin,
+    "q10_scalar_subquery" ->
+      """SELECT o_orderkey, o_totalprice FROM orders
+        |WHERE o_totalprice > (SELECT avg(o_totalprice) FROM orders) * 1.5
+        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 50""".stripMargin,
+    "q11_set_ops" ->
+      """SELECT key FROM (
+        | SELECT key FROM (
+        |  SELECT c_custkey AS key FROM customer
+        |  EXCEPT
+        |  SELECT o_custkey AS key FROM orders WHERE o_totalprice > 200000)
+        | UNION ALL
+        | SELECT key FROM (
+        |  SELECT s_suppkey AS key FROM supplier
+        |  INTERSECT
+        |  SELECT c_custkey AS key FROM customer)
+        |) ORDER BY key""".stripMargin,
+    "q12_scalar_funcs" ->
+      """SELECT p_partkey, upper(p_brand) AS brand_u,
+        | substr(p_name, 1, 10) AS name10,
+        | CAST(length(p_name) AS BIGINT) AS name_len,
+        | CASE WHEN p_size > 25 THEN 'big' ELSE 'small' END AS size_class,
+        | round(p_retailprice*1.1, 2) AS marked_up
+        |FROM part ORDER BY p_partkey LIMIT 100""".stripMargin,
+    "q13_grouping_sets" ->
+      """SELECT coalesce(l_returnflag,'ALL') AS rf,
+        | coalesce(l_linestatus,'ALL') AS ls,
+        | count(*) AS n, round(sum(l_quantity),2) AS qty
+        |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+        |ORDER BY rf, ls""".stripMargin,
+    "q14_having" ->
+      """SELECT l_suppkey, count(*) AS n,
+        | round(sum(l_extendedprice),2) AS total
+        |FROM lineitem GROUP BY l_suppkey
+        |HAVING count(*) > 100 ORDER BY n DESC, l_suppkey""".stripMargin,
+    "q15_exists_semi" ->
+      """SELECT c_custkey, c_name FROM customer c
+        |WHERE EXISTS (SELECT 1 FROM orders
+        |  WHERE o_custkey = c.c_custkey AND o_totalprice > 400000)
+        |ORDER BY c_custkey""".stripMargin,
+    "q16_not_exists_anti" ->
+      """SELECT DISTINCT user_id FROM events e
+        |WHERE NOT EXISTS (SELECT 1 FROM events x
+        |  WHERE x.event_type = 'error' AND x.value > 90
+        |  AND x.user_id = e.user_id)
+        |ORDER BY user_id""".stripMargin,
+    "q17_like_in_between" ->
+      """SELECT p_partkey, p_name, p_brand, p_size FROM part
+        |WHERE p_name LIKE '%red%' AND p_size BETWEEN 10 AND 20
+        | AND p_brand IN ('Brand#1','Brand#7','Brand#13')
+        |ORDER BY p_partkey""".stripMargin,
+    "q18_string_agg" ->
+      """SELECT n_name,
+        | string_agg(s_name, ',' ORDER BY s_name) AS suppliers
+        |FROM supplier JOIN nation ON s_nationkey = n_nationkey
+        |GROUP BY n_name ORDER BY n_name""".stripMargin,
+    "q19_avg_decompose" ->
+      """SELECT event_type,
+        | round(sum(value)/count(value), 4) AS avg_manual,
+        | round(avg(value), 4) AS avg_builtin
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q20_date_parts" ->
+      """SELECT CAST(year(o_orderdate) AS BIGINT) AS y,
+        | CAST(month(o_orderdate) AS BIGINT) AS m,
+        | count(*) AS n, round(sum(o_totalprice),2) AS total
+        |FROM orders GROUP BY 1, 2 ORDER BY y, m""".stripMargin,
+    "q21_json_extract" ->
+      """SELECT event_id,
+        | CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+        |FROM events
+        |WHERE CAST(json_extract_string(props, '$.k') AS BIGINT) > 50
+        |ORDER BY event_id LIMIT 200""".stripMargin,
+    "q22_range_join" ->
+      """WITH bands AS (
+        | SELECT range AS band, range*10.0 AS lo, (range+1)*10.0 AS hi
+        | FROM range(100))
+        |SELECT band, count(*) AS n, round(avg(p_retailprice),2) AS avg_price
+        |FROM part JOIN bands ON p_retailprice >= lo AND p_retailprice < hi
+        |GROUP BY band ORDER BY band""".stripMargin,
+  )
 }
