@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.operators.Relational
+import graft.operators.{Dedup, Relational, Similarity, TextAnalysis}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -44,6 +44,20 @@ object SparkEntry {
     "q20_date_parts"      -> (Relational.dateParts _),
     "q21_json_extract"    -> (Relational.jsonExtract _),
     "q22_range_join"      -> (Relational.rangeJoin _),
+    // training-data pipeline: text analysis
+    "t01_text_stats"      -> (TextAnalysis.textStats _),
+    "t02_quality_scoring" -> (TextAnalysis.qualityScoring _),
+    "t03_lang_id"         -> (TextAnalysis.langId _),
+    "t04_fingerprints"    -> (TextAnalysis.fingerprints _),
+    // training-data pipeline: deduplication
+    "d01_dedup_exact"     -> (Dedup.exact _),
+    "d02_minhash_lsh"     -> (Dedup.minhashLsh _),
+    "d03_simhash"         -> (Dedup.simhash _),
+    "d04_ngram_jaccard"   -> (Dedup.ngramJaccard _),
+    "d05_embedding_neardup" -> (Dedup.embeddingNearDup _),
+    // training-data pipeline: similarity search
+    "s01_ann_brute"       -> (Similarity.annBrute _),
+    "s02_ann_lsh"         -> (Similarity.annLsh _),
   )
 
   /** DuckDB-runnable equivalents (same parquet tables registered under
@@ -191,5 +205,95 @@ object SparkEntry {
         |SELECT band, count(*) AS n, round(avg(p_retailprice),2) AS avg_price
         |FROM part JOIN bands ON p_retailprice >= lo AND p_retailprice < hi
         |GROUP BY band ORDER BY band""".stripMargin,
+    "t01_text_stats" ->
+      """SELECT doc_id,
+        | CAST(len(string_split(text,' ')) AS BIGINT) AS n_tokens,
+        | list_reduce(list_prepend(0::BIGINT,
+        |   [CAST(1 + floor(greatest(length(x)-1,0)/4.0) AS BIGINT)
+        |    for x in string_split(text,' ')]),
+        |   (a,v) -> a+v) AS n_subwords,
+        | CAST(length(text) AS BIGINT) AS n_chars_calc, n_chars
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "t02_quality_scoring" ->
+      """SELECT doc_id,
+        | round(CASE WHEN len(string_split(text,' ')) = 0 THEN 0.0
+        |  ELSE len(list_filter(string_split(text,' '),
+        |        x -> x IN ('the','a','and','of','to','in','is')))
+        |       / CAST(len(string_split(text,' ')) AS DOUBLE) END, 4) AS stop_ratio,
+        | round(CASE WHEN length(text) = 0 THEN 0.0
+        |  ELSE (length(text) - length(regexp_replace(text, '[^a-z0-9 ]', '', 'g')))
+        |       / CAST(length(text) AS DOUBLE) END, 4) AS punct_ratio,
+        | round(least(1.0, len(string_split(text,' '))/100.0)*0.5
+        |  + (CASE WHEN len(string_split(text,' ')) = 0 THEN 0.0
+        |      ELSE len(list_filter(string_split(text,' '),
+        |            x -> x IN ('the','a','and','of','to','in','is')))
+        |           / CAST(len(string_split(text,' ')) AS DOUBLE) END)*0.25
+        |  + (1.0 - (CASE WHEN length(text) = 0 THEN 0.0
+        |      ELSE (length(text) - length(regexp_replace(text, '[^a-z0-9 ]', '', 'g')))
+        |           / CAST(length(text) AS DOUBLE) END))*0.25, 4) AS quality
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "t03_lang_id" ->
+      """SELECT lang,
+        | CASE WHEN regexp_matches(text, '[一-龥]') THEN 'zh'
+        |  WHEN regexp_matches(' '||text||' ', ' (el|los|las|una) ') THEN 'es'
+        |  WHEN regexp_matches(' '||text||' ', ' (der|und|nicht|das) ') THEN 'de'
+        |  WHEN regexp_matches(' '||text||' ', ' (le|et|les|une) ') THEN 'fr'
+        |  ELSE 'en' END AS lang_guess,
+        | count(*) AS n
+        |FROM documents GROUP BY 1, 2 ORDER BY lang, lang_guess""".stripMargin,
+    "t04_fingerprints" ->
+      """SELECT doc_id, md5(lower(trim(text))) AS fp_md5,
+        | list_reduce(list_prepend(0::BIGINT,
+        |   [CAST(length(x)+31*ascii(x) AS BIGINT) for x in string_split(text,' ')]),
+        |   (acc,v) -> (acc*131+v) % 1000000007) AS fp_roll
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "d01_dedup_exact" ->
+      """SELECT md5(lower(trim(text))) AS fp, min(doc_id) AS keep_id,
+        | count(*) AS n_copies
+        |FROM documents GROUP BY 1 ORDER BY keep_id""".stripMargin,
+    "d02_minhash_lsh" ->
+      """WITH sh AS (
+        | SELECT doc_id,
+        |  list_distinct([w[i]||' '||w[i+1]||' '||w[i+2]
+        |                 for i in range(1, len(w)-1)]) AS sh
+        | FROM (SELECT doc_id, string_split(text,' ') AS w FROM documents))
+        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        | round(len(list_intersect(a.sh,b.sh))
+        |  / CAST(len(a.sh)+len(b.sh)-len(list_intersect(a.sh,b.sh)) AS DOUBLE), 4)
+        |  AS jaccard
+        |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        |WHERE len(list_intersect(a.sh,b.sh))
+        |  / CAST(len(a.sh)+len(b.sh)-len(list_intersect(a.sh,b.sh)) AS DOUBLE) >= 0.8
+        |ORDER BY doc_a, doc_b""".stripMargin,
+    "d04_ngram_jaccard" ->
+      """WITH sh AS (
+        | SELECT doc_id,
+        |  list_distinct([w[i]||' '||w[i+1]||' '||w[i+2]
+        |                 for i in range(1, len(w)-1)]) AS sh
+        | FROM (SELECT doc_id, string_split(text,' ') AS w FROM documents))
+        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        | round(len(list_intersect(a.sh,b.sh))
+        |  / CAST(len(a.sh)+len(b.sh)-len(list_intersect(a.sh,b.sh)) AS DOUBLE), 4)
+        |  AS jaccard
+        |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        |WHERE len(list_intersect(a.sh,b.sh))
+        |  / CAST(len(a.sh)+len(b.sh)-len(list_intersect(a.sh,b.sh)) AS DOUBLE) >= 0.8
+        |ORDER BY doc_a, doc_b""".stripMargin,
+    "d05_embedding_neardup" ->
+      """SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+        | round(CAST(list_cosine_similarity(a.embedding, b.embedding) AS DOUBLE), 2) AS cosine
+        |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        |WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.45
+        |ORDER BY vec_a, vec_b""".stripMargin,
+    "s01_ann_brute" ->
+      """SELECT query_id, rank, neighbor_id, cosine FROM (
+        | SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+        |  CAST(row_number() OVER (PARTITION BY q.vec_id
+        |    ORDER BY list_cosine_similarity(q.embedding, e.embedding) DESC,
+        |             e.vec_id) AS BIGINT) AS rank,
+        |  round(CAST(list_cosine_similarity(q.embedding, e.embedding) AS DOUBLE), 2) AS cosine
+        | FROM embeddings q JOIN embeddings e ON e.vec_id != q.vec_id
+        | WHERE q.vec_id < 5) t
+        |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
   )
 }

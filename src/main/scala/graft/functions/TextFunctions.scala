@@ -1,0 +1,108 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis primitives for large-scale training-data pipelines.
+  *
+  * Everything here is built from codegen'd `org.apache.spark.sql.functions`
+  * (no Scala UDFs in the hot path): at 100 TB these run inside
+  * WholeStageCodegen directly over the parquet scan.
+  *
+  * Where a function participates in the DuckDB oracle gate, the exact
+  * arithmetic (integer fold mod 1e9+7, double divisions, explicit
+  * rounding) is chosen to be bit-reproducible in ANSI SQL.
+  */
+object TextFunctions {
+
+  /** Whitespace tokens. Single-space split matches the corpus format;
+    * `tokensRe` handles general whitespace. */
+  def tokens(text: Column): Column = split(text, " ")
+  def tokensRe(text: Column): Column = split(trim(text), "\\s+")
+
+  /** BPE-ish subword count: word tokens plus extra units for long words
+    * (every 4 chars beyond the first 4 ≈ one extra subword). */
+  def subwordCount(text: Column): Column =
+    aggregate(tokens(text), lit(0L),
+      (acc, w) => acc + lit(1L) +
+        floor(greatest(length(w) - 1, lit(0)).cast("double") / 4.0).cast("long"))
+
+  def tokenCount(text: Column): Column = size(tokens(text)).cast("long")
+
+  private val StopWords: Seq[String] = Seq("the", "a", "and", "of", "to", "in", "is")
+
+  /** Fraction of tokens that are stopwords (0 when empty). */
+  def stopwordRatio(text: Column): Column = {
+    val toks = tokens(text)
+    val stops = filter(toks, w => w.isin(StopWords.map(lit(_)): _*))
+    when(size(toks) === 0, lit(0.0))
+      .otherwise(size(stops).cast("double") / size(toks).cast("double"))
+  }
+
+  /** Fraction of non [a-z0-9 space] characters. */
+  def punctRatio(text: Column): Column =
+    when(length(text) === 0, lit(0.0))
+      .otherwise(
+        (length(text) - length(regexp_replace(text, "[^a-z0-9 ]", ""))).cast("double")
+          / length(text).cast("double"))
+
+  /** Composite quality score in [0,1]:
+    * 0.5·min(1, tokens/100) + 0.25·stopword presence + 0.25·(1-punct). */
+  def qualityScore(text: Column): Column =
+    round(
+      least(lit(1.0), tokenCount(text).cast("double") / 100.0) * 0.5
+        + stopwordRatio(text) * 0.25
+        + (lit(1.0) - punctRatio(text)) * 0.25,
+      4)
+
+  /** Deterministic marker-based language guess (n-gram heuristic class;
+    * reference has no lang-id — this is the training-pipeline addition).
+    * CJK codepoint presence wins, then language marker words, else en. */
+  def langGuess(text: Column): Column = {
+    val padded = concat(lit(" "), text, lit(" "))
+    when(text.rlike("[一-龥]"), "zh")
+      .when(padded.rlike(" (el|los|las|una) "), "es")
+      .when(padded.rlike(" (der|und|nicht|das) "), "de")
+      .when(padded.rlike(" (le|et|les|une) "), "fr")
+      .otherwise("en")
+  }
+
+  /** Order-sensitive rolling fingerprint over the token stream:
+    * fold acc = (acc·131 + (len(tok) + 31·ascii(tok))) mod 1e9+7.
+    * Integer arithmetic only → bit-identical in any ANSI engine. */
+  def rollingFingerprint(text: Column): Column =
+    aggregate(
+      tokens(text),
+      lit(0L),
+      (acc, w) => (acc * 131 + (length(w) + lit(31) * ascii(w)).cast("long")) % 1000000007L)
+
+  /** Content fingerprint: md5 of lowercased trimmed text. */
+  def md5Fingerprint(text: Column): Column = md5(lower(trim(text)).cast("binary"))
+
+  /** Distinct word k-shingles ("k-grams") as space-joined strings. */
+  def shingles(text: Column, k: Int): Column = {
+    val toks = tokens(text)
+    // guard: sequence(0, n) DESCENDS when n<0, so short docs need an
+    // explicit empty result, not sequence arithmetic
+    when(size(toks) < k, array().cast("array<string>"))
+      .otherwise(array_distinct(
+        transform(
+          sequence(lit(0), size(toks) - k),
+          i => concat_ws(" ", (0 until k).map(j => element_at(toks, i + j + 1)): _*))))
+  }
+
+  /** 64-bit SimHash over whitespace tokens (weight 1 per occurrence).
+    * Built as 64 per-bit signed sums (one shuffle via groupBy outside);
+    * here: the per-token ±1 contribution vector for bit b. */
+  def tokenHash(tok: Column): Column = xxhash64(tok)
+
+  /** Recombine 64 per-bit sums (array column, index 0 = LSB) into the
+    * SimHash long: bit b set iff sum(b) > 0. */
+  def simhashFromBitSums(bitSums: Column): Column =
+    aggregate(
+      sequence(lit(0), lit(63)),
+      lit(0L),
+      (acc, b) => acc.bitwiseOR(
+        when(element_at(bitSums, b + 1) > 0,
+          call_function("shiftleft", lit(1L), b)).otherwise(lit(0L))))
+}

@@ -1,0 +1,164 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.core.Tables
+import graft.functions.TextFunctions._
+
+/** Deduplication operators for training-data pipelines, each built as a
+  * shuffle-minimal distributed plan:
+  *
+  *  - exact:        one hash-groupBy on the content fingerprint
+  *  - MinHash+LSH:  shingle→64-perm signature→banded bucket-join→exact
+  *                  jaccard verify (candidates only, never O(n²))
+  *  - SimHash:      64-bit signature in one groupBy, 4-block hamming LSH
+  *  - n-gram:       exact jaccard via inverted-index (shared-shingle) join
+  *  - embedding:    cosine near-dup pairs (brute at test SF; the LSH scale
+  *                  path lives in Similarity.annLsh)
+  *
+  * Skew note (100 TB): every bucket-join here caps its bucket width
+  * (`MaxBucket`) so a degenerate bucket (stop-shingle, all-zero band)
+  * cannot produce a quadratic task; dropped buckets only lose candidates
+  * that near-dup pairs would find in their 31 other bands.
+  */
+object Dedup {
+
+  private val ShingleK = 3
+  private val NumHashes = 64
+  private val Bands = 32 // × rows-per-band 2 → P(miss | j=0.8) ≈ 1e-14
+  private val JaccardThreshold = 0.8
+  private val MaxBucket = 64
+
+  // Hash-permutation i of a base shingle hash: xxhash64 seeded by the
+  // permutation index. Wrapping-multiply permutations would trip ANSI
+  // overflow checks (Spark 4 default); rehashing is overflow-free and
+  // just as uniform. Deterministic — no RNG.
+  private def perm(i: Int, h: Column): Column = xxhash64(lit(i), h)
+
+  /** Exact dedup: hash-groupBy on md5(text); survivor = min doc_id.
+    * Reference analogue: delete-duplicates has no counterpart — minIODB
+    * dedups only by record id; content dedup is the pipeline addition. */
+  def exact(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "documents")
+      .groupBy(md5Fingerprint(col("text")).as("fp"))
+      .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
+      .select(col("fp"), col("keep_id"), col("n_copies"))
+      .orderBy(col("keep_id"))
+
+  private def shingleSets(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "documents")
+      .select(col("doc_id"), shingles(col("text"), ShingleK).as("sh"))
+
+  /** Candidate pairs from equal-width bucket join with skew cap. */
+  private def bucketPairs(buckets: DataFrame, keyCols: Seq[String]): DataFrame = {
+    val key = keyCols.map(col)
+    val sized = buckets
+      .withColumn("bucket_n", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(key: _*)))
+      .filter(col("bucket_n") <= MaxBucket)
+    val a = sized.select(col("doc_id").as("doc_a") +: key: _*)
+    val b = sized.select(col("doc_id").as("doc_b") +: key: _*)
+    a.join(b, keyCols).filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b")).distinct()
+  }
+
+  private def jaccardVerified(s: SparkSession, dir: String, pairs: DataFrame): DataFrame = {
+    val sh = shingleSets(s, dir)
+    pairs
+      .join(sh.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), "doc_a")
+      .join(sh.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), "doc_b")
+      .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))).cast("double"))
+      // filter on the RAW jaccard (matches the oracle), round only on output
+      .withColumn("jaccard_raw",
+        col("inter") / (size(col("sh_a")) + size(col("sh_b")) - col("inter")))
+      .filter(col("jaccard_raw") >= JaccardThreshold)
+      .select(col("doc_a"), col("doc_b"), round(col("jaccard_raw"), 4).as("jaccard"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  /** MinHash + banded LSH near-dup pairs, exact-verified.
+    * Plan: scan → explode shingles → 1 groupBy (64-way min) → explode 32
+    * bands → bucket join → verify. The signature groupBy is the only
+    * full-data shuffle; candidates are a tiny fraction of n². */
+  def minhashLsh(s: SparkSession, dir: String): DataFrame = {
+    val base = shingleSets(s, dir)
+      .select(col("doc_id"), explode(col("sh")).as("shingle"))
+      .withColumn("h", xxhash64(col("shingle")))
+    val sigCols = (0 until NumHashes).map(i =>
+      min(perm(i, col("h"))).as(s"m$i"))
+    val sig = base.groupBy(col("doc_id")).agg(sigCols.head, sigCols.tail: _*)
+    val bandHashes: Seq[Column] = (0 until Bands).map(bnd =>
+      xxhash64(lit(bnd), col(s"m${2 * bnd}"), col(s"m${2 * bnd + 1}")))
+    val bands = sig
+      .select(col("doc_id"), posexplode(array(bandHashes: _*)).as(Seq("band", "bh")))
+    jaccardVerified(s, dir, bucketPairs(bands, Seq("band", "bh")))
+  }
+
+  /** SimHash near-dup pairs: 64-bit signature per doc (single groupBy,
+    * 64 codegen'd bit sums), then 4×16-bit block LSH (hamming ≤ 3 must
+    * collide in ≥1 block) and exact hamming verify via bit_count. */
+  def simhash(s: SparkSession, dir: String): DataFrame = {
+    val tok = Tables.load(s, dir, "documents")
+      .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+      .withColumn("h", xxhash64(col("tok")))
+    val bitSums = (0 until 64).map(b =>
+      sum(when(shiftright(col("h"), b).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"s$b"))
+    val withSums = tok.groupBy(col("doc_id")).agg(bitSums.head, bitSums.tail: _*)
+    val sim = (0 until 64).foldLeft(lit(0L)) { (acc, b) =>
+      acc.bitwiseOR(when(col(s"s$b") > 0, lit(1L << b)).otherwise(lit(0L)))
+    }
+    val sigs = withSums.select(col("doc_id"), sim.as("simhash"))
+    val blocks = sigs.select(
+      col("doc_id"), col("simhash"),
+      posexplode(array((0 until 4).map(blk =>
+        shiftright(col("simhash"), blk * 16).bitwiseAND(0xFFFFL)): _*)).as(Seq("blk", "bv")))
+    val a = blocks.select(col("doc_id").as("doc_a"), col("simhash").as("sim_a"),
+      col("blk"), col("bv"))
+    val b = blocks.select(col("doc_id").as("doc_b"), col("simhash").as("sim_b"),
+      col("blk"), col("bv"))
+    a.join(b, Seq("blk", "bv")).filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        bit_count(col("sim_a").bitwiseXOR(col("sim_b"))).cast("long").as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= 3)
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  /** Exact n-gram jaccard pairs via inverted-index join: explode distinct
+    * shingles, self-join on shingle (each shared shingle yields one pair
+    * hit), count hits = |intersection| — no O(n²) cross join. */
+  def ngramJaccard(s: SparkSession, dir: String): DataFrame = {
+    val sh = shingleSets(s, dir)
+    val inv = sh.select(col("doc_id"), explode(col("sh")).as("shingle"))
+    val pairHits = inv.select(col("doc_id").as("doc_a"), col("shingle"))
+      .join(inv.select(col("doc_id").as("doc_b"), col("shingle")), "shingle")
+      .filter(col("doc_a") < col("doc_b"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).cast("double").as("inter"))
+    val sizes = sh.select(col("doc_id"), size(col("sh")).as("n_sh"))
+    pairHits
+      .join(sizes.select(col("doc_id").as("doc_a"), col("n_sh").as("na")), "doc_a")
+      .join(sizes.select(col("doc_id").as("doc_b"), col("n_sh").as("nb")), "doc_b")
+      .withColumn("jaccard_raw", col("inter") / (col("na") + col("nb") - col("inter")))
+      .filter(col("jaccard_raw") >= JaccardThreshold)
+      .select(col("doc_a"), col("doc_b"), round(col("jaccard_raw"), 4).as("jaccard"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  /** Embedding cosine near-dup pairs (exact, all-pairs). Test-SF baseline;
+    * the bucketed scale path is Similarity.annLsh. */
+  def embeddingNearDup(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.load(s, dir, "embeddings")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .withColumn("norm", sqrt(aggregate(col("v"), lit(0.0), (a, x) => a + x * x)))
+    val a = e.select(col("vec_id").as("vec_a"), col("v").as("va"), col("norm").as("na"))
+    val b = e.select(col("vec_id").as("vec_b"), col("v").as("vb"), col("norm").as("nb"))
+    a.crossJoin(b).filter(col("vec_a") < col("vec_b"))
+      .withColumn("dot",
+        aggregate(zip_with(col("va"), col("vb"), (x, y) => x * y), lit(0.0), (acc, x) => acc + x))
+      .withColumn("cosine", col("dot") / (col("na") * col("nb")))
+      .filter(col("cosine") >= 0.45)
+      .select(col("vec_a"), col("vec_b"), round(col("cosine"), 2).as("cosine"))
+      .orderBy(col("vec_a"), col("vec_b"))
+  }
+}

@@ -1,0 +1,89 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.core.Tables
+
+/** Approximate-nearest-neighbor search over the `embeddings` table.
+  *
+  *  - [[annBrute]]: exact top-k by cosine — the correctness baseline.
+  *    Queries are broadcast (few rows), so the fact side streams through
+  *    one codegen'd stage: scan → dot product → per-query top-k heap
+  *    (TakeOrdered-like via window + filter).
+  *  - [[annLsh]]: random-hyperplane LSH — the 100 TB path. Each vector
+  *    hashes to a signature bucket; candidates are probed only within the
+  *    query's bucket (multi-probe over 1-bit flips). Hyperplanes are
+  *    derived from a hash of (plane, dim) — deterministic, no RNG, and
+  *    computed on the fly so nothing is driver-materialized.
+  */
+object Similarity {
+
+  private val K = 10
+  private val NumQueries = 5
+  // Few planes + multi-probe: recall comes from probing all 1-bit flips,
+  // so bucket count ~2^Planes is sized to the corpus (at real scale this
+  // is a config; 64 buckets suits the test SFs).
+  private val Planes = 6
+
+  private def withNorm(df: DataFrame): DataFrame =
+    df.select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .withColumn("norm", sqrt(aggregate(col("v"), lit(0.0), (a, x) => a + x * x)))
+
+  private def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+
+  /** Exact brute-force top-k cosine for query vectors (vec_id < NumQueries). */
+  def annBrute(s: SparkSession, dir: String): DataFrame = {
+    val e = withNorm(Tables.load(s, dir, "embeddings"))
+    val q = e.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"), col("norm").as("qn"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("vec_id"))
+    e.join(broadcast(q), col("vec_id") =!= col("query_id"))
+      .withColumn("cosine", dot(col("v"), col("qv")) / (col("norm") * col("qn")))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= K)
+      .select(col("query_id"), col("rank"), col("vec_id").as("neighbor_id"),
+        round(col("cosine"), 2).as("cosine"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  /** Deterministic hyperplane component for (plane p, dim d) in [-1, 1):
+    * a hash-derived pseudo-gaussian — xxhash64 of the two indices scaled
+    * into the unit interval. Pure expression, codegen'd. */
+  private def planeComponent(p: Int, d: Column): Column =
+    (xxhash64(lit(p), d).cast("double") / lit(Long.MaxValue.toDouble))
+
+  /** Sign signature: bit p = 1 iff v · plane_p > 0. */
+  private def signature(v: Column): Column =
+    (0 until Planes).foldLeft(lit(0L)) { (acc, p) =>
+      val proj = aggregate(
+        zip_with(v, sequence(lit(0), lit(63)), (x, d) => x * planeComponent(p, d)),
+        lit(0.0), (a, x) => a + x)
+      acc.bitwiseOR(when(proj > 0, lit(1L << p)).otherwise(lit(0L)))
+    }
+
+  /** LSH-bucketed ANN: candidates share the query's bucket or any 1-bit
+    * probe flip of it (multi-probe raises recall without more shuffles). */
+  def annLsh(s: SparkSession, dir: String): DataFrame = {
+    val e = withNorm(Tables.load(s, dir, "embeddings")).withColumn("sig", signature(col("v")))
+    val q = e.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"),
+        col("norm").as("qn"), col("sig").as("qsig"))
+    // query-side multi-probe: original bucket + all 1-bit flips
+    val probes = q.select(col("query_id"), col("qv"), col("qn"),
+      explode(array(col("qsig") +: (0 until Planes).map(b =>
+        col("qsig").bitwiseXOR(lit(1L << b))): _*)).as("sig"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("vec_id"))
+    e.join(broadcast(probes), Seq("sig"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("cosine", dot(col("v"), col("qv")) / (col("norm") * col("qn")))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= K)
+      .select(col("query_id"), col("rank"), col("vec_id").as("neighbor_id"),
+        round(col("cosine"), 2).as("cosine"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+}

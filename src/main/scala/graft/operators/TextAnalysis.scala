@@ -1,0 +1,52 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.core.Tables
+import graft.functions.TextFunctions._
+
+/** Text-analysis operators over the `documents` table — the
+  * training-data-pipeline surface (language id, quality scoring, token
+  * statistics, fingerprinting). All pure-expression plans: one scan, no
+  * shuffle except the final presentation sort. */
+object TextAnalysis {
+
+  /** Per-document token statistics. */
+  def textStats(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "documents")
+      .select(
+        col("doc_id"),
+        tokenCount(col("text")).as("n_tokens"),
+        subwordCount(col("text")).as("n_subwords"),
+        length(col("text")).cast("long").as("n_chars_calc"),
+        col("n_chars"))
+      .orderBy(col("doc_id"))
+
+  /** Quality scoring: stopword ratio, punctuation ratio, composite. */
+  def qualityScoring(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "documents")
+      .select(
+        col("doc_id"),
+        round(stopwordRatio(col("text")), 4).as("stop_ratio"),
+        round(punctRatio(col("text")), 4).as("punct_ratio"),
+        qualityScore(col("text")).as("quality"))
+      .orderBy(col("doc_id"))
+
+  /** Deterministic language guess + corpus-level agreement stats. */
+  def langId(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "documents")
+      .select(col("lang"), langGuess(col("text")).as("lang_guess"))
+      .groupBy(col("lang"), col("lang_guess"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("lang"), col("lang_guess"))
+
+  /** Content fingerprints: md5 (exact-dup key) + order-sensitive rolling
+    * hash (cheap near-identity check for shifted content). */
+  def fingerprints(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "documents")
+      .select(
+        col("doc_id"),
+        md5Fingerprint(col("text")).as("fp_md5"),
+        rollingFingerprint(col("text")).as("fp_roll"))
+      .orderBy(col("doc_id"))
+}
