@@ -1,0 +1,187 @@
+package graft.catalog
+
+import java.util.concurrent.atomic.AtomicLong
+import scala.collection.concurrent.TrieMap
+import scala.collection.mutable.ArrayBuffer
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.ingest.{DynRecord, DynamicSchema, IdStrategy, TableConfig}
+
+/** Table registry + write/read path for dynamic (schemaless) tables.
+  *
+  * Storage layout: `<root>/<table>/date=YYYY-MM-DD/part-*.parquet` —
+  * Hive-style date partitions. The reference's `table/id/date` object
+  * layout (`concurrent_buffer.go:745`) creates one directory per record
+  * id, which explodes into millions of prefixes at scale; here `id` is a
+  * data column (predicate-pushdown + bloom filters serve point lookups)
+  * and only `date` partitions, which is what time-partition pruning
+  * actually uses (`file_pruning.go:352-605`).
+  *
+  * Write path: records buffer in memory per table (size/interval
+  * triggers, reference `config.yaml:36-38`) and flush as one parquet
+  * append per batch. Durability for the in-memory window comes from the
+  * streaming ingest path (Structured Streaming checkpointing — the WAL
+  * equivalent); this batch API mirrors the reference's synchronous
+  * buffer+flush semantics including hybrid visibility: [[read]] unions
+  * flushed storage with the un-flushed buffer, so data is queryable
+  * immediately (reference `query.go:400-427` buffer∪storage).
+  *
+  * Schema evolution: per-batch inference (numbers widened to double —
+  * see [[DynamicSchema]]) + `mergeSchema=true` on read gives the
+  * reference's `union_by_name=true` semantics: missing columns → NULL.
+  */
+class TableStore(val spark: SparkSession, val root: String) {
+
+  private val configs = TrieMap[String, TableConfig]()
+  private val buffers = TrieMap[String, ArrayBuffer[DynRecord]]()
+  private val lastFlush = TrieMap[String, Long]()
+  /** Monotonic per-table version, bumped on every mutation — the result
+    * cache's invalidation key (reference invalidates by table name,
+    * `query_cache.go:340-412`). */
+  val versions = TrieMap[String, AtomicLong]()
+
+  def tablePath(table: String): String = s"$root/$table"
+
+  def createTable(table: String, config: TableConfig = TableConfig()): Unit = {
+    configs.putIfAbsent(table, config)
+    versions.putIfAbsent(table, new AtomicLong(0))
+  }
+
+  /** Implicit creation on first write (reference `EnsureTableExists`). */
+  def ensureTable(table: String): TableConfig = {
+    createTable(table)
+    configs(table)
+  }
+
+  def listTables(): Seq[String] = configs.keys.toSeq.sorted
+
+  def config(table: String): Option[TableConfig] = configs.get(table)
+
+  def dropTable(table: String): Unit = {
+    configs.remove(table)
+    buffers.remove(table)
+    bumpVersion(table)
+    val p = new org.apache.hadoop.fs.Path(tablePath(table))
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) fs.delete(p, true)
+  }
+
+  def bumpVersion(table: String): Long =
+    versions.getOrElseUpdate(table, new AtomicLong(0)).incrementAndGet()
+
+  def version(table: String): Long =
+    versions.get(table).map(_.get).getOrElse(0L)
+
+  // ---------------------------------------------------------------- write
+
+  /** Buffered write; flushes when the table's buffer-size trigger fires
+    * or `flushIntervalMs` has elapsed since the last flush. */
+  def write(table: String, records: Seq[DynRecord]): Unit = {
+    val cfg = ensureTable(table)
+    val buf = buffers.getOrElseUpdate(table, ArrayBuffer.empty)
+    val due = buf.synchronized {
+      buf ++= records
+      val elapsed = System.currentTimeMillis() - lastFlush.getOrElse(table, 0L)
+      buf.size >= cfg.bufferSize || (buf.nonEmpty && elapsed >= cfg.flushIntervalMs)
+    }
+    if (due) flush(table)
+    bumpVersion(table)
+  }
+
+  /** Flush the in-memory buffer to a date-partitioned parquet append. */
+  def flush(table: String): Unit = {
+    val buf = buffers.getOrElseUpdate(table, ArrayBuffer.empty)
+    val batch = buf.synchronized { val b = buf.toVector; buf.clear(); b }
+    if (batch.nonEmpty) {
+      lastFlush(table) = System.currentTimeMillis()
+      flattenBatch(batch)
+        .withColumn("date", to_date(col("timestamp")))
+        .write
+        .mode("append")
+        .partitionBy("date")
+        .parquet(tablePath(table))
+      bumpVersion(table)
+    }
+  }
+
+  /** Flatten a record batch to a typed DataFrame per the reference's
+    * dynamic-schema rules (see [[DynamicSchema]]). */
+  def flattenBatch(batch: Seq[DynRecord]): DataFrame = {
+    // stable first-appearance order of payload keys across the batch
+    val keyOrder = ArrayBuffer[String]()
+    val seen = scala.collection.mutable.Set[String]()
+    batch.foreach(_.payload.keys.foreach { k =>
+      if (!seen(k)) { seen += k; keyOrder += k }
+    })
+    val names = DynamicSchema.assignNames(keyOrder.toSeq)
+    // widened type per field
+    val vtypes: Map[String, DynamicSchema.VType] =
+      keyOrder.flatMap { k =>
+        val ts = batch.flatMap(r => r.payload.get(k).flatMap(DynamicSchema.typeOf))
+        ts.reduceOption(DynamicSchema.widen).map(k -> _)
+      }.toMap
+    val payloadFields = keyOrder.toSeq.collect {
+      case k if vtypes.contains(k) =>
+        (k, StructField(names(k), vtypes(k).spark, nullable = true))
+    }
+    val schema = StructType(
+      StructField("id", StringType, nullable = false) +:
+        StructField("timestamp", TimestampType, nullable = false) +:
+        payloadFields.map(_._2))
+    val rows = batch.map { r =>
+      Row.fromSeq(
+        r.id +: r.timestamp +: payloadFields.map { case (k, _) =>
+          r.payload.get(k).map(DynamicSchema.convert(_, vtypes(k))).orNull
+        })
+    }
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows.toSeq, math.max(1, rows.size / 5000)),
+      schema)
+  }
+
+  // ----------------------------------------------------------------- read
+
+  private def emptyDf: DataFrame =
+    spark.createDataFrame(
+      spark.sparkContext.emptyRDD[Row],
+      StructType(Seq(
+        StructField("id", StringType), StructField("timestamp", TimestampType))))
+
+  private def hasStorage(table: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(tablePath(table))
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.exists(p) && fs.listStatus(p).nonEmpty
+  }
+
+  /** Flushed storage only. */
+  def storageDf(table: String): DataFrame =
+    if (hasStorage(table))
+      spark.read.option("mergeSchema", "true").option("basePath", tablePath(table))
+        .parquet(tablePath(table))
+    else emptyDf
+
+  /** Un-flushed buffer as a DataFrame (hybrid visibility). */
+  def bufferDf(table: String): DataFrame = {
+    val buf = buffers.get(table).map(b => b.synchronized(b.toVector)).getOrElse(Vector.empty)
+    if (buf.isEmpty) emptyDf
+    else flattenBatch(buf).withColumn("date", to_date(col("timestamp")))
+  }
+
+  /** Hybrid read: storage ∪ buffer, by name with missing columns → NULL
+    * (the reference's `union_by_name=true`). Emptiness is decided from
+    * driver-side state (no Spark job) so the common all-flushed path is
+    * a plain partitioned scan. */
+  def read(table: String): DataFrame = {
+    val bufEmpty = buffers.get(table).forall(b => b.synchronized(b.isEmpty))
+    (hasStorage(table), bufEmpty) match {
+      case (true, true) => storageDf(table)
+      case (true, false) =>
+        storageDf(table).unionByName(bufferDf(table), allowMissingColumns = true)
+      case (false, false) => bufferDf(table)
+      case (false, true) => emptyDf
+    }
+  }
+}

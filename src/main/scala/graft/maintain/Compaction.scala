@@ -1,0 +1,64 @@
+package graft.maintain
+
+import org.apache.hadoop.fs.Path
+
+import graft.catalog.TableStore
+
+/** Small-file compaction.
+  *
+  * The reference runs LSM-style tiered compaction (L0 <16MB ≥5 files →
+  * L1 <64MB ≥3 → L2 <256MB ≥2 → L3 <1GB, `compaction/manager.go:44-110`)
+  * because every flush uploads a small object. Here the same pathology
+  * (many small parquet files per date partition from buffered flushes) is
+  * fixed with a per-partition rewrite: if a partition has ≥ minFiles
+  * data files, rewrite it into ceil(bytes / targetBytes) files. One
+  * partition at a time keeps the job incremental and restart-safe, like
+  * the reference's ≤20-files-per-run cooldown behavior. */
+class Compaction(
+    store: TableStore,
+    minFiles: Int = 4,
+    targetBytes: Long = 128L << 20) {
+
+  private def spark = store.spark
+
+  final case class PartitionStats(partition: String, files: Int, bytes: Long)
+
+  /** Data-file stats per date partition. */
+  def partitionStats(table: String): Seq[PartitionStats] = {
+    val root = new Path(store.tablePath(table))
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(root)) return Nil
+    fs.listStatus(root).toSeq
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith("date="))
+      .map { st =>
+        val files = fs.listStatus(st.getPath).filter(f =>
+          f.isFile && f.getPath.getName.endsWith(".parquet"))
+        PartitionStats(st.getPath.getName, files.length, files.map(_.getLen).sum)
+      }
+  }
+
+  /** Compact every partition exceeding the file-count threshold; returns
+    * (partitionsCompacted, filesBefore, filesAfter). */
+  def compact(table: String): (Int, Int, Int) = {
+    store.flush(table)
+    val victims = partitionStats(table).filter(_.files >= minFiles)
+    var before = 0
+    var after = 0
+    victims.foreach { ps =>
+      val dir = s"${store.tablePath(table)}/${ps.partition}"
+      val target = math.max(1, math.ceil(ps.bytes.toDouble / targetBytes).toInt)
+      val df = spark.read.option("mergeSchema", "true").parquet(dir)
+      val tmp = new Path(dir + "__compact_tmp")
+      val fs = tmp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (fs.exists(tmp)) fs.delete(tmp, true)
+      df.repartition(target).write.mode("overwrite").parquet(tmp.toString)
+      val dst = new Path(dir)
+      fs.delete(dst, true)
+      fs.rename(tmp, dst)
+      before += ps.files
+      after += target
+    }
+    if (victims.nonEmpty) store.bumpVersion(table)
+    (victims.size, before, after)
+  }
+}

@@ -1,0 +1,103 @@
+package graft.mutate
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.catalog.TableStore
+import graft.ingest.DynRecord
+
+/** Point mutations (id-keyed) as partition-scoped rewrite jobs.
+  *
+  * The reference deletes by rewriting each parquet object that contains
+  * the id (`internal/query/query.go:1249-1413`) and updates via
+  * buffer-remove + insert + delete-old (`miniodb_service.go:684-839`).
+  * Spark-first shape: locate the *date partitions* containing the id
+  * (partition-pruned, predicate-pushdown scan), rewrite only those
+  * partitions' survivors into a temp dir, then atomically swap the
+  * partition directories — never a full-table rewrite, and never an
+  * overwrite of a path being read (Spark forbids self-overwrite). */
+class Mutations(store: TableStore) {
+
+  private def spark = store.spark
+  private def fs(p: Path) = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  /** Rewrite `affectedDates` partitions of `table` with `survivors`
+    * (already filtered). Partitions whose survivors are empty are
+    * dropped. */
+  private def swapPartitions(table: String, survivors: DataFrame, affectedDates: Seq[Any]): Unit = {
+    val rootPath = new Path(store.tablePath(table))
+    val tmpPath = new Path(store.tablePath(table) + "__rewrite_tmp")
+    val hfs = fs(rootPath)
+    if (hfs.exists(tmpPath)) hfs.delete(tmpPath, true)
+    survivors.write.mode("overwrite").partitionBy("date").parquet(tmpPath.toString)
+    try {
+      affectedDates.foreach { d =>
+        val dst = new Path(rootPath, s"date=$d")
+        val src = new Path(tmpPath, s"date=$d")
+        if (hfs.exists(dst)) hfs.delete(dst, true)
+        if (hfs.exists(src)) hfs.rename(src, dst)
+      }
+    } finally {
+      if (hfs.exists(tmpPath)) hfs.delete(tmpPath, true)
+    }
+    store.bumpVersion(table)
+  }
+
+  /** Shared shape: drain buffer, find affected partitions for `victim`,
+    * count victims, swap in survivors. Returns rows removed. */
+  private def removeWhere(table: String, victim: org.apache.spark.sql.Column): Long = {
+    store.flush(table) // drain buffer so one rewrite covers everything
+    val df = store.storageDf(table)
+    if (!df.columns.contains("id")) return 0L
+    val affectedDates = df.filter(victim).select(col("date")).distinct()
+      .collect().map(_.get(0)).toSeq
+    if (affectedDates.isEmpty) { store.bumpVersion(table); return 0L }
+    val affected = df.filter(col("date").isin(affectedDates: _*))
+    val removed = affected.filter(victim).count()
+    val survivors = affected.filter(!victim)
+    swapPartitions(table, survivors, affectedDates)
+    removed
+  }
+
+  /** Physically delete all rows with `id`; returns rows deleted.
+    * Un-flushed buffer rows are drained first, so this also covers the
+    * reference's buffer-tombstone case (`concurrent_buffer.go:1472-1538`). */
+  def deleteById(table: String, id: String): Long =
+    removeWhere(table, col("id") <=> id) // null-safe: NULL ids must survive, not vanish
+
+  /** Update = delete old versions + insert the new record (reference
+    * semantics: last write wins per id). */
+  def updateById(table: String, record: DynRecord): Long = {
+    val removed = deleteById(table, record.id)
+    store.write(table, Seq(record))
+    store.flush(table)
+    removed
+  }
+
+  /** Cleanup rows with empty/null ids (reference
+    * `CleanupEmptyIDRecords`, `miniodb_service.go:1051-1084`). */
+  def cleanupEmptyIds(table: String): Long =
+    removeWhere(table, col("id").isNull || col("id") === "")
+
+  /** Retention: drop whole date partitions older than `retentionDays`
+    * (partition drop = directory delete, no data rewrite). */
+  def applyRetention(table: String, asOf: java.time.LocalDate): Long = {
+    val days = store.config(table).map(_.retentionDays).getOrElse(0)
+    if (days <= 0) return 0L
+    val cutoff = asOf.minusDays(days.toLong)
+    val root = new Path(store.tablePath(table))
+    val hfs = fs(root)
+    if (!hfs.exists(root)) return 0L
+    var dropped = 0L
+    hfs.listStatus(root).foreach { st =>
+      val name = st.getPath.getName
+      if (name.startsWith("date=")) {
+        val d = java.time.LocalDate.parse(name.stripPrefix("date="))
+        if (d.isBefore(cutoff)) { hfs.delete(st.getPath, true); dropped += 1 }
+      }
+    }
+    if (dropped > 0) store.bumpVersion(table)
+    dropped
+  }
+}

@@ -94,9 +94,18 @@ object Dedup {
     jaccardVerified(s, dir, bucketPairs(bands, Seq("band", "bh")))
   }
 
+  /** Max hamming distance for SimHash near-dups. Short small-vocabulary
+    * documents flip a few bits per token edit (measured: true near-dups
+    * land at hamming ≤5, unrelated pairs concentrate at ≥6), so 5 is the
+    * radius; the 8×8-bit block LSH guarantees recall up to hamming 7
+    * (pigeonhole: ≤7 flips leave ≥1 block intact). */
+  private val MaxHamming = 5
+  private val SimBlocks = 8
+
   /** SimHash near-dup pairs: 64-bit signature per doc (single groupBy,
-    * 64 codegen'd bit sums), then 4×16-bit block LSH (hamming ≤ 3 must
-    * collide in ≥1 block) and exact hamming verify via bit_count. */
+    * 64 codegen'd bit sums), then block LSH (hamming ≤ MaxHamming must
+    * collide in ≥1 of SimBlocks blocks) and exact hamming verify via
+    * bit_count. */
   def simhash(s: SparkSession, dir: String): DataFrame = {
     val tok = Tables.load(s, dir, "documents")
       .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
@@ -108,10 +117,12 @@ object Dedup {
       acc.bitwiseOR(when(col(s"s$b") > 0, lit(1L << b)).otherwise(lit(0L)))
     }
     val sigs = withSums.select(col("doc_id"), sim.as("simhash"))
+    val bitsPerBlock = 64 / SimBlocks
+    val mask = (1L << bitsPerBlock) - 1
     val blocks = sigs.select(
       col("doc_id"), col("simhash"),
-      posexplode(array((0 until 4).map(blk =>
-        shiftright(col("simhash"), blk * 16).bitwiseAND(0xFFFFL)): _*)).as(Seq("blk", "bv")))
+      posexplode(array((0 until SimBlocks).map(blk =>
+        shiftright(col("simhash"), blk * bitsPerBlock).bitwiseAND(mask)): _*)).as(Seq("blk", "bv")))
     val a = blocks.select(col("doc_id").as("doc_a"), col("simhash").as("sim_a"),
       col("blk"), col("bv"))
     val b = blocks.select(col("doc_id").as("doc_b"), col("simhash").as("sim_b"),
@@ -120,7 +131,7 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"),
         bit_count(col("sim_a").bitwiseXOR(col("sim_b"))).cast("long").as("hamming"))
       .distinct()
-      .filter(col("hamming") <= 3)
+      .filter(col("hamming") <= MaxHamming)
       .orderBy(col("doc_a"), col("doc_b"))
   }
 

@@ -64,17 +64,19 @@ object Similarity {
       acc.bitwiseOR(when(proj > 0, lit(1L << p)).otherwise(lit(0L)))
     }
 
-  /** LSH-bucketed ANN: candidates share the query's bucket or any 1-bit
-    * probe flip of it (multi-probe raises recall without more shuffles). */
+  /** LSH-bucketed ANN: candidates share the query's bucket or any probe
+    * flip of ≤2 signature bits (multi-probe raises recall without extra
+    * shuffles — probes are broadcast with the queries). */
   def annLsh(s: SparkSession, dir: String): DataFrame = {
     val e = withNorm(Tables.load(s, dir, "embeddings")).withColumn("sig", signature(col("v")))
     val q = e.filter(col("vec_id") < NumQueries)
       .select(col("vec_id").as("query_id"), col("v").as("qv"),
         col("norm").as("qn"), col("sig").as("qsig"))
-    // query-side multi-probe: original bucket + all 1-bit flips
+    val flips: Seq[Long] = 0L +:
+      (0 until Planes).map(b => 1L << b) ++:
+      (for (i <- 0 until Planes; j <- i + 1 until Planes) yield (1L << i) | (1L << j))
     val probes = q.select(col("query_id"), col("qv"), col("qn"),
-      explode(array(col("qsig") +: (0 until Planes).map(b =>
-        col("qsig").bitwiseXOR(lit(1L << b))): _*)).as("sig"))
+      explode(array(flips.map(m => col("qsig").bitwiseXOR(lit(m))): _*)).as("sig"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("vec_id"))
     e.join(broadcast(probes), Seq("sig"))

@@ -1,0 +1,74 @@
+package graft.query
+
+import scala.util.{Failure, Success, Try}
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.analysis.UnresolvedRelation
+import org.apache.spark.sql.catalyst.plans.logical.{Command, DeleteFromTable, InsertIntoStatement, LogicalPlan, MergeIntoTable, UpdateTable}
+
+/** SELECT-only gate + table extraction.
+  *
+  * The reference gates with regexes over the SQL text
+  * (`internal/security/sql_sanitizer.go:259-298`) and extracts table
+  * names with more regexes (`table_extractor.go:57-100`). Here both use
+  * the real parser: parse once, whitelist by plan node type, collect
+  * `UnresolvedRelation`s — robust against the comment/casing/whitespace
+  * tricks the reference's regexes chase.
+  *
+  * Differences kept intentionally: UNION is allowed (the reference
+  * banned it only as injection paranoia; Spark executes it natively).
+  * DDL/DML (any `Command`), EXPLAIN-of-DML, and multi-statement input
+  * are rejected, as is oversized SQL (same 10000-char cap). */
+object SqlGate {
+
+  final case class Gated(plan: LogicalPlan, tables: Seq[String])
+
+  val MaxQueryLength = 10000
+
+  def validate(spark: SparkSession, sql: String): Either[String, Gated] = {
+    if (sql == null || sql.trim.isEmpty) return Left("empty query")
+    if (sql.length > MaxQueryLength) return Left(s"query exceeds $MaxQueryLength chars")
+    Try(spark.sessionState.sqlParser.parsePlan(sql)) match {
+      case Failure(e) => Left(s"parse error: ${e.getMessage}")
+      case Success(plan) =>
+        // DML statements (INSERT/UPDATE/DELETE/MERGE) are plain logical
+        // plans in Spark 4, not Command subclasses — reject explicitly.
+        val mutating = plan.exists {
+          case _: Command | _: InsertIntoStatement | _: UpdateTable |
+              _: DeleteFromTable | _: MergeIntoTable => true
+          case _ => false
+        }
+        if (mutating) Left("only SELECT queries are allowed")
+        else Right(Gated(plan, extractTables(plan)))
+    }
+  }
+
+  /** Referenced table names (deduped, in first-appearance order);
+    * CTE-defined names are excluded. CTE *definitions* and expression
+    * subqueries are not part of `children`, so both are walked
+    * explicitly. */
+  def extractTables(plan: LogicalPlan): Seq[String] = {
+    val cteNames = scala.collection.mutable.Set[String]()
+    def collectCtes(p: LogicalPlan): Unit = p.foreach {
+      case w: org.apache.spark.sql.catalyst.plans.logical.UnresolvedWith =>
+        w.cteRelations.foreach { case (name, cte, _) =>
+          cteNames += name.toLowerCase; collectCtes(cte)
+        }
+      case _ => ()
+    }
+    collectCtes(plan)
+    val out = scala.collection.mutable.LinkedHashSet[String]()
+    def walk(p: LogicalPlan): Unit = p.foreach {
+      case w: org.apache.spark.sql.catalyst.plans.logical.UnresolvedWith =>
+        // cteRelations are innerChildren (not traversed by foreach)
+        w.cteRelations.foreach { case (_, cte, _) => walk(cte) }
+      case r: UnresolvedRelation =>
+        val name = r.multipartIdentifier.last.toLowerCase
+        if (!cteNames(name)) out += name
+      case other =>
+        other.subqueries.foreach(walk)
+    }
+    walk(plan)
+    out.toSeq
+  }
+}

@@ -1,0 +1,90 @@
+package graft.catalog
+
+import java.sql.Timestamp
+
+import graft.SparkSpec
+import graft.ingest.{DynRecord, TableConfig}
+
+class TableStoreSpec extends SparkSpec {
+
+  private def rec(id: String, ts: String, payload: Map[String, Any]) =
+    DynRecord(id, Timestamp.valueOf(ts), payload)
+
+  test("write/flush/read roundtrip with date partitioning") {
+    val store = new TableStore(spark, tmpDir("ts1"))
+    store.write("users", Seq(
+      rec("u1", "2024-01-01 10:00:00", Map("name" -> "ann", "age" -> 31)),
+      rec("u2", "2024-01-02 11:00:00", Map("name" -> "bob", "age" -> 25))))
+    store.flush("users")
+    val df = store.read("users")
+    assert(df.count() == 2)
+    assert(df.columns.toSet == Set("id", "timestamp", "name", "age", "date"))
+    // numbers widened to double
+    assert(df.schema("age").dataType.typeName == "double")
+    // hive partition dirs exist
+    val dirs = new java.io.File(store.tablePath("users")).listFiles().map(_.getName)
+    assert(dirs.contains("date=2024-01-01") && dirs.contains("date=2024-01-02"))
+  }
+
+  test("hybrid visibility: unflushed rows are readable immediately") {
+    val store = new TableStore(spark, tmpDir("ts2"))
+    store.write("t", Seq(rec("a", "2024-02-01 00:00:01", Map("v" -> 1))))
+    // buffer not flushed (below size trigger, interval not elapsed)
+    assert(store.read("t").count() == 1)
+    store.flush("t")
+    store.write("t", Seq(rec("b", "2024-02-01 00:00:02", Map("v" -> 2))))
+    assert(store.read("t").count() == 2) // storage ∪ buffer
+  }
+
+  test("schema evolution across batches: union by name, missing cols null") {
+    val store = new TableStore(spark, tmpDir("ts3"))
+    store.write("evo", Seq(rec("1", "2024-03-01 00:00:00", Map("a" -> 1))))
+    store.flush("evo")
+    store.write("evo", Seq(rec("2", "2024-03-02 00:00:00", Map("b" -> "x"))))
+    store.flush("evo")
+    val df = store.read("evo")
+    assert(df.columns.toSet == Set("id", "timestamp", "a", "b", "date"))
+    val rows = df.orderBy("id").collect()
+    assert(rows(0).getAs[Any]("b") == null)
+    assert(rows(1).getAs[Any]("a") == null)
+  }
+
+  test("conflicting payload types in one batch become JSON text") {
+    val store = new TableStore(spark, tmpDir("ts4"))
+    store.write("mix", Seq(
+      rec("1", "2024-03-01 00:00:00", Map("v" -> 1)),
+      rec("2", "2024-03-01 00:00:01", Map("v" -> "str"))))
+    store.flush("mix")
+    val df = store.read("mix")
+    assert(df.schema("v").dataType.typeName == "string")
+    assert(df.orderBy("id").collect().map(_.getAs[String]("v")).toSeq == Seq("1", "str"))
+  }
+
+  test("payload name collisions and system columns are suffixed") {
+    val store = new TableStore(spark, tmpDir("ts5"))
+    store.write("c", Seq(
+      rec("1", "2024-03-01 00:00:00",
+        Map("user name" -> "x", "user_name" -> "y", "timestamp" -> "fake"))))
+    store.flush("c")
+    val cols = store.read("c").columns.toSet
+    assert(cols.contains("user_name") && cols.contains("user_name_2"))
+    assert(cols.contains("timestamp_2")) // payload's 'timestamp' didn't clobber system col
+  }
+
+  test("size trigger flushes automatically") {
+    val store = new TableStore(spark, tmpDir("ts6"))
+    store.createTable("auto", TableConfig(bufferSize = 10, flushIntervalMs = Long.MaxValue))
+    val recs = (1 to 10).map(i => rec(s"r$i", "2024-04-01 00:00:00", Map("i" -> i)))
+    store.write("auto", recs)
+    // buffer hit size trigger → flushed to storage
+    assert(store.storageDf("auto").count() == 10)
+  }
+
+  test("version bumps on write and drop") {
+    val store = new TableStore(spark, tmpDir("ts7"))
+    store.write("v", Seq(rec("1", "2024-01-01 00:00:00", Map("x" -> 1))))
+    val v1 = store.version("v")
+    store.write("v", Seq(rec("2", "2024-01-01 00:00:00", Map("x" -> 2))))
+    assert(store.version("v") > v1)
+  }
+}

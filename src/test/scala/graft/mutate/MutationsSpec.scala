@@ -1,0 +1,83 @@
+package graft.mutate
+
+import java.sql.Timestamp
+
+import graft.SparkSpec
+import graft.catalog.TableStore
+import graft.ingest.{DynRecord, TableConfig}
+
+class MutationsSpec extends SparkSpec {
+
+  private def rec(id: String, ts: String, payload: Map[String, Any]) =
+    DynRecord(id, Timestamp.valueOf(ts), payload)
+
+  private def seeded(): (TableStore, Mutations) = {
+    val store = new TableStore(spark, tmpDir("mut"))
+    store.write("t", Seq(
+      rec("a", "2024-01-01 00:00:00", Map("v" -> 1)),
+      rec("b", "2024-01-01 00:00:01", Map("v" -> 2)),
+      rec("a", "2024-01-02 00:00:00", Map("v" -> 3)),
+      rec("c", "2024-01-03 00:00:00", Map("v" -> 4))))
+    store.flush("t")
+    (store, new Mutations(store))
+  }
+
+  test("deleteById removes all versions across partitions, keeps others") {
+    val (store, mut) = seeded()
+    val untouched = new java.io.File(store.tablePath("t") + "/date=2024-01-03")
+      .listFiles().map(f => (f.getName, f.lastModified())).toSeq
+    assert(mut.deleteById("t", "a") == 2)
+    val left = store.read("t").orderBy("id").collect().map(_.getAs[String]("id")).toSeq
+    assert(left == Seq("b", "c"))
+    // untouched partition was not rewritten
+    val after = new java.io.File(store.tablePath("t") + "/date=2024-01-03")
+      .listFiles().map(f => (f.getName, f.lastModified())).toSeq
+    assert(after == untouched)
+  }
+
+  test("deleteById drops a partition that becomes empty") {
+    val (store, mut) = seeded()
+    assert(mut.deleteById("t", "c") == 1)
+    assert(!new java.io.File(store.tablePath("t") + "/date=2024-01-03").exists())
+    assert(store.read("t").count() == 3)
+  }
+
+  test("deleteById of unflushed (buffered) rows works via drain") {
+    val (store, mut) = seeded()
+    store.write("t", Seq(rec("zz", "2024-01-09 00:00:00", Map("v" -> 9))))
+    assert(mut.deleteById("t", "zz") == 1)
+    assert(store.read("t").filter("id = 'zz'").count() == 0)
+  }
+
+  test("updateById: last write wins") {
+    val (store, mut) = seeded()
+    val removed = mut.updateById("t", rec("b", "2024-01-05 00:00:00", Map("v" -> 99)))
+    assert(removed == 1)
+    val rows = store.read("t").filter("id = 'b'").collect()
+    assert(rows.length == 1 && rows(0).getAs[Double]("v") == 99.0)
+  }
+
+  test("cleanupEmptyIds") {
+    val store = new TableStore(spark, tmpDir("mut2"))
+    store.write("t", Seq(
+      rec("ok", "2024-01-01 00:00:00", Map("v" -> 1)),
+      rec("", "2024-01-01 00:00:01", Map("v" -> 2))))
+    store.flush("t")
+    val mut = new Mutations(store)
+    assert(mut.cleanupEmptyIds("t") == 1)
+    assert(store.read("t").count() == 1)
+  }
+
+  test("retention drops expired date partitions") {
+    val store = new TableStore(spark, tmpDir("mut3"))
+    store.createTable("t", TableConfig(retentionDays = 30))
+    store.write("t", Seq(
+      rec("old", "2023-01-01 00:00:00", Map("v" -> 1)),
+      rec("new", "2024-06-01 00:00:00", Map("v" -> 2))))
+    store.flush("t")
+    val mut = new Mutations(store)
+    assert(mut.applyRetention("t", java.time.LocalDate.parse("2024-06-15")) == 1)
+    val ids = store.read("t").collect().map(_.getAs[String]("id")).toSeq
+    assert(ids == Seq("new"))
+  }
+}

@@ -1,0 +1,46 @@
+package graft.operators
+
+import graft.SparkSpec
+
+/** Sanity specs for the training-pipeline operators. Full value-level
+  * correctness is covered by the DuckDB oracle gate (SparkEntry); these
+  * pin the cross-operator invariants the oracle can't express. */
+class PipelineOpsSpec extends SparkSpec {
+
+  test("minhash-LSH finds exactly the exact-jaccard pairs (recall 1.0 at τ=0.8)") {
+    val lsh = Dedup.minhashLsh(spark, Sf001).collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))).toSet
+    val exact = Dedup.ngramJaccard(spark, Sf001).collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))).toSet
+    assert(lsh == exact, "banded LSH (32×2) should not miss τ≥0.8 pairs")
+    assert(exact.nonEmpty) // 25 planted near-dup pairs at sf0.01
+  }
+
+  test("simhash hamming pairs cover the planted near-dups") {
+    val sim = Dedup.simhash(spark, Sf001).collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))).toSet
+    val planted = Dedup.ngramJaccard(spark, Sf001).collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))).toSet
+    assert(planted.subsetOf(sim), s"missing: ${planted -- sim}")
+  }
+
+  test("ann LSH results are a subset of brute-force ordering universe") {
+    val brute = Similarity.annBrute(spark, Sf001).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
+    val lsh = Similarity.annLsh(spark, Sf001).collect()
+    assert(lsh.nonEmpty)
+    // every LSH row is a real vector pair with rank ≤ 10
+    assert(lsh.forall(_.getAs[Long]("rank") <= 10))
+    // recall sanity: at least 30% of true top-10 found by multi-probe LSH
+    val hits = lsh.map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id")))
+      .count(brute.contains)
+    assert(hits >= brute.size * 3 / 10, s"recall too low: $hits/${brute.size}")
+  }
+
+  test("dedup exact groups every doc (no dups in corpus → n groups)") {
+    val n = graft.core.Tables.load(spark, Sf001, "documents").count()
+    val groups = Dedup.exact(spark, Sf001)
+    assert(groups.count() == n)
+    assert(groups.filter("n_copies > 1").count() == 0)
+  }
+}

@@ -1,0 +1,94 @@
+package graft.query
+
+import java.sql.Timestamp
+
+import graft.SparkSpec
+import graft.catalog.TableStore
+import graft.ingest.DynRecord
+
+class QueryEngineSpec extends SparkSpec {
+
+  private def rec(id: String, ts: String, payload: Map[String, Any]) =
+    DynRecord(id, Timestamp.valueOf(ts), payload)
+
+  private def freshEngine(): (TableStore, QueryEngine) = {
+    val store = new TableStore(spark, tmpDir("qe"))
+    store.write("users", Seq(
+      rec("u1", "2024-01-01 10:00:00", Map("name" -> "ann", "age" -> 31)),
+      rec("u2", "2024-01-02 11:00:00", Map("name" -> "bob", "age" -> 25)),
+      rec("u3", "2024-01-03 12:00:00", Map("name" -> "cat", "age" -> 40))))
+    store.flush("users")
+    store.write("orders", Seq(
+      rec("o1", "2024-01-05 00:00:00", Map("user_id" -> "u1", "amount" -> 10.5)),
+      rec("o2", "2024-01-05 00:00:01", Map("user_id" -> "u1", "amount" -> 4.5)),
+      rec("o3", "2024-01-06 00:00:02", Map("user_id" -> "u2", "amount" -> 7.0))))
+    store.flush("orders")
+    (store, new QueryEngine(store))
+  }
+
+  test("gate: accepts SELECT and CTE, rejects DDL/DML/multi-statement") {
+    assert(SqlGate.validate(spark, "SELECT 1").isRight)
+    assert(SqlGate.validate(spark, "WITH x AS (SELECT 1 AS a) SELECT * FROM x").isRight)
+    assert(SqlGate.validate(spark, "DROP TABLE users").isLeft)
+    assert(SqlGate.validate(spark, "INSERT INTO users VALUES (1)").isLeft)
+    assert(SqlGate.validate(spark, "CREATE TABLE t (a INT) USING parquet").isLeft)
+    assert(SqlGate.validate(spark, "UPDATE users SET a = 1").isLeft)
+    assert(SqlGate.validate(spark, "DELETE FROM users WHERE a = 1").isLeft)
+    assert(SqlGate.validate(spark, "SELECT 1; DROP TABLE users").isLeft)
+    assert(SqlGate.validate(spark, "x" * 10001).isLeft)
+    assert(SqlGate.validate(spark, "").isLeft)
+  }
+
+  test("gate: extracts referenced tables, excluding CTE names") {
+    val g = SqlGate.validate(spark,
+      "WITH t AS (SELECT * FROM users) SELECT * FROM t JOIN orders ON 1=1").toOption.get
+    assert(g.tables == Seq("users", "orders"))
+  }
+
+  test("join + aggregate over dynamic tables through SQL") {
+    val (_, engine) = freshEngine()
+    val res = engine.query(
+      """SELECT u.name, SUM(o.amount) AS total
+        |FROM users u JOIN orders o ON u.id = o.user_id
+        |GROUP BY u.name ORDER BY total DESC""".stripMargin).toOption.get
+    val rows = res.df.collect()
+    assert(rows.map(r => (r.getString(0), r.getDouble(1))).toSeq ==
+      Seq(("ann", 15.0), ("bob", 7.0)))
+  }
+
+  test("limit injection") {
+    val (_, engine) = freshEngine()
+    val res = engine.query("SELECT * FROM users", limit = 2).toOption.get
+    assert(res.df.count() == 2)
+  }
+
+  test("json results + result cache hit + invalidation on write") {
+    val (store, engine) = freshEngine()
+    val sql = "SELECT count(*) AS n FROM users"
+    val r1 = engine.executeJson(sql).toOption.get
+    assert(r1 == """[{"n":3}]""")
+    val (h0, m0, _, _) = engine.cacheStats
+    val r2 = engine.executeJson(sql).toOption.get
+    val (h1, _, _, _) = engine.cacheStats
+    assert(r2 == r1 && h1 == h0 + 1) // cache hit
+    store.write("users", Seq(rec("u4", "2024-01-04 00:00:00", Map("name" -> "dan"))))
+    val r3 = engine.executeJson(sql).toOption.get
+    assert(r3 == """[{"n":4}]""") // invalidated by version bump (incl. buffer rows)
+  }
+
+  test("hybrid query sees unflushed rows") {
+    val (store, engine) = freshEngine()
+    store.write("users", Seq(rec("u9", "2024-01-09 00:00:00", Map("name" -> "eve"))))
+    val res = engine.executeJson("SELECT count(*) AS n FROM users", useCache = false)
+    assert(res.toOption.get == """[{"n":4}]""")
+  }
+
+  test("cursor pagination") {
+    val (_, engine) = freshEngine()
+    val sql = "SELECT id FROM users ORDER BY id"
+    val Right((page1, c1)) = engine.executePage(sql, 0, 2): @unchecked
+    assert(page1.length == 2 && c1 == 2)
+    val Right((page2, c2)) = engine.executePage(sql, c1, 2): @unchecked
+    assert(page2.length == 1 && c2 == -1L)
+  }
+}
