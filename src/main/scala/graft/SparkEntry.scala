@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.operators.{Dedup, Relational, Similarity, TextAnalysis}
+import graft.operators.{Approx, Dedup, Relational, Similarity, TextAnalysis}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -58,6 +58,12 @@ object SparkEntry {
     // training-data pipeline: similarity search
     "s01_ann_brute"       -> (Similarity.annBrute _),
     "s02_ann_lsh"         -> (Similarity.annLsh _),
+    // approximate/sketch operators (engine-specific estimates: rows-only)
+    "a01_approx_distinct" -> (Approx.approxDistinct _),
+    "a02_hll_merge"       -> (Approx.hllMerge _),
+    // multimodal plumbing (stubbed decode, real batching: rows-only)
+    "m01_multimodal_features" ->
+      ((s, dir) => graft.multimodal.Multimodal.featureSummary(s, dir)),
   )
 
   /** DuckDB-runnable equivalents (same parquet tables registered under

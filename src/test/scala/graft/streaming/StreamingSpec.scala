@@ -1,0 +1,86 @@
+package graft.streaming
+
+import java.nio.file.{Files, Paths}
+import java.sql.Timestamp
+
+import org.apache.spark.sql.types._
+
+import graft.SparkSpec
+import graft.catalog.TableStore
+
+class StreamingSpec extends SparkSpec {
+
+  private val recSchema = StructType(Seq(
+    StructField("id", StringType),
+    StructField("timestamp", TimestampType),
+    StructField("v", DoubleType)))
+
+  test("file-source micro-batch ingest lands partitioned parquet + CDC log") {
+    val root = tmpDir("stream")
+    val src = tmpDir("stream-src")
+    val store = new TableStore(spark, root)
+    val ing = new StreamingIngest(store)
+
+    Files.writeString(Paths.get(src, "b1.json"),
+      """{"id":"a","timestamp":"2024-01-01T10:00:00.000Z","v":1.0}
+        |{"id":"b","timestamp":"2024-01-02T10:00:00.000Z","v":2.0}""".stripMargin)
+
+    val q = ing.startJsonIngest("t", src, recSchema, tmpDir("stream-ckpt"))
+    q.awaitTermination(60000)
+
+    val df = store.read("t")
+    assert(df.count() == 2)
+    assert(df.columns.contains("date"))
+    // date partitions from event time
+    val dirs = new java.io.File(store.tablePath("t")).listFiles().map(_.getName)
+    assert(dirs.contains("date=2024-01-01") && dirs.contains("date=2024-01-02"))
+    // CDC log carries one INSERT per record
+    val cdc = ing.cdcLog("t")
+    assert(cdc.filter("op = 'INSERT'").count() == 2)
+  }
+
+  test("checkpoint makes re-run exactly-once (no duplicate ingestion)") {
+    val root = tmpDir("stream2")
+    val src = tmpDir("stream2-src")
+    val ckpt = tmpDir("stream2-ckpt")
+    val store = new TableStore(spark, root)
+    val ing = new StreamingIngest(store)
+    Files.writeString(Paths.get(src, "b1.json"),
+      """{"id":"a","timestamp":"2024-01-01T10:00:00.000Z","v":1.0}""")
+    ing.startJsonIngest("t", src, recSchema, ckpt).awaitTermination(60000)
+    assert(store.read("t").count() == 1)
+    // restart over the same checkpoint: the committed file is not re-read
+    ing.startJsonIngest("t", src, recSchema, ckpt).awaitTermination(60000)
+    assert(store.read("t").count() == 1)
+    // new file after restart IS picked up
+    Files.writeString(Paths.get(src, "b2.json"),
+      """{"id":"c","timestamp":"2024-01-03T10:00:00.000Z","v":3.0}""")
+    ing.startJsonIngest("t", src, recSchema, ckpt).awaitTermination(60000)
+    assert(store.read("t").count() == 2)
+  }
+
+  test("sessionize: gap-based sessions with custom state") {
+    import spark.implicits._
+    def ev(u: Long, t: String, v: Double) =
+      Sessionize.Event(u, Timestamp.valueOf(t), "x", v)
+    val events = Seq(
+      ev(1, "2024-01-01 10:00:00", 1), ev(1, "2024-01-01 10:10:00", 2),
+      ev(1, "2024-01-01 12:00:00", 3), // > 30min gap → new session
+      ev(2, "2024-01-01 09:00:00", 5)).toDS()
+    val sessions = Sessionize.sessionize(events).collect()
+    // closed sessions only (append mode): user1's first session
+    assert(sessions.length == 1)
+    val s0 = sessions.head
+    assert(s0.user_id == 1 && s0.events == 2 && s0.total == 3.0)
+  }
+
+  test("windowed streaming aggregation over memory-rate source shape (batch-check)") {
+    // windowedCounts is a streaming transform; validate its plan shape on
+    // a batch frame (same expressions compile for both)
+    val events = graft.core.Tables.load(spark, Sf0001, "events")
+    val out = new StreamingIngest(new TableStore(spark, tmpDir("w")))
+      .windowedCounts(events, "1 hour", "1 hour")
+    assert(out.columns.toSet == Set("window", "event_type", "n", "total"))
+    assert(out.count() > 0)
+  }
+}
