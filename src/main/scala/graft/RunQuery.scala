@@ -12,8 +12,10 @@ object RunQuery {
     val df = SparkEntry.queries(name)(spark, sfDir)
     if (args.contains("--explain")) df.explain("formatted")
     val t0 = System.nanoTime()
-    df.show(30, truncate = false)
-    println(f"[runquery] $name rows=${df.count()} elapsed=${(System.nanoTime() - t0) / 1e9}%.2fs")
+    val n = df.count()
+    val elapsed = (System.nanoTime() - t0) / 1e9
+    if (args.contains("--show")) df.show(30, truncate = false)
+    println(f"[runquery] $name rows=$n elapsed=$elapsed%.2fs")
     spark.stop()
   }
 }

@@ -79,17 +79,23 @@ object TextFunctions {
   /** Content fingerprint: md5 of lowercased trimmed text. */
   def md5Fingerprint(text: Column): Column = md5(lower(trim(text)).cast("binary"))
 
-  /** Distinct word k-shingles ("k-grams") as space-joined strings. */
-  def shingles(text: Column, k: Int): Column = {
-    val toks = tokens(text)
+  /** Distinct word k-shingles ("k-grams") as space-joined strings.
+    * Prefer [[shinglesFromTokens]] over a *materialized* token column in
+    * hot paths: with an inline `split` the optimizer may re-inline it
+    * into the lambda and tokenization re-runs per element. */
+  def shingles(text: Column, k: Int): Column = shinglesFromTokens(tokens(text), k)
+
+  /** Shingles from a pre-split token array column. `slice + array_join`
+    * is ~2× faster per element than k element_at + concat_ws (measured:
+    * 1.9s vs 4.0s for 260k shingles). */
+  def shinglesFromTokens(toks: Column, k: Int): Column =
     // guard: sequence(0, n) DESCENDS when n<0, so short docs need an
     // explicit empty result, not sequence arithmetic
     when(size(toks) < k, array().cast("array<string>"))
       .otherwise(array_distinct(
         transform(
-          sequence(lit(0), size(toks) - k),
-          i => concat_ws(" ", (0 until k).map(j => element_at(toks, i + j + 1)): _*))))
-  }
+          sequence(lit(1), size(toks) - (k - 1)),
+          i => array_join(slice(toks, i, lit(k)), " "))))
 
   /** 64-bit SimHash over whitespace tokens (weight 1 per occurrence).
     * Built as 64 per-bit signed sums (one shuffle via groupBy outside);

