@@ -102,6 +102,9 @@ class TableStore(val spark: SparkSession, val root: String) {
         .write
         .mode("append")
         .partitionBy("date")
+        // parquet bloom filter on id: point lookups (delete/update by id,
+        // reference index #33) skip row groups without footer-stats help
+        .option("parquet.bloom.filter.enabled#id", "true")
         .parquet(tablePath(table))
       bumpVersion(table)
     }

@@ -1,0 +1,67 @@
+package graft
+
+import java.sql.Timestamp
+
+import graft.catalog.TableStore
+import graft.ingest.DynRecord
+import graft.operators.Relational
+
+/** Plan-shape assertions: the scale properties the engine depends on
+  * (scan pushdown, partition pruning, broadcast of fixed-size dims)
+  * must be visible in the physical plan, not assumed. */
+class PlanSpec extends SparkSpec {
+
+  private def executedPlan(df: org.apache.spark.sql.DataFrame): String = {
+    df.collect() // force AQE final plan
+    df.queryExecution.executedPlan.toString
+  }
+
+  test("predicate and projection push into the parquet scan") {
+    val df = Relational.filterProject(spark, Sf0001)
+    val plan = executedPlan(df)
+    assert(plan.contains("PushedFilters:") && plan.contains("l_quantity"),
+      s"no pushed filters in:\n$plan")
+    // projection pruning: scan schema carries only the 4 needed columns
+    assert(plan.contains("ReadSchema"))
+    assert(!plan.contains("l_extendedprice,l_discount") || !plan.contains("l_tax"))
+  }
+
+  test("date partition pruning reaches the TableStore scan") {
+    val store = new TableStore(spark, tmpDir("plan"))
+    store.write("t", Seq(
+      DynRecord("a", Timestamp.valueOf("2024-01-01 00:00:00"), Map("v" -> 1)),
+      DynRecord("b", Timestamp.valueOf("2024-02-01 00:00:00"), Map("v" -> 2))))
+    store.flush("t")
+    val df = store.read("t").filter("date = DATE'2024-01-01'")
+    assert(df.count() == 1)
+    val scanned = df.queryExecution.executedPlan.collectLeaves()
+      .collect { case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+        f.selectedPartitions.partitionCount }
+    assert(scanned.nonEmpty && scanned.forall(_ == 1),
+      s"partition pruning failed: $scanned partitions scanned")
+  }
+
+  test("fixed-size dims broadcast in the star join") {
+    val plan = executedPlan(Relational.starJoin(spark, Sf0001))
+    assert(plan.contains("BroadcastHashJoin"), s"no broadcast join in:\n$plan")
+  }
+
+  test("top-K plans as TakeOrderedAndProject (no full sort)") {
+    val plan = executedPlan(Relational.topN(spark, Sf0001))
+    assert(plan.contains("TakeOrderedAndProject"), s"plan:\n$plan")
+  }
+
+  test("aes field encryption round-trips and hides plaintext") {
+    import graft.functions.FieldEncryption._
+    import spark.implicits._
+    val key = "0123456789abcdef" // 16-byte AES key
+    val df = Seq(("u1", "alice@example.com"), ("u2", "bob@example.com"))
+      .toDF("id", "email")
+    val enc = encryptFields(df, Seq("email"), key)
+    val encRows = enc.collect()
+    assert(encRows.forall(r => !r.getAs[String]("email").contains("@")))
+    val dec = decryptFields(enc, Seq("email"), key).orderBy("id").collect()
+    assert(dec.map(_.getAs[String]("email")).toSeq ==
+      Seq("alice@example.com", "bob@example.com"))
+  }
+}
