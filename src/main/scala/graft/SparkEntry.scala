@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.operators.{Approx, Dedup, Relational, Similarity, TextAnalysis}
+import graft.operators.{Approx, Dedup, Relational, RelationalSql, Similarity, TextAnalysis}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -44,6 +44,14 @@ object SparkEntry {
     "q20_date_parts"      -> (Relational.dateParts _),
     "q21_json_extract"    -> (Relational.jsonExtract _),
     "q22_range_join"      -> (Relational.rangeJoin _),
+    "q23_point_lookup"    -> RelationalSql.q(RelationalSql.pointLookup),
+    "q24_window_nav"      -> RelationalSql.q(RelationalSql.windowNavigation),
+    "q25_cond_pivot"      -> RelationalSql.q(RelationalSql.conditionalPivot),
+    "q26_correlated_subq" -> RelationalSql.q(RelationalSql.correlatedSubquery),
+    "q27_date_arith"      -> RelationalSql.q(RelationalSql.dateArithmetic),
+    "q28_math_funcs"      -> RelationalSql.q(RelationalSql.mathFuncs),
+    "q29_string_funcs"    -> RelationalSql.q(RelationalSql.stringFuncs),
+    "q30_nested_agg_subq" -> RelationalSql.q(RelationalSql.nestedAggSubquery),
     // training-data pipeline: text analysis
     "t01_text_stats"      -> (TextAnalysis.textStats _),
     "t02_quality_scoring" -> (TextAnalysis.qualityScoring _),
@@ -211,6 +219,17 @@ object SparkEntry {
         |SELECT band, count(*) AS n, round(avg(p_retailprice),2) AS avg_price
         |FROM part JOIN bands ON p_retailprice >= lo AND p_retailprice < hi
         |GROUP BY band ORDER BY band""".stripMargin,
+    // q23–q30 reuse the Spark-dialect SQL verbatim — every construct is
+    // dialect-shared with DuckDB (verified: INTERVAL '30' DAY, instr,
+    // power, window frames, correlated/nested subqueries).
+    "q23_point_lookup"    -> graft.operators.RelationalSql.pointLookup,
+    "q24_window_nav"      -> graft.operators.RelationalSql.windowNavigation,
+    "q25_cond_pivot"      -> graft.operators.RelationalSql.conditionalPivot,
+    "q26_correlated_subq" -> graft.operators.RelationalSql.correlatedSubquery,
+    "q27_date_arith"      -> graft.operators.RelationalSql.dateArithmetic,
+    "q28_math_funcs"      -> graft.operators.RelationalSql.mathFuncs,
+    "q29_string_funcs"    -> graft.operators.RelationalSql.stringFuncs,
+    "q30_nested_agg_subq" -> graft.operators.RelationalSql.nestedAggSubquery,
     "t01_text_stats" ->
       """SELECT doc_id,
         | CAST(len(string_split(text,' ')) AS BIGINT) AS n_tokens,
