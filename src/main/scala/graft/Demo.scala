@@ -61,6 +61,19 @@ object Demo {
     println(s"== compaction: $p partition(s), $fb files -> $fa")
     println(engine.executeJson("SELECT count(*) AS n FROM users").merge)
 
+    // 6. full service facade: write with generated id, backup/restore, metrics
+    val svc = new graft.serve.ServiceFacade(store)
+    val w = svc.writeData("users", DynRecord("", ts("2024-01-08 00:00:00"), Map("name" -> "gen")))
+    println(s"== facade write, generated id: ${w.id.take(13)}…")
+    val backupDir = root + "-backup"
+    println(s"== backup: ${svc.backup("users", backupDir)} files")
+    svc.deleteData("users", w.id)
+    svc.restore("users", backupDir)
+    println("== after restore: " + svc.queryData("SELECT count(*) AS n FROM users").merge)
+    val m = svc.metrics()
+    println(s"== metrics: queries=${m.totalQueries} writes=${m.totalWrites} " +
+      s"cacheHits=${m.cacheHits} avgMs=${m.avgQueryMs.round}")
+
     spark.stop()
   }
 }

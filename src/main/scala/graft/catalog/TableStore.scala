@@ -156,7 +156,8 @@ class TableStore(val spark: SparkSession, val root: String) {
   private def hasStorage(table: String): Boolean = {
     val p = new org.apache.hadoop.fs.Path(tablePath(table))
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    fs.exists(p) && fs.listStatus(p).nonEmpty
+    // _SUCCESS markers survive partition deletion — only date= dirs count
+    fs.exists(p) && fs.listStatus(p).exists(_.getPath.getName.startsWith("date="))
   }
 
   /** Flushed storage only. */

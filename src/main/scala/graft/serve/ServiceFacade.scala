@@ -1,0 +1,143 @@
+package graft.serve
+
+import java.util.concurrent.atomic.{AtomicLong, LongAdder}
+
+import org.apache.hadoop.fs.Path
+
+import graft.catalog.TableStore
+import graft.ingest.{DynRecord, IdGen, IdStrategy, TableConfig}
+import graft.maintain.Compaction
+import graft.mutate.Mutations
+import graft.query.QueryEngine
+
+/** Transport-agnostic facade mapping the reference's service verbs
+  * (gRPC `MinIODBService`, `miniodb.proto:12-39`; REST `/v1/...`) onto the
+  * engine. A gRPC/REST layer would be a thin codec around these calls —
+  * no network deps exist in this environment, so the surface stops at
+  * typed methods with the same semantics:
+  *
+  *   WriteData → [[writeData]]       QueryData → [[queryData]]
+  *   UpdateData → [[updateData]]     DeleteData → [[deleteData]]
+  *   StreamQuery → [[streamQuery]]   CreateTable → [[createTable]]
+  *   ListTables → [[listTables]]     GetTable → [[getTable]]
+  *   DeleteTable → [[deleteTable]]   Backup/Restore → [[backup]]/[[restore]]
+  *   HealthCheck → [[healthCheck]]   GetMetrics → [[metrics]]
+  */
+class ServiceFacade(store: TableStore) {
+
+  val engine = new QueryEngine(store)
+  private val mutations = new Mutations(store)
+  private val compactor = new Compaction(store)
+
+  // QueryStats mirror (reference `query.go:124-138`)
+  private val totalQueries = new LongAdder
+  private val failedQueries = new LongAdder
+  private val totalWrites = new LongAdder
+  private val totalLatencyNs = new LongAdder
+  private val slowQueries = new AtomicLong(0)
+  val SlowQueryMs = 1000L
+
+  final case class WriteResult(id: String, table: String)
+
+  /** WriteData: id resolution per table strategy + buffered ingest. */
+  def writeData(table: String, record: DynRecord): WriteResult = {
+    val cfg = store.ensureTable(table)
+    val id =
+      if (record.id != null && record.id.nonEmpty) {
+        require(IdGen.validate(record.id, cfg.idPattern), s"invalid id '${record.id}'")
+        record.id
+      } else IdGen.generate(cfg.idStrategy match {
+        case IdStrategy.UserProvided => IdStrategy.Uuid // must generate something
+        case s => s
+      })
+    store.write(table, Seq(record.copy(id = id)))
+    totalWrites.increment()
+    WriteResult(id, table)
+  }
+
+  /** QueryData: SQL in, JSON rows out, optional limit (reference appends
+    * `LIMIT n`, `miniodb_service.go:624-626`). */
+  def queryData(sql: String, limit: Int = 0): Either[String, String] = {
+    val t0 = System.nanoTime()
+    val res = engine.executeJson(sql, limit)
+    val ns = System.nanoTime() - t0
+    totalQueries.increment(); totalLatencyNs.add(ns)
+    if (res.isLeft) failedQueries.increment()
+    if (ns / 1000000 > SlowQueryMs) slowQueries.incrementAndGet()
+    res
+  }
+
+  /** StreamQuery: cursor-paginated result batches (default 100, max
+    * 10000 — reference `miniodb_service.go:1276-1377`). */
+  def streamQuery(sql: String, cursor: Long = 0,
+      pageSize: Int = 100): Either[String, (Array[String], Long)] =
+    engine.executePage(sql, cursor, math.min(math.max(pageSize, 1), 10000))
+
+  def updateData(table: String, record: DynRecord): Long =
+    mutations.updateById(table, record)
+
+  def deleteData(table: String, id: String): Long =
+    mutations.deleteById(table, id)
+
+  def createTable(table: String, config: TableConfig = TableConfig()): Unit =
+    store.createTable(table, config)
+
+  def listTables(): Seq[String] = store.listTables()
+
+  def getTable(table: String): Option[TableConfig] = store.config(table)
+
+  def deleteTable(table: String): Unit = store.dropTable(table)
+
+  def compactTable(table: String): (Int, Int, Int) = compactor.compact(table)
+
+  // ---------------------------------------------------------------- backup
+
+  /** Backup: consistent snapshot of a table's parquet (flush first) into
+    * `<dest>/<table>` (reference Backup → MinIO bucket copy). */
+  def backup(table: String, dest: String): Long = {
+    store.flush(table)
+    val conf = store.spark.sparkContext.hadoopConfiguration
+    val src = new Path(store.tablePath(table))
+    val dst = new Path(s"$dest/$table")
+    val fs = src.getFileSystem(conf)
+    if (!fs.exists(src)) return 0L
+    if (fs.exists(dst)) fs.delete(dst, true)
+    org.apache.hadoop.fs.FileUtil.copy(fs, src, fs, dst, false, conf)
+    fs.getContentSummary(dst).getFileCount
+  }
+
+  /** Restore a backup into the live table path (replaces current data). */
+  def restore(table: String, from: String): Long = {
+    val conf = store.spark.sparkContext.hadoopConfiguration
+    val src = new Path(s"$from/$table")
+    val dst = new Path(store.tablePath(table))
+    val fs = src.getFileSystem(conf)
+    require(fs.exists(src), s"no backup for $table at $from")
+    if (fs.exists(dst)) fs.delete(dst, true)
+    org.apache.hadoop.fs.FileUtil.copy(fs, src, fs, dst, false, conf)
+    store.ensureTable(table)
+    store.bumpVersion(table)
+    fs.getContentSummary(dst).getFileCount
+  }
+
+  // --------------------------------------------------------------- health
+
+  final case class Health(ok: Boolean, tables: Int, sparkActive: Boolean)
+
+  def healthCheck(): Health =
+    Health(ok = !store.spark.sparkContext.isStopped,
+      tables = store.listTables().size,
+      sparkActive = !store.spark.sparkContext.isStopped)
+
+  final case class Metrics(
+      totalQueries: Long, failedQueries: Long, slowQueries: Long,
+      totalWrites: Long, avgQueryMs: Double,
+      cacheHits: Long, cacheMisses: Long)
+
+  def metrics(): Metrics = {
+    val q = totalQueries.sum
+    val (h, m, _, _) = engine.cacheStats
+    Metrics(q, failedQueries.sum, slowQueries.get, totalWrites.sum,
+      if (q == 0) 0.0 else totalLatencyNs.sum / 1e6 / q, h, m)
+  }
+}

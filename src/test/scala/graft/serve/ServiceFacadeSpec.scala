@@ -1,0 +1,71 @@
+package graft.serve
+
+import java.sql.Timestamp
+
+import graft.SparkSpec
+import graft.catalog.TableStore
+import graft.ingest.{DynRecord, IdStrategy, TableConfig}
+
+class ServiceFacadeSpec extends SparkSpec {
+
+  private def rec(id: String, payload: Map[String, Any]) =
+    DynRecord(id, Timestamp.valueOf("2024-01-01 00:00:00"), payload)
+
+  test("write/query/update/delete service loop") {
+    val svc = new ServiceFacade(new TableStore(spark, tmpDir("svc")))
+    val w = svc.writeData("users", rec("u1", Map("name" -> "ann")))
+    assert(w.id == "u1")
+    // generated id when blank
+    val w2 = svc.writeData("users", rec("", Map("name" -> "gen")))
+    assert(w2.id.nonEmpty && w2.id != "u1")
+    assert(svc.queryData("SELECT count(*) AS n FROM users").toOption.get == """[{"n":2}]""")
+    assert(svc.updateData("users", rec("u1", Map("name" -> "ann2"))) == 1)
+    assert(svc.queryData("SELECT name FROM users WHERE id = 'u1'", 0)
+      .toOption.get.contains("ann2"))
+    assert(svc.deleteData("users", "u1") == 1)
+    val m = svc.metrics()
+    assert(m.totalQueries == 2 && m.totalWrites >= 2 && m.failedQueries == 0)
+  }
+
+  test("id strategies: custom prefix and validation") {
+    val store = new TableStore(spark, tmpDir("svc2"))
+    store.createTable("t", TableConfig(idStrategy = IdStrategy.CustomPrefix("ord")))
+    val svc = new ServiceFacade(store)
+    val w = svc.writeData("t", rec("", Map("v" -> 1)))
+    assert(w.id.startsWith("ord-"))
+    intercept[IllegalArgumentException] {
+      svc.writeData("t", rec("bad id with spaces!", Map("v" -> 2)))
+    }
+  }
+
+  test("stream query pagination") {
+    val svc = new ServiceFacade(new TableStore(spark, tmpDir("svc3")))
+    (1 to 5).foreach(i => svc.writeData("t", rec(s"r$i", Map("i" -> i))))
+    val Right((p1, c1)) = svc.streamQuery("SELECT id FROM t ORDER BY id", 0, 2): @unchecked
+    val Right((p2, c2)) = svc.streamQuery("SELECT id FROM t ORDER BY id", c1, 2): @unchecked
+    val Right((p3, c3)) = svc.streamQuery("SELECT id FROM t ORDER BY id", c2, 2): @unchecked
+    assert(p1.length == 2 && p2.length == 2 && p3.length == 1 && c3 == -1)
+  }
+
+  test("backup and restore round-trip") {
+    val svc = new ServiceFacade(new TableStore(spark, tmpDir("svc4")))
+    val dest = tmpDir("svc4-backup")
+    svc.writeData("t", rec("keep", Map("v" -> 1)))
+    assert(svc.backup("t", dest) > 0)
+    // destructive change, then restore
+    svc.deleteData("t", "keep")
+    assert(svc.queryData("SELECT count(*) AS n FROM t").toOption.get == """[{"n":0}]""")
+    svc.restore("t", dest)
+    assert(svc.queryData("SELECT count(*) AS n FROM t").toOption.get == """[{"n":1}]""")
+  }
+
+  test("table lifecycle + health") {
+    val svc = new ServiceFacade(new TableStore(spark, tmpDir("svc5")))
+    svc.createTable("a"); svc.createTable("b")
+    assert(svc.listTables() == Seq("a", "b"))
+    assert(svc.getTable("a").isDefined)
+    svc.deleteTable("a")
+    assert(svc.listTables() == Seq("b"))
+    assert(svc.healthCheck().ok)
+  }
+}
