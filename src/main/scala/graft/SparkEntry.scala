@@ -57,6 +57,7 @@ object SparkEntry {
     "t02_quality_scoring" -> (TextAnalysis.qualityScoring _),
     "t03_lang_id"         -> (TextAnalysis.langId _),
     "t04_fingerprints"    -> (TextAnalysis.fingerprints _),
+    "t05_curation"        -> (TextAnalysis.curation _),
     // training-data pipeline: deduplication
     "d01_dedup_exact"     -> (Dedup.exact _),
     "d02_minhash_lsh"     -> (Dedup.minhashLsh _),
@@ -272,6 +273,27 @@ object SparkEntry {
         |   [CAST(length(x)+31*ascii(x) AS BIGINT) for x in string_split(text,' ')]),
         |   (acc,v) -> (acc*131+v) % 1000000007) AS fp_roll
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "t05_curation" ->
+      """WITH scored AS (
+        | SELECT doc_id, source, md5(lower(trim(text))) AS fp,
+        |  CAST(len(string_split(text,' ')) AS BIGINT) AS n_tokens,
+        |  round(least(1.0, len(string_split(text,' '))/100.0)*0.5
+        |   + (CASE WHEN len(string_split(text,' ')) = 0 THEN 0.0
+        |       ELSE len(list_filter(string_split(text,' '),
+        |             x -> x IN ('the','a','and','of','to','in','is')))
+        |            / CAST(len(string_split(text,' ')) AS DOUBLE) END)*0.25
+        |   + (1.0 - (CASE WHEN length(text) = 0 THEN 0.0
+        |       ELSE (length(text) - length(regexp_replace(text, '[^a-z0-9 ]', '', 'g')))
+        |            / CAST(length(text) AS DOUBLE) END))*0.25, 4) AS quality
+        | FROM documents),
+        |kept AS (
+        | SELECT *, min(doc_id) OVER (PARTITION BY fp) AS keep_id FROM scored)
+        |SELECT source, count(*) AS n_docs,
+        | round(avg(quality), 4) AS avg_quality,
+        | CAST(sum(n_tokens) AS BIGINT) AS total_tokens
+        |FROM kept
+        |WHERE doc_id = keep_id AND quality >= 0.5 AND n_tokens BETWEEN 20 AND 400
+        |GROUP BY source ORDER BY source""".stripMargin,
     "d01_dedup_exact" ->
       """SELECT md5(lower(trim(text))) AS fp, min(doc_id) AS keep_id,
         | count(*) AS n_copies

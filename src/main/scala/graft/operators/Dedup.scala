@@ -159,16 +159,18 @@ object Dedup {
     * join. 64-bit hash collisions are ~2⁻⁶⁴ per shingle pair. */
   def ngramJaccard(s: SparkSession, dir: String): DataFrame = {
     val sh = hashedShingleSets(s, dir)
-    val inv = sh.select(col("doc_id"), explode(col("hs")).as("h"))
-    val pairHits = inv.select(col("doc_id").as("doc_a"), col("h"))
-      .join(inv.select(col("doc_id").as("doc_b"), col("h")), "h")
-      .filter(col("doc_a") < col("doc_b"))
-      .groupBy(col("doc_a"), col("doc_b"))
+    val inv = sh.select(col("doc_id"), size(col("hs")).as("n_sh"),
+      explode(col("hs")).as("h"))
+    // size-ratio prefilter, EXACT-preserving: j = I/(na+nb−I) ≤ min/max,
+    // so j ≥ 0.8 requires min(na,nb)·10 ≥ max(na,nb)·8 — drops most
+    // random pair hits before the expensive pair groupBy.
+    val pairHits = inv.select(col("doc_id").as("doc_a"), col("n_sh").as("na"), col("h"))
+      .join(inv.select(col("doc_id").as("doc_b"), col("n_sh").as("nb"), col("h")), "h")
+      .filter(col("doc_a") < col("doc_b") &&
+        least(col("na"), col("nb")) * 10 >= greatest(col("na"), col("nb")) * 8)
+      .groupBy(col("doc_a"), col("doc_b"), col("na"), col("nb"))
       .agg(count(lit(1)).cast("double").as("inter"))
-    val sizes = sh.select(col("doc_id"), size(col("hs")).as("n_sh"))
     pairHits
-      .join(sizes.select(col("doc_id").as("doc_a"), col("n_sh").as("na")), "doc_a")
-      .join(sizes.select(col("doc_id").as("doc_b"), col("n_sh").as("nb")), "doc_b")
       .withColumn("jaccard_raw", col("inter") / (col("na") + col("nb") - col("inter")))
       .filter(col("jaccard_raw") >= JaccardThreshold)
       .select(col("doc_a"), col("doc_b"), round(col("jaccard_raw"), 4).as("jaccard"))

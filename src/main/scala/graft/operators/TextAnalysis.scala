@@ -40,6 +40,30 @@ object TextAnalysis {
       .agg(count(lit(1)).as("n"))
       .orderBy(col("lang"), col("lang_guess"))
 
+  /** End-to-end curation pipeline — the flagship training-data shape:
+    * score → filter (quality + length gates) → exact-dedup (keep lowest
+    * doc_id per content fingerprint) → per-source corpus stats. One scan,
+    * one window, one aggregation. */
+  def curation(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val scored = Tables.load(s, dir, "documents")
+      .select(
+        col("doc_id"), col("source"),
+        md5Fingerprint(col("text")).as("fp"),
+        tokenCount(col("text")).as("n_tokens"),
+        qualityScore(col("text")).as("quality"))
+    scored
+      .withColumn("keep_id", min(col("doc_id")).over(Window.partitionBy(col("fp"))))
+      .filter(col("doc_id") === col("keep_id") &&
+        col("quality") >= 0.5 && col("n_tokens").between(20, 400))
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        round(avg(col("quality")), 4).as("avg_quality"),
+        sum(col("n_tokens")).as("total_tokens"))
+      .orderBy(col("source"))
+  }
+
   /** Content fingerprints: md5 (exact-dup key) + order-sensitive rolling
     * hash (cheap near-identity check for shifted content). */
   def fingerprints(s: SparkSession, dir: String): DataFrame =
