@@ -52,6 +52,7 @@ object SparkEntry {
     "q28_math_funcs"      -> RelationalSql.q(RelationalSql.mathFuncs),
     "q29_string_funcs"    -> RelationalSql.q(RelationalSql.stringFuncs),
     "q30_nested_agg_subq" -> RelationalSql.q(RelationalSql.nestedAggSubquery),
+    "q31_asof_join"       -> (Relational.asofJoin _),
     // training-data pipeline: text analysis
     "t01_text_stats"      -> (TextAnalysis.textStats _),
     "t02_quality_scoring" -> (TextAnalysis.qualityScoring _),
@@ -231,6 +232,18 @@ object SparkEntry {
     "q28_math_funcs"      -> graft.operators.RelationalSql.mathFuncs,
     "q29_string_funcs"    -> graft.operators.RelationalSql.stringFuncs,
     "q30_nested_agg_subq" -> graft.operators.RelationalSql.nestedAggSubquery,
+    "q31_asof_join" ->
+      """WITH clicks AS (
+        | SELECT user_id, ts, CAST(max(event_id) AS BIGINT) AS click_id,
+        |        max_by(value, event_id) AS click_value
+        | FROM events WHERE event_type = 'click' GROUP BY user_id, ts),
+        |purch AS (
+        | SELECT event_id, user_id, ts FROM events
+        | WHERE event_type = 'purchase')
+        |SELECT p.event_id, p.user_id, p.ts, c.click_id, c.click_value
+        |FROM purch p ASOF LEFT JOIN clicks c
+        | ON p.user_id = c.user_id AND p.ts >= c.ts
+        |ORDER BY p.event_id""".stripMargin,
     "t01_text_stats" ->
       """SELECT doc_id,
         | CAST(len(string_split(text,' ')) AS BIGINT) AS n_tokens,

@@ -266,6 +266,23 @@ object Relational {
       .orderBy(col("event_id"))
       .limit(200)
 
+  /** As-of (temporal) join: each purchase matched to the user's latest
+    * click at or before it — composed via [[Joins.asOf]] (union + one
+    * window pass; no range-join explosion). Right side deduped to one
+    * row per (user, ts) so tie-breaking is deterministic for the oracle. */
+  def asofJoin(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+    val clicks = ev.filter(col("event_type") === "click")
+      .groupBy(col("user_id"), col("ts"))
+      .agg(
+        max(col("event_id")).as("click_id"),
+        max_by(col("value"), col("event_id")).as("click_value"))
+    val purch = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    Joins.asOf(purch, clicks, "ts", "ts", Seq("user_id"))
+      .orderBy(col("event_id"))
+  }
+
   /** Theta/range join: events self-correlated is too big; use part price
     * band join against a small derived band table (broadcast NL join). */
   def rangeJoin(s: SparkSession, dir: String): DataFrame = {

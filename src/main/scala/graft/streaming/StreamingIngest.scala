@@ -79,6 +79,40 @@ class StreamingIngest(store: TableStore) {
     else spark.emptyDataFrame
   }
 
+  /** Start a json ingest stream that DEDUPES by record id across
+    * micro-batches (streaming state + watermark): re-sent records within
+    * the watermark horizon land exactly once — the idempotent-write
+    * guarantee the reference approximates with buffer-key replacement
+    * (`concurrent_buffer.go:1016-1042`). */
+  def startDedupedJsonIngest(
+      table: String,
+      sourceDir: String,
+      schema: StructType,
+      checkpoint: String,
+      watermark: String = "1 day",
+      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
+    store.ensureTable(table)
+    spark.readStream
+      .schema(schema)
+      .json(sourceDir)
+      .withWatermark("timestamp", watermark)
+      .dropDuplicatesWithinWatermark("id")
+      .writeStream
+      .queryName(s"ingest-dedup-$table")
+      .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty) {
+          batch.withColumn("date", to_date(col("timestamp")))
+            .write.mode("append").partitionBy("date")
+            .parquet(store.tablePath(table))
+          store.bumpVersion(table)
+        }
+        ()
+      }
+      .start()
+  }
+
   /** Watermarked sliding-window aggregation over a streaming frame —
     * the reference's "hourly DATE_TRUNC" benchmark shape as a live
     * stream (SURVEY.md §2.1). Caller supplies the streaming source df

@@ -59,6 +59,20 @@ class StreamingSpec extends SparkSpec {
     assert(store.read("t").count() == 2)
   }
 
+  test("deduped ingest: repeated ids within watermark land exactly once") {
+    val root = tmpDir("sdd")
+    val src = tmpDir("sdd-src")
+    val store = new TableStore(spark, root)
+    val ing = new StreamingIngest(store)
+    Files.writeString(Paths.get(src, "b1.json"),
+      """{"id":"dup","timestamp":"2024-01-01T10:00:00.000Z","v":1.0}
+        |{"id":"dup","timestamp":"2024-01-01T10:00:01.000Z","v":2.0}
+        |{"id":"other","timestamp":"2024-01-01T10:00:02.000Z","v":3.0}""".stripMargin)
+    ing.startDedupedJsonIngest("t", src, recSchema, tmpDir("sdd-ckpt"))
+      .awaitTermination(60000)
+    assert(store.read("t").count() == 2) // dup collapsed, other kept
+  }
+
   test("sessionize: gap-based sessions with custom state") {
     import spark.implicits._
     def ev(u: Long, t: String, v: Double) =
