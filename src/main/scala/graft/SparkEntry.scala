@@ -59,6 +59,7 @@ object SparkEntry {
     "t03_lang_id"         -> (TextAnalysis.langId _),
     "t04_fingerprints"    -> (TextAnalysis.fingerprints _),
     "t05_curation"        -> (TextAnalysis.curation _),
+    "t06_text_search"     -> (TextAnalysis.textSearch _),
     // training-data pipeline: deduplication
     "d01_dedup_exact"     -> (Dedup.exact _),
     "d02_minhash_lsh"     -> (Dedup.minhashLsh _),
@@ -307,6 +308,12 @@ object SparkEntry {
         |FROM kept
         |WHERE doc_id = keep_id AND quality >= 0.5 AND n_tokens BETWEEN 20 AND 400
         |GROUP BY source ORDER BY source""".stripMargin,
+    "t06_text_search" ->
+      """SELECT doc_id, source, n_chars FROM documents
+        |WHERE list_contains(string_split(text,' '), 'dup')
+        |   OR (list_contains(string_split(text,' '), 'spark')
+        |       AND list_contains(string_split(text,' '), 'window'))
+        |ORDER BY doc_id""".stripMargin,
     "d01_dedup_exact" ->
       """SELECT md5(lower(trim(text))) AS fp, min(doc_id) AS keep_id,
         | count(*) AS n_copies

@@ -64,6 +64,18 @@ object TextAnalysis {
       .orderBy(col("source"))
   }
 
+  /** Token search (the reference's inverted-index surface, SURVEY #35,
+    * mapped to a tokenized-array membership predicate — at scale this
+    * pairs with a materialized token->doc inverted table; the predicate
+    * form benefits from parquet dictionary + bloom pruning). */
+  def textSearch(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "documents")
+      .filter(array_contains(tokens(col("text")), "dup") ||
+        (array_contains(tokens(col("text")), "spark") &&
+          array_contains(tokens(col("text")), "window")))
+      .select(col("doc_id"), col("source"), col("n_chars"))
+      .orderBy(col("doc_id"))
+
   /** Content fingerprints: md5 (exact-dup key) + order-sensitive rolling
     * hash (cheap near-identity check for shifted content). */
   def fingerprints(s: SparkSession, dir: String): DataFrame =
