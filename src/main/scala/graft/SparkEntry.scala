@@ -69,6 +69,7 @@ object SparkEntry {
     // training-data pipeline: similarity search
     "s01_ann_brute"       -> (Similarity.annBrute _),
     "s02_ann_lsh"         -> (Similarity.annLsh _),
+    "s03_ann_ivf"         -> (Similarity.annIvf _),
     // approximate/sketch operators (engine-specific estimates: rows-only)
     "a01_approx_distinct" -> (Approx.approxDistinct _),
     "a02_hll_merge"       -> (Approx.hllMerge _),

@@ -63,6 +63,46 @@ object Similarity {
       acc.bitwiseOR(when(proj > 0, lit(1L << p)).otherwise(lit(0L)))
     }
 
+  /** IVF-Flat ANN: vectors are assigned to the nearest of `Cells`
+    * centroids (inverted file); a query probes only its `NProbe` nearest
+    * cells. Centroids here are a deterministic sample (first `Cells`
+    * vectors — production would k-means; the partition/probe machinery
+    * is identical). Assignment is a broadcast of the tiny centroid set
+    * against the fact side — one codegen'd pass, no shuffle of vectors;
+    * the probe join shuffles only candidates. */
+  def annIvf(s: SparkSession, dir: String): DataFrame = {
+    val Cells = 16
+    val NProbe = 4
+    val e = withNorm(s, Tables.load(s, dir, "embeddings"))
+    val cent = e.filter(col("vec_id") < Cells)
+      .select(col("vec_id").as("cell"), col("v").as("cv"), col("norm").as("cn"))
+    // inverted file: nearest centroid per vector
+    val assign = e.crossJoin(broadcast(cent))
+      .withColumn("sim", VectorFunctions.dot(s, col("v"), col("cv")) / (col("norm") * col("cn")))
+      .groupBy(col("vec_id"))
+      .agg(max_by(col("cell"), col("sim")).as("cell"))
+    val indexed = e.join(assign, "vec_id")
+    // query probes its NProbe nearest cells
+    val q = e.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"), col("norm").as("qn"))
+    val wProbe = Window.partitionBy(col("query_id")).orderBy(col("csim").desc, col("cell"))
+    val probes = q.crossJoin(broadcast(cent))
+      .withColumn("csim", VectorFunctions.dot(s, col("qv"), col("cv")) / (col("qn") * col("cn")))
+      .withColumn("pr", row_number().over(wProbe))
+      .filter(col("pr") <= NProbe)
+      .select(col("query_id"), col("qv"), col("qn"), col("cell"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("vec_id"))
+    indexed.join(broadcast(probes), Seq("cell"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("cosine", VectorFunctions.dot(s, col("v"), col("qv")) / (col("norm") * col("qn")))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= K)
+      .select(col("query_id"), col("rank"), col("vec_id").as("neighbor_id"),
+        round(col("cosine"), 2).as("cosine"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   /** LSH-bucketed ANN: candidates share the query's bucket or any probe
     * flip of ≤2 signature bits (multi-probe raises recall without extra
     * shuffles — probes are broadcast with the queries). */

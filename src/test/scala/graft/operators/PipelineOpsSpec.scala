@@ -37,6 +37,16 @@ class PipelineOpsSpec extends SparkSpec {
     assert(hits >= brute.size * 3 / 10, s"recall too low: $hits/${brute.size}")
   }
 
+  test("ann IVF recall: probing 4/16 cells finds a useful share of true top-10") {
+    val brute = Similarity.annBrute(spark, Sf001).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
+    val ivf = Similarity.annIvf(spark, Sf001).collect()
+    assert(ivf.nonEmpty)
+    val hits = ivf.map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id")))
+      .count(brute.contains)
+    assert(hits >= brute.size * 2 / 10, s"IVF recall too low: $hits/${brute.size}")
+  }
+
   test("dedup exact groups every doc (no dups in corpus → n groups)") {
     val n = graft.core.Tables.load(spark, Sf001, "documents").count()
     val groups = Dedup.exact(spark, Sf001)
