@@ -48,6 +48,9 @@ class TableStore(val spark: SparkSession, val root: String) {
   def createTable(table: String, config: TableConfig = TableConfig()): Unit = {
     configs.putIfAbsent(table, config)
     versions.putIfAbsent(table, new AtomicLong(0))
+    // start the flush-interval clock at creation: a 0 default would make
+    // elapsed ≈ epoch-now and force-flush the very first write
+    lastFlush.putIfAbsent(table, System.currentTimeMillis())
   }
 
   /** Implicit creation on first write (reference `EnsureTableExists`). */
@@ -75,6 +78,109 @@ class TableStore(val spark: SparkSession, val root: String) {
   def version(table: String): Long =
     versions.get(table).map(_.get).getOrElse(0L)
 
+  // ------------------------------------------------- schema registry
+  // Per-batch inference alone is not enough: a field flushed as num in
+  // one batch and str in a later batch yields parquet files whose
+  // schemas mergeSchema CANNOT reconcile (double vs string) — the table
+  // would become permanently unreadable. The registry records each
+  // field's type at first observation; a later conflicting batch widens
+  // the field to string AND migrates the already-written files once
+  // (the reference lets files diverge and leans on DuckDB's
+  // union_by_name auto-casting, which Spark does not have).
+
+  private val recordedTypes = TrieMap[String, Map[String, DynamicSchema.VType]]()
+
+  private def schemaFilePath(table: String) = new org.apache.hadoop.fs.Path(
+    tablePath(table), "_graft_schema.json")
+
+  private def typeTag(t: DynamicSchema.VType): String = t match {
+    case DynamicSchema.VBool => "bool"
+    case DynamicSchema.VNum => "num"
+    case DynamicSchema.VStr => "str"
+    case DynamicSchema.VJson => "json"
+  }
+
+  private def tagType(s: String): DynamicSchema.VType = s match {
+    case "bool" => DynamicSchema.VBool
+    case "num" => DynamicSchema.VNum
+    case "str" => DynamicSchema.VStr
+    case _ => DynamicSchema.VJson
+  }
+
+  private def loadRecorded(table: String): Map[String, DynamicSchema.VType] =
+    recordedTypes.getOrElseUpdate(table, {
+      val p = schemaFilePath(table)
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (!fs.exists(p)) Map.empty
+      else {
+        val txt = new String(
+          org.apache.hadoop.io.IOUtils.readFullyToByteArray(fs.open(p)), "UTF-8")
+        // flat {"col":"tag",...} — hand-parsed, no JSON dep
+        "\"([^\"]+)\"\\s*:\\s*\"([^\"]+)\"".r.findAllMatchIn(txt)
+          .map(m => m.group(1) -> tagType(m.group(2))).toMap
+      }
+    })
+
+  private def persistRecorded(table: String): Unit = {
+    val p = schemaFilePath(table)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val txt = recordedTypes.getOrElse(table, Map.empty)
+      .map { case (k, v) => s""""$k": "${typeTag(v)}"""" }.mkString("{", ", ", "}")
+    val out = fs.create(p, true)
+    out.write(txt.getBytes("UTF-8")); out.close()
+  }
+
+  /** Reconcile a batch's inferred types with the recorded table schema.
+    * Returns the effective types; columns whose parquet type must change
+    * (non-string → string) are migrated in existing storage first. */
+  private def reconcileTypes(table: String,
+      batchTypes: Map[String, DynamicSchema.VType],
+      readOnly: Boolean = false): Map[String, DynamicSchema.VType] = {
+    val recorded = loadRecorded(table)
+    val effective = scala.collection.mutable.Map[String, DynamicSchema.VType]()
+    val toMigrate = scala.collection.mutable.ArrayBuffer[String]()
+    batchTypes.foreach { case (name, bt) =>
+      recorded.get(name) match {
+        case None => effective(name) = bt
+        case Some(rt) if rt == bt => effective(name) = rt
+        case Some(rt) =>
+          val widened = DynamicSchema.widen(rt, bt)
+          effective(name) = widened
+          if (rt.spark != widened.spark) toMigrate += name
+      }
+    }
+    if (!readOnly) {
+      if (toMigrate.nonEmpty) migrateColumnsToString(table, toMigrate.toSeq)
+      recordedTypes(table) = recorded ++ effective
+      persistRecorded(table)
+    }
+    effective.toMap
+  }
+
+  /** One-time widening of columns to string in already-written storage
+    * (rare: only on a cross-batch type conflict). Whole-table rewrite
+    * through a sibling tmp dir, partition-swap like Mutations. */
+  private def migrateColumnsToString(table: String, cols: Seq[String]): Unit = {
+    if (!hasStorage(table)) return
+    val df = storageDf(table)
+    val present = cols.filter(df.columns.contains)
+    if (present.isEmpty) return
+    val casted = present.foldLeft(df)((d, c) =>
+      d.withColumn(c, org.apache.spark.sql.functions.col(c).cast("string")))
+    val conf = spark.sparkContext.hadoopConfiguration
+    val rootP = new org.apache.hadoop.fs.Path(tablePath(table))
+    val tmpP = new org.apache.hadoop.fs.Path(tablePath(table) + "__migrate_tmp")
+    val fs = rootP.getFileSystem(conf)
+    if (fs.exists(tmpP)) fs.delete(tmpP, true)
+    casted.write.mode("overwrite").partitionBy("date").parquet(tmpP.toString)
+    fs.listStatus(rootP).filter(_.getPath.getName.startsWith("date="))
+      .foreach(st => fs.delete(st.getPath, true))
+    fs.listStatus(tmpP).filter(_.getPath.getName.startsWith("date="))
+      .foreach(st => fs.rename(st.getPath, new org.apache.hadoop.fs.Path(rootP, st.getPath.getName)))
+    fs.delete(tmpP, true)
+    bumpVersion(table)
+  }
+
   // ---------------------------------------------------------------- write
 
   /** Buffered write; flushes when the table's buffer-size trigger fires
@@ -97,7 +203,7 @@ class TableStore(val spark: SparkSession, val root: String) {
     val batch = buf.synchronized { val b = buf.toVector; buf.clear(); b }
     if (batch.nonEmpty) {
       lastFlush(table) = System.currentTimeMillis()
-      flattenBatch(batch)
+      flattenBatch(batch, Some(table))
         .withColumn("date", to_date(col("timestamp")))
         .write
         .mode("append")
@@ -111,8 +217,13 @@ class TableStore(val spark: SparkSession, val root: String) {
   }
 
   /** Flatten a record batch to a typed DataFrame per the reference's
-    * dynamic-schema rules (see [[DynamicSchema]]). */
-  def flattenBatch(batch: Seq[DynRecord]): DataFrame = {
+    * dynamic-schema rules (see [[DynamicSchema]]). When `table` is given,
+    * batch types are reconciled against the table's recorded schema
+    * (`readOnlySchema=false` additionally widens the registry and
+    * migrates storage on conflicts — the flush path; bufferDf passes
+    * readOnly so hybrid reads never mutate storage). */
+  def flattenBatch(batch: Seq[DynRecord], table: Option[String] = None,
+      readOnlySchema: Boolean = false): DataFrame = {
     // stable first-appearance order of payload keys across the batch
     val keyOrder = ArrayBuffer[String]()
     val seen = scala.collection.mutable.Set[String]()
@@ -120,15 +231,27 @@ class TableStore(val spark: SparkSession, val root: String) {
       if (!seen(k)) { seen += k; keyOrder += k }
     })
     val names = DynamicSchema.assignNames(keyOrder.toSeq)
-    // widened type per field
-    val vtypes: Map[String, DynamicSchema.VType] =
+    // widened type per field (within the batch)
+    val vtypesRaw: Map[String, DynamicSchema.VType] =
       keyOrder.flatMap { k =>
         val ts = batch.flatMap(r => r.payload.get(k).flatMap(DynamicSchema.typeOf))
         ts.reduceOption(DynamicSchema.widen).map(k -> _)
       }.toMap
+    // reconcile with the table's recorded schema (cross-batch widening)
+    val colTypes: Map[String, DynamicSchema.VType] = table match {
+      case Some(t) =>
+        val byCol = keyOrder.toSeq.collect {
+          case k if vtypesRaw.contains(k) => names(k) -> vtypesRaw(k)
+        }.toMap
+        reconcileTypes(t, byCol, readOnlySchema)
+      case None =>
+        keyOrder.toSeq.collect {
+          case k if vtypesRaw.contains(k) => names(k) -> vtypesRaw(k)
+        }.toMap
+    }
     val payloadFields = keyOrder.toSeq.collect {
-      case k if vtypes.contains(k) =>
-        (k, StructField(names(k), vtypes(k).spark, nullable = true))
+      case k if colTypes.contains(names(k)) =>
+        (k, StructField(names(k), colTypes(names(k)).spark, nullable = true))
     }
     val schema = StructType(
       StructField("id", StringType, nullable = false) +:
@@ -137,7 +260,7 @@ class TableStore(val spark: SparkSession, val root: String) {
     val rows = batch.map { r =>
       Row.fromSeq(
         r.id +: r.timestamp +: payloadFields.map { case (k, _) =>
-          r.payload.get(k).map(DynamicSchema.convert(_, vtypes(k))).orNull
+          r.payload.get(k).map(DynamicSchema.convert(_, colTypes(names(k)))).orNull
         })
     }
     spark.createDataFrame(
@@ -171,7 +294,8 @@ class TableStore(val spark: SparkSession, val root: String) {
   def bufferDf(table: String): DataFrame = {
     val buf = buffers.get(table).map(b => b.synchronized(b.toVector)).getOrElse(Vector.empty)
     if (buf.isEmpty) emptyDf
-    else flattenBatch(buf).withColumn("date", to_date(col("timestamp")))
+    else flattenBatch(buf, Some(table), readOnlySchema = true)
+      .withColumn("date", to_date(col("timestamp")))
   }
 
   /** Hybrid read: storage ∪ buffer, by name with missing columns → NULL

@@ -48,7 +48,10 @@ class Compaction(
       val dir = s"${store.tablePath(table)}/${ps.partition}"
       val target = math.max(1, math.ceil(ps.bytes.toDouble / targetBytes).toInt)
       val df = spark.read.option("mergeSchema", "true").parquet(dir)
-      val tmp = new Path(dir + "__compact_tmp")
+      // tmp must live OUTSIDE the table root: a 'date=…__compact_tmp'
+      // sibling would be discovered as a data partition by concurrent or
+      // post-crash reads
+      val tmp = new Path(s"${store.tablePath(table)}__compact_tmp/${ps.partition}")
       val fs = tmp.getFileSystem(spark.sparkContext.hadoopConfiguration)
       if (fs.exists(tmp)) fs.delete(tmp, true)
       df.repartition(target).write.mode("overwrite").parquet(tmp.toString)

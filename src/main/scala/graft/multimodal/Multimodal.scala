@@ -71,7 +71,7 @@ object Multimodal {
     media.withColumn("content_small",
       filter(
         transform(sequence(lit(1), octet_length(col("content"))),
-          i => when(i % k === 0, substring(col("content"), 1, 1))),
+          i => when(i % k === 0, col("content").substr(i, lit(1)))),
         x => x.isNotNull))
 
   /** Frame sampling for "video": fixed-size byte windows every stride

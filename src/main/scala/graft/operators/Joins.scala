@@ -31,36 +31,42 @@ object Joins {
       keys: Seq[String]): DataFrame = {
     val rightPayload = right.columns.filterNot(c => keys.contains(c) || c == rightTime)
     val leftCols = left.columns
-    // unified schema: keys ++ time ++ side tag ++ left payload ++ right payload
+    require(rightPayload.intersect(leftCols).isEmpty,
+      s"asOf: right payload columns ${rightPayload.mkString(",")} must not " +
+        "collide with left columns — alias before joining")
+    // The whole right payload is carried as ONE struct: carrying columns
+    // independently with last(ignoreNulls) would let a NULL field in the
+    // matched right row resurrect a stale value from an older row —
+    // fields must travel together, exactly like a join row would.
     val lNorm = left
       .withColumn("__t", col(leftTime))
       .withColumn("__side", lit(1))
       .select(
         keys.map(col) ++ Seq(col("__t"), col("__side")) ++
-          leftCols.filterNot(keys.contains).map(c => col(c)) ++
-          rightPayload.map(c => lit(null).cast(right.schema(c).dataType).as(s"__r_$c")): _*)
+          leftCols.filterNot(keys.contains).map(c => col(c)) :+
+          lit(null).cast(org.apache.spark.sql.types.StructType(
+            rightPayload.map(c => org.apache.spark.sql.types.StructField(
+              c, right.schema(c).dataType)))).as("__r"): _*)
     val rNorm = right
       .withColumn("__t", col(rightTime))
       .withColumn("__side", lit(0))
       .select(
         keys.map(col) ++ Seq(col("__t"), col("__side")) ++
           leftCols.filterNot(keys.contains).map(c =>
-            lit(null).cast(left.schema(c).dataType).as(c)) ++
-          rightPayload.map(c => col(c).as(s"__r_$c")): _*)
+            lit(null).cast(left.schema(c).dataType).as(c)) :+
+          struct(rightPayload.map(col): _*).as("__r"): _*)
     // right rows sort before left rows at equal times (side 0 < 1), so a
     // right row AT the left timestamp is visible to it (<= semantics)
     val w = Window.partitionBy(keys.map(col): _*)
       .orderBy(col("__t"), col("__side"))
       .rowsBetween(Window.unboundedPreceding, 0)
-    val carried = rightPayload.foldLeft(lNorm.unionByName(rNorm)) { (df, c) =>
-      df.withColumn(s"__r_$c", last(col(s"__r_$c"), ignoreNulls = true).over(w))
-    }
-    carried
+    lNorm.unionByName(rNorm)
+      .withColumn("__r", last(col("__r"), ignoreNulls = true).over(w))
       .filter(col("__side") === 1)
       .select(
         (keys.map(col) ++
           leftCols.filterNot(keys.contains).map(col) ++
-          rightPayload.map(c => col(s"__r_$c").as(c))): _*)
+          rightPayload.map(c => col(s"__r.$c").as(c))): _*)
   }
 
   /** Salted equi-join for skewed keys: the big side gets a random-free,

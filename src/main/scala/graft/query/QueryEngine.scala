@@ -16,28 +16,45 @@ class QueryEngine(store: TableStore, cache: ResultCache = new ResultCache()) {
 
   final case class QueryResult(df: DataFrame, tables: Seq[String])
 
-  private def plan(gated: SqlGate.Gated, sql: String, limit: Int): QueryResult = {
-    gated.tables.foreach { t =>
-      store.read(t).createOrReplaceTempView(t)
+  /** Register views for the referenced names this store actually knows
+    * (known = created/written table or existing storage). Unknown names
+    * stay unresolved: a CTE reference resolves to its CTE, a typo'd
+    * table fails analysis with TABLE_OR_VIEW_NOT_FOUND instead of
+    * silently reading as empty. Returns the known (registered) names —
+    * the cache-invalidation key set. */
+  private def plan(gated: SqlGate.Gated, sql: String, limit: Int): Either[String, QueryResult] = {
+    val known = gated.tables.filter(t => store.listTables().contains(t) ||
+      new java.io.File(store.tablePath(t)).isDirectory)
+    known.foreach { t => store.read(t).createOrReplaceTempView(t) }
+    scala.util.Try(store.spark.sql(sql)) match {
+      case scala.util.Success(df0) =>
+        Right(QueryResult(if (limit > 0) df0.limit(limit) else df0, known))
+      case scala.util.Failure(e) => Left(s"analysis error: ${e.getMessage}")
     }
-    val df0 = store.spark.sql(sql)
-    QueryResult(if (limit > 0) df0.limit(limit) else df0, gated.tables)
   }
 
   /** Validate + plan a query DataFrame (no execution yet). */
   def query(sql: String, limit: Int = 0): Either[String, QueryResult] =
-    SqlGate.validate(store.spark, sql).map(plan(_, sql, limit))
+    SqlGate.validate(store.spark, sql).flatMap(plan(_, sql, limit))
 
   /** Execute and return JSON rows (reference returns a JSON array
-    * string). Result-cached keyed on normalized SQL + table versions. */
+    * string). Result-cached keyed on exact SQL + table versions.
+    * Runtime failures come back as Left, never as thrown exceptions. */
   def executeJson(sql: String, limit: Int = 0, useCache: Boolean = true): Either[String, String] =
-    SqlGate.validate(store.spark, sql).map { gated =>
-      val k = cache.key(sql + s"|limit=$limit", gated.tables)
-      val versions = gated.tables.map(t => t -> store.version(t)).toMap
-      (if (useCache) cache.get(k, versions) else None).getOrElse {
-        val json = plan(gated, sql, limit).df.toJSON.collect().mkString("[", ",", "]")
-        if (useCache) cache.put(k, json, versions)
-        json
+    SqlGate.validate(store.spark, sql).flatMap { gated =>
+      plan(gated, sql, limit).flatMap { qr =>
+        val k = cache.key(sql + s"|limit=$limit", qr.tables)
+        val versions = qr.tables.map(t => t -> store.version(t)).toMap
+        (if (useCache) cache.get(k, versions) else None) match {
+          case Some(hit) => Right(hit)
+          case None =>
+            scala.util.Try(qr.df.toJSON.collect().mkString("[", ",", "]")) match {
+              case scala.util.Success(json) =>
+                if (useCache) cache.put(k, json, versions)
+                Right(json)
+              case scala.util.Failure(e) => Left(s"execution error: ${e.getMessage}")
+            }
+        }
       }
     }
 

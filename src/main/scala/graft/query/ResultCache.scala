@@ -20,10 +20,12 @@ class ResultCache(maxEntries: Int = 1024, maxBytes: Long = 100L << 20) {
   private var hitCount = 0L
   private var missCount = 0L
 
-  /** Normalize SQL: collapse whitespace, trim, lowercase keywords-ish
-    * (whole-string lowercase is safe for keying; reference
-    * `query_cache.go:412-465`). */
-  def normalize(sql: String): String = sql.trim.replaceAll("\\s+", " ").toLowerCase
+  /** Normalize SQL for keying: trim only. Lowercasing or whitespace-
+    * collapsing the whole string (as the reference does,
+    * `query_cache.go:412-465`) would conflate queries whose string
+    * LITERALS differ only by case/whitespace and serve wrong results —
+    * a false miss is cheap, a false hit is a correctness bug. */
+  def normalize(sql: String): String = sql.trim
 
   def key(sql: String, tables: Seq[String]): String = {
     val md = MessageDigest.getInstance("SHA-256")

@@ -43,28 +43,25 @@ object SqlGate {
     }
   }
 
-  /** Referenced table names (deduped, in first-appearance order);
-    * CTE-defined names are excluded. CTE *definitions* and expression
-    * subqueries are not part of `children`, so both are walked
+  /** ALL relation names referenced anywhere in the query (deduped,
+    * first-appearance order), INCLUDING names that may be CTE-defined.
+    * CTE scoping is deliberately not resolved here: the caller registers
+    * views only for names it knows as real tables, and Spark's analyzer
+    * gives CTE definitions precedence over same-named views — so an
+    * over-approximation is safe (worst case: a harmless extra view
+    * registration / an extra cache-invalidation key), while excluding
+    * CTE names scope-blindly would DROP a real table shadowed in a
+    * nested scope (missed registration + stale cache). CTE definitions
+    * and expression subqueries are not in `children`, so both are walked
     * explicitly. */
   def extractTables(plan: LogicalPlan): Seq[String] = {
-    val cteNames = scala.collection.mutable.Set[String]()
-    def collectCtes(p: LogicalPlan): Unit = p.foreach {
-      case w: org.apache.spark.sql.catalyst.plans.logical.UnresolvedWith =>
-        w.cteRelations.foreach { case (name, cte, _) =>
-          cteNames += name.toLowerCase; collectCtes(cte)
-        }
-      case _ => ()
-    }
-    collectCtes(plan)
     val out = scala.collection.mutable.LinkedHashSet[String]()
     def walk(p: LogicalPlan): Unit = p.foreach {
       case w: org.apache.spark.sql.catalyst.plans.logical.UnresolvedWith =>
         // cteRelations are innerChildren (not traversed by foreach)
         w.cteRelations.foreach { case (_, cte, _) => walk(cte) }
       case r: UnresolvedRelation =>
-        val name = r.multipartIdentifier.last.toLowerCase
-        if (!cteNames(name)) out += name
+        out += r.multipartIdentifier.last.toLowerCase
       case other =>
         other.subqueries.foreach(walk)
     }

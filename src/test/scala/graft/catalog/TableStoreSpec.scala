@@ -60,6 +60,39 @@ class TableStoreSpec extends SparkSpec {
     assert(df.orderBy("id").collect().map(_.getAs[String]("v")).toSeq == Seq("1", "str"))
   }
 
+  test("cross-batch type conflict: storage is migrated to string, table stays readable") {
+    val store = new TableStore(spark, tmpDir("ts-conflict"))
+    store.write("c", Seq(rec("1", "2024-03-01 00:00:00", Map("v" -> 1.5))))
+    store.flush("c")
+    assert(store.read("c").schema("v").dataType.typeName == "double")
+    // second batch flips the type — must widen storage, not break reads
+    store.write("c", Seq(rec("2", "2024-03-02 00:00:00", Map("v" -> "str"))))
+    store.flush("c")
+    val df = store.read("c")
+    assert(df.schema("v").dataType.typeName == "string")
+    assert(df.orderBy("id").collect().map(_.getAs[String]("v")).toSeq == Seq("1.5", "str"))
+    // and a third numeric batch stays string per the recorded schema
+    store.write("c", Seq(rec("3", "2024-03-03 00:00:00", Map("v" -> 7))))
+    store.flush("c")
+    assert(store.read("c").orderBy("id").collect().map(_.getAs[String]("v")).toSeq ==
+      Seq("1.5", "str", "7"))
+  }
+
+  test("schema registry survives a new TableStore instance (persisted)") {
+    val root = tmpDir("ts-persist")
+    val s1 = new TableStore(spark, root)
+    s1.write("p", Seq(rec("1", "2024-03-01 00:00:00", Map("v" -> 1))))
+    s1.flush("p")
+    s1.write("p", Seq(rec("2", "2024-03-02 00:00:00", Map("v" -> "x"))))
+    s1.flush("p") // migrated to string
+    val s2 = new TableStore(spark, root) // fresh process, reads registry
+    s2.createTable("p")
+    s2.write("p", Seq(rec("3", "2024-03-03 00:00:00", Map("v" -> 2))))
+    s2.flush("p")
+    assert(s2.read("p").schema("v").dataType.typeName == "string")
+    assert(s2.read("p").count() == 3)
+  }
+
   test("payload name collisions and system columns are suffixed") {
     val store = new TableStore(spark, tmpDir("ts5"))
     store.write("c", Seq(

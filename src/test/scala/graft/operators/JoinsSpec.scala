@@ -35,6 +35,27 @@ class JoinsSpec extends SparkSpec {
     assert(out.head.getAs[String]("tag") == "exact")
   }
 
+  test("asOf: NULL fields of the matched row do not resurrect older values") {
+    import spark.implicits._
+    val left = Seq((1L, "k", ts("2024-01-01 12:00:00"))).toDF("lid", "k", "lt")
+    val right = Seq(
+      ("k", ts("2024-01-01 09:00:00"), Option(5), "x"),
+      ("k", ts("2024-01-01 10:00:00"), None: Option[Int], "y")
+    ).toDF("k", "rt", "a", "b")
+    val out = Joins.asOf(left, right, "lt", "rt", Seq("k")).collect().head
+    // matched row is t=10:00 → (a=null, b="y"); a=5 from t=09:00 must NOT leak
+    assert(out.getAs[Any]("a") == null && out.getAs[String]("b") == "y")
+  }
+
+  test("asOf: rejects colliding payload column names") {
+    import spark.implicits._
+    val left = Seq((1L, "k", ts("2024-01-01 12:00:00"), "v")).toDF("lid", "k", "lt", "tag")
+    val right = Seq(("k", ts("2024-01-01 09:00:00"), "w")).toDF("k", "rt", "tag")
+    intercept[IllegalArgumentException] {
+      Joins.asOf(left, right, "lt", "rt", Seq("k"))
+    }
+  }
+
   test("salted join matches plain join results and spreads hot keys") {
     import spark.implicits._
     val big = (1 to 10000).map(i => (if (i % 10 == 0) "hot" else s"k$i", i))

@@ -39,10 +39,28 @@ class QueryEngineSpec extends SparkSpec {
     assert(SqlGate.validate(spark, "").isLeft)
   }
 
-  test("gate: extracts referenced tables, excluding CTE names") {
+  test("gate: extracts all referenced names (CTE scoping left to the analyzer)") {
     val g = SqlGate.validate(spark,
       "WITH t AS (SELECT * FROM users) SELECT * FROM t JOIN orders ON 1=1").toOption.get
-    assert(g.tables == Seq("users", "orders"))
+    // over-approximation: includes the CTE name 't'; QueryEngine only
+    // registers names the store knows, and the analyzer prefers CTEs
+    assert(g.tables.toSet == Set("users", "t", "orders"))
+  }
+
+  test("nonexistent table fails with analysis error instead of empty result") {
+    val (_, engine) = freshEngine()
+    val r = engine.executeJson("SELECT id FROM tabel_typo")
+    assert(r.isLeft && r.left.toOption.get.contains("analysis error"))
+  }
+
+  test("real table shadowed by a nested CTE is still registered and invalidated") {
+    val (store, engine) = freshEngine()
+    val sql =
+      """SELECT * FROM (WITH orders AS (SELECT 1 AS x) SELECT x FROM orders) t
+        |JOIN users ON 1=1 ORDER BY users.id LIMIT 1""".stripMargin
+    val r1 = engine.query(sql).toOption.get
+    assert(r1.tables.contains("users"))
+    assert(r1.df.count() == 1)
   }
 
   test("join + aggregate over dynamic tables through SQL") {
