@@ -66,6 +66,7 @@ class TableStore(val spark: SparkSession, val root: String) {
   def dropTable(table: String): Unit = {
     configs.remove(table)
     buffers.remove(table)
+    recordedTypes.remove(table) // a recreated table must not inherit the old schema
     bumpVersion(table)
     val p = new org.apache.hadoop.fs.Path(tablePath(table))
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -107,18 +108,37 @@ class TableStore(val spark: SparkSession, val root: String) {
     case _ => DynamicSchema.VJson
   }
 
+  /** Drop any in-memory schema-registry state for `table` (needed after
+    * out-of-band changes to storage, e.g. ServiceFacade.restore). */
+  def invalidateSchemaCache(table: String): Unit = recordedTypes.remove(table)
+
   private def loadRecorded(table: String): Map[String, DynamicSchema.VType] =
     recordedTypes.getOrElseUpdate(table, {
       val p = schemaFilePath(table)
       val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      if (!fs.exists(p)) Map.empty
-      else {
+      if (fs.exists(p)) {
         val txt = new String(
           org.apache.hadoop.io.IOUtils.readFullyToByteArray(fs.open(p)), "UTF-8")
         // flat {"col":"tag",...} — hand-parsed, no JSON dep
         "\"([^\"]+)\"\\s*:\\s*\"([^\"]+)\"".r.findAllMatchIn(txt)
           .map(m => m.group(1) -> tagType(m.group(2))).toMap
-      }
+      } else if (hasStorage(table)) {
+        // bootstrap from existing parquet: tables written before the
+        // registry existed (or via StreamingIngest) must still get
+        // conflict-widening instead of unreconcilable schema merges
+        val derived = storageDf(table).schema.fields.collect {
+          case f if !DynamicSchema.SystemColumns.contains(f.name) =>
+            f.name -> (f.dataType match {
+              case org.apache.spark.sql.types.BooleanType => DynamicSchema.VBool
+              case t if t.isInstanceOf[org.apache.spark.sql.types.NumericType] =>
+                DynamicSchema.VNum
+              case _ => DynamicSchema.VStr
+            })
+        }.toMap
+        recordedTypes(table) = derived
+        persistRecorded(table)
+        derived
+      } else Map.empty
     })
 
   private def persistRecorded(table: String): Unit = {
@@ -173,11 +193,17 @@ class TableStore(val spark: SparkSession, val root: String) {
     val fs = rootP.getFileSystem(conf)
     if (fs.exists(tmpP)) fs.delete(tmpP, true)
     casted.write.mode("overwrite").partitionBy("date").parquet(tmpP.toString)
-    fs.listStatus(rootP).filter(_.getPath.getName.startsWith("date="))
-      .foreach(st => fs.delete(st.getPath, true))
-    fs.listStatus(tmpP).filter(_.getPath.getName.startsWith("date="))
-      .foreach(st => fs.rename(st.getPath, new org.apache.hadoop.fs.Path(rootP, st.getPath.getName)))
-    fs.delete(tmpP, true)
+    // per-partition delete→rename (same pattern as Mutations.swapPartitions):
+    // a crash loses at most the partition mid-swap, never the whole table —
+    // a global delete-all-then-rename would leave data only in tmp, which a
+    // retry's cleanup then destroys
+    try {
+      fs.listStatus(tmpP).filter(_.getPath.getName.startsWith("date=")).foreach { st =>
+        val dst = new org.apache.hadoop.fs.Path(rootP, st.getPath.getName)
+        if (fs.exists(dst)) fs.delete(dst, true)
+        fs.rename(st.getPath, dst)
+      }
+    } finally fs.delete(tmpP, true)
     bumpVersion(table)
   }
 
@@ -238,17 +264,11 @@ class TableStore(val spark: SparkSession, val root: String) {
         ts.reduceOption(DynamicSchema.widen).map(k -> _)
       }.toMap
     // reconcile with the table's recorded schema (cross-batch widening)
-    val colTypes: Map[String, DynamicSchema.VType] = table match {
-      case Some(t) =>
-        val byCol = keyOrder.toSeq.collect {
-          case k if vtypesRaw.contains(k) => names(k) -> vtypesRaw(k)
-        }.toMap
-        reconcileTypes(t, byCol, readOnlySchema)
-      case None =>
-        keyOrder.toSeq.collect {
-          case k if vtypesRaw.contains(k) => names(k) -> vtypesRaw(k)
-        }.toMap
-    }
+    val byCol = keyOrder.toSeq.collect {
+      case k if vtypesRaw.contains(k) => names(k) -> vtypesRaw(k)
+    }.toMap
+    val colTypes: Map[String, DynamicSchema.VType] =
+      table.map(t => reconcileTypes(t, byCol, readOnlySchema)).getOrElse(byCol)
     val payloadFields = keyOrder.toSeq.collect {
       case k if colTypes.contains(names(k)) =>
         (k, StructField(names(k), colTypes(names(k)).spark, nullable = true))
@@ -275,6 +295,12 @@ class TableStore(val spark: SparkSession, val root: String) {
       spark.sparkContext.emptyRDD[Row],
       StructType(Seq(
         StructField("id", StringType), StructField("timestamp", TimestampType))))
+
+  /** Is `table` known to this store (registered, or present in storage)?
+    * Uses the Hadoop FileSystem of the root path, so it is correct for
+    * s3a/hdfs roots, not just local files. */
+  def knownTable(table: String): Boolean =
+    configs.contains(table) || hasStorage(table)
 
   private def hasStorage(table: String): Boolean = {
     val p = new org.apache.hadoop.fs.Path(tablePath(table))

@@ -61,7 +61,13 @@ class Compaction(
       before += ps.files
       after += target
     }
-    if (victims.nonEmpty) store.bumpVersion(table)
+    if (victims.nonEmpty) {
+      // remove the (now-empty) tmp parent left after partition renames
+      val tmpParent = new Path(store.tablePath(table) + "__compact_tmp")
+      val fs = tmpParent.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (fs.exists(tmpParent)) fs.delete(tmpParent, true)
+      store.bumpVersion(table)
+    }
     (victims.size, before, after)
   }
 }

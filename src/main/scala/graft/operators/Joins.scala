@@ -34,6 +34,9 @@ object Joins {
     require(rightPayload.intersect(leftCols).isEmpty,
       s"asOf: right payload columns ${rightPayload.mkString(",")} must not " +
         "collide with left columns — alias before joining")
+    val reserved = Seq("__r", "__t", "__side")
+    require(!(leftCols ++ right.columns).exists(reserved.contains),
+      s"asOf: column names ${reserved.mkString(",")} are reserved")
     // The whole right payload is carried as ONE struct: carrying columns
     // independently with last(ignoreNulls) would let a NULL field in the
     // matched right row resurrect a stale value from an older row —
@@ -66,7 +69,7 @@ object Joins {
       .select(
         (keys.map(col) ++
           leftCols.filterNot(keys.contains).map(col) ++
-          rightPayload.map(c => col(s"__r.$c").as(c))): _*)
+          rightPayload.map(c => col("__r").getField(c).as(c))): _*)
   }
 
   /** Salted equi-join for skewed keys: the big side gets a random-free,

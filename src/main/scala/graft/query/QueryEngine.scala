@@ -17,16 +17,19 @@ class QueryEngine(store: TableStore, cache: ResultCache = new ResultCache()) {
   final case class QueryResult(df: DataFrame, tables: Seq[String])
 
   /** Register views for the referenced names this store actually knows
-    * (known = created/written table or existing storage). Unknown names
-    * stay unresolved: a CTE reference resolves to its CTE, a typo'd
-    * table fails analysis with TABLE_OR_VIEW_NOT_FOUND instead of
-    * silently reading as empty. Returns the known (registered) names —
-    * the cache-invalidation key set. */
+    * (registered table or existing storage — checked via the store's
+    * Hadoop FS, so non-local roots work). For referenced names the store
+    * does NOT know, any session temp view left by an earlier query (e.g.
+    * for a since-dropped table) is removed, so a stale view can never
+    * resolve — a typo'd/dropped table fails analysis with
+    * TABLE_OR_VIEW_NOT_FOUND instead of serving old data. */
   private def plan(gated: SqlGate.Gated, sql: String, limit: Int): Either[String, QueryResult] = {
-    val known = gated.tables.filter(t => store.listTables().contains(t) ||
-      new java.io.File(store.tablePath(t)).isDirectory)
-    known.foreach { t => store.read(t).createOrReplaceTempView(t) }
-    scala.util.Try(store.spark.sql(sql)) match {
+    val (known, unknown) = gated.tables.partition(store.knownTable)
+    unknown.foreach(store.spark.catalog.dropTempView(_))
+    scala.util.Try {
+      known.foreach { t => store.read(t).createOrReplaceTempView(t) }
+      store.spark.sql(sql)
+    } match {
       case scala.util.Success(df0) =>
         Right(QueryResult(if (limit > 0) df0.limit(limit) else df0, known))
       case scala.util.Failure(e) => Left(s"analysis error: ${e.getMessage}")
@@ -38,23 +41,29 @@ class QueryEngine(store: TableStore, cache: ResultCache = new ResultCache()) {
     SqlGate.validate(store.spark, sql).flatMap(plan(_, sql, limit))
 
   /** Execute and return JSON rows (reference returns a JSON array
-    * string). Result-cached keyed on exact SQL + table versions.
-    * Runtime failures come back as Left, never as thrown exceptions. */
+    * string). Result-cached keyed on exact SQL + table versions; the
+    * cache probe happens BEFORE any planning (a hit must not pay view
+    * registration / parquet schema listing). Runtime failures come back
+    * as Left, never as thrown exceptions. */
   def executeJson(sql: String, limit: Int = 0, useCache: Boolean = true): Either[String, String] =
     SqlGate.validate(store.spark, sql).flatMap { gated =>
-      plan(gated, sql, limit).flatMap { qr =>
-        val k = cache.key(sql + s"|limit=$limit", qr.tables)
-        val versions = qr.tables.map(t => t -> store.version(t)).toMap
-        (if (useCache) cache.get(k, versions) else None) match {
-          case Some(hit) => Right(hit)
-          case None =>
+      val known = gated.tables.filter(store.knownTable)
+      val k = cache.key(sql + s"|limit=$limit", known)
+      val versions = known.map(t => t -> store.version(t)).toMap
+      (if (useCache && known.nonEmpty) cache.get(k, versions) else None) match {
+        case Some(hit) => Right(hit)
+        case None =>
+          plan(gated, sql, limit).flatMap { qr =>
             scala.util.Try(qr.df.toJSON.collect().mkString("[", ",", "]")) match {
               case scala.util.Success(json) =>
-                if (useCache) cache.put(k, json, versions)
+                // only table-backed results are cacheable: with no known
+                // tables the version map is empty and the entry could
+                // never be invalidated
+                if (useCache && known.nonEmpty) cache.put(k, json, versions)
                 Right(json)
               case scala.util.Failure(e) => Left(s"execution error: ${e.getMessage}")
             }
-        }
+          }
       }
     }
 
@@ -62,11 +71,14 @@ class QueryEngine(store: TableStore, cache: ResultCache = new ResultCache()) {
     * executes the plan, returns `pageSize` rows from `cursor` plus the
     * next cursor (-1 when exhausted). */
   def executePage(sql: String, cursor: Long, pageSize: Int): Either[String, (Array[String], Long)] =
-    query(sql).map { qr =>
+    query(sql).flatMap { qr =>
       // limit+offset via plan (no full collect): order is the query's own
-      val page = qr.df.offset(cursor.toInt).limit(pageSize + 1).toJSON.collect()
-      if (page.length > pageSize) (page.take(pageSize), cursor + pageSize)
-      else (page, -1L)
+      scala.util.Try(qr.df.offset(cursor.toInt).limit(pageSize + 1).toJSON.collect()) match {
+        case scala.util.Success(page) =>
+          if (page.length > pageSize) Right((page.take(pageSize), cursor + pageSize))
+          else Right((page, -1L))
+        case scala.util.Failure(e) => Left(s"execution error: ${e.getMessage}")
+      }
     }
 
   def cacheStats: (Long, Long, Int, Long) = cache.stats

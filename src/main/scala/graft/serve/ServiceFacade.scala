@@ -116,6 +116,7 @@ class ServiceFacade(store: TableStore) {
     if (fs.exists(dst)) fs.delete(dst, true)
     org.apache.hadoop.fs.FileUtil.copy(fs, src, fs, dst, false, conf)
     store.ensureTable(table)
+    store.invalidateSchemaCache(table) // registry must re-read the restored snapshot
     store.bumpVersion(table)
     fs.getContentSummary(dst).getFileCount
   }

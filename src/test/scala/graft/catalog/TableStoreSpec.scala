@@ -93,6 +93,35 @@ class TableStoreSpec extends SparkSpec {
     assert(s2.read("p").count() == 3)
   }
 
+  test("registry bootstraps from pre-registry parquet (conflict still migrates)") {
+    val root = tmpDir("ts-boot")
+    val store = new TableStore(spark, root)
+    // simulate a table written without the registry: direct parquet write
+    import spark.implicits._
+    Seq(("a", java.sql.Timestamp.valueOf("2024-03-01 00:00:00"), 1.5))
+      .toDF("id", "timestamp", "v")
+      .withColumn("date", org.apache.spark.sql.functions.to_date(
+        org.apache.spark.sql.functions.col("timestamp")))
+      .write.partitionBy("date").parquet(store.tablePath("b"))
+    store.createTable("b")
+    // conflicting later batch must widen + migrate, not corrupt
+    store.write("b", Seq(rec("z", "2024-03-02 00:00:00", Map("v" -> "str"))))
+    store.flush("b")
+    val vals = store.read("b").orderBy("id").collect().map(_.getAs[String]("v")).toSeq
+    assert(vals == Seq("1.5", "str"))
+  }
+
+  test("drop + recreate does not inherit the old schema registry") {
+    val root = tmpDir("ts-drop")
+    val store = new TableStore(spark, root)
+    store.write("t", Seq(rec("1", "2024-03-01 00:00:00", Map("v" -> "text"))))
+    store.flush("t")
+    store.dropTable("t")
+    store.write("t", Seq(rec("2", "2024-03-01 00:00:00", Map("v" -> 2.5))))
+    store.flush("t")
+    assert(store.read("t").schema("v").dataType.typeName == "double")
+  }
+
   test("payload name collisions and system columns are suffixed") {
     val store = new TableStore(spark, tmpDir("ts5"))
     store.write("c", Seq(

@@ -101,6 +101,28 @@ class QueryEngineSpec extends SparkSpec {
     assert(res.toOption.get == """[{"n":4}]""")
   }
 
+  test("dropped table does not serve stale temp-view data") {
+    val (store, engine) = freshEngine()
+    assert(engine.executeJson("SELECT count(*) AS n FROM users", useCache = false)
+      .toOption.get == """[{"n":3}]""")
+    store.dropTable("users")
+    val r = engine.executeJson("SELECT count(*) AS n FROM users", useCache = false)
+    assert(r.isLeft, s"expected analysis error after drop, got $r")
+  }
+
+  test("cache hit does not re-plan (no view registration on hit)") {
+    val (_, engine) = freshEngine()
+    val sql = "SELECT count(*) AS n FROM orders"
+    engine.executeJson(sql)
+    val (h0, _, _, _) = engine.cacheStats
+    val t0 = System.nanoTime()
+    engine.executeJson(sql)
+    val hitNs = System.nanoTime() - t0
+    val (h1, _, _, _) = engine.cacheStats
+    assert(h1 == h0 + 1)
+    assert(hitNs < 100e6, s"cache hit took ${hitNs / 1e6}ms — planning on hit?")
+  }
+
   test("cursor pagination") {
     val (_, engine) = freshEngine()
     val sql = "SELECT id FROM users ORDER BY id"
