@@ -53,6 +53,8 @@ object SparkEntry {
     "q29_string_funcs"    -> RelationalSql.q(RelationalSql.stringFuncs),
     "q30_nested_agg_subq" -> RelationalSql.q(RelationalSql.nestedAggSubquery),
     "q31_asof_join"       -> (Relational.asofJoin _),
+    "q32_percentiles"     -> RelationalSql.q(RelationalSql.percentiles),
+    "q33_stratified_sample" -> RelationalSql.q(RelationalSql.stratifiedSample),
     // training-data pipeline: text analysis
     "t01_text_stats"      -> (TextAnalysis.textStats _),
     "t02_quality_scoring" -> (TextAnalysis.qualityScoring _),
@@ -246,6 +248,13 @@ object SparkEntry {
         |FROM purch p ASOF LEFT JOIN clicks c
         | ON p.user_id = c.user_id AND p.ts >= c.ts
         |ORDER BY p.event_id""".stripMargin,
+    "q32_percentiles" ->
+      """SELECT o_orderpriority,
+        | round(quantile_cont(o_totalprice, 0.5), 2) AS p50,
+        | round(quantile_cont(o_totalprice, 0.9), 2) AS p90,
+        | round(quantile_cont(o_totalprice, 0.99), 2) AS p99
+        |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    "q33_stratified_sample" -> graft.operators.RelationalSql.stratifiedSample,
     "t01_text_stats" ->
       """SELECT doc_id,
         | CAST(len(string_split(text,' ')) AS BIGINT) AS n_tokens,

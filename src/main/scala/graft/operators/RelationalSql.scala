@@ -79,6 +79,24 @@ object RelationalSql {
       | trim(substr(p_name, 1, 6)) AS head6
       |FROM part ORDER BY p_partkey LIMIT 200""".stripMargin
 
+  /** Exact interpolated percentiles per group (Spark `percentile` ≡
+    * DuckDB `quantile_cont` — the oracle swaps the function name). */
+  val percentiles: String =
+    """SELECT o_orderpriority,
+      | round(percentile(o_totalprice, 0.5), 2) AS p50,
+      | round(percentile(o_totalprice, 0.9), 2) AS p90,
+      | round(percentile(o_totalprice, 0.99), 2) AS p99
+      |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+
+  /** Deterministic stratified sample: lowest-event-id 10% per event
+    * type via percent_rank (training-data subsampling shape). */
+  val stratifiedSample: String =
+    """SELECT event_id, event_type FROM (
+      | SELECT event_id, event_type,
+      |  percent_rank() OVER (PARTITION BY event_type ORDER BY event_id) AS pr
+      | FROM events) t
+      |WHERE pr <= 0.1 ORDER BY event_id""".stripMargin
+
   /** Nested aggregate subquery: suppliers above global average revenue. */
   val nestedAggSubquery: String =
     """SELECT l_suppkey, round(sum(l_extendedprice), 2) AS revenue
