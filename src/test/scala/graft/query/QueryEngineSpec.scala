@@ -120,7 +120,9 @@ class QueryEngineSpec extends SparkSpec {
     val hitNs = System.nanoTime() - t0
     val (h1, _, _, _) = engine.cacheStats
     assert(h1 == h0 + 1)
-    assert(hitNs < 100e6, s"cache hit took ${hitNs / 1e6}ms — planning on hit?")
+    // planning + execution costs ≥1s on this table; a hit must be far
+    // below that (generous bound so external machine load can't flake it)
+    assert(hitNs < 800e6, s"cache hit took ${hitNs / 1e6}ms — planning on hit?")
   }
 
   test("cursor pagination") {
