@@ -55,6 +55,10 @@ object SparkEntry {
     "q31_asof_join"       -> (Relational.asofJoin _),
     "q32_percentiles"     -> RelationalSql.q(RelationalSql.percentiles),
     "q33_stratified_sample" -> RelationalSql.q(RelationalSql.stratifiedSample),
+    // the reference's own benchmark shapes (BASELINE.md targets)
+    "b01_simple_count"    -> RelationalSql.q(RelationalSql.baselineSimpleCount),
+    "b02_hourly_distinct" -> RelationalSql.q(RelationalSql.baselineHourlyDistinct),
+    "b03_count_distinct"  -> RelationalSql.q(RelationalSql.baselineCountDistinct),
     // training-data pipeline: text analysis
     "t01_text_stats"      -> (TextAnalysis.textStats _),
     "t02_quality_scoring" -> (TextAnalysis.qualityScoring _),
@@ -248,6 +252,9 @@ object SparkEntry {
         |FROM purch p ASOF LEFT JOIN clicks c
         | ON p.user_id = c.user_id AND p.ts >= c.ts
         |ORDER BY p.event_id""".stripMargin,
+    "b01_simple_count" -> graft.operators.RelationalSql.baselineSimpleCount,
+    "b02_hourly_distinct" -> graft.operators.RelationalSql.baselineHourlyDistinct,
+    "b03_count_distinct" -> graft.operators.RelationalSql.baselineCountDistinct,
     "q32_percentiles" ->
       """SELECT o_orderpriority,
         | round(quantile_cont(o_totalprice, 0.5), 2) AS p50,

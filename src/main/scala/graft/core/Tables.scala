@@ -35,7 +35,18 @@ object Tables {
     }
   }
 
-  /** Register every table in `sfDir` as a temp view (idempotent). */
-  def registerAll(spark: SparkSession, sfDir: String): Unit =
-    All.foreach { t => load(spark, sfDir, t).createOrReplaceTempView(t) }
+  // session → dir already registered: re-registering all 10 views costs
+  // ~10 parquet footer reads + catalog ops (~1s) PER QUERY otherwise —
+  // dominating sub-second queries on the spark.sql path.
+  private val registered = scala.collection.concurrent.TrieMap[String, String]()
+
+  /** Register every table in `sfDir` as a temp view (cached per
+    * session+dir; safe to call before each query). */
+  def registerAll(spark: SparkSession, sfDir: String): Unit = {
+    val key = System.identityHashCode(spark).toString
+    if (!registered.get(key).contains(sfDir)) {
+      All.foreach { t => load(spark, sfDir, t).createOrReplaceTempView(t) }
+      registered(key) = sfDir
+    }
+  }
 }

@@ -97,6 +97,25 @@ object RelationalSql {
       | FROM events) t
       |WHERE pr <= 0.1 ORDER BY event_id""".stripMargin
 
+  // The reference's three benchmark shapes (BASELINE.md /
+  // internal/metrics/benchmark.go:350-372) over the events table, with
+  // fixed time bounds (data spans 2024-01-01..01-30) so the oracle is
+  // deterministic. b01≈simple_query (target P95 100ms), b02≈
+  // complex_aggregation (1s), b03≈count_distinct (5s).
+
+  val baselineSimpleCount: String =
+    """SELECT count(*) AS n FROM events
+      |WHERE ts >= TIMESTAMP '2024-01-30 00:00:00'""".stripMargin
+
+  val baselineHourlyDistinct: String =
+    """SELECT date_trunc('hour', ts) AS hour,
+      | count(DISTINCT user_id) AS ids
+      |FROM events WHERE ts >= TIMESTAMP '2024-01-24 00:00:00'
+      |GROUP BY 1 ORDER BY hour""".stripMargin
+
+  val baselineCountDistinct: String =
+    """SELECT count(DISTINCT user_id) AS ids FROM events""".stripMargin
+
   /** Nested aggregate subquery: suppliers above global average revenue. */
   val nestedAggSubquery: String =
     """SELECT l_suppkey, round(sum(l_extendedprice), 2) AS revenue
