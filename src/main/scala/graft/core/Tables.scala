@@ -37,16 +37,18 @@ object Tables {
 
   // session → dir already registered: re-registering all 10 views costs
   // ~10 parquet footer reads + catalog ops (~1s) PER QUERY otherwise —
-  // dominating sub-second queries on the spark.sql path.
-  private val registered = scala.collection.concurrent.TrieMap[String, String]()
+  // dominating sub-second queries on the spark.sql path. Weak keys: a
+  // GC'd session's entry must not alias a new session (identity hashes
+  // are reused), and entries die with their session.
+  private val registered =
+    java.util.Collections.synchronizedMap(
+      new java.util.WeakHashMap[SparkSession, String]())
 
   /** Register every table in `sfDir` as a temp view (cached per
     * session+dir; safe to call before each query). */
-  def registerAll(spark: SparkSession, sfDir: String): Unit = {
-    val key = System.identityHashCode(spark).toString
-    if (!registered.get(key).contains(sfDir)) {
+  def registerAll(spark: SparkSession, sfDir: String): Unit =
+    if (registered.get(spark) != sfDir) {
       All.foreach { t => load(spark, sfDir, t).createOrReplaceTempView(t) }
-      registered(key) = sfDir
+      registered.put(spark, sfDir)
     }
-  }
 }

@@ -2,7 +2,6 @@ package graft.ingest
 
 import java.sql.Timestamp
 import java.util.UUID
-import java.util.concurrent.atomic.AtomicLong
 
 /** Record envelope (reference `miniodb.proto:53-57`): id + timestamp +
   * arbitrary payload. Tables are schemaless; schema is inferred per
@@ -34,14 +33,28 @@ object IdStrategy {
   * timestamp | 10-bit node | 12-bit sequence. */
 object IdGen {
   private val Epoch = 1704067200000L // 2024-01-01
-  private val seq = new AtomicLong(0)
+  private var lastMs = -1L
+  private var seq = 0L
+
+  /** Snowflake sequence: resets each millisecond, spins to the next ms on
+    * 12-bit overflow — a wrapping counter would collide ids generated
+    * 4096 apart within one millisecond. */
+  private def nextSnowflake(nodeId: Int): Long = synchronized {
+    var now = System.currentTimeMillis()
+    if (now == lastMs) {
+      seq += 1
+      if (seq > 0xFFF) { // sequence exhausted: wait for the next ms
+        while (now <= lastMs) now = System.currentTimeMillis()
+        seq = 0
+      }
+    } else seq = 0
+    lastMs = now
+    ((now - Epoch) << 22) | ((nodeId.toLong & 0x3FF) << 12) | seq
+  }
 
   def generate(strategy: IdStrategy, nodeId: Int = 0): String = strategy match {
     case IdStrategy.Uuid => UUID.randomUUID().toString
-    case IdStrategy.Snowflake =>
-      val ts = System.currentTimeMillis() - Epoch
-      val s = seq.incrementAndGet() & 0xFFF
-      ((ts << 22) | ((nodeId.toLong & 0x3FF) << 12) | s).toString
+    case IdStrategy.Snowflake => nextSnowflake(nodeId).toString
     case IdStrategy.CustomPrefix(p) => s"$p-${UUID.randomUUID().toString.take(8)}"
     case IdStrategy.UserProvided =>
       throw new IllegalArgumentException("user_provided strategy requires an explicit id")

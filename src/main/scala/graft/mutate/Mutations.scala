@@ -53,10 +53,18 @@ class Mutations(store: TableStore) {
     val affectedDates = df.filter(victim).select(col("date")).distinct()
       .collect().map(_.get(0)).toSeq
     if (affectedDates.isEmpty) { store.bumpVersion(table); return 0L }
-    val affected = df.filter(col("date").isin(affectedDates: _*))
+    // null dates live in the __HIVE_DEFAULT_PARTITION__ directory; a
+    // plain isin(null) matches nothing and the row would silently survive
+    val (nullDates, realDates) = affectedDates.partition(_ == null)
+    val dateMatch =
+      if (nullDates.isEmpty) col("date").isin(realDates: _*)
+      else if (realDates.isEmpty) col("date").isNull
+      else col("date").isin(realDates: _*) || col("date").isNull
+    val affected = df.filter(dateMatch)
     val removed = affected.filter(victim).count()
     val survivors = affected.filter(!victim)
-    swapPartitions(table, survivors, affectedDates)
+    val dirNames = realDates ++ (if (nullDates.nonEmpty) Seq("__HIVE_DEFAULT_PARTITION__") else Nil)
+    swapPartitions(table, survivors, dirNames)
     removed
   }
 

@@ -66,21 +66,33 @@ object Dedup {
       .select(col("doc_id"), transform(col("sh"), x => xxhash64(x)).as("hs"))
       .localCheckpoint(true)
 
-  /** Candidate pairs from equal-width bucket join with skew cap. */
+  /** Candidate pairs from equal-width bucket join, skew-bounded.
+    *
+    * Small buckets emit all pairs. Buckets wider than MaxBucket are NOT
+    * dropped — a mega-cluster of near-identical docs collides in EVERY
+    * band, so dropping oversized buckets would lose exactly the heaviest
+    * duplicate groups. Instead an oversized bucket emits a sorted CHAIN
+    * (doc₁–doc₂, doc₂–doc₃, …): linear work per bucket, and the cluster
+    * stays connected for downstream grouping (verify keeps chain pairs —
+    * near-identical neighbors pass the jaccard threshold). */
   private def bucketPairs(buckets: DataFrame, keyCols: Seq[String]): DataFrame = {
     val key = keyCols.map(col)
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(key: _*)
     val sized = buckets
-      .withColumn("bucket_n", count(lit(1)).over(
-        org.apache.spark.sql.expressions.Window.partitionBy(key: _*)))
-      .filter(col("bucket_n") <= MaxBucket)
-    val a = sized.select(col("doc_id").as("doc_a") +: key: _*)
-    val b = sized.select(col("doc_id").as("doc_b") +: key: _*)
-    a.join(b, keyCols).filter(col("doc_a") < col("doc_b"))
-      .select(col("doc_a"), col("doc_b")).distinct()
+      .withColumn("bucket_n", count(lit(1)).over(w))
+    val small = sized.filter(col("bucket_n") <= MaxBucket)
+    val a = small.select(col("doc_id").as("doc_a") +: key: _*)
+    val b = small.select(col("doc_id").as("doc_b") +: key: _*)
+    val allPairs = a.join(b, keyCols).filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"))
+    val chained = sized.filter(col("bucket_n") > MaxBucket)
+      .withColumn("doc_b", lead(col("doc_id"), 1).over(w.orderBy(col("doc_id"))))
+      .filter(col("doc_b").isNotNull)
+      .select(col("doc_id").as("doc_a"), col("doc_b"))
+    allPairs.unionByName(chained).distinct()
   }
 
-  private def jaccardVerified(s: SparkSession, dir: String, pairs: DataFrame): DataFrame = {
-    val sh = hashedShingleSets(s, dir)
+  private def jaccardVerified(sh: DataFrame, pairs: DataFrame): DataFrame = {
     pairs
       .join(sh.select(col("doc_id").as("doc_a"), col("hs").as("sh_a")), "doc_a")
       .join(sh.select(col("doc_id").as("doc_b"), col("hs").as("sh_b")), "doc_b")
@@ -110,7 +122,7 @@ object Dedup {
       xxhash64(lit(bnd), col(s"m${2 * bnd}"), col(s"m${2 * bnd + 1}")))
     val bands = sig
       .select(col("doc_id"), posexplode(array(bandHashes: _*)).as(Seq("band", "bh")))
-    jaccardVerified(s, dir, bucketPairs(bands, Seq("band", "bh")))
+    jaccardVerified(hashed, bucketPairs(bands, Seq("band", "bh")))
   }
 
   /** Max hamming distance for SimHash near-dups. Short small-vocabulary

@@ -54,11 +54,13 @@ object Similarity {
   private def planeComponent(p: Int, d: Column): Column =
     (xxhash64(lit(p), d).cast("double") / lit(Long.MaxValue.toDouble))
 
-  /** Sign signature: bit p = 1 iff v · plane_p > 0. */
+  /** Sign signature: bit p = 1 iff v · plane_p > 0. Dimension comes from
+    * the vector itself (a fixed 0..63 sequence would zip nulls into any
+    * non-64-dim embedding and silently collapse every signature to 0). */
   private def signature(v: Column): Column =
     (0 until Planes).foldLeft(lit(0L)) { (acc, p) =>
       val proj = aggregate(
-        zip_with(v, sequence(lit(0), lit(63)), (x, d) => x * planeComponent(p, d)),
+        zip_with(v, sequence(lit(0), size(v) - 1), (x, d) => x * planeComponent(p, d)),
         lit(0.0), (a, x) => a + x)
       acc.bitwiseOR(when(proj > 0, lit(1L << p)).otherwise(lit(0L)))
     }

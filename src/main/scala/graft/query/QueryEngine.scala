@@ -16,6 +16,11 @@ class QueryEngine(store: TableStore, cache: ResultCache = new ResultCache()) {
 
   final case class QueryResult(df: DataFrame, tables: Seq[String])
 
+  /** Temp views THIS engine registered — the only ones it may drop.
+    * Removing arbitrary session views for unknown names would destroy
+    * views owned by other components sharing the session. */
+  private val ownedViews = scala.collection.concurrent.TrieMap[String, Unit]()
+
   /** Register views for the referenced names this store actually knows
     * (registered table or existing storage — checked via the store's
     * Hadoop FS, so non-local roots work). For referenced names the store
@@ -25,9 +30,14 @@ class QueryEngine(store: TableStore, cache: ResultCache = new ResultCache()) {
     * TABLE_OR_VIEW_NOT_FOUND instead of serving old data. */
   private def plan(gated: SqlGate.Gated, sql: String, limit: Int): Either[String, QueryResult] = {
     val (known, unknown) = gated.tables.partition(store.knownTable)
-    unknown.foreach(store.spark.catalog.dropTempView(_))
+    // stale views for since-dropped tables: drop only views WE created
+    unknown.filter(ownedViews.contains).foreach { t =>
+      store.spark.catalog.dropTempView(t); ownedViews.remove(t)
+    }
     scala.util.Try {
-      known.foreach { t => store.read(t).createOrReplaceTempView(t) }
+      known.foreach { t =>
+        store.read(t).createOrReplaceTempView(t); ownedViews.put(t, ())
+      }
       store.spark.sql(sql)
     } match {
       case scala.util.Success(df0) =>
@@ -70,7 +80,9 @@ class QueryEngine(store: TableStore, cache: ResultCache = new ResultCache()) {
   /** Cursor pagination for server-streaming results (StreamQuery):
     * executes the plan, returns `pageSize` rows from `cursor` plus the
     * next cursor (-1 when exhausted). */
-  def executePage(sql: String, cursor: Long, pageSize: Int): Either[String, (Array[String], Long)] =
+  def executePage(sql: String, cursor: Long, pageSize: Int): Either[String, (Array[String], Long)] = {
+    if (cursor < 0 || cursor > Int.MaxValue)
+      return Left(s"invalid cursor $cursor (must be in [0, ${Int.MaxValue}])")
     query(sql).flatMap { qr =>
       // limit+offset via plan (no full collect): order is the query's own
       scala.util.Try(qr.df.offset(cursor.toInt).limit(pageSize + 1).toJSON.collect()) match {
@@ -80,6 +92,7 @@ class QueryEngine(store: TableStore, cache: ResultCache = new ResultCache()) {
         case scala.util.Failure(e) => Left(s"execution error: ${e.getMessage}")
       }
     }
+  }
 
   def cacheStats: (Long, Long, Int, Long) = cache.stats
 }

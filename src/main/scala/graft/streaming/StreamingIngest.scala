@@ -28,6 +28,37 @@ class StreamingIngest(store: TableStore) {
 
   def cdcPath(table: String): String = s"${store.root}/_cdc/$table"
 
+  /** Idempotent micro-batch commit. foreachBatch is only at-least-once
+    * (a crash between the append and the checkpoint commit replays the
+    * batch), so a naive `mode("append")` duplicates rows on replay. Here
+    * replay is safe:
+    *  1. the batch lands in a private dir via OVERWRITE (replay rewrites
+    *     the same content),
+    *  2. files move into date partitions under deterministic names
+    *     `b<batchId>-<i>.parquet`, skipping names that already exist —
+    *     a partially-committed batch completes instead of duplicating. */
+  private[streaming] def commitBatch(table: String, batchId: Long,
+      dated: org.apache.spark.sql.DataFrame): Unit = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val rootP = new org.apache.hadoop.fs.Path(store.tablePath(table))
+    val batchP = new org.apache.hadoop.fs.Path(
+      s"${store.tablePath(table)}__incoming/batch-$batchId")
+    val fs = rootP.getFileSystem(conf)
+    dated.write.mode("overwrite").partitionBy("date").parquet(batchP.toString)
+    fs.listStatus(batchP).filter(_.getPath.getName.startsWith("date=")).foreach { dateDir =>
+      val dstDir = new org.apache.hadoop.fs.Path(rootP, dateDir.getPath.getName)
+      if (!fs.exists(dstDir)) fs.mkdirs(dstDir)
+      fs.listStatus(dateDir.getPath)
+        .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+        .sortBy(_.getPath.getName).zipWithIndex.foreach { case (f, i) =>
+          val dst = new org.apache.hadoop.fs.Path(dstDir, s"b$batchId-$i.parquet")
+          if (!fs.exists(dst)) fs.rename(f.getPath, dst)
+        }
+    }
+    fs.delete(new org.apache.hadoop.fs.Path(s"${store.tablePath(table)}__incoming"), true)
+    store.bumpVersion(table)
+  }
+
   /** Start a file-source ingest stream into `table`.
     *
     * @param sourceDir directory watched for newline-JSON record files
@@ -54,17 +85,16 @@ class StreamingIngest(store: TableStore) {
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         if (!batch.isEmpty) {
           val dated = batch.withColumn("date", to_date(col("timestamp")))
-          dated.write.mode("append").partitionBy("date")
-            .parquet(store.tablePath(table))
-          // CDC event log: one INSERT event per record + batch marker
+          commitBatch(table, batchId, dated)
+          // CDC event log: per-batch dir written with OVERWRITE — replays
+          // rewrite, never duplicate
           dated.select(
             lit("INSERT").as("op"),
             col("id"),
             col("timestamp"),
             lit(batchId).as("batch_id"),
             current_timestamp().as("emitted_at"))
-            .write.mode("append").parquet(cdcPath(table))
-          store.bumpVersion(table)
+            .write.mode("overwrite").parquet(s"${cdcPath(table)}/batch=$batchId")
         }
         ()
       }
@@ -101,13 +131,9 @@ class StreamingIngest(store: TableStore) {
       .queryName(s"ingest-dedup-$table")
       .option("checkpointLocation", checkpoint)
       .trigger(trigger)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        if (!batch.isEmpty) {
-          batch.withColumn("date", to_date(col("timestamp")))
-            .write.mode("append").partitionBy("date")
-            .parquet(store.tablePath(table))
-          store.bumpVersion(table)
-        }
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty)
+          commitBatch(table, batchId, batch.withColumn("date", to_date(col("timestamp"))))
         ()
       }
       .start()

@@ -68,6 +68,23 @@ class MutationsSpec extends SparkSpec {
     assert(store.read("t").count() == 1)
   }
 
+  test("deleteById reaches rows in the null-date partition") {
+    val store = new TableStore(spark, tmpDir("mut-null"))
+    // build a table with a null-timestamp row (streaming-style direct write)
+    import spark.implicits._
+    Seq(("x", Some(java.sql.Timestamp.valueOf("2024-01-01 00:00:00")), 1.0),
+        ("ghost", None: Option[java.sql.Timestamp], 2.0))
+      .toDF("id", "timestamp", "v")
+      .withColumn("date", org.apache.spark.sql.functions.to_date(
+        org.apache.spark.sql.functions.col("timestamp")))
+      .write.partitionBy("date").parquet(store.tablePath("t"))
+    store.createTable("t")
+    val mut = new Mutations(store)
+    assert(mut.deleteById("t", "ghost") == 1)
+    val left = store.read("t").collect().map(_.getAs[String]("id")).toSeq
+    assert(left == Seq("x"))
+  }
+
   test("retention drops expired date partitions") {
     val store = new TableStore(spark, tmpDir("mut3"))
     store.createTable("t", TableConfig(retentionDays = 30))

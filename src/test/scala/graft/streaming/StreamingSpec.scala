@@ -59,6 +59,25 @@ class StreamingSpec extends SparkSpec {
     assert(store.read("t").count() == 2)
   }
 
+  test("commitBatch is idempotent: replaying the same batchId adds nothing") {
+    import spark.implicits._
+    val store = new TableStore(spark, tmpDir("idem"))
+    store.ensureTable("t")
+    val ing = new StreamingIngest(store)
+    val dated = Seq(("a", java.sql.Timestamp.valueOf("2024-01-01 10:00:00"), 1.0))
+      .toDF("id", "timestamp", "v")
+      .withColumn("date", org.apache.spark.sql.functions.to_date(
+        org.apache.spark.sql.functions.col("timestamp")))
+    ing.commitBatch("t", 7L, dated)
+    assert(store.read("t").count() == 1)
+    // crash-replay simulation: the exact same batch commits again
+    ing.commitBatch("t", 7L, dated)
+    assert(store.read("t").count() == 1, "replayed batch must not duplicate rows")
+    // a NEW batch id does append
+    ing.commitBatch("t", 8L, dated)
+    assert(store.read("t").count() == 2)
+  }
+
   test("deduped ingest: repeated ids within watermark land exactly once") {
     val root = tmpDir("sdd")
     val src = tmpDir("sdd-src")
