@@ -231,6 +231,9 @@ class TableStore(val spark: SparkSession, val root: String) {
       lastFlush(table) = System.currentTimeMillis()
       flattenBatch(batch, Some(table))
         .withColumn("date", to_date(col("timestamp")))
+        // cluster by id within each partition file: tight per-row-group
+        // id min/max + bloom locality for point lookups at scale
+        .sortWithinPartitions(col("date"), col("id"))
         .write
         .mode("append")
         .partitionBy("date")

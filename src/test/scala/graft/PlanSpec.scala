@@ -51,6 +51,12 @@ class PlanSpec extends SparkSpec {
     assert(plan.contains("TakeOrderedAndProject"), s"plan:\n$plan")
   }
 
+  test("graft_dot is session-registered via extensions (SQL-usable)") {
+    val r = spark.sql("SELECT graft_dot(array(1.0D, 2.0D), array(3.0D, 4.0D)) AS d")
+      .head().getDouble(0)
+    assert(r == 11.0)
+  }
+
   test("aes field encryption round-trips and hides plaintext") {
     import graft.functions.FieldEncryption._
     import spark.implicits._
