@@ -41,6 +41,9 @@ object IdGen {
     * 4096 apart within one millisecond. */
   private def nextSnowflake(nodeId: Int): Long = synchronized {
     var now = System.currentTimeMillis()
+    // clock stepped backwards (NTP): never regress below lastMs — doing
+    // so would reissue (ts, seq) pairs already handed out
+    if (now < lastMs) now = lastMs
     if (now == lastMs) {
       seq += 1
       if (seq > 0xFFF) { // sequence exhausted: wait for the next ms

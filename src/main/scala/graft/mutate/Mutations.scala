@@ -101,8 +101,11 @@ class Mutations(store: TableStore) {
     hfs.listStatus(root).foreach { st =>
       val name = st.getPath.getName
       if (name.startsWith("date=")) {
-        val d = java.time.LocalDate.parse(name.stripPrefix("date="))
-        if (d.isBefore(cutoff)) { hfs.delete(st.getPath, true); dropped += 1 }
+        // the null-date partition (__HIVE_DEFAULT_PARTITION__) has no
+        // parsable date — treat as never-expiring rather than aborting
+        scala.util.Try(java.time.LocalDate.parse(name.stripPrefix("date="))).foreach { d =>
+          if (d.isBefore(cutoff)) { hfs.delete(st.getPath, true); dropped += 1 }
+        }
       }
     }
     if (dropped > 0) store.bumpVersion(table)

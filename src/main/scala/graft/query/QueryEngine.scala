@@ -16,10 +16,12 @@ class QueryEngine(store: TableStore, cache: ResultCache = new ResultCache()) {
 
   final case class QueryResult(df: DataFrame, tables: Seq[String])
 
-  /** Temp views THIS engine registered — the only ones it may drop.
-    * Removing arbitrary session views for unknown names would destroy
-    * views owned by other components sharing the session. */
-  private val ownedViews = scala.collection.concurrent.TrieMap[String, Unit]()
+  // views registered by ANY QueryEngine on this session — the only ones
+  // an engine may drop (removing arbitrary session views for unknown
+  // names would destroy views owned by other components). Session-global
+  // so a new engine instance still cleans up a predecessor's stale view
+  // for a since-dropped table; weak keys die with the session.
+  private val ownedViews = QueryEngine.ownedViewsFor(store.spark)
 
   /** Register views for the referenced names this store actually knows
     * (registered table or existing storage — checked via the store's
@@ -95,4 +97,18 @@ class QueryEngine(store: TableStore, cache: ResultCache = new ResultCache()) {
   }
 
   def cacheStats: (Long, Long, Int, Long) = cache.stats
+}
+
+object QueryEngine {
+  private val owned = java.util.Collections.synchronizedMap(
+    new java.util.WeakHashMap[org.apache.spark.sql.SparkSession,
+      scala.collection.concurrent.TrieMap[String, Unit]]())
+
+  private def ownedViewsFor(spark: org.apache.spark.sql.SparkSession) =
+    owned.synchronized {
+      Option(owned.get(spark)).getOrElse {
+        val m = scala.collection.concurrent.TrieMap[String, Unit]()
+        owned.put(spark, m); m
+      }
+    }
 }

@@ -30,34 +30,53 @@ class StreamingIngest(store: TableStore) {
 
   /** Idempotent micro-batch commit. foreachBatch is only at-least-once
     * (a crash between the append and the checkpoint commit replays the
-    * batch), so a naive `mode("append")` duplicates rows on replay. Here
-    * replay is safe:
-    *  1. the batch lands in a private dir via OVERWRITE (replay rewrites
-    *     the same content),
-    *  2. files move into date partitions under deterministic names
-    *     `b<batchId>-<i>.parquet`, skipping names that already exist —
-    *     a partially-committed batch completes instead of duplicating. */
-  private[streaming] def commitBatch(table: String, batchId: Long,
+    * batch), so a naive `mode("append")` duplicates rows on replay.
+    *
+    * Protocol (exactly-once under replay, safe for concurrent streams):
+    *  1. the batch lands in a stream+batch-scoped private dir via
+    *     OVERWRITE (replay rewrites the same content),
+    *  2. if the commit MARKER `_commits/<sid>-b<id>` exists the batch is
+    *     already fully committed → clean up and return,
+    *  3. otherwise delete any partial `<sid>-b<id>-*` outputs (a crash
+    *     mid-rename with a DIFFERENT file split must not mix attempts),
+    *     rename all files in, then create the marker.
+    * `sid` comes from the checkpoint location, so a different stream
+    * lineage (fresh checkpoint, second stream into the same table) can
+    * never collide with this one's batch numbering. */
+  private[streaming] def commitBatch(table: String, streamId: String, batchId: Long,
       dated: org.apache.spark.sql.DataFrame): Unit = {
     val conf = spark.sparkContext.hadoopConfiguration
     val rootP = new org.apache.hadoop.fs.Path(store.tablePath(table))
+    val prefix = s"$streamId-b$batchId"
     val batchP = new org.apache.hadoop.fs.Path(
-      s"${store.tablePath(table)}__incoming/batch-$batchId")
+      s"${store.tablePath(table)}__incoming/$prefix")
     val fs = rootP.getFileSystem(conf)
+    val marker = new org.apache.hadoop.fs.Path(rootP, s"_commits/$prefix")
     dated.write.mode("overwrite").partitionBy("date").parquet(batchP.toString)
-    fs.listStatus(batchP).filter(_.getPath.getName.startsWith("date=")).foreach { dateDir =>
-      val dstDir = new org.apache.hadoop.fs.Path(rootP, dateDir.getPath.getName)
-      if (!fs.exists(dstDir)) fs.mkdirs(dstDir)
-      fs.listStatus(dateDir.getPath)
-        .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
-        .sortBy(_.getPath.getName).zipWithIndex.foreach { case (f, i) =>
-          val dst = new org.apache.hadoop.fs.Path(dstDir, s"b$batchId-$i.parquet")
-          if (!fs.exists(dst)) fs.rename(f.getPath, dst)
-        }
+    if (!fs.exists(marker)) {
+      fs.listStatus(batchP).filter(_.getPath.getName.startsWith("date=")).foreach { dateDir =>
+        val dstDir = new org.apache.hadoop.fs.Path(rootP, dateDir.getPath.getName)
+        if (!fs.exists(dstDir)) fs.mkdirs(dstDir)
+        // remove partial outputs of an earlier crashed attempt (its file
+        // split may differ from this replay's)
+        fs.listStatus(dstDir)
+          .filter(_.getPath.getName.startsWith(s"$prefix-"))
+          .foreach(st => fs.delete(st.getPath, false))
+        fs.listStatus(dateDir.getPath)
+          .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+          .sortBy(_.getPath.getName).zipWithIndex.foreach { case (f, i) =>
+            fs.rename(f.getPath, new org.apache.hadoop.fs.Path(dstDir, s"$prefix-$i.parquet"))
+          }
+      }
+      fs.mkdirs(marker.getParent)
+      fs.create(marker, true).close()
     }
-    fs.delete(new org.apache.hadoop.fs.Path(s"${store.tablePath(table)}__incoming"), true)
+    fs.delete(batchP, true) // only THIS batch's dir — other streams share __incoming
     store.bumpVersion(table)
   }
+
+  private def streamId(checkpoint: String): String =
+    f"s${checkpoint.hashCode & 0x7FFFFFFF}%08x"
 
   /** Start a file-source ingest stream into `table`.
     *
@@ -85,27 +104,31 @@ class StreamingIngest(store: TableStore) {
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         if (!batch.isEmpty) {
           val dated = batch.withColumn("date", to_date(col("timestamp")))
-          commitBatch(table, batchId, dated)
+          val sid = streamId(checkpoint)
+          commitBatch(table, sid, batchId, dated)
           // CDC event log: per-batch dir written with OVERWRITE — replays
-          // rewrite, never duplicate
+          // rewrite, never duplicate. Dir name has no '=' so partition
+          // discovery doesn't invent a duplicate column.
           dated.select(
             lit("INSERT").as("op"),
             col("id"),
             col("timestamp"),
             lit(batchId).as("batch_id"),
             current_timestamp().as("emitted_at"))
-            .write.mode("overwrite").parquet(s"${cdcPath(table)}/batch=$batchId")
+            .write.mode("overwrite").parquet(s"${cdcPath(table)}/$sid-b$batchId")
         }
         ()
       }
       .start()
   }
 
-  /** Read the CDC log (consumer side of the subscription surface). */
+  /** Read the CDC log (consumer side of the subscription surface).
+    * Batch dirs are plain (non-partition) subdirs → recursive lookup. */
   def cdcLog(table: String): DataFrame = {
     val p = new org.apache.hadoop.fs.Path(cdcPath(table))
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (fs.exists(p)) spark.read.parquet(cdcPath(table))
+    if (fs.exists(p))
+      spark.read.option("recursiveFileLookup", "true").parquet(cdcPath(table))
     else spark.emptyDataFrame
   }
 
@@ -133,7 +156,8 @@ class StreamingIngest(store: TableStore) {
       .trigger(trigger)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         if (!batch.isEmpty)
-          commitBatch(table, batchId, batch.withColumn("date", to_date(col("timestamp"))))
+          commitBatch(table, streamId(checkpoint), batchId,
+            batch.withColumn("date", to_date(col("timestamp"))))
         ()
       }
       .start()

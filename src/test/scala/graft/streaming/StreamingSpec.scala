@@ -68,14 +68,18 @@ class StreamingSpec extends SparkSpec {
       .toDF("id", "timestamp", "v")
       .withColumn("date", org.apache.spark.sql.functions.to_date(
         org.apache.spark.sql.functions.col("timestamp")))
-    ing.commitBatch("t", 7L, dated)
+    ing.commitBatch("t", "sA", 7L, dated)
     assert(store.read("t").count() == 1)
     // crash-replay simulation: the exact same batch commits again
-    ing.commitBatch("t", 7L, dated)
+    ing.commitBatch("t", "sA", 7L, dated)
     assert(store.read("t").count() == 1, "replayed batch must not duplicate rows")
     // a NEW batch id does append
-    ing.commitBatch("t", 8L, dated)
+    ing.commitBatch("t", "sA", 8L, dated)
     assert(store.read("t").count() == 2)
+    // a DIFFERENT stream lineage reusing batchId 7 must append, not be
+    // swallowed by lineage A's committed batch 7
+    ing.commitBatch("t", "sB", 7L, dated)
+    assert(store.read("t").count() == 3, "new lineage with recycled batchId must append")
   }
 
   test("deduped ingest: repeated ids within watermark land exactly once") {
