@@ -13,6 +13,10 @@ import graft.functions.DotProduct
   * per-call temp-function fallback in [[graft.functions.VectorFunctions]]. */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit = {
+    // interleaves with the operator-optimization fixpoint (runs after
+    // filters are pushed through the ts-conversion projection), so the
+    // rewritten raw-long comparison reaches the parquet scan
+    e.injectOptimizerRule(_ => NanosTimePushdown)
     e.injectFunction((
       FunctionIdentifier("graft_dot"),
       new ExpressionInfo(classOf[DotProduct].getName, "graft_dot"),

@@ -70,4 +70,37 @@ class PlanSpec extends SparkSpec {
     assert(dec.map(_.getAs[String]("email")).toSeq ==
       Seq("alice@example.com", "bob@example.com"))
   }
+
+  test("ts predicates push to the raw nanos parquet column (NanosTimePushdown)") {
+    graft.core.Tables.registerAll(spark, Sf0001)
+    // the reference's b01 shape: time-windowed count over events
+    val df = spark.sql(
+      "SELECT count(*) AS n FROM events WHERE ts >= TIMESTAMP '2024-01-15 00:00:00'")
+    val plan = executedPlan(df)
+    val pushed = "PushedFilters: \\[[^\\]]*\\]".r.findAllIn(plan).mkString
+    assert(pushed.contains("GreaterThanOrEqual(ts,"),
+      s"ts filter not pushed to parquet:\n$plan")
+    // soundness: pushed plan agrees with an unpushable formulation of the
+    // same predicate (abs(datediff) forms defeat both pushdown and the rule)
+    val n = df.head().getLong(0)
+    val ref = spark.sql(
+      """SELECT count(*) AS n FROM events
+        |WHERE unix_micros(ts) >= unix_micros(TIMESTAMP '2024-01-15 00:00:00')""".stripMargin)
+      .head().getLong(0)
+    assert(n == ref, s"pushed=$n unpushed=$ref")
+    // boundary semantics across the whole operator family
+    for ((op, cmp) <- Seq(
+        (">=", "GreaterThanOrEqual"), (">", "GreaterThanOrEqual"),
+        ("<", "LessThan"), ("<=", "LessThan"), ("=", "GreaterThanOrEqual"))) {
+      val q = spark.sql(
+        s"SELECT count(*) AS n FROM events WHERE ts $op TIMESTAMP '2024-01-15 06:30:00'")
+      val p = executedPlan(q)
+      assert(p.contains(s"$cmp(ts,"), s"'$op' not rewritten:\n$p")
+      val r = spark.sql(
+        s"""SELECT count(*) AS n FROM events
+           |WHERE unix_micros(ts) $op unix_micros(TIMESTAMP '2024-01-15 06:30:00')""".stripMargin)
+        .head().getLong(0)
+      assert(q.head().getLong(0) == r, s"'$op': pushed=${q.head().getLong(0)} ref=$r")
+    }
+  }
 }
