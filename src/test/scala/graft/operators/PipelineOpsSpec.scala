@@ -53,4 +53,27 @@ class PipelineOpsSpec extends SparkSpec {
     assert(groups.count() == n)
     assert(groups.filter("n_copies > 1").count() == 0)
   }
+
+  test("embedding LSH near-dup equals the brute-force pair set (recall 1.0)") {
+    import org.apache.spark.sql.functions._
+    import graft.functions.VectorFunctions
+    // independent all-pairs reference, built here so the shipped query
+    // never needs a cross join
+    val e = graft.core.Tables.load(spark, Sf001, "embeddings")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .withColumn("norm", VectorFunctions.norm(spark, col("v")))
+    val a = e.select(col("vec_id").as("vec_a"), col("v").as("va"), col("norm").as("na"))
+    val b = e.select(col("vec_id").as("vec_b"), col("v").as("vb"), col("norm").as("nb"))
+    val brute = a.crossJoin(b).filter(col("vec_a") < col("vec_b"))
+      .withColumn("cosine", VectorFunctions.dot(spark, col("va"), col("vb")) / (col("na") * col("nb")))
+      .filter(col("cosine") >= 0.45)
+      .select(col("vec_a"), col("vec_b")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Dedup.embeddingNearDup(spark, Sf001).collect()
+      .map(r => (r.getAs[Long]("vec_a"), r.getAs[Long]("vec_b"))).toSet
+    assert(lsh == brute,
+      s"missed=${(brute -- lsh).take(5)} extra=${(lsh -- brute).take(5)} " +
+        s"(${lsh.size} vs ${brute.size})")
+    assert(brute.nonEmpty, "corpus has no near-dup pairs — test is vacuous")
+  }
 }
