@@ -177,29 +177,44 @@ object Dedup {
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
-  /** Exact n-gram jaccard pairs via inverted-index join: explode distinct
-    * shingle HASHES (8-byte join keys instead of ~20-byte strings — the
-    * join shuffle is the cost center), self-join (each shared shingle
-    * yields one pair hit), count hits = |intersection| — no O(n²) cross
-    * join. 64-bit hash collisions are ~2⁻⁶⁴ per shingle pair. */
-  def ngramJaccard(s: SparkSession, dir: String): DataFrame = {
-    val sh = hashedShingleSets(s, dir)
+  /** Document-frequency cap for the n-gram inverted index. A shingle
+    * shared by k documents emits k² pair hits in the self-join, so one
+    * stop-shingle ("in the the", boilerplate headers) turns the join
+    * quadratic at scale. Shingles with df > cap are dropped from
+    * CANDIDATE GENERATION only — the exact array_intersect verify runs
+    * on full shingle sets, so dropped shingles still count toward the
+    * reported jaccard. A pair is lost only if EVERY shared shingle is a
+    * stop-shingle; at τ=0.8 a pair shares ≥80% of its shingles, so its
+    * overlap being all-stop means the documents are themselves
+    * boilerplate (the chain-capped minhash path, which buckets on
+    * signatures instead of raw shingles, still reports those). */
+  private val NgramDfCap = 64
+
+  /** Candidate pairs sharing ≥1 sub-stop-frequency shingle, with the
+    * exact-preserving size-ratio prefilter (j = I/(na+nb−I) ≤ min/max,
+    * so j ≥ 0.8 needs min·10 ≥ max·8). Package-visible for the planted
+    * stop-shingle fan-out spec. */
+  private[operators] def ngramCandidates(sh: DataFrame, dfCap: Int): DataFrame = {
     val inv = sh.select(col("doc_id"), size(col("hs")).as("n_sh"),
       explode(col("hs")).as("h"))
-    // size-ratio prefilter, EXACT-preserving: j = I/(na+nb−I) ≤ min/max,
-    // so j ≥ 0.8 requires min(na,nb)·10 ≥ max(na,nb)·8 — drops most
-    // random pair hits before the expensive pair groupBy.
-    val pairHits = inv.select(col("doc_id").as("doc_a"), col("n_sh").as("na"), col("h"))
-      .join(inv.select(col("doc_id").as("doc_b"), col("n_sh").as("nb"), col("h")), "h")
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("h"))
+    val capped = inv.withColumn("df", count(lit(1)).over(w)).filter(col("df") <= dfCap)
+    capped.select(col("doc_id").as("doc_a"), col("n_sh").as("na"), col("h"))
+      .join(capped.select(col("doc_id").as("doc_b"), col("n_sh").as("nb"), col("h")), "h")
       .filter(col("doc_a") < col("doc_b") &&
         least(col("na"), col("nb")) * 10 >= greatest(col("na"), col("nb")) * 8)
-      .groupBy(col("doc_a"), col("doc_b"), col("na"), col("nb"))
-      .agg(count(lit(1)).cast("double").as("inter"))
-    pairHits
-      .withColumn("jaccard_raw", col("inter") / (col("na") + col("nb") - col("inter")))
-      .filter(col("jaccard_raw") >= JaccardThreshold)
-      .select(col("doc_a"), col("doc_b"), round(col("jaccard_raw"), 4).as("jaccard"))
-      .orderBy(col("doc_a"), col("doc_b"))
+      .select(col("doc_a"), col("doc_b"))
+      .distinct()
+  }
+
+  /** Exact n-gram jaccard pairs: df-capped inverted-index join for
+    * candidates (8-byte hash join keys; bounded per-shingle fan-out),
+    * exact jaccard verify over the full hashed shingle sets — no O(n²)
+    * cross join, no uncapped hot key. 64-bit hash collisions are ~2⁻⁶⁴
+    * per shingle pair. */
+  def ngramJaccard(s: SparkSession, dir: String): DataFrame = {
+    val sh = hashedShingleSets(s, dir)
+    jaccardVerified(sh, ngramCandidates(sh, NgramDfCap))
   }
 
   // ---- embedding near-dup: hyperplane-LSH candidates + exact verify ----

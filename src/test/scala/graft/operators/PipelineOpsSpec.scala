@@ -54,6 +54,25 @@ class PipelineOpsSpec extends SparkSpec {
     assert(groups.filter("n_copies > 1").count() == 0)
   }
 
+  test("ngram candidate fan-out is df-capped (planted stop-shingle)") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // 100 docs all sharing stop-shingle 999; docs 1 and 2 additionally
+    // share 9 rare shingles (a true near-dup pair)
+    val stop = 999L
+    val docs = (1 to 100).map { i =>
+      val own: Seq[Long] =
+        if (i <= 2) (1L to 9L) :+ (1000L + i) // 9 shared + 1 unique
+        else (0 until 10).map(j => 10000L + i * 100L + j)
+      (i.toLong, own :+ stop)
+    }.toDF("doc_id", "hs")
+    val cands = Dedup.ngramCandidates(docs, dfCap = 4).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // without the cap the stop-shingle alone emits 100·99/2 = 4950 pairs
+    assert(cands == Set((1L, 2L)),
+      s"expected only the planted pair, got ${cands.size} candidates")
+  }
+
   test("embedding LSH near-dup equals the brute-force pair set (recall 1.0)") {
     import org.apache.spark.sql.functions._
     import graft.functions.VectorFunctions
