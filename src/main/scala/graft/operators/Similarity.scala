@@ -65,19 +65,80 @@ object Similarity {
       acc.bitwiseOR(when(proj > 0, lit(1L << p)).otherwise(lit(0L)))
     }
 
+  private val Cells = 16
+  private val NProbe = 6
+  private val KmSampleN = 1024
+  private val KmIters = 10
+
+  /** Deterministic spherical k-means over a hash-sampled subset —
+    * IVF centroid training. The sample is the `KmSampleN` vectors with
+    * the smallest `xxhash64(vec_id)` (TakeOrdered heap, no full sort; at
+    * 100 TB this reads a bounded sample to the driver — standard
+    * centroid training, ~0.5 MB here). Init is farthest-first traversal
+    * (deterministic 2-approx k-center seeding — no RNG anywhere), then
+    * `KmIters` Lloyd rounds with cosine assignment and re-normalized
+    * mean centroids. Returns unit-norm centroids. */
+  private def kmeansCentroids(s: SparkSession, e: DataFrame): Array[Array[Double]] = {
+    val sample: Array[Array[Double]] = e
+      .filter(col("norm") > 0)
+      .orderBy(xxhash64(col("vec_id")), col("vec_id"))
+      .limit(KmSampleN)
+      .select(col("v"), col("norm"))
+      .collect()
+      .map { r =>
+        val n = r.getDouble(1)
+        r.getSeq[Double](0).toArray.map(_ / n)
+      }
+    require(sample.nonEmpty, "no non-zero vectors to train IVF centroids on")
+    def dot(a: Array[Double], b: Array[Double]): Double = {
+      var s0 = 0.0; var i = 0
+      while (i < a.length && i < b.length) { s0 += a(i) * b(i); i += 1 }
+      s0
+    }
+    val k = math.min(Cells, sample.length)
+    val cents = scala.collection.mutable.ArrayBuffer[Array[Double]](sample(0))
+    while (cents.size < k) // farthest-first: minimize the max cosine to chosen
+      cents += sample.minBy(v => cents.map(c => dot(c, v)).max)
+    var cur = cents.toArray
+    for (_ <- 0 until KmIters) {
+      val sums = Array.fill(k)(new Array[Double](sample(0).length))
+      val counts = new Array[Int](k)
+      sample.foreach { v =>
+        var best = 0; var bestDot = dot(cur(0), v); var c = 1
+        while (c < k) {
+          val d = dot(cur(c), v)
+          if (d > bestDot) { best = c; bestDot = d }
+          c += 1
+        }
+        counts(best) += 1
+        var i = 0
+        while (i < v.length) { sums(best)(i) += v(i); i += 1 }
+      }
+      cur = cur.zipWithIndex.map { case (old, c) =>
+        if (counts(c) == 0) old // empty cell keeps its centroid
+        else {
+          val m = sums(c)
+          val n = math.sqrt(dot(m, m))
+          if (n > 0) m.map(_ / n) else old
+        }
+      }
+    }
+    cur
+  }
+
   /** IVF-Flat ANN: vectors are assigned to the nearest of `Cells`
-    * centroids (inverted file); a query probes only its `NProbe` nearest
-    * cells. Centroids here are a deterministic sample (first `Cells`
-    * vectors — production would k-means; the partition/probe machinery
-    * is identical). Assignment is a broadcast of the tiny centroid set
-    * against the fact side — one codegen'd pass, no shuffle of vectors;
-    * the probe join shuffles only candidates. */
+    * k-means centroids (inverted file); a query probes only its
+    * `NProbe` nearest cells. Assignment is a broadcast of the tiny
+    * centroid set against the fact side — one codegen'd pass, no
+    * shuffle of vectors; the probe join shuffles only candidates. */
   def annIvf(s: SparkSession, dir: String): DataFrame = {
-    val Cells = 16
-    val NProbe = 4
+    import s.implicits._
     val e = withNorm(s, Tables.load(s, dir, "embeddings"))
-    val cent = e.filter(col("vec_id") < Cells)
-      .select(col("vec_id").as("cell"), col("v").as("cv"), col("norm").as("cn"))
+    val cent = kmeansCentroids(s, e).zipWithIndex
+      .map { case (c, i) => (i.toLong, c) }.toSeq
+      .toDF("cell", "cv")
+      .withColumn("cn", lit(1.0))
+      .select(col("cell"), col("cv").cast("array<double>").as("cv"), col("cn"))
     // inverted file: nearest centroid per vector
     val assign = e.crossJoin(broadcast(cent))
       .withColumn("sim", VectorFunctions.dot(s, col("v"), col("cv")) / (col("norm") * col("cn")))

@@ -37,14 +37,14 @@ class PipelineOpsSpec extends SparkSpec {
     assert(hits >= brute.size * 3 / 10, s"recall too low: $hits/${brute.size}")
   }
 
-  test("ann IVF recall: probing 4/16 cells finds a useful share of true top-10") {
+  test("ann IVF recall: k-means cells at nprobe 6/16 reach >=60% of true top-10") {
     val brute = Similarity.annBrute(spark, Sf001).collect()
       .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
     val ivf = Similarity.annIvf(spark, Sf001).collect()
     assert(ivf.nonEmpty)
     val hits = ivf.map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id")))
       .count(brute.contains)
-    assert(hits >= brute.size * 2 / 10, s"IVF recall too low: $hits/${brute.size}")
+    assert(hits >= brute.size * 6 / 10, s"IVF recall too low: $hits/${brute.size}")
   }
 
   test("dedup exact groups every doc (no dups in corpus → n groups)") {
