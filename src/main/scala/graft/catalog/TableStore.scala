@@ -43,6 +43,25 @@ class TableStore(val spark: SparkSession, val root: String) {
     * `query_cache.go:340-412`). */
   val versions = TrieMap[String, AtomicLong]()
 
+  // Per-table mutation lock. The reference takes a distributed lock per
+  // mutation (`miniodb_service.go:692-705`, Redis); here all mutations
+  // are driver-coordinated, so a JVM lock gives the same mutual
+  // exclusion: without it two concurrent partition rewrites interleave
+  // their delete/rename swaps and one writer's survivors are lost. A
+  // multi-driver deployment would swap this for a storage-level lease
+  // (the lock SITE stays the same). Reentrant: update = locked delete +
+  // locked flush inside the update's own lock.
+  private val tableLocks = TrieMap[String, java.util.concurrent.locks.ReentrantLock]()
+
+  /** Run `f` holding `table`'s mutation lock. Every mutator of the
+    * table's storage layout (flush, partition swap, compaction rewrite,
+    * streaming batch commit, schema migration) must run under this. */
+  def withTableLock[T](table: String)(f: => T): T = {
+    val l = tableLocks.getOrElseUpdate(table, new java.util.concurrent.locks.ReentrantLock())
+    l.lock()
+    try f finally l.unlock()
+  }
+
   def tablePath(table: String): String = s"$root/$table"
 
   def createTable(table: String, config: TableConfig = TableConfig()): Unit = {
@@ -224,7 +243,7 @@ class TableStore(val spark: SparkSession, val root: String) {
   }
 
   /** Flush the in-memory buffer to a date-partitioned parquet append. */
-  def flush(table: String): Unit = {
+  def flush(table: String): Unit = withTableLock(table) {
     val buf = buffers.getOrElseUpdate(table, ArrayBuffer.empty)
     val batch = buf.synchronized { val b = buf.toVector; buf.clear(); b }
     if (batch.nonEmpty) {

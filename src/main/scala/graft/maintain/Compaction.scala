@@ -1,6 +1,7 @@
 package graft.maintain
 
 import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.functions.col
 
 import graft.catalog.TableStore
 
@@ -38,8 +39,10 @@ class Compaction(
   }
 
   /** Compact every partition exceeding the file-count threshold; returns
-    * (partitionsCompacted, filesBefore, filesAfter). */
-  def compact(table: String): (Int, Int, Int) = {
+    * (partitionsCompacted, filesBefore, filesAfter). Runs under the
+    * table's mutation lock — a concurrent delete/update rewriting the
+    * same partition would interleave directory swaps and lose rows. */
+  def compact(table: String): (Int, Int, Int) = store.withTableLock(table) {
     store.flush(table)
     val victims = partitionStats(table).filter(_.files >= minFiles)
     var before = 0
@@ -54,7 +57,16 @@ class Compaction(
       val tmp = new Path(s"${store.tablePath(table)}__compact_tmp/${ps.partition}")
       val fs = tmp.getFileSystem(spark.sparkContext.hadoopConfiguration)
       if (fs.exists(tmp)) fs.delete(tmp, true)
-      df.repartition(target).write.mode("overwrite").parquet(tmp.toString)
+      // preserve the flush path's point-lookup layout: id-clustered rows
+      // (tight row-group min/max) + parquet bloom on id — a plain
+      // repartition write silently regressed both
+      val clustered =
+        if (df.columns.contains("id"))
+          df.repartition(target).sortWithinPartitions(col("id"))
+        else df.repartition(target)
+      clustered.write.mode("overwrite")
+        .option("parquet.bloom.filter.enabled#id", "true")
+        .parquet(tmp.toString)
       val dst = new Path(dir)
       fs.delete(dst, true)
       fs.rename(tmp, dst)

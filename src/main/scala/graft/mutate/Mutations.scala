@@ -45,8 +45,13 @@ class Mutations(store: TableStore) {
   }
 
   /** Shared shape: drain buffer, find affected partitions for `victim`,
-    * count victims, swap in survivors. Returns rows removed. */
-  private def removeWhere(table: String, victim: org.apache.spark.sql.Column): Long = {
+    * count victims, swap in survivors. Returns rows removed. Runs under
+    * the table's mutation lock (reference takes a distributed lock per
+    * update/delete, `miniodb_service.go:692-705`): concurrent partition
+    * rewrites would otherwise interleave the delete/rename swap and drop
+    * one writer's survivors. */
+  private def removeWhere(table: String, victim: org.apache.spark.sql.Column): Long =
+      store.withTableLock(table) {
     store.flush(table) // drain buffer so one rewrite covers everything
     val df = store.storageDf(table)
     if (!df.columns.contains("id")) return 0L
@@ -70,16 +75,27 @@ class Mutations(store: TableStore) {
 
   /** Physically delete all rows with `id`; returns rows deleted.
     * Un-flushed buffer rows are drained first, so this also covers the
-    * reference's buffer-tombstone case (`concurrent_buffer.go:1472-1538`). */
-  def deleteById(table: String, id: String): Long =
-    removeWhere(table, col("id") <=> id) // null-safe: NULL ids must survive, not vanish
+    * reference's buffer-tombstone case (`concurrent_buffer.go:1472-1538`).
+    * A successful delete appends a DELETE event to the CDC log
+    * (reference publishes per-mutation events, `event.go:12-98`). */
+  def deleteById(table: String, id: String): Long = store.withTableLock(table) {
+    val removed = removeWhere(table, col("id") <=> id) // null-safe: NULL ids survive
+    if (removed > 0)
+      graft.streaming.CdcLog.append(store, table, "DELETE",
+        Seq(id -> (null: java.sql.Timestamp)))
+    removed
+  }
 
   /** Update = delete old versions + insert the new record (reference
-    * semantics: last write wins per id). */
-  def updateById(table: String, record: DynRecord): Long = {
-    val removed = deleteById(table, record.id)
+    * semantics: last write wins per id). Atomic vs other mutations on
+    * the table (single UPDATE CDC event, not DELETE+INSERT — matching
+    * the reference's event granularity). */
+  def updateById(table: String, record: DynRecord): Long = store.withTableLock(table) {
+    val removed = removeWhere(table, col("id") <=> record.id)
     store.write(table, Seq(record))
     store.flush(table)
+    graft.streaming.CdcLog.append(store, table, "UPDATE",
+      Seq((record.id, record.timestamp)))
     removed
   }
 

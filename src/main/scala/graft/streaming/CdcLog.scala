@@ -1,0 +1,57 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.types._
+
+import graft.catalog.TableStore
+
+/** Parquet-backed CDC event log, shared by every event producer.
+  *
+  * The reference publishes INSERT/UPDATE/DELETE/BATCH events to Redis
+  * Streams / Kafka with consumer groups (`internal/subscription/
+  * event.go:12-98`, `manager.go:157-225`); here the log is a directory
+  * of per-emission parquet dirs under `<root>/_cdc/<table>` — a Kafka
+  * sink would swap in `format("kafka")` at the write sites. Streaming
+  * ingest appends INSERT/BATCH per micro-batch (replay-idempotent:
+  * batch-scoped dir + overwrite); mutations append UPDATE/DELETE here.
+  * One schema for all producers so the consumer-side read is a single
+  * union-free scan. */
+object CdcLog {
+
+  val Schema: StructType = StructType(Seq(
+    StructField("op", StringType, nullable = false),
+    StructField("id", StringType, nullable = true),
+    StructField("timestamp", TimestampType, nullable = true),
+    StructField("batch_id", LongType, nullable = false),
+    StructField("emitted_at", TimestampType, nullable = false)))
+
+  def path(store: TableStore, table: String): String = s"${store.root}/_cdc/$table"
+
+  /** Append one event per (id, timestamp) with operation `op`.
+    * Each emission lands in its own `mut-<uuid>` dir (no '=' in the
+    * name, so partition discovery doesn't invent a column; unique name,
+    * so concurrent emitters never collide). */
+  def append(store: TableStore, table: String, op: String,
+      rows: Seq[(String, Timestamp)], batchId: Long = -1L): Unit = {
+    if (rows.isEmpty) return
+    val now = new Timestamp(System.currentTimeMillis())
+    val data = rows.map { case (id, ts) => Row(op, id, ts, batchId, now) }
+    store.spark.createDataFrame(
+        store.spark.sparkContext.parallelize(data, 1), Schema)
+      .write.mode("overwrite")
+      .parquet(s"${path(store, table)}/mut-${java.util.UUID.randomUUID()}")
+  }
+
+  /** Consumer-side read of the full event log (empty frame when no
+    * events exist). Batch dirs are plain subdirs → recursive lookup. */
+  def read(store: TableStore, table: String): DataFrame = {
+    val p = new org.apache.hadoop.fs.Path(path(store, table))
+    val fs = p.getFileSystem(store.spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p))
+      store.spark.read.option("recursiveFileLookup", "true").parquet(path(store, table))
+    else store.spark.createDataFrame(
+      store.spark.sparkContext.emptyRDD[Row], Schema)
+  }
+}

@@ -26,7 +26,7 @@ class StreamingIngest(store: TableStore) {
 
   private def spark: SparkSession = store.spark
 
-  def cdcPath(table: String): String = s"${store.root}/_cdc/$table"
+  def cdcPath(table: String): String = CdcLog.path(store, table)
 
   /** Idempotent micro-batch commit. foreachBatch is only at-least-once
     * (a crash between the append and the checkpoint commit replays the
@@ -44,7 +44,10 @@ class StreamingIngest(store: TableStore) {
     * lineage (fresh checkpoint, second stream into the same table) can
     * never collide with this one's batch numbering. */
   private[streaming] def commitBatch(table: String, streamId: String, batchId: Long,
-      dated: org.apache.spark.sql.DataFrame): Unit = {
+      dated: org.apache.spark.sql.DataFrame): Unit = store.withTableLock(table) {
+    // under the table mutation lock: a partition-rewrite mutation running
+    // between this commit's survivor scan and directory swap would drop
+    // the files this batch just renamed in
     val conf = spark.sparkContext.hadoopConfiguration
     val rootP = new org.apache.hadoop.fs.Path(store.tablePath(table))
     val prefix = s"$streamId-b$batchId"
@@ -122,15 +125,10 @@ class StreamingIngest(store: TableStore) {
       .start()
   }
 
-  /** Read the CDC log (consumer side of the subscription surface).
-    * Batch dirs are plain (non-partition) subdirs → recursive lookup. */
-  def cdcLog(table: String): DataFrame = {
-    val p = new org.apache.hadoop.fs.Path(cdcPath(table))
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (fs.exists(p))
-      spark.read.option("recursiveFileLookup", "true").parquet(cdcPath(table))
-    else spark.emptyDataFrame
-  }
+  /** Read the CDC log (consumer side of the subscription surface) —
+    * INSERT/BATCH from streaming ingest plus UPDATE/DELETE from
+    * [[graft.mutate.Mutations]], one unified schema. */
+  def cdcLog(table: String): DataFrame = CdcLog.read(store, table)
 
   /** Start a json ingest stream that DEDUPES by record id across
     * micro-batches (streaming state + watermark): re-sent records within

@@ -97,4 +97,37 @@ class MutationsSpec extends SparkSpec {
     val ids = store.read("t").collect().map(_.getAs[String]("id")).toSeq
     assert(ids == Seq("new"))
   }
+
+  test("delete and update emit CDC events; no-op delete emits none") {
+    val (store, mut) = seeded()
+    assert(mut.deleteById("t", "a") == 2)
+    mut.updateById("t", rec("b", "2024-01-05 00:00:00", Map("v" -> 99)))
+    assert(mut.deleteById("t", "ghost") == 0) // must not emit
+    val events = graft.streaming.CdcLog.read(store, "t")
+      .orderBy("op").collect()
+      .map(r => (r.getAs[String]("op"), r.getAs[String]("id")))
+    assert(events.toSeq == Seq(("DELETE", "a"), ("UPDATE", "b")))
+  }
+
+  test("concurrent mutations on the same partition lose zero rows") {
+    // two threads delete DISJOINT ids that live in the SAME date
+    // partition: without the table lock the partition swaps interleave
+    // and one thread's survivors vanish
+    val store = new TableStore(spark, tmpDir("mut4"))
+    val n = 20
+    store.write("t", (0 until n).map(i =>
+      rec(s"id$i", "2024-03-01 00:00:00", Map("v" -> i))))
+    store.flush("t")
+    val mut = new Mutations(store)
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val f1 = Future(mut.deleteById("t", "id3"))
+    val f2 = Future(mut.deleteById("t", "id7"))
+    assert(Await.result(f1, 120.seconds) == 1)
+    assert(Await.result(f2, 120.seconds) == 1)
+    val left = store.read("t").collect().map(_.getAs[String]("id")).toSet
+    assert(left == (0 until n).map(i => s"id$i").toSet -- Set("id3", "id7"),
+      s"rows lost or resurrected: ${left.size} of ${n - 2} expected")
+  }
 }
