@@ -38,6 +38,11 @@ class TableStore(val spark: SparkSession, val root: String) {
   private val configs = TrieMap[String, TableConfig]()
   private val buffers = TrieMap[String, ArrayBuffer[DynRecord]]()
   private val lastFlush = TrieMap[String, Long]()
+  // WAL segments backing the current in-memory buffer, 1 per write()
+  // call; snapshotted and deleted together with the buffer on flush
+  private val walSegments = TrieMap[String, ArrayBuffer[org.apache.hadoop.fs.Path]]()
+  private val walReplayed = TrieMap[String, Unit]()
+  private val walSeq = new AtomicLong(0)
   /** Monotonic per-table version, bumped on every mutation — the result
     * cache's invalidation key (reference invalidates by table name,
     * `query_cache.go:340-412`). */
@@ -85,6 +90,8 @@ class TableStore(val spark: SparkSession, val root: String) {
   def dropTable(table: String): Unit = {
     configs.remove(table)
     buffers.remove(table)
+    walSegments.remove(table)
+    walReplayed.remove(table) // segments die with tablePath below
     recordedTypes.remove(table) // a recreated table must not inherit the old schema
     bumpVersion(table)
     val p = new org.apache.hadoop.fs.Path(tablePath(table))
@@ -226,15 +233,74 @@ class TableStore(val spark: SparkSession, val root: String) {
     bumpVersion(table)
   }
 
+  // ----------------------------------------------------- write-ahead log
+  // The reference WALs every buffered write and replays on startup
+  // (`internal/wal/wal.go:214-310`, `concurrent_buffer.go:257-359`);
+  // without an equivalent, a driver crash loses up to bufferSize
+  // un-flushed rows per table. Layout: one `w-<millis>-<seq>.bin`
+  // segment per write() call under `<table>/_graft_wal/` (leading
+  // underscore → invisible to parquet partition discovery), containing
+  // the Java-serialized record batch. Segments die with the flush that
+  // persists their rows; a fresh TableStore over the same root replays
+  // surviving segments into the buffer before first use. A torn segment
+  // (crash mid-append) deserializes with an exception and is dropped —
+  // safe, because write() only returns after BOTH the segment and the
+  // buffer append, so a torn segment's write was never acknowledged.
+
+  private def walDir(table: String) =
+    new org.apache.hadoop.fs.Path(tablePath(table), "_graft_wal")
+
+  private def walAppend(table: String, records: Seq[DynRecord]): org.apache.hadoop.fs.Path = {
+    val dir = walDir(table)
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val seg = new org.apache.hadoop.fs.Path(dir,
+      f"w-${System.currentTimeMillis()}%013d-${walSeq.incrementAndGet()}%06d.bin")
+    val out = new java.io.ObjectOutputStream(fs.create(seg, true))
+    try { out.writeObject(records.toVector) } finally out.close()
+    seg
+  }
+
+  /** Replay surviving WAL segments into the in-memory buffer (once per
+    * table per store instance, before first buffer use). */
+  private def maybeReplayWal(table: String): Unit =
+    if (!walReplayed.contains(table)) withTableLock(table) {
+      if (!walReplayed.contains(table)) {
+        val dir = walDir(table)
+        val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        if (fs.exists(dir)) {
+          val buf = buffers.getOrElseUpdate(table, ArrayBuffer.empty)
+          val segs = walSegments.getOrElseUpdate(table, ArrayBuffer.empty)
+          fs.listStatus(dir).filter(_.getPath.getName.startsWith("w-"))
+            .sortBy(_.getPath.getName).foreach { st =>
+              scala.util.Try {
+                val in = new java.io.ObjectInputStream(fs.open(st.getPath))
+                try in.readObject().asInstanceOf[Vector[DynRecord]] finally in.close()
+              } match {
+                case scala.util.Success(recs) => buf.synchronized {
+                  buf ++= recs; segs += st.getPath
+                }
+                case scala.util.Failure(_) => // torn, never acknowledged
+                  fs.delete(st.getPath, false)
+              }
+            }
+        }
+        walReplayed.put(table, ())
+      }
+    }
+
   // ---------------------------------------------------------------- write
 
   /** Buffered write; flushes when the table's buffer-size trigger fires
-    * or `flushIntervalMs` has elapsed since the last flush. */
+    * or `flushIntervalMs` has elapsed since the last flush. Durable
+    * before return: the batch is WAL-appended, then buffered. */
   def write(table: String, records: Seq[DynRecord]): Unit = {
     val cfg = ensureTable(table)
+    maybeReplayWal(table)
+    val seg = walAppend(table, records)
     val buf = buffers.getOrElseUpdate(table, ArrayBuffer.empty)
     val due = buf.synchronized {
       buf ++= records
+      walSegments.getOrElseUpdate(table, ArrayBuffer.empty) += seg
       val elapsed = System.currentTimeMillis() - lastFlush.getOrElse(table, 0L)
       buf.size >= cfg.bufferSize || (buf.nonEmpty && elapsed >= cfg.flushIntervalMs)
     }
@@ -242,10 +308,18 @@ class TableStore(val spark: SparkSession, val root: String) {
     bumpVersion(table)
   }
 
-  /** Flush the in-memory buffer to a date-partitioned parquet append. */
+  /** Flush the in-memory buffer to a date-partitioned parquet append;
+    * the WAL segments backing the flushed rows are deleted only after
+    * the parquet append commits. */
   def flush(table: String): Unit = withTableLock(table) {
+    maybeReplayWal(table)
     val buf = buffers.getOrElseUpdate(table, ArrayBuffer.empty)
-    val batch = buf.synchronized { val b = buf.toVector; buf.clear(); b }
+    val (batch, segs) = buf.synchronized {
+      val b = buf.toVector; buf.clear()
+      val s = walSegments.get(table).map(w => { val v = w.toVector; w.clear(); v })
+        .getOrElse(Vector.empty)
+      (b, s)
+    }
     if (batch.nonEmpty) {
       lastFlush(table) = System.currentTimeMillis()
       flattenBatch(batch, Some(table))
@@ -260,6 +334,8 @@ class TableStore(val spark: SparkSession, val root: String) {
         // reference index #33) skip row groups without footer-stats help
         .option("parquet.bloom.filter.enabled#id", "true")
         .parquet(tablePath(table))
+      val fs = walDir(table).getFileSystem(spark.sparkContext.hadoopConfiguration)
+      segs.foreach(p => fs.delete(p, false))
       bumpVersion(table)
     }
   }
@@ -340,6 +416,7 @@ class TableStore(val spark: SparkSession, val root: String) {
 
   /** Un-flushed buffer as a DataFrame (hybrid visibility). */
   def bufferDf(table: String): DataFrame = {
+    maybeReplayWal(table)
     val buf = buffers.get(table).map(b => b.synchronized(b.toVector)).getOrElse(Vector.empty)
     if (buf.isEmpty) emptyDf
     else flattenBatch(buf, Some(table), readOnlySchema = true)
@@ -351,6 +428,7 @@ class TableStore(val spark: SparkSession, val root: String) {
     * driver-side state (no Spark job) so the common all-flushed path is
     * a plain partitioned scan. */
   def read(table: String): DataFrame = {
+    maybeReplayWal(table)
     val bufEmpty = buffers.get(table).forall(b => b.synchronized(b.isEmpty))
     (hasStorage(table), bufEmpty) match {
       case (true, true) => storageDf(table)

@@ -149,4 +149,29 @@ class TableStoreSpec extends SparkSpec {
     store.write("v", Seq(rec("2", "2024-01-01 00:00:00", Map("x" -> 2))))
     assert(store.version("v") > v1)
   }
+
+  test("un-flushed writes survive a store restart via WAL replay") {
+    val root = tmpDir("ts8")
+    val store = new TableStore(spark, root)
+    store.createTable("t", TableConfig(bufferSize = 1000, flushIntervalMs = Long.MaxValue))
+    store.write("t", Seq(
+      rec("a", "2024-01-01 00:00:00", Map("v" -> 1)),
+      rec("b", "2024-01-01 00:00:01", Map("v" -> 2))))
+    store.write("t", Seq(rec("c", "2024-01-02 00:00:00", Map("v" -> 3))))
+    // no flush — a crash here used to lose all three rows
+    val reborn = new TableStore(spark, root)
+    reborn.createTable("t", TableConfig(bufferSize = 1000, flushIntervalMs = Long.MaxValue))
+    val ids = reborn.read("t").collect().map(_.getAs[String]("id")).toSeq.sorted
+    assert(ids == Seq("a", "b", "c"), s"WAL replay lost rows: $ids")
+    // flush persists the replayed rows and clears the WAL
+    reborn.flush("t")
+    assert(reborn.storageDf("t").count() == 3)
+    val again = new TableStore(spark, root)
+    val after = again.read("t").collect().map(_.getAs[String]("id")).toSeq.sorted
+    assert(after == Seq("a", "b", "c"), s"WAL not cleared after flush: $after")
+    // mixed: one flushed store + one fresh un-flushed write on a new store
+    again.write("t", Seq(rec("d", "2024-01-03 00:00:00", Map("v" -> 4))))
+    val last = new TableStore(spark, root)
+    assert(last.read("t").count() == 4)
+  }
 }
