@@ -16,6 +16,15 @@ class QueryEngine(store: TableStore, cache: ResultCache = new ResultCache()) {
 
   final case class QueryResult(df: DataFrame, tables: Seq[String])
 
+  /** Server-side row cap applied when the caller passes no limit — the
+    * reference appends `LIMIT n` unconditionally
+    * (`miniodb_service.go:624-626`); without it an unbounded SELECT is a
+    * driver OOM at the JSON-encode collect. */
+  val DefaultLimit = 10000
+
+  /** Row cap for a paginated stream's materialized snapshot. */
+  val MaxStreamRows = 100000
+
   // views registered by ANY QueryEngine on this session — the only ones
   // an engine may drop (removing arbitrary session views for unknown
   // names would destroy views owned by other components). Session-global
@@ -59,13 +68,14 @@ class QueryEngine(store: TableStore, cache: ResultCache = new ResultCache()) {
     * as Left, never as thrown exceptions. */
   def executeJson(sql: String, limit: Int = 0, useCache: Boolean = true): Either[String, String] =
     SqlGate.validate(store.spark, sql).flatMap { gated =>
+      val eff = if (limit > 0) limit else DefaultLimit
       val known = gated.tables.filter(store.knownTable)
-      val k = cache.key(sql + s"|limit=$limit", known)
+      val k = cache.key(sql + s"|limit=$eff", known)
       val versions = known.map(t => t -> store.version(t)).toMap
       (if (useCache && known.nonEmpty) cache.get(k, versions) else None) match {
         case Some(hit) => Right(hit)
         case None =>
-          plan(gated, sql, limit).flatMap { qr =>
+          plan(gated, sql, eff).flatMap { qr =>
             scala.util.Try(qr.df.toJSON.collect().mkString("[", ",", "]")) match {
               case scala.util.Success(json) =>
                 // only table-backed results are cacheable: with no known
@@ -79,19 +89,48 @@ class QueryEngine(store: TableStore, cache: ResultCache = new ResultCache()) {
       }
     }
 
+  // Materialized stream snapshots for cursor pagination, LRU-bounded.
+  // Keyed by SQL text + table versions: all cursors over one stream page
+  // the SAME snapshot (stable pagination — a mutation mid-stream starts
+  // a fresh snapshot at the next stream, not mid-page), and the query
+  // executes ONCE, not once per page (the offset/limit-per-page
+  // formulation re-ran the whole plan for every page — O(pages × query)).
+  private final case class StreamState(rows: Array[String], versions: Map[String, Long])
+  private val streams = new java.util.LinkedHashMap[String, StreamState](16, 0.75f, true) {
+    override def removeEldestEntry(
+        e: java.util.Map.Entry[String, StreamState]): Boolean = size > 8
+  }
+
   /** Cursor pagination for server-streaming results (StreamQuery):
-    * executes the plan, returns `pageSize` rows from `cursor` plus the
-    * next cursor (-1 when exhausted). */
+    * executes the plan once into a capped snapshot (`MaxStreamRows`),
+    * returns `pageSize` rows from `cursor` plus the next cursor (-1 when
+    * exhausted). Subsequent pages are pure driver-side slices. */
   def executePage(sql: String, cursor: Long, pageSize: Int): Either[String, (Array[String], Long)] = {
     if (cursor < 0 || cursor > Int.MaxValue)
       return Left(s"invalid cursor $cursor (must be in [0, ${Int.MaxValue}])")
-    query(sql).flatMap { qr =>
-      // limit+offset via plan (no full collect): order is the query's own
-      scala.util.Try(qr.df.offset(cursor.toInt).limit(pageSize + 1).toJSON.collect()) match {
-        case scala.util.Success(page) =>
-          if (page.length > pageSize) Right((page.take(pageSize), cursor + pageSize))
-          else Right((page, -1L))
-        case scala.util.Failure(e) => Left(s"execution error: ${e.getMessage}")
+    SqlGate.validate(store.spark, sql).flatMap { gated =>
+      val known = gated.tables.filter(store.knownTable)
+      val versions = known.map(t => t -> store.version(t)).toMap
+      val cached = streams.synchronized(Option(streams.get(sql)))
+        .filter(_.versions == versions)
+      val stateE: Either[String, StreamState] = cached match {
+        case Some(st) => Right(st)
+        case None =>
+          plan(gated, sql, MaxStreamRows).flatMap { qr =>
+            scala.util.Try(qr.df.toJSON.collect()) match {
+              case scala.util.Success(rows) =>
+                val st = StreamState(rows, versions)
+                streams.synchronized(streams.put(sql, st))
+                Right(st)
+              case scala.util.Failure(e) => Left(s"execution error: ${e.getMessage}")
+            }
+          }
+      }
+      stateE.map { st =>
+        val from = cursor.toInt
+        val page = st.rows.slice(from, from + pageSize)
+        if (from + pageSize < st.rows.length) (page, cursor + pageSize)
+        else (page, -1L)
       }
     }
   }

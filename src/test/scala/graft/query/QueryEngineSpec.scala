@@ -133,4 +133,33 @@ class QueryEngineSpec extends SparkSpec {
     val Right((page2, c2)) = engine.executePage(sql, c1, 2): @unchecked
     assert(page2.length == 1 && c2 == -1L)
   }
+
+  test("pagination executes the query once (later pages run zero jobs)") {
+    val (_, engine) = freshEngine()
+    val sql = "SELECT id FROM users ORDER BY id"
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(js: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        jobs.incrementAndGet(); ()
+      }
+    }
+    val Right((p1, c1)) = engine.executePage(sql, 0, 1): @unchecked
+    assert(p1.length == 1)
+    Thread.sleep(500) // drain in-flight listener events from page 1
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      val Right((p2, c2)) = engine.executePage(sql, c1, 1): @unchecked
+      val Right((p3, _)) = engine.executePage(sql, c2, 1): @unchecked
+      assert(p2.length == 1 && p3.length == 1)
+      Thread.sleep(500) // let any (unexpected) job events surface
+      assert(jobs.get() == 0, s"later pages ran ${jobs.get()} Spark jobs — re-execution")
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
+
+  test("unlimited executeJson is server-side capped") {
+    val (_, engine) = freshEngine()
+    // DefaultLimit rows at most; with 3 users this just checks the path
+    val Right(json) = engine.executeJson("SELECT id FROM users"): @unchecked
+    assert(json.startsWith("[") && json.split("\\},\\{").length <= engine.DefaultLimit)
+  }
 }
