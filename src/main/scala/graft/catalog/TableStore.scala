@@ -386,6 +386,43 @@ class TableStore(val spark: SparkSession, val root: String) {
       schema)
   }
 
+  /** Conform an arbitrary-schema batch DataFrame (e.g. a per-micro-batch
+    * inferred JSON frame) to the table's dynamic-schema rules and
+    * recorded registry: payload names sanitized/suffixed, numbers →
+    * double, nested structs/arrays → JSON text, cross-batch type
+    * conflicts widened to string WITH one-time storage migration — the
+    * same guarantees the DynRecord path gets from [[flattenBatch]], for
+    * callers that already hold a DataFrame (streaming ingest of
+    * schemaless payloads; reference `ingest.go:124-152`). Returns the
+    * conformed frame with a `date` partition column. */
+  def conformDynamicBatch(table: String, parsed: DataFrame): DataFrame = {
+    require(parsed.columns.contains("id") && parsed.columns.contains("timestamp"),
+      s"dynamic batch for '$table' must carry id and timestamp columns")
+    val payload = parsed.schema.fields.filter(f =>
+      f.name != "id" && f.name != "timestamp").toSeq
+    val names = DynamicSchema.assignNames(payload.map(_.name))
+    def vtypeOf(dt: DataType): DynamicSchema.VType = dt match {
+      case BooleanType => DynamicSchema.VBool
+      case _: NumericType => DynamicSchema.VNum
+      case StringType => DynamicSchema.VStr
+      case _ => DynamicSchema.VJson
+    }
+    val batchTypes = payload.map(f => names(f.name) -> vtypeOf(f.dataType)).toMap
+    val effective = reconcileTypes(table, batchTypes)
+    val cols = Seq(
+      parsed("id").cast(StringType).as("id"),
+      to_timestamp(parsed("timestamp")).as("timestamp")) ++
+      payload.map { f =>
+        val c = parsed(f.name)
+        val conv = f.dataType match {
+          case _: StructType | _: ArrayType | _: MapType => to_json(c)
+          case _ => c.cast(effective(names(f.name)).spark)
+        }
+        conv.as(names(f.name))
+      }
+    parsed.select(cols: _*).withColumn("date", to_date(col("timestamp")))
+  }
+
   // ----------------------------------------------------------------- read
 
   private def emptyDf: DataFrame =

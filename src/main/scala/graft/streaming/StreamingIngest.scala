@@ -130,6 +130,49 @@ class StreamingIngest(store: TableStore) {
     * [[graft.mutate.Mutations]], one unified schema. */
   def cdcLog(table: String): DataFrame = CdcLog.read(store, table)
 
+  /** Schemaless variant of [[startJsonIngest]] — the reference ingests
+    * arbitrary proto-Struct payloads without a declared schema
+    * (`internal/ingest/ingest.go:124-152`). Each micro-batch infers its
+    * own payload schema (`spark.read.json` over the batch's lines) and
+    * is conformed to the table's persisted dynamic-schema registry
+    * ([[graft.catalog.TableStore.conformDynamicBatch]]): numbers →
+    * double, nested values → JSON text, cross-batch type conflicts
+    * widen to string and migrate storage once — so batches of different
+    * shapes land with a union-by-name-readable widened schema. */
+  def startDynamicJsonIngest(
+      table: String,
+      sourceDir: String,
+      checkpoint: String,
+      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
+    store.ensureTable(table)
+    spark.readStream
+      .format("text")
+      .load(sourceDir)
+      .writeStream
+      .queryName(s"ingest-dyn-$table")
+      .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty) {
+          val sparkB = batch.sparkSession
+          import sparkB.implicits._
+          val parsed = sparkB.read.json(batch.select("value").as[String])
+          val dated = store.conformDynamicBatch(table, parsed)
+          val sid = streamId(checkpoint)
+          commitBatch(table, sid, batchId, dated)
+          dated.select(
+            lit("INSERT").as("op"),
+            col("id"),
+            col("timestamp"),
+            lit(batchId).as("batch_id"),
+            current_timestamp().as("emitted_at"))
+            .write.mode("overwrite").parquet(s"${cdcPath(table)}/$sid-b$batchId")
+        }
+        ()
+      }
+      .start()
+  }
+
   /** Start a json ingest stream that DEDUPES by record id across
     * micro-batches (streaming state + watermark): re-sent records within
     * the watermark horizon land exactly once — the idempotent-write

@@ -39,6 +39,42 @@ class StreamingSpec extends SparkSpec {
     assert(cdc.filter("op = 'INSERT'").count() == 2)
   }
 
+  test("dynamic ingest: batches of different payload shapes widen the schema") {
+    val root = tmpDir("dyn")
+    val src = tmpDir("dyn-src")
+    val ckpt = tmpDir("dyn-ckpt")
+    val store = new TableStore(spark, root)
+    val ing = new StreamingIngest(store)
+
+    // batch 1: numeric v, extra field only here
+    Files.writeString(Paths.get(src, "b1.json"),
+      """{"id":"a","timestamp":"2024-01-01T10:00:00.000Z","v":1,"only1":"x"}
+        |{"id":"b","timestamp":"2024-01-01T11:00:00.000Z","v":2,"only1":"y"}""".stripMargin)
+    ing.startDynamicJsonIngest("t", src, ckpt).awaitTermination(60000)
+    val s1 = store.read("t")
+    assert(s1.count() == 2)
+    assert(s1.schema("v").dataType == DoubleType) // numbers widen to double
+
+    // batch 2: v becomes a STRING (cross-batch conflict), nested payload,
+    // new field absent in batch 1
+    Files.writeString(Paths.get(src, "b2.json"),
+      """{"id":"c","timestamp":"2024-01-02T10:00:00.000Z","v":"high","nested":{"k":1},"only2":7}""".stripMargin)
+    ing.startDynamicJsonIngest("t", src, ckpt).awaitTermination(60000)
+
+    val df = store.read("t")
+    assert(df.count() == 3)
+    // conflict migrated storage: v is string everywhere, old rows readable
+    assert(df.schema("v").dataType == StringType)
+    val byId = df.collect().map(r => r.getAs[String]("id") -> r).toMap
+    assert(byId("a").getAs[String]("v") == "1.0")
+    assert(byId("c").getAs[String]("v") == "high")
+    // union-by-name semantics: fields missing in the other batch are null
+    assert(byId("c").getAs[String]("only1") == null)
+    assert(byId("a").isNullAt(byId("a").fieldIndex("only2")))
+    // nested value landed as JSON text
+    assert(byId("c").getAs[String]("nested").contains("\"k\":1"))
+  }
+
   test("checkpoint makes re-run exactly-once (no duplicate ingestion)") {
     val root = tmpDir("stream2")
     val src = tmpDir("stream2-src")
