@@ -22,10 +22,28 @@ import graft.query.QueryEngine
   *   ListTables → [[listTables]]     GetTable → [[getTable]]
   *   DeleteTable → [[deleteTable]]   Backup/Restore → [[backup]]/[[restore]]
   *   HealthCheck → [[healthCheck]]   GetMetrics → [[metrics]]
-  */
-class ServiceFacade(store: TableStore) {
+  *   AuthService.GetToken → [[getToken]]  RefreshToken → [[refreshToken]]
+  *   RevokeToken → [[revokeToken]]  (JWT validation → [[validateToken]])
+  *
+  * @param authSecret HMAC secret enabling the auth verbs; None = auth
+  *                   disabled (reference `auth.enabled: false` mode) */
+class ServiceFacade(store: TableStore, authSecret: Option[String] = None) {
 
   val engine = new QueryEngine(store)
+  private val auth = authSecret.map(new AuthService(_))
+  private def authOr[T](f: AuthService => T): T =
+    f(auth.getOrElse(throw new IllegalStateException("auth is not enabled")))
+
+  /** GetToken (reference AuthService): issue an access+refresh pair. */
+  def getToken(subject: String): AuthService#TokenPair = authOr(_.issue(subject))
+
+  def validateToken(token: String): Either[String, AuthService#Claims] =
+    authOr(_.validate(token))
+
+  def refreshToken(refreshTok: String): Either[String, AuthService#TokenPair] =
+    authOr(_.refresh(refreshTok))
+
+  def revokeToken(token: String): Either[String, Unit] = authOr(_.revoke(token))
   private val mutations = new Mutations(store)
   private val compactor = new Compaction(store)
 
