@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
 
-import graft.functions.DotProduct
+import graft.functions.{DotProduct, FieldEncryption, LshFunctions}
 
 /** Session extensions: the production registration path for graft's
   * custom Catalyst expressions — installed once at session build
@@ -25,5 +25,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           s"graft_dot expects 2 arguments (array<double>, array<double>), got ${exprs.length}")
         DotProduct(exprs(0), exprs(1))
       }))
+    e.injectFunction((
+      FunctionIdentifier("graft_lsh_sigs"),
+      new ExpressionInfo(classOf[graft.functions.HyperplaneSigs].getName, "graft_lsh_sigs"),
+      LshFunctions.fromExprs _))
+    e.injectFunction((
+      FunctionIdentifier("graft_secret_key"),
+      new ExpressionInfo(classOf[graft.functions.SecretKeyBytes].getName, "graft_secret_key"),
+      FieldEncryption.secretKeyFromExprs _))
   }
 }

@@ -33,6 +33,9 @@ object GraftSession {
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       .config("spark.sql.autoBroadcastJoinThreshold", (64L << 20).toString)
+      // the SELECT-only gate (SqlGate) must not be bypassable via
+      // SELECT * FROM parquet.`/any/path` — direct-on-file SQL is off
+      .config("spark.sql.runSQLOnFiles", "false")
       .config("spark.sql.parquet.filterPushdown", "true")
       .config("spark.sql.parquet.aggregatePushdown", "true")
       .config("spark.sql.parquet.mergeSchema", "false") // opt-in per read (dynamic tables)

@@ -39,7 +39,16 @@ object SqlGate {
           case _ => false
         }
         if (mutating) Left("only SELECT queries are allowed")
-        else Right(Gated(plan, extractTables(plan)))
+        else {
+          // the engine's table namespace is flat; a qualified name is
+          // either a typo or a datasource-on-file escape
+          // (parquet.`/path`, text.`/etc/...`) — reject both. Defense in
+          // depth with spark.sql.runSQLOnFiles=false (GraftSession).
+          val qualified = collectQualified(plan)
+          if (qualified.nonEmpty)
+            Left(s"qualified relation names are not supported: ${qualified.head}")
+          else Right(Gated(plan, extractTables(plan)))
+        }
     }
   }
 
@@ -54,6 +63,21 @@ object SqlGate {
     * nested scope (missed registration + stale cache). CTE definitions
     * and expression subqueries are not in `children`, so both are walked
     * explicitly. */
+  /** Multipart relation names anywhere in the query (subqueries and CTE
+    * bodies included). */
+  private def collectQualified(plan: LogicalPlan): Seq[String] = {
+    val out = scala.collection.mutable.ArrayBuffer[String]()
+    def walk(p: LogicalPlan): Unit = p.foreach {
+      case w: org.apache.spark.sql.catalyst.plans.logical.UnresolvedWith =>
+        w.cteRelations.foreach { case (_, cte, _) => walk(cte) }
+      case r: UnresolvedRelation if r.multipartIdentifier.length > 1 =>
+        out += r.multipartIdentifier.mkString(".")
+      case other => other.subqueries.foreach(walk)
+    }
+    walk(plan)
+    out.toSeq
+  }
+
   def extractTables(plan: LogicalPlan): Seq[String] = {
     val out = scala.collection.mutable.LinkedHashSet[String]()
     def walk(p: LogicalPlan): Unit = p.foreach {

@@ -78,8 +78,15 @@ class StreamingIngest(store: TableStore) {
     store.bumpVersion(table)
   }
 
-  private def streamId(checkpoint: String): String =
-    f"s${checkpoint.hashCode & 0x7FFFFFFF}%08x"
+  // collision-resistant stream id: two distinct checkpoint paths must
+  // never share a `<sid>-b<N>` marker/file namespace (a 32-bit
+  // String.hashCode collision would let one stream's commit marker
+  // suppress the other stream's batch — silent data loss)
+  private def streamId(checkpoint: String): String = {
+    val d = java.security.MessageDigest.getInstance("SHA-256")
+      .digest(checkpoint.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    "s" + d.take(8).map(b => f"$b%02x").mkString
+  }
 
   /** Start a file-source ingest stream into `table`.
     *

@@ -69,6 +69,14 @@ class PlanSpec extends SparkSpec {
     val dec = decryptFields(enc, Seq("email"), key).orderBy("id").collect()
     assert(dec.map(_.getAs[String]("email")).toSeq ==
       Seq("alice@example.com", "bob@example.com"))
+    // the key must not surface anywhere a plan is rendered
+    val renderings = Seq(
+      enc.queryExecution.executedPlan.toString,
+      enc.queryExecution.optimizedPlan.toString,
+      enc.queryExecution.logical.toString,
+      enc.queryExecution.explainString(org.apache.spark.sql.execution.ExtendedMode))
+    renderings.foreach(p =>
+      assert(!p.contains(key), s"AES key leaked into plan rendering:\n$p"))
   }
 
   test("ts predicates push to the raw nanos parquet column (NanosTimePushdown)") {

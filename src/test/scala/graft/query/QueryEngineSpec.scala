@@ -39,6 +39,20 @@ class QueryEngineSpec extends SparkSpec {
     assert(SqlGate.validate(spark, "").isLeft)
   }
 
+  test("gate: datasource-on-file escapes are rejected (qualified names)") {
+    // SELECT-only is not enough: runSQLOnFiles would read arbitrary paths
+    assert(SqlGate.validate(spark, "SELECT * FROM text.`/etc/passwd`").isLeft)
+    assert(SqlGate.validate(spark, "SELECT * FROM parquet.`/any/path`").isLeft)
+    assert(SqlGate.validate(spark, "SELECT * FROM db.tbl").isLeft) // flat namespace
+    // nested/subquery positions are caught too
+    assert(SqlGate.validate(spark,
+      "SELECT 1 WHERE EXISTS (SELECT 1 FROM json.`/tmp/x`)").isLeft)
+    assert(SqlGate.validate(spark,
+      "WITH c AS (SELECT * FROM text.`/etc/hosts`) SELECT * FROM c").isLeft)
+    // the session-level second line of defense
+    assert(spark.conf.get("spark.sql.runSQLOnFiles") == "false")
+  }
+
   test("gate: extracts all referenced names (CTE scoping left to the analyzer)") {
     val g = SqlGate.validate(spark,
       "WITH t AS (SELECT * FROM users) SELECT * FROM t JOIN orders ON 1=1").toOption.get

@@ -147,6 +147,35 @@ class StreamingSpec extends SparkSpec {
     assert(s0.user_id == 1 && s0.events == 2 && s0.total == 3.0)
   }
 
+  test("sessionize: idle user's trailing session flushes on event-time timeout") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    def ev(u: Long, t: String, v: Double) =
+      Sessionize.Event(u, Timestamp.valueOf(t), "x", v)
+    val ms = MemoryStream[Sessionize.Event]
+    val sessions = Sessionize.sessionize(
+      ms.toDS().withWatermark("ts", "1 minute"))
+    val q = sessions.writeStream.format("memory").queryName("sess_to")
+      .outputMode("append").start()
+    try {
+      // user 1 sends two events then goes idle
+      ms.addData(ev(1, "2024-01-01 10:00:00", 1), ev(1, "2024-01-01 10:10:00", 2))
+      q.processAllAvailable()
+      assert(spark.table("sess_to").count() == 0) // session still open
+      // another user's much-later event advances the watermark far past
+      // user 1's gap horizon → user 1's open session must time out
+      ms.addData(ev(2, "2024-01-01 14:00:00", 9))
+      q.processAllAvailable()
+      ms.addData(ev(2, "2024-01-01 14:00:01", 1)) // extra batch to fire timeouts
+      q.processAllAvailable()
+      val flushed = spark.table("sess_to").as[Sessionize.SessionOut].collect()
+        .filter(_.user_id == 1)
+      assert(flushed.length == 1, s"trailing session not flushed: ${flushed.toSeq}")
+      assert(flushed.head.events == 2 && flushed.head.total == 3.0)
+    } finally q.stop()
+  }
+
   test("windowed streaming aggregation over memory-rate source shape (batch-check)") {
     // windowedCounts is a streaming transform; validate its plan shape on
     // a batch frame (same expressions compile for both)
