@@ -83,6 +83,13 @@ class TableStore(val spark: SparkSession, val root: String) {
     configs(table)
   }
 
+  /** Force-set a table's config (createTable keeps an existing entry —
+    * restore must overwrite it with the backed-up one). */
+  def setConfig(table: String, config: TableConfig): Unit = {
+    createTable(table, config)
+    configs(table) = config
+  }
+
   def listTables(): Seq[String] = configs.keys.toSeq.sorted
 
   def config(table: String): Option[TableConfig] = configs.get(table)

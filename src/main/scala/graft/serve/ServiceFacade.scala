@@ -110,8 +110,40 @@ class ServiceFacade(store: TableStore, authSecret: Option[String] = None) {
 
   // ---------------------------------------------------------------- backup
 
-  /** Backup: consistent snapshot of a table's parquet (flush first) into
-    * `<dest>/<table>` (reference Backup → MinIO bucket copy). */
+  // serialize/parse TableConfig as flat k=v lines (dependency-free, like
+  // the schema registry's hand-rolled JSON)
+  private def configText(cfg: TableConfig): String = {
+    val idStrat = cfg.idStrategy match {
+      case IdStrategy.Uuid => "uuid"
+      case IdStrategy.Snowflake => "snowflake"
+      case IdStrategy.CustomPrefix(p) => s"custom:$p"
+      case IdStrategy.UserProvided => "user"
+    }
+    s"bufferSize=${cfg.bufferSize}\nflushIntervalMs=${cfg.flushIntervalMs}\n" +
+      s"retentionDays=${cfg.retentionDays}\nidStrategy=$idStrat\n" +
+      s"idPattern=${cfg.idPattern.getOrElse("")}\n"
+  }
+
+  private def parseConfig(txt: String): TableConfig = {
+    val kv = txt.linesIterator.flatMap(_.split("=", 2) match {
+      case Array(k, v) => Some(k -> v); case _ => None
+    }).toMap
+    TableConfig(
+      bufferSize = kv.get("bufferSize").flatMap(_.toIntOption).getOrElse(5000),
+      flushIntervalMs = kv.get("flushIntervalMs").flatMap(_.toLongOption).getOrElse(15000L),
+      retentionDays = kv.get("retentionDays").flatMap(_.toIntOption).getOrElse(0),
+      idStrategy = kv.getOrElse("idStrategy", "uuid") match {
+        case "snowflake" => IdStrategy.Snowflake
+        case "user" => IdStrategy.UserProvided
+        case s if s.startsWith("custom:") => IdStrategy.CustomPrefix(s.stripPrefix("custom:"))
+        case _ => IdStrategy.Uuid
+      },
+      idPattern = kv.get("idPattern").filter(_.nonEmpty))
+  }
+
+  /** Backup: consistent snapshot of a table's parquet (flush first) plus
+    * its table-config metadata into `<dest>/<table>` (reference Backup →
+    * MinIO bucket copy + metadata backup). */
   def backup(table: String, dest: String): Long = {
     store.flush(table)
     val conf = store.spark.sparkContext.hadoopConfiguration
@@ -121,10 +153,15 @@ class ServiceFacade(store: TableStore, authSecret: Option[String] = None) {
     if (!fs.exists(src)) return 0L
     if (fs.exists(dst)) fs.delete(dst, true)
     org.apache.hadoop.fs.FileUtil.copy(fs, src, fs, dst, false, conf)
+    store.config(table).foreach { cfg =>
+      val out = fs.create(new Path(dst, "_graft_config.txt"), true)
+      out.write(configText(cfg).getBytes("UTF-8")); out.close()
+    }
     fs.getContentSummary(dst).getFileCount
   }
 
-  /** Restore a backup into the live table path (replaces current data). */
+  /** Restore a backup into the live table path (replaces current data
+    * and, when the backup carries one, the table config). */
   def restore(table: String, from: String): Long = {
     val conf = store.spark.sparkContext.hadoopConfiguration
     val src = new Path(s"$from/$table")
@@ -133,10 +170,41 @@ class ServiceFacade(store: TableStore, authSecret: Option[String] = None) {
     require(fs.exists(src), s"no backup for $table at $from")
     if (fs.exists(dst)) fs.delete(dst, true)
     org.apache.hadoop.fs.FileUtil.copy(fs, src, fs, dst, false, conf)
-    store.ensureTable(table)
+    val metaP = new Path(dst, "_graft_config.txt")
+    if (fs.exists(metaP)) {
+      val txt = new String(
+        org.apache.hadoop.io.IOUtils.readFullyToByteArray(fs.open(metaP)), "UTF-8")
+      store.setConfig(table, parseConfig(txt))
+      fs.delete(metaP, false) // metadata is registry state, not table data
+    } else store.ensureTable(table)
     store.invalidateSchemaCache(table) // registry must re-read the restored snapshot
     store.bumpVersion(table)
     fs.getContentSummary(dst).getFileCount
+  }
+
+  final case class BackupStatus(table: String, files: Long, bytes: Long,
+      modifiedAt: Long, hasMetadata: Boolean)
+
+  /** ListBackups: tables present under a backup destination. */
+  def listBackups(dest: String): Seq[String] = {
+    val p = new Path(dest)
+    val fs = p.getFileSystem(store.spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) Nil
+    else fs.listStatus(p).filter(_.isDirectory).map(_.getPath.getName).toSeq.sorted
+  }
+
+  /** Backup status for one table at a destination (reference
+    * GetBackupStatus/metadata verbs). */
+  def backupStatus(dest: String, table: String): Option[BackupStatus] = {
+    val p = new Path(s"$dest/$table")
+    val fs = p.getFileSystem(store.spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) None
+    else {
+      val sum = fs.getContentSummary(p)
+      Some(BackupStatus(table, sum.getFileCount, sum.getLength,
+        fs.getFileStatus(p).getModificationTime,
+        fs.exists(new Path(p, "_graft_config.txt"))))
+    }
   }
 
   // --------------------------------------------------------------- health

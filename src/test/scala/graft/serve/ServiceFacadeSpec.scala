@@ -59,6 +59,26 @@ class ServiceFacadeSpec extends SparkSpec {
     assert(svc.queryData("SELECT count(*) AS n FROM t").toOption.get == """[{"n":1}]""")
   }
 
+  test("backup carries table metadata; listing and status verbs work") {
+    import graft.ingest.{IdStrategy, TableConfig}
+    val svc = new ServiceFacade(new TableStore(spark, tmpDir("svc5")))
+    val dest = tmpDir("svc5-backup")
+    val cfg = TableConfig(retentionDays = 42,
+      idStrategy = IdStrategy.CustomPrefix("ord"), idPattern = Some("^ord.*"))
+    svc.createTable("t", cfg)
+    svc.writeData("t", rec("", Map("v" -> 1)))
+    assert(svc.backup("t", dest) > 0)
+    assert(svc.listBackups(dest) == Seq("t"))
+    val st = svc.backupStatus(dest, "t")
+    assert(st.exists(s => s.files > 0 && s.bytes > 0 && s.hasMetadata))
+    assert(svc.backupStatus(dest, "ghost").isEmpty)
+    // restore into a FRESH service: config comes back from the backup
+    val svc2 = new ServiceFacade(new TableStore(spark, tmpDir("svc5b")))
+    svc2.restore("t", dest)
+    val restored = svc2.getTable("t")
+    assert(restored.contains(cfg), s"config not restored: $restored")
+  }
+
   test("table lifecycle + health") {
     val svc = new ServiceFacade(new TableStore(spark, tmpDir("svc5")))
     svc.createTable("a"); svc.createTable("b")
