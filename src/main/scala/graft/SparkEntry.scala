@@ -320,7 +320,8 @@ object SparkEntry {
         |kept AS (
         | SELECT *, min(doc_id) OVER (PARTITION BY fp) AS keep_id FROM scored)
         |SELECT source, count(*) AS n_docs,
-        | round(avg(quality), 4) AS avg_quality,
+        | CAST(round(sum(CAST(round(quality * 10000) AS BIGINT))
+        |            / CAST(count(*) AS DOUBLE), 0) AS BIGINT) AS avg_quality_e4,
         | CAST(sum(n_tokens) AS BIGINT) AS total_tokens
         |FROM kept
         |WHERE doc_id = keep_id AND quality >= 0.5 AND n_tokens BETWEEN 20 AND 400

@@ -78,7 +78,13 @@ object Dedup {
   /** `dedupe=false` skips the pair-level distinct — right when the
     * verify predicate is a cheap codegen'd scalar (re-verifying a pair
     * once per colliding bucket costs less than shuffling every candidate
-    * for dedup; survivors are distinct'd after the threshold filter). */
+    * for dedup; survivors are distinct'd after the threshold filter).
+    *
+    * (Measured alternative: deriving bucket sizes from a count
+    * aggregate + join and emitting pairs via collect_list + double
+    * explode replaces the window sort with TWO sort-merge-join sorts
+    * and an ObjectHashAggregate — 2-4× slower on every caller at
+    * sf0.1. The single window pass stays.) */
   private def bucketPairs(buckets: DataFrame, keyCols: Seq[String],
       cap: Int = MaxBucket, dedupe: Boolean = true): DataFrame = {
     val key = keyCols.map(col)
@@ -190,21 +196,53 @@ object Dedup {
     * signatures instead of raw shingles, still reports those). */
   private val NgramDfCap = 64
 
-  /** Candidate pairs sharing ≥1 sub-stop-frequency shingle, with the
-    * exact-preserving size-ratio prefilter (j = I/(na+nb−I) ≤ min/max,
-    * so j ≥ 0.8 needs min·10 ≥ max·8). Package-visible for the planted
-    * stop-shingle fan-out spec. */
+  /** Candidate pairs that can possibly reach the jaccard threshold,
+    * from a df-capped inverted index. Package-visible for the planted
+    * stop-shingle fan-out spec.
+    *
+    * Scheme (exact, no uncapped hot key):
+    *  1. The CAPPED-OUT shingle set (df > dfCap) is tiny by definition —
+    *     only stop-shingles exceed the cap — so it aggregates map-side
+    *     into a small frame and is excluded from the self-join via
+    *     broadcast anti-join (a codegen'd filter, no extra shuffle).
+    *  2. Pair intersections counted over the capped index UNDERCOUNT by
+    *     at most min(hot_a, hot_b) (per-doc hot-shingle counts — a tiny
+    *     broadcast). j = I/(na+nb−I) is increasing in I, so the bound
+    *     I + min(hot_a, hot_b) bounds the true jaccard from above:
+    *     pairs below threshold at the bound are provably out.
+    *  3. Survivors (≈ final result size) get the exact array_intersect
+    *     verify in [[jaccardVerified]], which restores the capped
+    *     shingles to the REPORTED jaccard value.
+    * A pair whose ENTIRE overlap is stop-shingles shares no capped
+    * shingle and stays invisible here — such documents are boilerplate
+    * by construction; the minhash signature path (d02), which buckets
+    * on signatures rather than raw shingles, still reports them.
+    * The size-ratio prefilter (j ≤ min/max ⇒ min·10 ≥ max·8 at τ=0.8)
+    * is exact-preserving and fused into the self-join. */
   private[operators] def ngramCandidates(sh: DataFrame, dfCap: Int): DataFrame = {
     val inv = sh.select(col("doc_id"), size(col("hs")).as("n_sh"),
       explode(col("hs")).as("h"))
-    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("h"))
-    val capped = inv.withColumn("df", count(lit(1)).over(w)).filter(col("df") <= dfCap)
-    capped.select(col("doc_id").as("doc_a"), col("n_sh").as("na"), col("h"))
+    val hot = inv.groupBy(col("h")).agg(count(lit(1)).as("df"))
+      .filter(col("df") > dfCap)
+      .select(col("h"))
+    val capped = inv.join(broadcast(hot), Seq("h"), "left_anti")
+    val hotPerDoc = inv.join(broadcast(hot), Seq("h"), "left_semi")
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_hot"))
+    val pairHits = capped.select(col("doc_id").as("doc_a"), col("n_sh").as("na"), col("h"))
       .join(capped.select(col("doc_id").as("doc_b"), col("n_sh").as("nb"), col("h")), "h")
       .filter(col("doc_a") < col("doc_b") &&
         least(col("na"), col("nb")) * 10 >= greatest(col("na"), col("nb")) * 8)
+      .groupBy(col("doc_a"), col("doc_b"), col("na"), col("nb"))
+      .agg(count(lit(1)).cast("double").as("inter_c"))
+    pairHits
+      .join(broadcast(hotPerDoc.select(col("doc_id").as("doc_a"), col("n_hot").as("hot_a"))),
+        Seq("doc_a"), "left")
+      .join(broadcast(hotPerDoc.select(col("doc_id").as("doc_b"), col("n_hot").as("hot_b"))),
+        Seq("doc_b"), "left")
+      .withColumn("i_ub", col("inter_c") +
+        least(coalesce(col("hot_a"), lit(0L)), coalesce(col("hot_b"), lit(0L))))
+      .filter(col("i_ub") / (col("na") + col("nb") - col("i_ub")) >= JaccardThreshold)
       .select(col("doc_a"), col("doc_b"))
-      .distinct()
   }
 
   /** Exact n-gram jaccard pairs: df-capped inverted-index join for

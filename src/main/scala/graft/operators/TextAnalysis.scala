@@ -59,7 +59,13 @@ object TextAnalysis {
       .groupBy(col("source"))
       .agg(
         count(lit(1)).as("n_docs"),
-        round(avg(col("quality")), 4).as("avg_quality"),
+        // mean quality in integer ten-thousandths: per-doc quality is
+        // 4-decimal, so float avg() lands exactly ON rounding boundaries
+        // (sum/16 = 0.62995 …) where the SUMMATION ORDER decides the 4th
+        // digit — a long sum is order-independent, so the value is
+        // reproducible across engines and runs
+        round(sum(round(col("quality") * 10000).cast("long"))
+          / count(lit(1)).cast("double"), 0).cast("long").as("avg_quality_e4"),
         sum(col("n_tokens")).as("total_tokens"))
       .orderBy(col("source"))
   }
