@@ -66,6 +66,7 @@ object SparkEntry {
     "t04_fingerprints"    -> (TextAnalysis.fingerprints _),
     "t05_curation"        -> (TextAnalysis.curation _),
     "t06_text_search"     -> (TextAnalysis.textSearch _),
+    "t07_indexed_search"  -> (TextAnalysis.indexedSearch _),
     // training-data pipeline: deduplication
     "d01_dedup_exact"     -> (Dedup.exact _),
     "d02_minhash_lsh"     -> (Dedup.minhashLsh _),
@@ -327,6 +328,14 @@ object SparkEntry {
         |WHERE doc_id = keep_id AND quality >= 0.5 AND n_tokens BETWEEN 20 AND 400
         |GROUP BY source ORDER BY source""".stripMargin,
     "t06_text_search" ->
+      """SELECT doc_id, source, n_chars FROM documents
+        |WHERE list_contains(string_split(text,' '), 'dup')
+        |   OR (list_contains(string_split(text,' '), 'spark')
+        |       AND list_contains(string_split(text,' '), 'window'))
+        |ORDER BY doc_id""".stripMargin,
+    // t07 goes through the persisted inverted index; results must equal
+    // the scan-form predicate, so the oracle is the same SQL
+    "t07_indexed_search" ->
       """SELECT doc_id, source, n_chars FROM documents
         |WHERE list_contains(string_split(text,' '), 'dup')
         |   OR (list_contains(string_split(text,' '), 'spark')

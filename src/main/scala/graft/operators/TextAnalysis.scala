@@ -72,8 +72,8 @@ object TextAnalysis {
 
   /** Token search (the reference's inverted-index surface, SURVEY #35,
     * mapped to a tokenized-array membership predicate — at scale this
-    * pairs with a materialized token->doc inverted table; the predicate
-    * form benefits from parquet dictionary + bloom pruning). */
+    * pairs with the materialized index below; the predicate form
+    * benefits from parquet dictionary + bloom pruning). */
   def textSearch(s: SparkSession, dir: String): DataFrame =
     Tables.load(s, dir, "documents")
       .filter(array_contains(tokens(col("text")), "dup") ||
@@ -81,6 +81,28 @@ object TextAnalysis {
           array_contains(tokens(col("text")), "window")))
       .select(col("doc_id"), col("source"), col("n_chars"))
       .orderBy(col("doc_id"))
+
+  /** The same search through the PERSISTED inverted index
+    * ([[graft.index.InvertedIndex]] — SURVEY #35's materialized form):
+    * term lookups prune to token-clustered index files instead of
+    * scanning the corpus, then a semi join fetches the rows. Builds the
+    * index once per sf dir (cached in tmp); identical results to
+    * [[textSearch]] — the oracle is the scan-form SQL. */
+  def indexedSearch(s: SparkSession, dir: String): DataFrame = {
+    import graft.index.InvertedIndex
+    val path = s"${System.getProperty("java.io.tmpdir")}/graft-docidx-${math.abs(dir.hashCode)}"
+    val success = new org.apache.hadoop.fs.Path(path, "_SUCCESS")
+    val fs = success.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (!fs.exists(success))
+      InvertedIndex.buildFrame(s, Tables.load(s, dir, "documents"), "doc_id", "text", path)
+    val any = InvertedIndex.lookupAt(s, path, Seq("dup"), requireAll = false)
+    val both = InvertedIndex.lookupAt(s, path, Seq("spark", "window"), requireAll = true)
+    val ids = any.unionByName(both).distinct().withColumnRenamed("id", "doc_id")
+    Tables.load(s, dir, "documents")
+      .join(ids, Seq("doc_id"), "left_semi")
+      .select(col("doc_id"), col("source"), col("n_chars"))
+      .orderBy(col("doc_id"))
+  }
 
   /** Content fingerprints: md5 (exact-dup key) + order-sensitive rolling
     * hash (cheap near-identity check for shifted content). */
