@@ -111,6 +111,146 @@ case class HyperplaneSigs(child: Expression, seed: Long, bits: Int, tables: Int)
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
+/** All `numHashes` MinHash signature slots in one fused pass — output
+  * `array<long>`, element i = min over the input 64-bit shingle hashes
+  * of permutation i. Bit-identical to the expression-composed form
+  * `array_min(transform(hs, h => xxhash64(lit(i), h)))` (permutation
+  * seed chain: `hashInt(i, 42)` then `hashLong(h, seed_i)`) — but the
+  * composed form runs `numHashes` interpreted higher-order lambdas per
+  * row; this is one codegen'd loop with the seeds hoisted. An empty
+  * shingle set yields all-null slots, matching `array_min([]) = null`. */
+case class MinHashSigs(child: Expression, numHashes: Int) extends UnaryExpression {
+
+  require(numHashes >= 1, s"numHashes must be >= 1, got $numHashes")
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"graft_minhash expects array<long>, got $t")
+  }
+  override def dataType: DataType = ArrayType(LongType, containsNull = true)
+  override def prettyName: String = "graft_minhash"
+
+  // permutation seeds: xxhash64's fold of the INT literal i onto the
+  // default seed 42, hoisted once per JVM
+  @transient private lazy val seeds: Array[Long] =
+    Array.tabulate(numHashes)(i => XXH64.hashInt(i, 42L))
+
+  override def nullSafeEval(a: Any): Any = {
+    val v = a.asInstanceOf[ArrayData]
+    val n = v.numElements()
+    if (n == 0) return new GenericArrayData(new Array[Any](numHashes))
+    val mins = Array.fill(numHashes)(Long.MaxValue)
+    var d = 0
+    while (d < n) {
+      val h = v.getLong(d)
+      var i = 0
+      while (i < numHashes) {
+        val x = XXH64.hashLong(h, seeds(i))
+        if (x < mins(i)) mins(i) = x
+        i += 1
+      }
+      d += 1
+    }
+    new GenericArrayData(mins)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, v => {
+      val seedsRef = ctx.addReferenceObj("minhashSeeds", seeds, "long[]")
+      val n = ctx.freshName("n")
+      val mins = ctx.freshName("mins")
+      val d = ctx.freshName("d")
+      val i = ctx.freshName("i")
+      val h = ctx.freshName("h")
+      val x = ctx.freshName("x")
+      s"""
+         |int $n = $v.numElements();
+         |if ($n == 0) {
+         |  ${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData(
+         |    new Object[$numHashes]);
+         |} else {
+         |  long[] $mins = new long[$numHashes];
+         |  java.util.Arrays.fill($mins, Long.MAX_VALUE);
+         |  for (int $d = 0; $d < $n; $d++) {
+         |    long $h = $v.getLong($d);
+         |    for (int $i = 0; $i < $numHashes; $i++) {
+         |      long $x = org.apache.spark.sql.catalyst.expressions.XXH64.hashLong($h, $seedsRef[$i]);
+         |      if ($x < $mins[$i]) $mins[$i] = $x;
+         |    }
+         |  }
+         |  ${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($mins);
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** 64-bit SimHash of a token array in one fused pass: per token
+  * `h = xxhash64(token)`, per bit b a ±1 count of `(h >> b) & 1`, sign
+  * of each count becomes bit b. Bit-identical to the explode +
+  * 64-bit-sum-aggregate formulation (same per-token hash, same sign
+  * rule) minus its per-token shuffle. */
+case class SimHashSig(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(org.apache.spark.sql.types.StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"graft_simhash expects array<string>, got $t")
+  }
+  override def dataType: DataType = org.apache.spark.sql.types.LongType
+  override def prettyName: String = "graft_simhash"
+
+  override def nullSafeEval(a: Any): Any = {
+    val v = a.asInstanceOf[ArrayData]
+    val n = v.numElements()
+    val counts = new Array[Int](64)
+    var i = 0
+    while (i < n) {
+      // null token: xxhash64 skips null inputs → hash stays the seed
+      val h = if (v.isNullAt(i)) 42L else XXH64.hashUTF8String(v.getUTF8String(i), 42L)
+      var b = 0
+      while (b < 64) {
+        if (((h >>> b) & 1L) == 1L) counts(b) += 1 else counts(b) -= 1
+        b += 1
+      }
+      i += 1
+    }
+    var sig = 0L
+    var b = 0
+    while (b < 64) { if (counts(b) > 0) sig |= 1L << b; b += 1 }
+    sig
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, v => {
+      val n = ctx.freshName("n")
+      val counts = ctx.freshName("counts")
+      val i = ctx.freshName("i")
+      val b = ctx.freshName("b")
+      val h = ctx.freshName("h")
+      val sig = ctx.freshName("sig")
+      s"""
+         |int $n = $v.numElements();
+         |int[] $counts = new int[64];
+         |for (int $i = 0; $i < $n; $i++) {
+         |  long $h = $v.isNullAt($i) ? 42L
+         |    : org.apache.spark.sql.catalyst.expressions.XXH64.hashUTF8String(
+         |        $v.getUTF8String($i), 42L);
+         |  for (int $b = 0; $b < 64; $b++) {
+         |    if ((($h >>> $b) & 1L) == 1L) $counts[$b]++; else $counts[$b]--;
+         |  }
+         |}
+         |long $sig = 0L;
+         |for (int $b = 0; $b < 64; $b++) { if ($counts[$b] > 0) $sig |= 1L << $b; }
+         |${ev.value} = $sig;
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 object LshFunctions {
 
   /** Build HyperplaneSigs from SQL-registry expressions (last three must
@@ -139,5 +279,26 @@ object LshFunctions {
   def lshSigs(spark: SparkSession, v: Column, seed: Long, bits: Int, tables: Int): Column = {
     register(spark)
     call_function("graft_lsh_sigs", v, lit(seed), lit(bits), lit(tables))
+  }
+
+  /** All MinHash slots of a hashed-shingle array in one fused kernel. */
+  def minhashSigs(spark: SparkSession, hs: Column, numHashes: Int): Column = {
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_minhash", exprs => {
+        require(exprs.length == 2 && exprs(1).foldable,
+          "graft_minhash expects (array<long>, literal numHashes)")
+        MinHashSigs(exprs.head, exprs(1).eval(null).toString.toInt)
+      }, "built-in")
+    call_function("graft_minhash", hs, lit(numHashes))
+  }
+
+  /** 64-bit SimHash of a token array in one fused kernel. */
+  def simhashSig(spark: SparkSession, tokens: Column): Column = {
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_simhash", exprs => {
+        require(exprs.length == 1, "graft_simhash expects (array<string>)")
+        SimHashSig(exprs.head)
+      }, "built-in")
+    call_function("graft_simhash", tokens)
   }
 }

@@ -29,12 +29,6 @@ object Dedup {
   private val JaccardThreshold = 0.8
   private val MaxBucket = 64
 
-  // Hash-permutation i of a base shingle hash: xxhash64 seeded by the
-  // permutation index. Wrapping-multiply permutations would trip ANSI
-  // overflow checks (Spark 4 default); rehashing is overflow-free and
-  // just as uniform. Deterministic — no RNG.
-  private def perm(i: Int, h: Column): Column = xxhash64(lit(i), h)
-
   /** Exact dedup: hash-groupBy on md5(text); survivor = min doc_id.
     * Reference analogue: delete-duplicates has no counterpart — minIODB
     * dedups only by record id; content dedup is the pipeline addition. */
@@ -119,19 +113,22 @@ object Dedup {
 
   /** MinHash + banded LSH near-dup pairs, exact-verified.
     *
-    * Signatures are pure per-row array expressions —
-    * `array_min(transform(shingles, h_i))` per permutation — so the
-    * whole signature stage is a codegen'd map with ZERO shuffle (the
-    * explode+groupBy formulation shuffles every (doc, shingle) row; at
-    * 100 TB that shuffle dwarfs the candidate join this feeds). The only
-    * shuffles are the tiny band-bucket join and the verify join. */
+    * All 64 signature slots come from ONE fused codegen kernel
+    * ([[graft.functions.MinHashSigs]] — bit-identical to the
+    * `array_min(transform(hs, h_i))` composition, which ran 64
+    * interpreted higher-order lambdas per row). The signature stage is
+    * still a pure map with ZERO shuffle (the explode+groupBy
+    * formulation shuffles every (doc, shingle) row; at 100 TB that
+    * shuffle dwarfs the candidate join this feeds). The only shuffles
+    * are the tiny band-bucket join and the verify join. */
   def minhashLsh(s: SparkSession, dir: String): DataFrame = {
     val hashed = hashedShingleSets(s, dir)
-    val sigCols = (0 until NumHashes).map(i =>
-      array_min(transform(col("hs"), h => perm(i, h))).as(s"m$i"))
-    val sig = hashed.select(col("doc_id") +: sigCols: _*)
+    val sig = hashed.select(col("doc_id"),
+      graft.functions.LshFunctions.minhashSigs(s, col("hs"), NumHashes).as("ms"))
+    // element_at is 1-based: slot m_{2b} is element 2b+1
     val bandHashes: Seq[Column] = (0 until Bands).map(bnd =>
-      xxhash64(lit(bnd), col(s"m${2 * bnd}"), col(s"m${2 * bnd + 1}")))
+      xxhash64(lit(bnd),
+        element_at(col("ms"), 2 * bnd + 1), element_at(col("ms"), 2 * bnd + 2)))
     val bands = sig
       .select(col("doc_id"), posexplode(array(bandHashes: _*)).as(Seq("band", "bh")))
     jaccardVerified(hashed, bucketPairs(bands, Seq("band", "bh")))
@@ -145,26 +142,17 @@ object Dedup {
   private val MaxHamming = 5
   private val SimBlocks = 8
 
-  /** SimHash near-dup pairs: 64-bit signature per doc (single groupBy,
-    * 64 codegen'd bit sums), then block LSH (hamming ≤ MaxHamming must
-    * collide in ≥1 of SimBlocks blocks) and exact hamming verify via
+  /** SimHash near-dup pairs: 64-bit signature per doc via the fused
+    * [[graft.functions.SimHashSig]] kernel (one codegen pass per row —
+    * bit-identical to the earlier explode + 64-bit-sum-aggregate
+    * formulation, WITHOUT its per-token shuffle; zero shuffles until
+    * the block join), then block LSH (hamming ≤ MaxHamming must collide
+    * in ≥1 of SimBlocks blocks) and exact hamming verify via
     * bit_count. */
   def simhash(s: SparkSession, dir: String): DataFrame = {
-    // Signature via explode + 64 codegen'd bit-sum aggregates: higher-
-    // order array lambdas are interpreted (measured 4× slower here), so
-    // the groupBy shuffle of narrow (doc_id, h) rows wins — it also
-    // partial-aggregates map-side, so the shuffle carries one row per
-    // (doc × partition), not per token.
-    val tok = Tables.load(s, dir, "documents")
-      .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
-      .withColumn("h", xxhash64(col("tok")))
-    val bitSums = (0 until 64).map(b =>
-      sum(when(shiftright(col("h"), b).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"s$b"))
-    val withSums = tok.groupBy(col("doc_id")).agg(bitSums.head, bitSums.tail: _*)
-    val sim = (0 until 64).foldLeft(lit(0L)) { (acc, b) =>
-      acc.bitwiseOR(when(col(s"s$b") > 0, lit(1L << b)).otherwise(lit(0L)))
-    }
-    val sigs = withSums.select(col("doc_id"), sim.as("simhash"))
+    val sigs = Tables.load(s, dir, "documents")
+      .select(col("doc_id"),
+        graft.functions.LshFunctions.simhashSig(s, tokens(col("text"))).as("simhash"))
     val bitsPerBlock = 64 / SimBlocks
     val mask = (1L << bitsPerBlock) - 1
     val blocks = sigs.select(
