@@ -55,3 +55,52 @@ object CdcLog {
       store.spark.sparkContext.emptyRDD[Row], Schema)
   }
 }
+
+/** Named consumer group over a table's CDC log — the reference's
+  * subscription consumer groups, which keep a per-group cursor in Redis
+  * (`internal/subscription/manager.go:157-225`). Here the cursor is the
+  * high-water `emitted_at` timestamp, persisted per group under the
+  * table's CDC directory, so independent groups replay independently
+  * and survive restarts.
+  *
+  * Semantics: at-least-once. `poll()` returns events strictly newer
+  * than the committed cursor; `commit()` advances it to the high-water
+  * mark of the last poll. Events emitted with identical timestamps at
+  * the cursor boundary re-deliver rather than drop (same guarantee the
+  * reference's stream acknowledgment gives). */
+class CdcConsumer(store: TableStore, table: String, group: String) {
+
+  require(group.matches("[A-Za-z0-9_-]+"), s"invalid group name '$group'")
+
+  private def cursorPath = new org.apache.hadoop.fs.Path(
+    CdcLog.path(store, table), s"_offsets/$group")
+  private def fs = cursorPath.getFileSystem(store.spark.sparkContext.hadoopConfiguration)
+
+  /** Committed high-water mark (epoch millis), 0 when never committed. */
+  def committed(): Long =
+    if (!fs.exists(cursorPath)) 0L
+    else new String(
+      org.apache.hadoop.io.IOUtils.readFullyToByteArray(fs.open(cursorPath)), "UTF-8")
+      .trim.toLongOption.getOrElse(0L)
+
+  @volatile private var lastSeenHighWater: Long = -1L
+
+  /** Events strictly newer than the committed cursor, oldest first. */
+  def poll(): DataFrame = {
+    val since = new Timestamp(committed())
+    val events = CdcLog.read(store, table)
+      .filter(org.apache.spark.sql.functions.col("emitted_at") > since)
+      .orderBy(org.apache.spark.sql.functions.col("emitted_at"),
+        org.apache.spark.sql.functions.col("id"))
+    val hw = events.agg(org.apache.spark.sql.functions.max("emitted_at")).head().getTimestamp(0)
+    lastSeenHighWater = if (hw == null) -1L else hw.getTime
+    events
+  }
+
+  /** Advance the cursor past everything the last poll returned. */
+  def commit(): Unit = if (lastSeenHighWater >= 0) {
+    val out = fs.create(cursorPath, true)
+    out.write(lastSeenHighWater.toString.getBytes("UTF-8")); out.close()
+    lastSeenHighWater = -1L
+  }
+}
