@@ -13,9 +13,9 @@ import graft.core.Tables
   *    (TakeOrdered-like via window + filter).
   *  - [[annLsh]]: random-hyperplane LSH — the 100 TB path. Each vector
   *    hashes to a signature bucket; candidates are probed only within the
-  *    query's bucket (multi-probe over 1-bit flips). Hyperplanes are
-  *    derived from a hash of (plane, dim) — deterministic, no RNG, and
-  *    computed on the fly so nothing is driver-materialized.
+  *    query's bucket (multi-probe over bit flips). Hyperplanes are
+  *    hash-derived (deterministic, no RNG) and evaluated through the
+  *    fused [[graft.functions.HyperplaneSigs]] kernel.
   */
 object Similarity {
 
@@ -48,22 +48,17 @@ object Similarity {
       .orderBy(col("query_id"), col("rank"))
   }
 
-  /** Deterministic hyperplane component for (plane p, dim d) in [-1, 1):
-    * a hash-derived pseudo-gaussian — xxhash64 of the two indices scaled
-    * into the unit interval. Pure expression, codegen'd. */
-  private def planeComponent(p: Int, d: Column): Column =
-    (xxhash64(lit(p), d).cast("double") / lit(Long.MaxValue.toDouble))
+  /** Seed for the query-ANN hyperplane family (shared kernel with the
+    * dedup path: [[graft.functions.HyperplaneSigs]] — one fused
+    * codegen'd multiply-add loop against the process-cached plane
+    * matrix; the previous zip_with/aggregate composition ran
+    * interpreted higher-order lambdas per plane per row). */
+  private val SigSeed = 1L
 
-  /** Sign signature: bit p = 1 iff v · plane_p > 0. Dimension comes from
-    * the vector itself (a fixed 0..63 sequence would zip nulls into any
-    * non-64-dim embedding and silently collapse every signature to 0). */
-  private def signature(v: Column): Column =
-    (0 until Planes).foldLeft(lit(0L)) { (acc, p) =>
-      val proj = aggregate(
-        zip_with(v, sequence(lit(0), size(v) - 1), (x, d) => x * planeComponent(p, d)),
-        lit(0.0), (a, x) => a + x)
-      acc.bitwiseOR(when(proj > 0, lit(1L << p)).otherwise(lit(0L)))
-    }
+  /** Sign signature: bit p = 1 iff v · plane_p > 0 (single table of
+    * `Planes` bits). */
+  private def signature(s: SparkSession, v: Column): Column =
+    element_at(graft.functions.LshFunctions.lshSigs(s, v, SigSeed, Planes, 1), 1)
 
   private val Cells = 16
   private val NProbe = 6
@@ -170,7 +165,7 @@ object Similarity {
     * flip of ≤2 signature bits (multi-probe raises recall without extra
     * shuffles — probes are broadcast with the queries). */
   def annLsh(s: SparkSession, dir: String): DataFrame = {
-    val e = withNorm(s, Tables.load(s, dir, "embeddings")).withColumn("sig", signature(col("v")))
+    val e = withNorm(s, Tables.load(s, dir, "embeddings")).withColumn("sig", signature(s, col("v")))
     val q = e.filter(col("vec_id") < NumQueries)
       .select(col("vec_id").as("query_id"), col("v").as("qv"),
         col("norm").as("qn"), col("sig").as("qsig"))
