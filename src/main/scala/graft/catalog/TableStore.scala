@@ -329,18 +329,31 @@ class TableStore(val spark: SparkSession, val root: String) {
     }
     if (batch.nonEmpty) {
       lastFlush(table) = System.currentTimeMillis()
-      flattenBatch(batch, Some(table))
-        .withColumn("date", to_date(col("timestamp")))
-        // cluster by id within each partition file: tight per-row-group
-        // id min/max + bloom locality for point lookups at scale
-        .sortWithinPartitions(col("date"), col("id"))
-        .write
-        .mode("append")
-        .partitionBy("date")
-        // parquet bloom filter on id: point lookups (delete/update by id,
-        // reference index #33) skip row groups without footer-stats help
-        .option("parquet.bloom.filter.enabled#id", "true")
-        .parquet(tablePath(table))
+      try {
+        flattenBatch(batch, Some(table))
+          .withColumn("date", to_date(col("timestamp")))
+          // cluster by id within each partition file: tight per-row-group
+          // id min/max + bloom locality for point lookups at scale
+          .sortWithinPartitions(col("date"), col("id"))
+          .write
+          .mode("append")
+          .partitionBy("date")
+          // parquet bloom filter on id: point lookups (delete/update by id,
+          // reference index #33) skip row groups without footer-stats help
+          .option("parquet.bloom.filter.enabled#id", "true")
+          .parquet(tablePath(table))
+      } catch {
+        case e: Throwable =>
+          // failed flush: re-buffer the batch (front, preserving order) so
+          // the rows stay QUERYABLE in this process — the WAL segments
+          // were not deleted, so durability was never at risk
+          val buf2 = buffers.getOrElseUpdate(table, ArrayBuffer.empty)
+          buf2.synchronized {
+            buf2.prependAll(batch)
+            walSegments.getOrElseUpdate(table, ArrayBuffer.empty).prependAll(segs)
+          }
+          throw e
+      }
       val fs = walDir(table).getFileSystem(spark.sparkContext.hadoopConfiguration)
       segs.foreach(p => fs.delete(p, false))
       bumpVersion(table)

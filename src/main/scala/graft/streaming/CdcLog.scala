@@ -67,7 +67,13 @@ object CdcLog {
   * than the committed cursor; `commit()` advances it to the high-water
   * mark of the last poll. Events emitted with identical timestamps at
   * the cursor boundary re-deliver rather than drop (same guarantee the
-  * reference's stream acknowledgment gives). */
+  * reference's stream acknowledgment gives).
+  *
+  * Producer assumption: event producers (mutations, streaming batch
+  * commits) are synchronous, driver-coordinated operations — no append
+  * is in flight while poll() lists the log. A multi-writer deployment
+  * would add a stability horizon (exclude events younger than the max
+  * append latency) before trusting the high-water mark. */
 class CdcConsumer(store: TableStore, table: String, group: String) {
 
   require(group.matches("[A-Za-z0-9_-]+"), s"invalid group name '$group'")
