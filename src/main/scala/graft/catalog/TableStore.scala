@@ -90,6 +90,19 @@ class TableStore(val spark: SparkSession, val root: String) {
     configs(table) = config
   }
 
+  /** Drop all in-memory buffer/WAL state for `table` WITHOUT flushing —
+    * for callers that replace the table's storage wholesale (restore):
+    * pre-restore un-flushed rows must not union into, or later flush
+    * onto, the restored data, and their WAL segments die with the
+    * replaced table path. */
+  def discardBuffer(table: String): Unit = withTableLock(table) {
+    buffers.get(table).foreach(b => b.synchronized {
+      b.clear()
+      walSegments.get(table).foreach(_.clear())
+    })
+    walReplayed.put(table, ()) // the replaced path's segments are gone
+  }
+
   def listTables(): Seq[String] = configs.keys.toSeq.sorted
 
   def config(table: String): Option[TableConfig] = configs.get(table)
@@ -253,6 +266,12 @@ class TableStore(val spark: SparkSession, val root: String) {
   // (crash mid-append) deserializes with an exception and is dropped —
   // safe, because write() only returns after BOTH the segment and the
   // buffer append, so a torn segment's write was never acknowledged.
+  //
+  // Durability class: at-least-once. A crash BETWEEN the flush's parquet
+  // commit and its segment deletion replays already-persisted rows on
+  // restart (same window the reference's WAL truncation has,
+  // `wal.go:214-310`); callers needing exactly-once under crash use the
+  // streaming path, whose checkpointed commit protocol dedups replays.
 
   private def walDir(table: String) =
     new org.apache.hadoop.fs.Path(tablePath(table), "_graft_wal")

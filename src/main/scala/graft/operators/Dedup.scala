@@ -222,10 +222,15 @@ object Dedup {
         least(col("na"), col("nb")) * 10 >= greatest(col("na"), col("nb")) * 8)
       .groupBy(col("doc_a"), col("doc_b"), col("na"), col("nb"))
       .agg(count(lit(1)).cast("double").as("inter_c"))
+    // NO broadcast hint on hotPerDoc: in the motivating boilerplate
+    // corpus a stop-shingle appears in EVERY doc, making hotPerDoc
+    // O(all docs) — AQE broadcasts it when it is actually small and
+    // shuffle-joins otherwise. (`hot` above stays broadcast: it is
+    // distinct stop-SHINGLES, bounded by the shingle vocabulary.)
     pairHits
-      .join(broadcast(hotPerDoc.select(col("doc_id").as("doc_a"), col("n_hot").as("hot_a"))),
+      .join(hotPerDoc.select(col("doc_id").as("doc_a"), col("n_hot").as("hot_a")),
         Seq("doc_a"), "left")
-      .join(broadcast(hotPerDoc.select(col("doc_id").as("doc_b"), col("n_hot").as("hot_b"))),
+      .join(hotPerDoc.select(col("doc_id").as("doc_b"), col("n_hot").as("hot_b")),
         Seq("doc_b"), "left")
       .withColumn("i_ub", col("inter_c") +
         least(coalesce(col("hot_a"), lit(0L)), coalesce(col("hot_b"), lit(0L))))

@@ -90,7 +90,12 @@ object TextAnalysis {
     * [[textSearch]] — the oracle is the scan-form SQL. */
   def indexedSearch(s: SparkSession, dir: String): DataFrame = {
     import graft.index.InvertedIndex
-    val path = s"${System.getProperty("java.io.tmpdir")}/graft-docidx-${math.abs(dir.hashCode)}"
+    // collision-proof cache key (testdata dirs are immutable by contract
+    // — TESTDATA.md; mutable tables go through index.InvertedIndex's
+    // version-tracked freshness protocol instead of this cache)
+    val dirKey = java.security.MessageDigest.getInstance("SHA-256")
+      .digest(dir.getBytes("UTF-8")).take(8).map(b => f"$b%02x").mkString
+    val path = s"${System.getProperty("java.io.tmpdir")}/graft-docidx-$dirKey"
     val success = new org.apache.hadoop.fs.Path(path, "_SUCCESS")
     val fs = success.getFileSystem(s.sparkContext.hadoopConfiguration)
     if (!fs.exists(success))

@@ -111,8 +111,13 @@ class QueryEngine(store: TableStore, cache: ResultCache = new ResultCache()) {
     SqlGate.validate(store.spark, sql).flatMap { gated =>
       val known = gated.tables.filter(store.knownTable)
       val versions = known.map(t => t -> store.version(t)).toMap
-      val cached = streams.synchronized(Option(streams.get(sql)))
-        .filter(_.versions == versions)
+      // table-less queries are never cached (same rule as executeJson:
+      // an empty version map can never invalidate, so a volatile result
+      // like current_timestamp() would be frozen until LRU eviction)
+      val cacheable = known.nonEmpty
+      val cached =
+        if (!cacheable) None
+        else streams.synchronized(Option(streams.get(sql))).filter(_.versions == versions)
       val stateE: Either[String, StreamState] = cached match {
         case Some(st) => Right(st)
         case None =>
@@ -120,7 +125,7 @@ class QueryEngine(store: TableStore, cache: ResultCache = new ResultCache()) {
             scala.util.Try(qr.df.toJSON.collect()) match {
               case scala.util.Success(rows) =>
                 val st = StreamState(rows, versions)
-                streams.synchronized(streams.put(sql, st))
+                if (cacheable) streams.synchronized(streams.put(sql, st))
                 Right(st)
               case scala.util.Failure(e) => Left(s"execution error: ${e.getMessage}")
             }

@@ -63,9 +63,11 @@ class AuthService(
     TokenPair(access, refresh, c.expiresAt)
   }
 
-  /** Validate signature, expiry and revocation; returns the claims. */
-  def validate(token: String, expectTyp: String = "access"): Either[String, Claims] = {
-    pruneRevoked()
+  /** Parse + authenticate a token (signature only — no expiry/type/
+    * revocation policy). The single parser behind [[validate]] and
+    * [[revoke]], so the two paths can never diverge on what counts as
+    * an authentic token. */
+  private def parseAuthentic(token: String): Either[String, Claims] = {
     val parts = Option(token).map(_.split('.')).getOrElse(Array.empty[String])
     if (parts.length != 2) return Left("malformed token")
     val payload = scala.util.Try(
@@ -79,11 +81,19 @@ class AuthService(
     }.toMap
     (kv.get("sub"), kv.get("typ"), kv.get("exp").flatMap(_.toLongOption), kv.get("jti")) match {
       case (Some(sub), Some(typ), Some(exp), Some(jti)) =>
-        if (typ != expectTyp) Left(s"expected $expectTyp token, got $typ")
-        else if (exp <= now()) Left("token expired")
-        else if (revoked.contains(jti)) Left("token revoked")
-        else Right(Claims(sub, typ, exp, jti))
+        Right(Claims(sub, typ, exp, jti))
       case _ => Left("malformed token payload")
+    }
+  }
+
+  /** Validate signature, expiry and revocation; returns the claims. */
+  def validate(token: String, expectTyp: String = "access"): Either[String, Claims] = {
+    pruneRevoked()
+    parseAuthentic(token).flatMap { c =>
+      if (c.typ != expectTyp) Left(s"expected $expectTyp token, got ${c.typ}")
+      else if (c.expiresAt <= now()) Left("token expired")
+      else if (revoked.contains(c.jti)) Left("token revoked")
+      else Right(c)
     }
   }
 
@@ -97,25 +107,10 @@ class AuthService(
     }
 
   /** RevokeToken: invalidate a specific token (access or refresh) by its
-    * id; succeeds only for authentic tokens. */
-  def revoke(token: String): Either[String, Unit] = {
-    // accept either type: parse with signature check, ignore typ/expiry
-    val parts = Option(token).map(_.split('.')).getOrElse(Array.empty[String])
-    if (parts.length != 2) return Left("malformed token")
-    val payload = scala.util.Try(
-      new String(Base64.getUrlDecoder.decode(parts(0)), UTF_8)).getOrElse(return Left("malformed token"))
-    val sig = scala.util.Try(Base64.getUrlDecoder.decode(parts(1)))
-      .getOrElse(return Left("malformed token"))
-    if (!java.security.MessageDigest.isEqual(sig, hmac(payload)))
-      return Left("invalid signature")
-    val kv = payload.split(';').flatMap { p =>
-      p.split("=", 2) match { case Array(k, v) => Some(k -> v); case _ => None }
-    }.toMap
-    (kv.get("jti"), kv.get("exp").flatMap(_.toLongOption)) match {
-      case (Some(jti), Some(exp)) => revoked.put(jti, exp); Right(())
-      case _ => Left("malformed token payload")
-    }
-  }
+    * id; succeeds only for authentic tokens (any type, even expired —
+    * revoking early does no harm). */
+  def revoke(token: String): Either[String, Unit] =
+    parseAuthentic(token).map(c => { revoked.put(c.jti, c.expiresAt); () })
 
   private def pruneRevoked(): Unit = {
     val t = now()

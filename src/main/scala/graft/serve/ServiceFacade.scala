@@ -144,7 +144,9 @@ class ServiceFacade(store: TableStore, authSecret: Option[String] = None) {
   /** Backup: consistent snapshot of a table's parquet (flush first) plus
     * its table-config metadata into `<dest>/<table>` (reference Backup →
     * MinIO bucket copy + metadata backup). */
-  def backup(table: String, dest: String): Long = {
+  def backup(table: String, dest: String): Long = store.withTableLock(table) {
+    // under the table lock: a mutation rewriting partitions mid-copy
+    // would yield a torn snapshot
     store.flush(table)
     val conf = store.spark.sparkContext.hadoopConfiguration
     val src = new Path(store.tablePath(table))
@@ -162,12 +164,18 @@ class ServiceFacade(store: TableStore, authSecret: Option[String] = None) {
 
   /** Restore a backup into the live table path (replaces current data
     * and, when the backup carries one, the table config). */
-  def restore(table: String, from: String): Long = {
+  def restore(table: String, from: String): Long = store.withTableLock(table) {
+    // lock: restore replaces the table directory wholesale — a flush or
+    // batch commit interleaving with the delete+copy would either leak
+    // files into the restored table or lose acknowledged rows
     val conf = store.spark.sparkContext.hadoopConfiguration
     val src = new Path(s"$from/$table")
     val dst = new Path(store.tablePath(table))
     val fs = src.getFileSystem(conf)
     require(fs.exists(src), s"no backup for $table at $from")
+    // pre-restore un-flushed rows must not survive into the restored
+    // table (their WAL segments die with the replaced path)
+    store.discardBuffer(table)
     if (fs.exists(dst)) fs.delete(dst, true)
     org.apache.hadoop.fs.FileUtil.copy(fs, src, fs, dst, false, conf)
     val metaP = new Path(dst, "_graft_config.txt")

@@ -29,6 +29,20 @@ object CdcLog {
 
   def path(store: TableStore, table: String): String = s"${store.root}/_cdc/$table"
 
+  // Strictly-increasing emitted_at in MICROseconds: two emissions in the
+  // same wall-clock millisecond must not share a timestamp, or a consumer
+  // committing between them would drop the second one at its strict-'>'
+  // cursor (micros survive parquet TimestampType exactly).
+  private val lastMicros = new java.util.concurrent.atomic.AtomicLong(0)
+  private[streaming] def nextEmittedAt(): Timestamp = {
+    val micros = lastMicros.updateAndGet { prev =>
+      math.max(System.currentTimeMillis() * 1000L, prev + 1)
+    }
+    val t = new Timestamp(micros / 1000L)
+    t.setNanos(((micros % 1000000L) * 1000L).toInt)
+    t
+  }
+
   /** Append one event per (id, timestamp) with operation `op`.
     * Each emission lands in its own `mut-<uuid>` dir (no '=' in the
     * name, so partition discovery doesn't invent a column; unique name,
@@ -36,7 +50,7 @@ object CdcLog {
   def append(store: TableStore, table: String, op: String,
       rows: Seq[(String, Timestamp)], batchId: Long = -1L): Unit = {
     if (rows.isEmpty) return
-    val now = new Timestamp(System.currentTimeMillis())
+    val now = nextEmittedAt()
     val data = rows.map { case (id, ts) => Row(op, id, ts, batchId, now) }
     store.spark.createDataFrame(
         store.spark.sparkContext.parallelize(data, 1), Schema)
@@ -63,11 +77,12 @@ object CdcLog {
   * table's CDC directory, so independent groups replay independently
   * and survive restarts.
   *
-  * Semantics: at-least-once. `poll()` returns events strictly newer
-  * than the committed cursor; `commit()` advances it to the high-water
-  * mark of the last poll. Events emitted with identical timestamps at
-  * the cursor boundary re-deliver rather than drop (same guarantee the
-  * reference's stream acknowledgment gives).
+  * Semantics: at-least-once (uncommitted polls re-deliver). `poll()`
+  * returns events strictly newer than the committed cursor; `commit()`
+  * advances it to the high-water mark of the last poll. Emission
+  * timestamps are strictly increasing micros ([[CdcLog.nextEmittedAt]]),
+  * so two events can never share the cursor boundary — committing
+  * between two same-millisecond emissions drops neither.
   *
   * Producer assumption: event producers (mutations, streaming batch
   * commits) are synchronous, driver-coordinated operations — no append
@@ -82,7 +97,18 @@ class CdcConsumer(store: TableStore, table: String, group: String) {
     CdcLog.path(store, table), s"_offsets/$group")
   private def fs = cursorPath.getFileSystem(store.spark.sparkContext.hadoopConfiguration)
 
-  /** Committed high-water mark (epoch millis), 0 when never committed. */
+  // cursor unit is epoch MICROseconds — emitted_at is micros-unique
+  // (CdcLog.nextEmittedAt), so micros must survive the round-trip or
+  // same-millisecond events would straddle the cursor
+  private def toMicros(t: Timestamp): Long =
+    (t.getTime / 1000L) * 1000000L + t.getNanos / 1000L
+  private def fromMicros(micros: Long): Timestamp = {
+    val t = new Timestamp(micros / 1000L)
+    t.setNanos(((micros % 1000000L) * 1000L).toInt)
+    t
+  }
+
+  /** Committed high-water mark (epoch micros), 0 when never committed. */
   def committed(): Long =
     if (!fs.exists(cursorPath)) 0L
     else new String(
@@ -93,13 +119,13 @@ class CdcConsumer(store: TableStore, table: String, group: String) {
 
   /** Events strictly newer than the committed cursor, oldest first. */
   def poll(): DataFrame = {
-    val since = new Timestamp(committed())
+    val since = fromMicros(committed())
     val events = CdcLog.read(store, table)
       .filter(org.apache.spark.sql.functions.col("emitted_at") > since)
       .orderBy(org.apache.spark.sql.functions.col("emitted_at"),
         org.apache.spark.sql.functions.col("id"))
     val hw = events.agg(org.apache.spark.sql.functions.max("emitted_at")).head().getTimestamp(0)
-    lastSeenHighWater = if (hw == null) -1L else hw.getTime
+    lastSeenHighWater = if (hw == null) -1L else toMicros(hw)
     events
   }
 

@@ -61,9 +61,15 @@ object Sessionize {
                 total = st.total + e.value)
             }
             state.update(st)
-            // only meaningful when a watermark exists (streaming); batch
-            // executions have none and never time out
-            scala.util.Try(state.setTimeoutTimestamp(st.lastSeen + GapMs))
+            // getCurrentWatermarkMs throws in batch mode (no watermark →
+            // timeouts never fire there, by design); in streaming the
+            // timeout must be clamped ABOVE the current watermark — a
+            // straggler group whose lastSeen+GapMs is already behind it
+            // would otherwise fail to register any timeout and its
+            // trailing session would leak forever
+            scala.util.Try(state.getCurrentWatermarkMs()).foreach { wm =>
+              state.setTimeoutTimestamp(math.max(st.lastSeen + GapMs, wm + 1))
+            }
             out.iterator
           }
       }

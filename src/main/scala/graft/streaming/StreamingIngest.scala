@@ -44,7 +44,8 @@ class StreamingIngest(store: TableStore) {
     * lineage (fresh checkpoint, second stream into the same table) can
     * never collide with this one's batch numbering. */
   private[streaming] def commitBatch(table: String, streamId: String, batchId: Long,
-      dated: org.apache.spark.sql.DataFrame): Unit = store.withTableLock(table) {
+      dated: org.apache.spark.sql.DataFrame,
+      legacySids: Seq[String] = Nil): Unit = store.withTableLock(table) {
     // under the table mutation lock: a partition-rewrite mutation running
     // between this commit's survivor scan and directory swap would drop
     // the files this batch just renamed in
@@ -56,7 +57,13 @@ class StreamingIngest(store: TableStore) {
     val fs = rootP.getFileSystem(conf)
     val marker = new org.apache.hadoop.fs.Path(rootP, s"_commits/$prefix")
     dated.write.mode("overwrite").partitionBy("date").parquet(batchP.toString)
-    if (!fs.exists(marker)) {
+    // legacySids: markers written by earlier id schemes count as committed
+    // (see ingest call sites) — a replay across the scheme change must
+    // not re-commit (duplicate) an already-committed batch
+    val alreadyCommitted = fs.exists(marker) ||
+      legacySids.exists(ls =>
+        fs.exists(new org.apache.hadoop.fs.Path(rootP, s"_commits/$ls-b$batchId")))
+    if (!alreadyCommitted) {
       fs.listStatus(batchP).filter(_.getPath.getName.startsWith("date=")).foreach { dateDir =>
         val dstDir = new org.apache.hadoop.fs.Path(rootP, dateDir.getPath.getName)
         if (!fs.exists(dstDir)) fs.mkdirs(dstDir)
@@ -88,6 +95,11 @@ class StreamingIngest(store: TableStore) {
     "s" + d.take(8).map(b => f"$b%02x").mkString
   }
 
+  /** The pre-SHA-256 id scheme — checked (never written) by commitBatch
+    * so checkpoints created before the scheme change stay exactly-once. */
+  private def legacyStreamId(checkpoint: String): String =
+    f"s${checkpoint.hashCode & 0x7FFFFFFF}%08x"
+
   /** Start a file-source ingest stream into `table`.
     *
     * @param sourceDir directory watched for newline-JSON record files
@@ -115,7 +127,8 @@ class StreamingIngest(store: TableStore) {
         if (!batch.isEmpty) {
           val dated = batch.withColumn("date", to_date(col("timestamp")))
           val sid = streamId(checkpoint)
-          commitBatch(table, sid, batchId, dated)
+          commitBatch(table, sid, batchId, dated,
+            legacySids = Seq(legacyStreamId(checkpoint)))
           // CDC event log: per-batch dir written with OVERWRITE — replays
           // rewrite, never duplicate. Dir name has no '=' so partition
           // discovery doesn't invent a duplicate column.
@@ -166,7 +179,8 @@ class StreamingIngest(store: TableStore) {
           val parsed = sparkB.read.json(batch.select("value").as[String])
           val dated = store.conformDynamicBatch(table, parsed)
           val sid = streamId(checkpoint)
-          commitBatch(table, sid, batchId, dated)
+          commitBatch(table, sid, batchId, dated,
+            legacySids = Seq(legacyStreamId(checkpoint)))
           dated.select(
             lit("INSERT").as("op"),
             col("id"),
@@ -205,7 +219,8 @@ class StreamingIngest(store: TableStore) {
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         if (!batch.isEmpty)
           commitBatch(table, streamId(checkpoint), batchId,
-            batch.withColumn("date", to_date(col("timestamp"))))
+            batch.withColumn("date", to_date(col("timestamp"))),
+            legacySids = Seq(legacyStreamId(checkpoint)))
         ()
       }
       .start()

@@ -79,6 +79,23 @@ class ServiceFacadeSpec extends SparkSpec {
     assert(restored.contains(cfg), s"config not restored: $restored")
   }
 
+  test("restore discards pre-restore un-flushed rows (replaces, not merges)") {
+    val store = new TableStore(spark, tmpDir("svc6"))
+    val svc = new ServiceFacade(store)
+    val dest = tmpDir("svc6-backup")
+    svc.createTable("t", graft.ingest.TableConfig(
+      bufferSize = 1000, flushIntervalMs = Long.MaxValue))
+    svc.writeData("t", rec("keep", Map("v" -> 1)))
+    svc.backup("t", dest) // flushes 'keep'
+    // buffered-only row after the backup — restore must NOT resurrect it
+    svc.writeData("t", rec("stale", Map("v" -> 2)))
+    svc.restore("t", dest)
+    val ids = store.read("t").collect().map(_.getAs[String]("id")).toSeq
+    assert(ids == Seq("keep"), s"restore merged stale buffered rows: $ids")
+    store.flush("t") // later flush must also add nothing
+    assert(store.read("t").count() == 1)
+  }
+
   test("table lifecycle + health") {
     val svc = new ServiceFacade(new TableStore(spark, tmpDir("svc5")))
     svc.createTable("a"); svc.createTable("b")

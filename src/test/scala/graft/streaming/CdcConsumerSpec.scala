@@ -26,7 +26,9 @@ class CdcConsumerSpec extends SparkSpec {
     g1.commit()
     assert(g1.poll().count() == 0, "committed events must not re-deliver")
 
-    Thread.sleep(5) // new event strictly after the committed high-water mark
+    // NO sleep: emitted_at is strictly-increasing micros, so an event in
+    // the same wall-clock millisecond as the committed cursor must still
+    // be delivered
     mut.deleteById("t", "c")
     val next = g1.poll().collect()
     assert(next.length == 1 && next.head.getAs[String]("op") == "DELETE"
