@@ -163,8 +163,10 @@ class TableStore(val spark: SparkSession, val root: String) {
       val p = schemaFilePath(table)
       val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
       if (fs.exists(p)) {
-        val txt = new String(
-          org.apache.hadoop.io.IOUtils.readFullyToByteArray(fs.open(p)), "UTF-8")
+        val in = fs.open(p)
+        val txt = try new String(
+          org.apache.hadoop.io.IOUtils.readFullyToByteArray(in), "UTF-8")
+        finally in.close()
         // flat {"col":"tag",...} — hand-parsed, no JSON dep
         "\"([^\"]+)\"\\s*:\\s*\"([^\"]+)\"".r.findAllMatchIn(txt)
           .map(m => m.group(1) -> tagType(m.group(2))).toMap
@@ -318,19 +320,25 @@ class TableStore(val spark: SparkSession, val root: String) {
 
   /** Buffered write; flushes when the table's buffer-size trigger fires
     * or `flushIntervalMs` has elapsed since the last flush. Durable
-    * before return: the batch is WAL-appended, then buffered. */
+    * before return: the batch is WAL-appended, then buffered. Runs under
+    * the table mutation lock — a write straddling a wholesale storage
+    * replacement (restore) would otherwise land its WAL segment under
+    * the about-to-be-deleted path while its buffered rows leaked past
+    * the restore's buffer discard. */
   def write(table: String, records: Seq[DynRecord]): Unit = {
     val cfg = ensureTable(table)
-    maybeReplayWal(table)
-    val seg = walAppend(table, records)
-    val buf = buffers.getOrElseUpdate(table, ArrayBuffer.empty)
-    val due = buf.synchronized {
-      buf ++= records
-      walSegments.getOrElseUpdate(table, ArrayBuffer.empty) += seg
-      val elapsed = System.currentTimeMillis() - lastFlush.getOrElse(table, 0L)
-      buf.size >= cfg.bufferSize || (buf.nonEmpty && elapsed >= cfg.flushIntervalMs)
+    withTableLock(table) {
+      maybeReplayWal(table)
+      val seg = walAppend(table, records)
+      val buf = buffers.getOrElseUpdate(table, ArrayBuffer.empty)
+      val due = buf.synchronized {
+        buf ++= records
+        walSegments.getOrElseUpdate(table, ArrayBuffer.empty) += seg
+        val elapsed = System.currentTimeMillis() - lastFlush.getOrElse(table, 0L)
+        buf.size >= cfg.bufferSize || (buf.nonEmpty && elapsed >= cfg.flushIntervalMs)
+      }
+      if (due) flush(table) // reentrant: same thread already holds the lock
     }
-    if (due) flush(table)
     bumpVersion(table)
   }
 
@@ -371,6 +379,9 @@ class TableStore(val spark: SparkSession, val root: String) {
             buf2.prependAll(batch)
             walSegments.getOrElseUpdate(table, ArrayBuffer.empty).prependAll(segs)
           }
+          // visibility changed (rows moved storage-bound → buffer): cached
+          // results keyed at the old version must not keep serving
+          bumpVersion(table)
           throw e
       }
       val fs = walDir(table).getFileSystem(spark.sparkContext.hadoopConfiguration)

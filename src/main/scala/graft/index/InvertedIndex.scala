@@ -49,8 +49,10 @@ class InvertedIndex(store: TableStore) {
     val p = versionFile(table)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     fs.exists(p) && {
-      val txt = new String(
-        org.apache.hadoop.io.IOUtils.readFullyToByteArray(fs.open(p)), "UTF-8")
+      val in = fs.open(p)
+      val txt = try new String(
+        org.apache.hadoop.io.IOUtils.readFullyToByteArray(in), "UTF-8")
+      finally in.close()
       txt.trim.toLongOption.contains(store.version(table))
     }
   }

@@ -111,12 +111,14 @@ class QueryEngine(store: TableStore, cache: ResultCache = new ResultCache()) {
     SqlGate.validate(store.spark, sql).flatMap { gated =>
       val known = gated.tables.filter(store.knownTable)
       val versions = known.map(t => t -> store.version(t)).toMap
-      // table-less queries are never cached (same rule as executeJson:
-      // an empty version map can never invalidate, so a volatile result
-      // like current_timestamp() would be frozen until LRU eviction)
-      val cacheable = known.nonEmpty
+      // cursor 0 opens a NEW stream: always execute fresh and replace any
+      // cached snapshot — without this, a table-less query (empty version
+      // map, never invalidated) would freeze a volatile result like
+      // current_timestamp() across logically separate streams. Later
+      // cursors reuse the snapshot (intra-stream row stability), with the
+      // version check still invalidating on table mutations.
       val cached =
-        if (!cacheable) None
+        if (cursor == 0) None
         else streams.synchronized(Option(streams.get(sql))).filter(_.versions == versions)
       val stateE: Either[String, StreamState] = cached match {
         case Some(st) => Right(st)
@@ -125,7 +127,7 @@ class QueryEngine(store: TableStore, cache: ResultCache = new ResultCache()) {
             scala.util.Try(qr.df.toJSON.collect()) match {
               case scala.util.Success(rows) =>
                 val st = StreamState(rows, versions)
-                if (cacheable) streams.synchronized(streams.put(sql, st))
+                streams.synchronized(streams.put(sql, st))
                 Right(st)
               case scala.util.Failure(e) => Left(s"execution error: ${e.getMessage}")
             }

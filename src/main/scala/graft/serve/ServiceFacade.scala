@@ -180,8 +180,10 @@ class ServiceFacade(store: TableStore, authSecret: Option[String] = None) {
     org.apache.hadoop.fs.FileUtil.copy(fs, src, fs, dst, false, conf)
     val metaP = new Path(dst, "_graft_config.txt")
     if (fs.exists(metaP)) {
-      val txt = new String(
-        org.apache.hadoop.io.IOUtils.readFullyToByteArray(fs.open(metaP)), "UTF-8")
+      val in = fs.open(metaP)
+      val txt = try new String(
+        org.apache.hadoop.io.IOUtils.readFullyToByteArray(in), "UTF-8")
+      finally in.close()
       store.setConfig(table, parseConfig(txt))
       fs.delete(metaP, false) // metadata is registry state, not table data
     } else store.ensureTable(table)

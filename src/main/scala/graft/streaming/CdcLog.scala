@@ -29,18 +29,28 @@ object CdcLog {
 
   def path(store: TableStore, table: String): String = s"${store.root}/_cdc/$table"
 
+  /** Timestamp ↔ epoch-micros round-trip — ONE implementation, because
+    * the consumer's cursor-boundary correctness depends on it exactly. */
+  def toMicros(t: Timestamp): Long =
+    (t.getTime / 1000L) * 1000000L + t.getNanos / 1000L
+  def fromMicros(micros: Long): Timestamp = {
+    val t = new Timestamp(micros / 1000L)
+    t.setNanos(((micros % 1000000L) * 1000L).toInt)
+    t
+  }
+
   // Strictly-increasing emitted_at in MICROseconds: two emissions in the
   // same wall-clock millisecond must not share a timestamp, or a consumer
   // committing between them would drop the second one at its strict-'>'
-  // cursor (micros survive parquet TimestampType exactly).
+  // cursor (micros survive parquet TimestampType exactly). EVERY event
+  // producer must stamp through this clock — mixing in another clock
+  // (e.g. current_timestamp()) re-opens the cursor-straddle hole.
   private val lastMicros = new java.util.concurrent.atomic.AtomicLong(0)
   private[streaming] def nextEmittedAt(): Timestamp = {
     val micros = lastMicros.updateAndGet { prev =>
       math.max(System.currentTimeMillis() * 1000L, prev + 1)
     }
-    val t = new Timestamp(micros / 1000L)
-    t.setNanos(((micros % 1000000L) * 1000L).toInt)
-    t
+    fromMicros(micros)
   }
 
   /** Append one event per (id, timestamp) with operation `op`.
@@ -97,35 +107,31 @@ class CdcConsumer(store: TableStore, table: String, group: String) {
     CdcLog.path(store, table), s"_offsets/$group")
   private def fs = cursorPath.getFileSystem(store.spark.sparkContext.hadoopConfiguration)
 
-  // cursor unit is epoch MICROseconds — emitted_at is micros-unique
-  // (CdcLog.nextEmittedAt), so micros must survive the round-trip or
-  // same-millisecond events would straddle the cursor
-  private def toMicros(t: Timestamp): Long =
-    (t.getTime / 1000L) * 1000000L + t.getNanos / 1000L
-  private def fromMicros(micros: Long): Timestamp = {
-    val t = new Timestamp(micros / 1000L)
-    t.setNanos(((micros % 1000000L) * 1000L).toInt)
-    t
-  }
-
-  /** Committed high-water mark (epoch micros), 0 when never committed. */
+  /** Committed high-water mark (epoch micros — emitted_at is
+    * micros-unique, so micros must survive the round-trip or
+    * same-millisecond events would straddle the cursor), 0 when never
+    * committed. */
   def committed(): Long =
     if (!fs.exists(cursorPath)) 0L
-    else new String(
-      org.apache.hadoop.io.IOUtils.readFullyToByteArray(fs.open(cursorPath)), "UTF-8")
-      .trim.toLongOption.getOrElse(0L)
+    else {
+      val in = fs.open(cursorPath) // hot path: close explicitly, no fd leak
+      val txt = try new String(
+        org.apache.hadoop.io.IOUtils.readFullyToByteArray(in), "UTF-8")
+      finally in.close()
+      txt.trim.toLongOption.getOrElse(0L)
+    }
 
   @volatile private var lastSeenHighWater: Long = -1L
 
   /** Events strictly newer than the committed cursor, oldest first. */
   def poll(): DataFrame = {
-    val since = fromMicros(committed())
+    val since = CdcLog.fromMicros(committed())
     val events = CdcLog.read(store, table)
       .filter(org.apache.spark.sql.functions.col("emitted_at") > since)
       .orderBy(org.apache.spark.sql.functions.col("emitted_at"),
         org.apache.spark.sql.functions.col("id"))
     val hw = events.agg(org.apache.spark.sql.functions.max("emitted_at")).head().getTimestamp(0)
-    lastSeenHighWater = if (hw == null) -1L else toMicros(hw)
+    lastSeenHighWater = if (hw == null) -1L else CdcLog.toMicros(hw)
     events
   }
 

@@ -68,9 +68,11 @@ class StreamingIngest(store: TableStore) {
         val dstDir = new org.apache.hadoop.fs.Path(rootP, dateDir.getPath.getName)
         if (!fs.exists(dstDir)) fs.mkdirs(dstDir)
         // remove partial outputs of an earlier crashed attempt (its file
-        // split may differ from this replay's)
+        // split may differ from this replay's) — including attempts made
+        // under a legacy id scheme before an upgrade
+        val stalePrefixes = s"$prefix-" +: legacySids.map(ls => s"$ls-b$batchId-")
         fs.listStatus(dstDir)
-          .filter(_.getPath.getName.startsWith(s"$prefix-"))
+          .filter(st => stalePrefixes.exists(st.getPath.getName.startsWith))
           .foreach(st => fs.delete(st.getPath, false))
         fs.listStatus(dateDir.getPath)
           .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
@@ -131,13 +133,16 @@ class StreamingIngest(store: TableStore) {
             legacySids = Seq(legacyStreamId(checkpoint)))
           // CDC event log: per-batch dir written with OVERWRITE — replays
           // rewrite, never duplicate. Dir name has no '=' so partition
-          // discovery doesn't invent a duplicate column.
+          // discovery doesn't invent a duplicate column. emitted_at MUST
+          // come from the shared CdcLog clock: a second clock would let
+          // an event land at or below a consumer's committed cursor and
+          // be dropped at its strict-'>' filter.
           dated.select(
             lit("INSERT").as("op"),
             col("id"),
             col("timestamp"),
             lit(batchId).as("batch_id"),
-            current_timestamp().as("emitted_at"))
+            lit(CdcLog.nextEmittedAt()).as("emitted_at"))
             .write.mode("overwrite").parquet(s"${cdcPath(table)}/$sid-b$batchId")
         }
         ()
@@ -186,7 +191,7 @@ class StreamingIngest(store: TableStore) {
             col("id"),
             col("timestamp"),
             lit(batchId).as("batch_id"),
-            current_timestamp().as("emitted_at"))
+            lit(CdcLog.nextEmittedAt()).as("emitted_at")) // shared CDC clock
             .write.mode("overwrite").parquet(s"${cdcPath(table)}/$sid-b$batchId")
         }
         ()
