@@ -12,7 +12,11 @@ import graft.catalog.TableStore
   * does all pruning the reference hand-rolled) → `spark.sql` → encode →
   * cache store. LIMIT injection and cursor pagination mirror
   * `miniodb_service.go:624-626` / `StreamQuery` (`:1276-1377`). */
-class QueryEngine(store: TableStore, cache: ResultCache = new ResultCache()) {
+/** @param defaultTable when set, the legacy relation name `table`
+  *        resolves to this table (the reference rewrites `FROM table` to
+  *        its configured default table, `miniodb_service.go:663-681`) */
+class QueryEngine(store: TableStore, cache: ResultCache = new ResultCache(),
+    defaultTable: Option[String] = None) {
 
   final case class QueryResult(df: DataFrame, tables: Seq[String])
 
@@ -49,11 +53,28 @@ class QueryEngine(store: TableStore, cache: ResultCache = new ResultCache()) {
       known.foreach { t =>
         store.read(t).createOrReplaceTempView(t); ownedViews.put(t, ())
       }
+      // legacy default-table alias: `FROM table` → configured default
+      defaultTable.filter(d => gated.tables.contains("table") &&
+          !store.knownTable("table") && store.knownTable(d)).foreach { d =>
+        store.read(d).createOrReplaceTempView("table"); ownedViews.put("table", ())
+      }
       store.spark.sql(sql)
     } match {
       case scala.util.Success(df0) =>
         Right(QueryResult(if (limit > 0) df0.limit(limit) else df0, known))
       case scala.util.Failure(e) => Left(s"analysis error: ${e.getMessage}")
+    }
+  }
+
+  /** Tables whose versions gate caching for a query: known referenced
+    * names, plus the default table when the legacy `table` alias will
+    * resolve to it (its mutations must invalidate those results too). */
+  private def versionedTables(referenced: Seq[String]): Seq[String] = {
+    val known = referenced.filter(store.knownTable)
+    defaultTable match {
+      case Some(d) if referenced.contains("table") &&
+          !store.knownTable("table") && store.knownTable(d) => (known :+ d).distinct
+      case _ => known
     }
   }
 
@@ -69,7 +90,7 @@ class QueryEngine(store: TableStore, cache: ResultCache = new ResultCache()) {
   def executeJson(sql: String, limit: Int = 0, useCache: Boolean = true): Either[String, String] =
     SqlGate.validate(store.spark, sql).flatMap { gated =>
       val eff = if (limit > 0) limit else DefaultLimit
-      val known = gated.tables.filter(store.knownTable)
+      val known = versionedTables(gated.tables)
       val k = cache.key(sql + s"|limit=$eff", known)
       val versions = known.map(t => t -> store.version(t)).toMap
       (if (useCache && known.nonEmpty) cache.get(k, versions) else None) match {
@@ -109,7 +130,7 @@ class QueryEngine(store: TableStore, cache: ResultCache = new ResultCache()) {
     if (cursor < 0 || cursor > Int.MaxValue)
       return Left(s"invalid cursor $cursor (must be in [0, ${Int.MaxValue}])")
     SqlGate.validate(store.spark, sql).flatMap { gated =>
-      val known = gated.tables.filter(store.knownTable)
+      val known = versionedTables(gated.tables)
       val versions = known.map(t => t -> store.version(t)).toMap
       // cursor 0 opens a NEW stream: always execute fresh and replace any
       // cached snapshot — without this, a table-less query (empty version

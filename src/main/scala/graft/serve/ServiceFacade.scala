@@ -26,10 +26,13 @@ import graft.query.QueryEngine
   *   RevokeToken → [[revokeToken]]  (JWT validation → [[validateToken]])
   *
   * @param authSecret HMAC secret enabling the auth verbs; None = auth
-  *                   disabled (reference `auth.enabled: false` mode) */
-class ServiceFacade(store: TableStore, authSecret: Option[String] = None) {
+  *                   disabled (reference `auth.enabled: false` mode)
+  * @param defaultTable when set, legacy `FROM table` queries resolve to
+  *                     this table (reference `miniodb_service.go:663-681`) */
+class ServiceFacade(store: TableStore, authSecret: Option[String] = None,
+    defaultTable: Option[String] = None) {
 
-  val engine = new QueryEngine(store)
+  val engine = new QueryEngine(store, defaultTable = defaultTable)
   private val auth = authSecret.map(new AuthService(_))
   private def authOr[T](f: AuthService => T): T =
     f(auth.getOrElse(throw new IllegalStateException("auth is not enabled")))
@@ -225,6 +228,25 @@ class ServiceFacade(store: TableStore, authSecret: Option[String] = None) {
     Health(ok = !store.spark.sparkContext.isStopped,
       tables = store.listTables().size,
       sparkActive = !store.spark.sparkContext.isStopped)
+
+  final case class Status(
+      ok: Boolean, uptimeMs: Long, tables: Seq[String],
+      sparkVersion: String, defaultParallelism: Int, executors: Int)
+
+  private val startedAt = System.currentTimeMillis()
+
+  /** GetStatus (reference node/system status verb): liveness plus the
+    * engine topology a client would introspect. */
+  def getStatus(): Status = {
+    val sc = store.spark.sparkContext
+    Status(
+      ok = !sc.isStopped,
+      uptimeMs = System.currentTimeMillis() - startedAt,
+      tables = store.listTables(),
+      sparkVersion = store.spark.version,
+      defaultParallelism = if (sc.isStopped) 0 else sc.defaultParallelism,
+      executors = if (sc.isStopped) 0 else sc.statusTracker.getExecutorInfos.length)
+  }
 
   final case class Metrics(
       totalQueries: Long, failedQueries: Long, slowQueries: Long,

@@ -79,6 +79,29 @@ class ServiceFacadeSpec extends SparkSpec {
     assert(restored.contains(cfg), s"config not restored: $restored")
   }
 
+  test("legacy 'FROM table' resolves to the configured default table") {
+    val store = new TableStore(spark, tmpDir("svc7"))
+    val svc = new ServiceFacade(store, defaultTable = Some("main_data"))
+    svc.writeData("main_data", rec("a", Map("v" -> 1)))
+    store.flush("main_data")
+    assert(svc.queryData("SELECT count(*) AS n FROM table").toOption.get == """[{"n":1}]""")
+    // mutation of the default table invalidates the alias-query cache
+    svc.writeData("main_data", rec("b", Map("v" -> 2)))
+    store.flush("main_data")
+    assert(svc.queryData("SELECT count(*) AS n FROM table").toOption.get == """[{"n":2}]""")
+    // a REAL table named 'table' wins over the alias
+    val bare = new ServiceFacade(store) // no default: unknown name fails
+    assert(bare.queryData("SELECT count(*) AS n FROM table").isLeft)
+  }
+
+  test("getStatus reports liveness and topology") {
+    val svc = new ServiceFacade(new TableStore(spark, tmpDir("svc8")))
+    svc.createTable("t")
+    val st = svc.getStatus()
+    assert(st.ok && st.tables == Seq("t") && st.sparkVersion.nonEmpty
+      && st.defaultParallelism > 0 && st.uptimeMs >= 0)
+  }
+
   test("restore discards pre-restore un-flushed rows (replaces, not merges)") {
     val store = new TableStore(spark, tmpDir("svc6"))
     val svc = new ServiceFacade(store)
