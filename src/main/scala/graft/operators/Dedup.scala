@@ -206,7 +206,14 @@ object Dedup {
     * by construction; the minhash signature path (d02), which buckets
     * on signatures rather than raw shingles, still reports them.
     * The size-ratio prefilter (j ≤ min/max ⇒ min·10 ≥ max·8 at τ=0.8)
-    * is exact-preserving and fused into the self-join. */
+    * is exact-preserving and fused into the self-join.
+    *
+    * (Measured alternative: classic prefix filtering — index only each
+    * doc's n−⌈τ·n⌉+1 rarest shingles — ran at parity at sf0.1 (the
+    * df-join + per-doc ranking window overhead cancels the 5× smaller
+    * self-join) and carries a float-arithmetic exactness trap in the
+    * prefix-length computation; its asymptotic win only materializes
+    * once the self-join dominates those two extra passes.) */
   private[operators] def ngramCandidates(sh: DataFrame, dfCap: Int): DataFrame = {
     val inv = sh.select(col("doc_id"), size(col("hs")).as("n_sh"),
       explode(col("hs")).as("h"))
