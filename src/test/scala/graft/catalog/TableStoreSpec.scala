@@ -150,6 +150,36 @@ class TableStoreSpec extends SparkSpec {
     assert(store.version("v") > v1)
   }
 
+  test("concurrent writers + flusher lose nothing (locked WAL write path)") {
+    val root = tmpDir("ts9")
+    val store = new TableStore(spark, root)
+    store.createTable("t", TableConfig(bufferSize = 10000, flushIntervalMs = Long.MaxValue))
+    val writers = 4
+    val perWriter = 25
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val fs = (0 until writers).map { w =>
+      Future {
+        (0 until perWriter).foreach { i =>
+          store.write("t", Seq(rec(s"w$w-r$i", "2024-05-01 00:00:00", Map("v" -> i))))
+          if (i % 7 == 0) store.flush("t")
+        }
+      }
+    }
+    fs.foreach(Await.result(_, 300.seconds))
+    store.flush("t")
+    val ids = store.read("t").collect().map(_.getAs[String]("id")).toSet
+    assert(ids.size == writers * perWriter,
+      s"lost ${writers * perWriter - ids.size} of ${writers * perWriter} rows")
+    // WAL fully drained after final flush
+    val walDir = new java.io.File(s"$root/t/_graft_wal")
+    assert(!walDir.exists() || walDir.listFiles().isEmpty,
+      s"WAL not drained: ${Option(walDir.listFiles()).map(_.length)}")
+    // restart sees exactly the same rows (no replay duplicates)
+    assert(new TableStore(spark, root).read("t").count() == writers * perWriter)
+  }
+
   test("un-flushed writes survive a store restart via WAL replay") {
     val root = tmpDir("ts8")
     val store = new TableStore(spark, root)
