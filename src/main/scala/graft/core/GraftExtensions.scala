@@ -36,17 +36,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectFunction((
       FunctionIdentifier("graft_minhash"),
       new ExpressionInfo(classOf[graft.functions.MinHashSigs].getName, "graft_minhash"),
-      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
-        require(exprs.length == 2 && exprs(1).foldable,
-          "graft_minhash expects (array<long>, literal numHashes)")
-        graft.functions.MinHashSigs(exprs.head, exprs(1).eval(null).toString.toInt)
-      }))
+      LshFunctions.minhashFromExprs _))
     e.injectFunction((
       FunctionIdentifier("graft_simhash"),
       new ExpressionInfo(classOf[graft.functions.SimHashSig].getName, "graft_simhash"),
-      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
-        require(exprs.length == 1, "graft_simhash expects (array<string>)")
-        graft.functions.SimHashSig(exprs.head)
-      }))
+      LshFunctions.simhashFromExprs _))
   }
 }

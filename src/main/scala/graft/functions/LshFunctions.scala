@@ -281,24 +281,41 @@ object LshFunctions {
     call_function("graft_lsh_sigs", v, lit(seed), lit(bits), lit(tables))
   }
 
+  /** Shared SQL-registry builders (used by both the session-extension
+    * registration and the per-call fallback — one validation path). */
+  def minhashFromExprs(exprs: Seq[Expression]): MinHashSigs = {
+    require(exprs.length == 2,
+      s"graft_minhash expects (array<long>, numHashes), got ${exprs.length} args")
+    MinHashSigs(exprs.head, asLongArg(exprs(1), "numHashes").toInt)
+  }
+
+  def simhashFromExprs(exprs: Seq[Expression]): SimHashSig = {
+    require(exprs.length == 1,
+      s"graft_simhash expects (array<string>), got ${exprs.length} args")
+    SimHashSig(exprs.head)
+  }
+
+  private def asLongArg(e: Expression, name: String): Long = {
+    require(e.foldable, s"$name must be a literal")
+    e.eval(null) match {
+      case l: java.lang.Long => l
+      case i: java.lang.Integer => i.toLong
+      case other => throw new IllegalArgumentException(
+        s"$name must be integral, got $other")
+    }
+  }
+
   /** All MinHash slots of a hashed-shingle array in one fused kernel. */
   def minhashSigs(spark: SparkSession, hs: Column, numHashes: Int): Column = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "graft_minhash", exprs => {
-        require(exprs.length == 2 && exprs(1).foldable,
-          "graft_minhash expects (array<long>, literal numHashes)")
-        MinHashSigs(exprs.head, exprs(1).eval(null).toString.toInt)
-      }, "built-in")
+      "graft_minhash", minhashFromExprs, "built-in")
     call_function("graft_minhash", hs, lit(numHashes))
   }
 
   /** 64-bit SimHash of a token array in one fused kernel. */
   def simhashSig(spark: SparkSession, tokens: Column): Column = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "graft_simhash", exprs => {
-        require(exprs.length == 1, "graft_simhash expects (array<string>)")
-        SimHashSig(exprs.head)
-      }, "built-in")
+      "graft_simhash", simhashFromExprs, "built-in")
     call_function("graft_simhash", tokens)
   }
 }

@@ -14,9 +14,20 @@ import graft.catalog.TableStore
   * `miniodb_service.go:624-626` / `StreamQuery` (`:1276-1377`). */
 /** @param defaultTable when set, the legacy relation name `table`
   *        resolves to this table (the reference rewrites `FROM table` to
-  *        its configured default table, `miniodb_service.go:663-681`) */
+  *        its configured default table, `miniodb_service.go:663-681`).
+  *        The alias is SESSION-scoped (it binds the session temp view
+  *        `table`): all engines on one SparkSession must agree on it —
+  *        a second engine configuring a different default throws at
+  *        construction, and engines without a default leave the owner's
+  *        alias view alone. */
 class QueryEngine(store: TableStore, cache: ResultCache = new ResultCache(),
     defaultTable: Option[String] = None) {
+
+  defaultTable.foreach { d =>
+    val prev = Option(QueryEngine.aliasDefaultFor(store.spark).putIfAbsent("table", d))
+    require(prev.forall(_ == d),
+      s"conflicting defaultTable on one SparkSession: '$d' vs '${prev.getOrElse("")}'")
+  }
 
   final case class QueryResult(df: DataFrame, tables: Seq[String])
 
@@ -43,44 +54,51 @@ class QueryEngine(store: TableStore, cache: ResultCache = new ResultCache(),
     * for a since-dropped table) is removed, so a stale view can never
     * resolve — a typo'd/dropped table fails analysis with
     * TABLE_OR_VIEW_NOT_FOUND instead of serving old data. */
-  private def plan(gated: SqlGate.Gated, sql: String, limit: Int): Either[String, QueryResult] = {
-    val (known, unknown) = gated.tables.partition(store.knownTable)
-    // stale views for since-dropped tables: drop only views WE created
-    unknown.filter(ownedViews.contains).foreach { t =>
-      store.spark.catalog.dropTempView(t); ownedViews.remove(t)
-    }
+  /** One-pass name resolution: which referenced names the store knows
+    * (each check may cost an FS listStatus, so it runs ONCE per query —
+    * the planner and the cache-key logic both consume this) and whether
+    * the legacy `table` alias applies. */
+  private final case class Resolution(known: Seq[String], unknown: Seq[String],
+      alias: Option[String]) {
+    /** Tables whose versions gate caching (alias target included: its
+      * mutations must invalidate alias-query results too). */
+    def versioned: Seq[String] = (known ++ alias).distinct
+  }
+
+  private def resolve(referenced: Seq[String]): Resolution = {
+    val (known, unknown) = referenced.partition(store.knownTable)
+    val alias = defaultTable.filter(d =>
+      unknown.contains("table") && store.knownTable(d))
+    Resolution(known, unknown, alias)
+  }
+
+  private def plan(gated: SqlGate.Gated, sql: String, limit: Int,
+      res: Resolution): Either[String, QueryResult] = {
+    // stale views for since-dropped tables: drop only views WE created —
+    // and never the session's alias view, which another engine on this
+    // session may have legitimately bound to the session-wide default
+    val aliasBound = QueryEngine.aliasDefaultFor(store.spark).containsKey("table")
+    res.unknown.filter(u => ownedViews.contains(u) && !(u == "table" && aliasBound))
+      .foreach { t => store.spark.catalog.dropTempView(t); ownedViews.remove(t) }
     scala.util.Try {
-      known.foreach { t =>
+      res.known.foreach { t =>
         store.read(t).createOrReplaceTempView(t); ownedViews.put(t, ())
       }
-      // legacy default-table alias: `FROM table` → configured default
-      defaultTable.filter(d => gated.tables.contains("table") &&
-          !store.knownTable("table") && store.knownTable(d)).foreach { d =>
+      // legacy default-table alias: `FROM table` resolves to the default
+      res.alias.foreach { d =>
         store.read(d).createOrReplaceTempView("table"); ownedViews.put("table", ())
       }
       store.spark.sql(sql)
     } match {
       case scala.util.Success(df0) =>
-        Right(QueryResult(if (limit > 0) df0.limit(limit) else df0, known))
+        Right(QueryResult(if (limit > 0) df0.limit(limit) else df0, res.known))
       case scala.util.Failure(e) => Left(s"analysis error: ${e.getMessage}")
-    }
-  }
-
-  /** Tables whose versions gate caching for a query: known referenced
-    * names, plus the default table when the legacy `table` alias will
-    * resolve to it (its mutations must invalidate those results too). */
-  private def versionedTables(referenced: Seq[String]): Seq[String] = {
-    val known = referenced.filter(store.knownTable)
-    defaultTable match {
-      case Some(d) if referenced.contains("table") &&
-          !store.knownTable("table") && store.knownTable(d) => (known :+ d).distinct
-      case _ => known
     }
   }
 
   /** Validate + plan a query DataFrame (no execution yet). */
   def query(sql: String, limit: Int = 0): Either[String, QueryResult] =
-    SqlGate.validate(store.spark, sql).flatMap(plan(_, sql, limit))
+    SqlGate.validate(store.spark, sql).flatMap(g => plan(g, sql, limit, resolve(g.tables)))
 
   /** Execute and return JSON rows (reference returns a JSON array
     * string). Result-cached keyed on exact SQL + table versions; the
@@ -90,13 +108,14 @@ class QueryEngine(store: TableStore, cache: ResultCache = new ResultCache(),
   def executeJson(sql: String, limit: Int = 0, useCache: Boolean = true): Either[String, String] =
     SqlGate.validate(store.spark, sql).flatMap { gated =>
       val eff = if (limit > 0) limit else DefaultLimit
-      val known = versionedTables(gated.tables)
+      val res = resolve(gated.tables)
+      val known = res.versioned
       val k = cache.key(sql + s"|limit=$eff", known)
       val versions = known.map(t => t -> store.version(t)).toMap
       (if (useCache && known.nonEmpty) cache.get(k, versions) else None) match {
         case Some(hit) => Right(hit)
         case None =>
-          plan(gated, sql, eff).flatMap { qr =>
+          plan(gated, sql, eff, res).flatMap { qr =>
             scala.util.Try(qr.df.toJSON.collect().mkString("[", ",", "]")) match {
               case scala.util.Success(json) =>
                 // only table-backed results are cacheable: with no known
@@ -130,7 +149,8 @@ class QueryEngine(store: TableStore, cache: ResultCache = new ResultCache(),
     if (cursor < 0 || cursor > Int.MaxValue)
       return Left(s"invalid cursor $cursor (must be in [0, ${Int.MaxValue}])")
     SqlGate.validate(store.spark, sql).flatMap { gated =>
-      val known = versionedTables(gated.tables)
+      val res = resolve(gated.tables)
+      val known = res.versioned
       val versions = known.map(t => t -> store.version(t)).toMap
       // cursor 0 opens a NEW stream: always execute fresh and replace any
       // cached snapshot — without this, a table-less query (empty version
@@ -144,7 +164,7 @@ class QueryEngine(store: TableStore, cache: ResultCache = new ResultCache(),
       val stateE: Either[String, StreamState] = cached match {
         case Some(st) => Right(st)
         case None =>
-          plan(gated, sql, MaxStreamRows).flatMap { qr =>
+          plan(gated, sql, MaxStreamRows, res).flatMap { qr =>
             scala.util.Try(qr.df.toJSON.collect()) match {
               case scala.util.Success(rows) =>
                 val st = StreamState(rows, versions)
@@ -170,6 +190,20 @@ object QueryEngine {
   private val owned = java.util.Collections.synchronizedMap(
     new java.util.WeakHashMap[org.apache.spark.sql.SparkSession,
       scala.collection.concurrent.TrieMap[String, Unit]]())
+
+  // session-wide default-table alias registry: enforces one default per
+  // session and lets non-alias engines leave the owner's view alone
+  private val aliasDefaults = java.util.Collections.synchronizedMap(
+    new java.util.WeakHashMap[org.apache.spark.sql.SparkSession,
+      java.util.concurrent.ConcurrentHashMap[String, String]]())
+
+  private[query] def aliasDefaultFor(spark: org.apache.spark.sql.SparkSession) =
+    aliasDefaults.synchronized {
+      Option(aliasDefaults.get(spark)).getOrElse {
+        val m = new java.util.concurrent.ConcurrentHashMap[String, String]()
+        aliasDefaults.put(spark, m); m
+      }
+    }
 
   private def ownedViewsFor(spark: org.apache.spark.sql.SparkSession) =
     owned.synchronized {

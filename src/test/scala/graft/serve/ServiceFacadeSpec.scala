@@ -90,8 +90,12 @@ class ServiceFacadeSpec extends SparkSpec {
     store.flush("main_data")
     assert(svc.queryData("SELECT count(*) AS n FROM table").toOption.get == """[{"n":2}]""")
     // a REAL table named 'table' wins over the alias
-    val bare = new ServiceFacade(store) // no default: unknown name fails
-    assert(bare.queryData("SELECT count(*) AS n FROM table").isLeft)
+    store.write("table", Seq(rec("x", Map("v" -> 0)),
+      rec("y", Map("v" -> 0)), rec("z", Map("v" -> 0))))
+    store.flush("table")
+    assert(svc.queryData("SELECT count(*) AS n FROM table").toOption.get == """[{"n":3}]""",
+      "real table named 'table' must shadow the alias")
+    store.dropTable("table")
   }
 
   test("getStatus reports liveness and topology") {
