@@ -75,6 +75,40 @@ class StreamingSpec extends SparkSpec {
     assert(byId("c").getAs[String]("nested").contains("\"k\":1"))
   }
 
+  test("dynamic JSON path and DynRecord batch path produce the same table") {
+    // the two ingest front doors share the dynamic-schema rules — the
+    // same logical records must land identically through either
+    import graft.ingest.DynRecord
+    val records = Seq(
+      ("r1", "2024-02-01T08:00:00.000Z", Map[String, Any]("num" -> 1.5, "s" -> "x")),
+      ("r2", "2024-02-02T09:30:00.000Z", Map[String, Any]("num" -> 2.0, "flag" -> true)))
+
+    val storeA = new TableStore(spark, tmpDir("xpathA"))
+    storeA.write("t", records.map { case (id, ts, p) =>
+      DynRecord(id, java.sql.Timestamp.from(java.time.Instant.parse(ts)), p)
+    })
+    storeA.flush("t")
+
+    val storeB = new TableStore(spark, tmpDir("xpathB"))
+    val src = tmpDir("xpath-src")
+    Files.writeString(Paths.get(src, "b.json"), records.map { case (id, ts, p) =>
+      val fields = p.map {
+        case (k, v: String) => s""""$k":"$v""""
+        case (k, v) => s""""$k":$v"""
+      }.mkString(",")
+      s"""{"id":"$id","timestamp":"$ts",$fields}"""
+    }.mkString("\n"))
+    new StreamingIngest(storeB)
+      .startDynamicJsonIngest("t", src, tmpDir("xpath-ckpt"))
+      .awaitTermination(60000)
+
+    def snap(s: TableStore) = s.read("t")
+      .select("id", "timestamp", "num", "s", "flag", "date")
+      .orderBy("id").collect().map(_.toSeq).toSeq
+    assert(snap(storeA) == snap(storeB),
+      s"paths diverge:\nbatch=${snap(storeA)}\nstream=${snap(storeB)}")
+  }
+
   test("checkpoint makes re-run exactly-once (no duplicate ingestion)") {
     val root = tmpDir("stream2")
     val src = tmpDir("stream2-src")
