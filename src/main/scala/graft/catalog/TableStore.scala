@@ -283,8 +283,18 @@ class TableStore(val spark: SparkSession, val root: String) {
     val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val seg = new org.apache.hadoop.fs.Path(dir,
       f"w-${System.currentTimeMillis()}%013d-${walSeq.incrementAndGet()}%06d.bin")
-    val out = new java.io.ObjectOutputStream(fs.create(seg, true))
-    try { out.writeObject(records.toVector) } finally out.close()
+    val fsOut = fs.create(seg, true)
+    val out = new java.io.ObjectOutputStream(fsOut)
+    try {
+      out.writeObject(records.toVector)
+      out.flush()
+      // sync to stable storage before acknowledging (the reference WAL
+      // fsyncs appends, `wal.go`): hsync where the stream supports it
+      // (HDFS, RawLocal); streams without Syncable support degrade to
+      // hflush → process-crash durability only (e.g. LocalFileSystem's
+      // checksummed stream buffers client-side)
+      try fsOut.hsync() catch { case _: UnsupportedOperationException => fsOut.hflush() }
+    } finally out.close()
     seg
   }
 
@@ -320,7 +330,9 @@ class TableStore(val spark: SparkSession, val root: String) {
 
   /** Buffered write; flushes when the table's buffer-size trigger fires
     * or `flushIntervalMs` has elapsed since the last flush. Durable
-    * before return: the batch is WAL-appended, then buffered. Runs under
+    * before return: the batch is WAL-appended (hsync'd where the
+    * filesystem supports Syncable — machine-crash durable there,
+    * process-crash durable otherwise), then buffered. Runs under
     * the table mutation lock — a write straddling a wholesale storage
     * replacement (restore) would otherwise land its WAL segment under
     * the about-to-be-deleted path while its buffered rows leaked past

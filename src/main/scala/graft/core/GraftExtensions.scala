@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
 
-import graft.functions.{DotProduct, FieldEncryption, LshFunctions}
+import graft.functions.{DotProduct, LshFunctions}
 
 /** Session extensions: the production registration path for graft's
   * custom Catalyst expressions — installed once at session build
@@ -29,10 +29,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("graft_lsh_sigs"),
       new ExpressionInfo(classOf[graft.functions.HyperplaneSigs].getName, "graft_lsh_sigs"),
       LshFunctions.fromExprs _))
-    e.injectFunction((
-      FunctionIdentifier("graft_secret_key"),
-      new ExpressionInfo(classOf[graft.functions.SecretKeyBytes].getName, "graft_secret_key"),
-      FieldEncryption.secretKeyFromExprs _))
+    // graft_secret_key is deliberately ABSENT from this registry: a
+    // SQL-callable key accessor would let any SELECT-level principal
+    // exfiltrate raw AES key bytes (ids are sequential) or decrypt
+    // encrypted columns inline. FieldEncryption builds the key Column
+    // directly from the SecretKeyBytes expression instead.
     e.injectFunction((
       FunctionIdentifier("graft_minhash"),
       new ExpressionInfo(classOf[graft.functions.MinHashSigs].getName, "graft_minhash"),

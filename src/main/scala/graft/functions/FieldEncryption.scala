@@ -1,6 +1,6 @@
 package graft.functions
 
-import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.catalyst.expressions.LeafExpression
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode, FalseLiteral}
 import org.apache.spark.sql.catalyst.expressions.codegen.Block._
@@ -61,26 +61,16 @@ case class SecretKeyBytes(keyId: Long) extends LeafExpression {
   * never as plan literals. */
 object FieldEncryption {
 
-  /** Expression builder for the `graft_secret_key` registry entry. */
-  def secretKeyFromExprs(
-      exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]): SecretKeyBytes = {
-    require(exprs.length == 1 && exprs.head.foldable,
-      "graft_secret_key expects one literal key id")
-    exprs.head.eval(null) match {
-      case l: java.lang.Long => SecretKeyBytes(l)
-      case i: java.lang.Integer => SecretKeyBytes(i.toLong)
-      case other => throw new IllegalArgumentException(s"bad key id: $other")
-    }
-  }
-
-  /** Session-local registration fallback for non-GraftSession sessions
-    * (GraftExtensions registers `graft_secret_key` at session build). */
-  def register(spark: SparkSession): Unit =
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "graft_secret_key", secretKeyFromExprs, "built-in")
-
+  /** Key column built directly from the expression — deliberately NOT
+    * registered in any SQL function registry: a registry entry would let
+    * any principal with SELECT access (SqlGate blocks only mutations and
+    * qualified names, not functions) read raw key bytes with
+    * `SELECT graft_secret_key(id)` over the trivially-enumerable
+    * sequential key ids, or decrypt encrypted columns inline. The
+    * expression is reachable only from this code path. */
   private def keyExpr(key: String): Column =
-    call_function("graft_secret_key", lit(SecretKeys.idFor(key)))
+    org.apache.spark.sql.graft.ColumnBridge.column(
+      SecretKeyBytes(SecretKeys.idFor(key)))
 
   def encryptCol(c: Column, key: String, mode: String = "GCM"): Column =
     base64(aes_encrypt(c.cast("string").cast("binary"), keyExpr(key), lit(mode)))

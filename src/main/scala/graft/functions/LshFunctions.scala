@@ -143,10 +143,14 @@ case class MinHashSigs(child: Expression, numHashes: Int) extends UnaryExpressio
     val mins = Array.fill(numHashes)(Long.MaxValue)
     var d = 0
     while (d < n) {
-      val h = v.getLong(d)
+      // null shingle element: xxhash64 SKIPS null inputs, so the composed
+      // form's hash is just the folded seed — matching that (instead of
+      // reading the undefined slot) keeps the claimed bit-identity with
+      // array_min(transform(hs, h => xxhash64(lit(i), h)))
+      val isNull = v.isNullAt(d)
       var i = 0
       while (i < numHashes) {
-        val x = XXH64.hashLong(h, seeds(i))
+        val x = if (isNull) seeds(i) else XXH64.hashLong(v.getLong(d), seeds(i))
         if (x < mins(i)) mins(i) = x
         i += 1
       }
@@ -173,9 +177,11 @@ case class MinHashSigs(child: Expression, numHashes: Int) extends UnaryExpressio
          |  long[] $mins = new long[$numHashes];
          |  java.util.Arrays.fill($mins, Long.MAX_VALUE);
          |  for (int $d = 0; $d < $n; $d++) {
-         |    long $h = $v.getLong($d);
+         |    boolean ${h}Null = $v.isNullAt($d);
+         |    long $h = ${h}Null ? 0L : $v.getLong($d);
          |    for (int $i = 0; $i < $numHashes; $i++) {
-         |      long $x = org.apache.spark.sql.catalyst.expressions.XXH64.hashLong($h, $seedsRef[$i]);
+         |      long $x = ${h}Null ? $seedsRef[$i]
+         |        : org.apache.spark.sql.catalyst.expressions.XXH64.hashLong($h, $seedsRef[$i]);
          |      if ($x < $mins[$i]) $mins[$i] = $x;
          |    }
          |  }

@@ -129,58 +129,65 @@ class QueryEngine(store: TableStore, cache: ResultCache = new ResultCache(),
       }
     }
 
-  // Materialized stream snapshots for cursor pagination, LRU-bounded.
-  // Keyed by SQL text + table versions: all cursors over one stream page
-  // the SAME snapshot (stable pagination — a mutation mid-stream starts
-  // a fresh snapshot at the next stream, not mid-page), and the query
-  // executes ONCE, not once per page (the offset/limit-per-page
-  // formulation re-ran the whole plan for every page — O(pages × query)).
-  private final case class StreamState(rows: Array[String], versions: Map[String, Long])
-  private val streams = new java.util.LinkedHashMap[String, StreamState](16, 0.75f, true) {
+  // Materialized stream snapshots for cursor pagination, LRU-bounded and
+  // keyed by an OPAQUE per-stream id (allocated at cursor 0, carried in
+  // the cursor's high 32 bits). Keying by SQL text let a second client
+  // opening the same SQL at cursor 0 replace another client's snapshot
+  // mid-stream, after which the first client's later cursors silently
+  // re-executed — for queries without a total ORDER BY the fresh
+  // snapshot may order differently, duplicating or dropping rows. With
+  // per-stream ids, each stream pages its own immutable point-in-time
+  // snapshot (the query executes ONCE, like the reference's materialized
+  // StreamQuery) and an evicted stream is an explicit error, never a
+  // silent re-execution.
+  private val streams = new java.util.LinkedHashMap[Long, Array[String]](32, 0.75f, true) {
     override def removeEldestEntry(
-        e: java.util.Map.Entry[String, StreamState]): Boolean = size > 8
+        e: java.util.Map.Entry[Long, Array[String]]): Boolean = size > 16
   }
+  private val nextStreamId = new java.util.concurrent.atomic.AtomicLong(0)
+
+  private def packCursor(sid: Long, offset: Int): Long = (sid << 32) | offset.toLong
 
   /** Cursor pagination for server-streaming results (StreamQuery):
-    * executes the plan once into a capped snapshot (`MaxStreamRows`),
-    * returns `pageSize` rows from `cursor` plus the next cursor (-1 when
-    * exhausted). Subsequent pages are pure driver-side slices. */
+    * cursor 0 opens a stream — executes the plan once into a capped
+    * snapshot (`MaxStreamRows`) under a fresh opaque stream id — and
+    * every returned cursor encodes that id, so later pages are pure
+    * driver-side slices of the SAME snapshot (-1 = exhausted). A cursor
+    * for an evicted/unknown stream fails explicitly; clients restart at
+    * cursor 0. */
   def executePage(sql: String, cursor: Long, pageSize: Int): Either[String, (Array[String], Long)] = {
-    if (cursor < 0 || cursor > Int.MaxValue)
-      return Left(s"invalid cursor $cursor (must be in [0, ${Int.MaxValue}])")
+    if (cursor < 0)
+      return Left(s"invalid cursor $cursor")
     SqlGate.validate(store.spark, sql).flatMap { gated =>
-      val res = resolve(gated.tables)
-      val known = res.versioned
-      val versions = known.map(t => t -> store.version(t)).toMap
-      // cursor 0 opens a NEW stream: always execute fresh and replace any
-      // cached snapshot — without this, a table-less query (empty version
-      // map, never invalidated) would freeze a volatile result like
-      // current_timestamp() across logically separate streams. Later
-      // cursors reuse the snapshot (intra-stream row stability), with the
-      // version check still invalidating on table mutations.
-      val cached =
-        if (cursor == 0) None
-        else streams.synchronized(Option(streams.get(sql))).filter(_.versions == versions)
-      val stateE: Either[String, StreamState] = cached match {
-        case Some(st) => Right(st)
-        case None =>
-          plan(gated, sql, MaxStreamRows, res).flatMap { qr =>
-            scala.util.Try(qr.df.toJSON.collect()) match {
-              case scala.util.Success(rows) =>
-                val st = StreamState(rows, versions)
-                streams.synchronized(streams.put(sql, st))
-                Right(st)
-              case scala.util.Failure(e) => Left(s"execution error: ${e.getMessage}")
-            }
+      if (cursor == 0) {
+        val res = resolve(gated.tables)
+        plan(gated, sql, MaxStreamRows, res).flatMap { qr =>
+          scala.util.Try(qr.df.toJSON.collect()) match {
+            case scala.util.Success(rows) =>
+              // sid stays in [1, 2^31): positive cursors, no offset overlap
+              val sid = nextStreamId.updateAndGet(s => (s % (Int.MaxValue - 1)) + 1)
+              streams.synchronized(streams.put(sid, rows))
+              Right(slicePage(sid, rows, 0, pageSize))
+            case scala.util.Failure(e) => Left(s"execution error: ${e.getMessage}")
           }
-      }
-      stateE.map { st =>
-        val from = cursor.toInt
-        val page = st.rows.slice(from, from + pageSize)
-        if (from + pageSize < st.rows.length) (page, cursor + pageSize)
-        else (page, -1L)
+        }
+      } else {
+        val sid = cursor >>> 32
+        val from = (cursor & 0xFFFFFFFFL).toInt
+        streams.synchronized(Option(streams.get(sid))) match {
+          case Some(rows) => Right(slicePage(sid, rows, from, pageSize))
+          case None => Left(
+            s"unknown or expired stream cursor $cursor — restart at cursor 0")
+        }
       }
     }
+  }
+
+  private def slicePage(sid: Long, rows: Array[String], from: Int,
+      pageSize: Int): (Array[String], Long) = {
+    val page = rows.slice(from, from + pageSize)
+    if (from + pageSize < rows.length) (page, packCursor(sid, from + pageSize))
+    else (page, -1L)
   }
 
   def cacheStats: (Long, Long, Int, Long) = cache.stats

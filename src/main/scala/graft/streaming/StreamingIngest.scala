@@ -182,17 +182,25 @@ class StreamingIngest(store: TableStore) {
           val sparkB = batch.sparkSession
           import sparkB.implicits._
           val parsed = sparkB.read.json(batch.select("value").as[String])
-          val dated = store.conformDynamicBatch(table, parsed)
-          val sid = streamId(checkpoint)
-          commitBatch(table, sid, batchId, dated,
-            legacySids = Seq(legacyStreamId(checkpoint)))
-          dated.select(
-            lit("INSERT").as("op"),
-            col("id"),
-            col("timestamp"),
-            lit(batchId).as("batch_id"),
-            lit(CdcLog.nextEmittedAt()).as("emitted_at")) // shared CDC clock
-            .write.mode("overwrite").parquet(s"${cdcPath(table)}/$sid-b$batchId")
+          // the table lock must span schema conformance AND the commit:
+          // conformDynamicBatch can widen a conflicting column, which
+          // rewrites the whole table (migrateColumnsToString's partition
+          // delete→rename swap) — interleaving that with a concurrent
+          // mutation/compaction rewrite loses rows. Reentrant, so
+          // commitBatch's own lock acquisition stays safe.
+          store.withTableLock(table) {
+            val dated = store.conformDynamicBatch(table, parsed)
+            val sid = streamId(checkpoint)
+            commitBatch(table, sid, batchId, dated,
+              legacySids = Seq(legacyStreamId(checkpoint)))
+            dated.select(
+              lit("INSERT").as("op"),
+              col("id"),
+              col("timestamp"),
+              lit(batchId).as("batch_id"),
+              lit(CdcLog.nextEmittedAt()).as("emitted_at")) // shared CDC clock
+              .write.mode("overwrite").parquet(s"${cdcPath(table)}/$sid-b$batchId")
+          }
         }
         ()
       }

@@ -79,6 +79,25 @@ class PlanSpec extends SparkSpec {
       assert(!p.contains(key), s"AES key leaked into plan rendering:\n$p"))
   }
 
+  test("graft_secret_key is NOT SQL-callable (no key exfiltration via SELECT)") {
+    import graft.functions.FieldEncryption._
+    import spark.implicits._
+    // exercise the encryption path first so at least one key id exists
+    val df = Seq(("u1", "alice@example.com")).toDF("id", "email")
+    decryptFields(encryptFields(df, Seq("email"), "0123456789abcdef"),
+      Seq("email"), "0123456789abcdef").collect()
+    // a SELECT-level principal must not be able to read raw key bytes:
+    // the function is absent from every registry (session extensions
+    // inject only the data kernels), so analysis fails
+    val ex = intercept[Exception] {
+      spark.sql("SELECT graft_secret_key(1)").collect()
+    }
+    assert(ex.getMessage.toLowerCase.contains("unresolved")
+      || ex.getMessage.contains("UNRESOLVED_ROUTINE")
+      || ex.getMessage.toLowerCase.contains("cannot resolve"),
+      s"expected unresolved-function failure, got: ${ex.getMessage}")
+  }
+
   test("ts predicates push to the raw nanos parquet column (NanosTimePushdown)") {
     graft.core.Tables.registerAll(spark, Sf0001)
     // the reference's b01 shape: time-windowed count over events

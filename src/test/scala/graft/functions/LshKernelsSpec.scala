@@ -30,6 +30,27 @@ class LshKernelsSpec extends SparkSpec {
     }
   }
 
+  test("MinHashSigs matches the composed form on null shingle elements") {
+    import spark.implicits._
+    val n = 16
+    // containsNull=true arrays: xxhash64 SKIPS a null arg, so the
+    // composed hash for a null element is the folded seed alone — the
+    // kernel must reproduce that, not read an undefined slot
+    val data = Seq(
+      (1L, Seq[Option[Long]](Some(7L), None, Some(99L))),
+      (2L, Seq[Option[Long]](None)),
+      (3L, Seq[Option[Long]](None, None, Some(-3L)))).toDF("id", "hs")
+    val kernel = data.select(col("id"),
+      LshFunctions.minhashSigs(spark, col("hs"), n).as("ms"))
+      .orderBy("id").collect().map(r => r.getSeq[Any](1).toSeq)
+    val composed = data.select(col("id") +: (0 until n).map(i =>
+      array_min(transform(col("hs"), h => xxhash64(lit(i), h))).as(s"m$i")): _*)
+      .orderBy("id").collect().map(r => (1 to n).map(i => r.get(i)))
+    kernel.zip(composed).foreach { case (ks, cs) =>
+      assert(ks == cs.toSeq, s"kernel=$ks composed=$cs")
+    }
+  }
+
   test("SimHashSig == explode + 64 bit-sum aggregate formulation") {
     import spark.implicits._
     val data = Seq(

@@ -143,9 +143,31 @@ class QueryEngineSpec extends SparkSpec {
     val (_, engine) = freshEngine()
     val sql = "SELECT id FROM users ORDER BY id"
     val Right((page1, c1)) = engine.executePage(sql, 0, 2): @unchecked
-    assert(page1.length == 2 && c1 == 2)
+    assert(page1.length == 2 && c1 > 0) // opaque cursor: sid<<32 | offset
     val Right((page2, c2)) = engine.executePage(sql, c1, 2): @unchecked
     assert(page2.length == 1 && c2 == -1L)
+  }
+
+  test("concurrent streams over the same SQL page independent snapshots") {
+    val (_, engine) = freshEngine()
+    val sql = "SELECT id FROM users ORDER BY id"
+    // client A opens a stream, then client B opens a second stream with
+    // the IDENTICAL SQL — A's later cursors must keep paging A's snapshot
+    val Right((pa1, ca1)) = engine.executePage(sql, 0, 1): @unchecked
+    val Right((pb1, cb1)) = engine.executePage(sql, 0, 1): @unchecked
+    assert(ca1 != cb1, "two streams must get distinct opaque cursors")
+    val Right((pa2, _)) = engine.executePage(sql, ca1, 1): @unchecked
+    val Right((pb2, _)) = engine.executePage(sql, cb1, 1): @unchecked
+    assert(pa1.sameElements(pb1) && pa2.sameElements(pb2))
+    assert(!pa2.sameElements(pa1), "page 2 must advance past page 1")
+  }
+
+  test("an evicted/unknown stream cursor fails explicitly, not by re-executing") {
+    val (_, engine) = freshEngine()
+    // a cursor carrying a stream id that was never allocated
+    val bogus = (1234567L << 32) | 1L
+    val res = engine.executePage("SELECT id FROM users ORDER BY id", bogus, 2)
+    assert(res.isLeft && res.swap.exists(_.contains("expired")), s"got $res")
   }
 
   test("pagination executes the query once (later pages run zero jobs)") {
