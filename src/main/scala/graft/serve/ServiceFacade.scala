@@ -47,6 +47,10 @@ class ServiceFacade(store: TableStore, authSecret: Option[String] = None,
     authOr(_.refresh(refreshTok))
 
   def revokeToken(token: String): Either[String, Unit] = authOr(_.revoke(token))
+
+  /** Whether the auth verbs are enabled (transport layers gate requests
+    * on this — reference `auth.enabled` config). */
+  def authEnabled: Boolean = auth.isDefined
   private val mutations = new Mutations(store)
   private val compactor = new Compaction(store)
 
@@ -99,6 +103,10 @@ class ServiceFacade(store: TableStore, authSecret: Option[String] = None,
 
   def deleteData(table: String, id: String): Long =
     mutations.deleteById(table, id)
+
+  /** Purge rows whose id is empty/blank (reference
+    * `POST /v1/data/cleanup-empty-ids`). */
+  def cleanupEmptyIds(table: String): Long = mutations.cleanupEmptyIds(table)
 
   def createTable(table: String, config: TableConfig = TableConfig()): Unit =
     store.createTable(table, config)

@@ -1,0 +1,152 @@
+package graft.serve
+
+import java.net.URI
+import java.net.http.{HttpClient, HttpRequest, HttpResponse}
+
+import graft.SparkSpec
+import graft.catalog.TableStore
+
+/** Drives the REST transport over real loopback HTTP — the routes, the
+  * JSON codecs, and the bearer-auth gate, end to end against a live
+  * [[ServiceFacade]]. */
+class RestServerSpec extends SparkSpec {
+
+  private val client = HttpClient.newHttpClient()
+
+  private def send(port: Int, method: String, path: String, body: String = "",
+      token: Option[String] = None): (Int, String) = {
+    val b = HttpRequest.newBuilder(URI.create(s"http://127.0.0.1:$port$path"))
+      .header("Content-Type", "application/json")
+    token.foreach(t => b.header("Authorization", s"Bearer $t"))
+    val req = (method match {
+      case "GET" => b.GET()
+      case "DELETE" if body.isEmpty => b.DELETE()
+      case m => b.method(m, HttpRequest.BodyPublishers.ofString(body))
+    }).build()
+    val resp = client.send(req, HttpResponse.BodyHandlers.ofString())
+    (resp.statusCode(), resp.body())
+  }
+
+  private def withServer(authSecret: Option[String] = None)(
+      f: (Int, ServiceFacade) => Unit): Unit = {
+    val facade = new ServiceFacade(new TableStore(spark, tmpDir("rest")), authSecret)
+    val srv = new RestServer(facade)
+    val port = srv.start()
+    try f(port, facade) finally srv.stop()
+  }
+
+  test("write → query → update → delete over HTTP") {
+    withServer() { (port, _) =>
+      val (wc, wb) = send(port, "POST", "/v1/data",
+        """{"table":"users","record":{"id":"u1",
+          |"timestamp":"2024-01-01T00:00:00Z",
+          |"payload":{"name":"ann","score":9.5}}}""".stripMargin)
+      assert(wc == 200 && wb.contains("\"u1\""), s"$wc $wb")
+      val (qc, qb) = send(port, "POST", "/v1/query",
+        """{"sql":"SELECT id, name, score FROM users"}""")
+      assert(qc == 200 && qb == """[{"id":"u1","name":"ann","score":9.5}]""", s"$qc $qb")
+      val (uc, ub) = send(port, "PUT", "/v1/data",
+        """{"table":"users","record":{"id":"u1",
+          |"timestamp":"2024-01-01 00:00:00","payload":{"name":"ann2"}}}""".stripMargin)
+      assert(uc == 200 && ub.contains("\"updated\":1"), s"$uc $ub")
+      val (dc, db) = send(port, "DELETE", "/v1/data?table=users&id=u1")
+      assert(dc == 200 && db.contains("\"deleted\":1"), s"$dc $db")
+    }
+  }
+
+  test("stream-query pages through cursors over HTTP") {
+    withServer() { (port, _) =>
+      (1 to 5).foreach { i =>
+        send(port, "POST", "/v1/data",
+          s"""{"table":"t","record":{"id":"r$i","timestamp":1704067200000,
+             |"payload":{"i":$i}}}""".stripMargin)
+      }
+      val (c1, b1) = send(port, "POST", "/v1/stream-query",
+        """{"sql":"SELECT id FROM t ORDER BY id","page_size":2}""")
+      assert(c1 == 200, s"$c1 $b1")
+      val cursor = """"next_cursor":(-?\d+)""".r.findFirstMatchIn(b1).get.group(1).toLong
+      assert(cursor > 0 && b1.contains("\"r1\"") && b1.contains("\"r2\""))
+      val (c2, b2) = send(port, "POST", "/v1/stream-query",
+        s"""{"sql":"SELECT id FROM t ORDER BY id","cursor":$cursor,"page_size":2}""")
+      assert(c2 == 200 && b2.contains("\"r3\"") && b2.contains("\"r4\""), s"$c2 $b2")
+    }
+  }
+
+  test("table lifecycle + health + status + metrics routes") {
+    withServer() { (port, _) =>
+      assert(send(port, "POST", "/v1/tables",
+        """{"table":"cfg","config":{"id_strategy":"custom:ord","buffer_size":99}}""")._1 == 201)
+      val (gc, gb) = send(port, "GET", "/v1/tables/cfg")
+      assert(gc == 200 && gb.contains("\"custom:ord\"") && gb.contains("\"buffer_size\":99"))
+      val (lc, lb) = send(port, "GET", "/v1/tables")
+      assert(lc == 200 && lb.contains("\"cfg\""))
+      assert(send(port, "GET", "/v1/tables/absent")._1 == 404)
+      assert(send(port, "DELETE", "/v1/tables/cfg")._1 == 200)
+      val (hc, hb) = send(port, "GET", "/v1/health")
+      assert(hc == 200 && hb.contains("\"ok\":true"))
+      val (sc2, sb) = send(port, "GET", "/v1/status")
+      assert(sc2 == 200 && sb.contains("\"spark_version\""))
+      val (mc, mb) = send(port, "GET", "/v1/metrics")
+      assert(mc == 200 && mb.contains("\"total_queries\""))
+      assert(send(port, "GET", "/v1/nope")._1 == 404)
+    }
+  }
+
+  test("backup/restore/metadata routes round-trip") {
+    withServer() { (port, _) =>
+      val dest = tmpDir("rest-backup")
+      send(port, "POST", "/v1/data",
+        """{"table":"b","record":{"id":"keep","timestamp":1704067200000,
+          |"payload":{"v":1}}}""".stripMargin)
+      val (bc, bb) = send(port, "POST", "/v1/metadata/backup",
+        s"""{"table":"b","dest":"$dest"}""")
+      assert(bc == 200 && bb.contains("\"files\""), s"$bc $bb")
+      val (lc, lb) = send(port, "GET", s"/v1/metadata/backups?dest=$dest")
+      assert(lc == 200 && lb.contains("\"b\""))
+      val (sc2, sb) = send(port, "GET", s"/v1/metadata/status?dest=$dest&table=b")
+      assert(sc2 == 200 && sb.contains("\"has_metadata\":true"), s"$sc2 $sb")
+      send(port, "DELETE", "/v1/data?table=b&id=keep")
+      val (rc, _) = send(port, "POST", "/v1/metadata/restore",
+        s"""{"table":"b","from":"$dest"}""")
+      assert(rc == 200)
+      val (qc, qb) = send(port, "POST", "/v1/query",
+        """{"sql":"SELECT count(*) AS n FROM b"}""")
+      assert(qc == 200 && qb == """[{"n":1}]""", s"$qc $qb")
+    }
+  }
+
+  test("bearer auth gates data routes; auth verbs issue/refresh/revoke") {
+    withServer(Some("rest-secret-0123456789abcdef")) { (port, _) =>
+      // no token → 401; health stays open
+      assert(send(port, "GET", "/v1/tables")._1 == 401)
+      assert(send(port, "GET", "/v1/health")._1 == 200)
+      val (tc, tb) = send(port, "POST", "/v1/auth/token", """{"subject":"alice"}""")
+      assert(tc == 200, s"$tc $tb")
+      val access = """"access_token":"([^"]+)"""".r.findFirstMatchIn(tb).get.group(1)
+      val refresh = """"refresh_token":"([^"]+)"""".r.findFirstMatchIn(tb).get.group(1)
+      // valid token passes
+      assert(send(port, "GET", "/v1/tables", token = Some(access))._1 == 200)
+      // garbage token fails
+      assert(send(port, "GET", "/v1/tables", token = Some("garbage"))._1 == 401)
+      // refresh issues a fresh pair
+      val (rc, rb) = send(port, "POST", "/v1/auth/refresh",
+        s"""{"refresh_token":"$refresh"}""")
+      assert(rc == 200 && rb.contains("access_token"), s"$rc $rb")
+      // revoke the original access token → subsequent use fails
+      assert(send(port, "DELETE", "/v1/auth/token", token = Some(access))._1 == 200)
+      assert(send(port, "GET", "/v1/tables", token = Some(access))._1 == 401)
+    }
+  }
+
+  test("malformed requests are 400s with an error body, not 500s") {
+    withServer() { (port, _) =>
+      val (c1, b1) = send(port, "POST", "/v1/query", """{"no_sql":true}""")
+      assert(c1 == 400 && b1.contains("error"), s"$c1 $b1")
+      val (c2, _) = send(port, "POST", "/v1/data", "")
+      assert(c2 == 400)
+      val (c3, b3) = send(port, "POST", "/v1/query",
+        """{"sql":"DROP TABLE users"}""")
+      assert(c3 == 400 && b3.contains("error"), s"$c3 $b3") // gate rejects non-SELECT
+    }
+  }
+}
