@@ -83,6 +83,10 @@ object SparkEntry {
     // multimodal plumbing (stubbed decode, real batching: rows-only)
     "m01_multimodal_features" ->
       ((s, dir) => graft.multimodal.Multimodal.featureSummary(s, dir)),
+    // real JDK codecs (ImageIO PNG / sampled-audio WAV) over synthesized
+    // containers; video stays stub — no JDK video codec (rows-only)
+    "m02_media_decode" ->
+      ((s, dir) => graft.multimodal.Multimodal.decodeSummary(s, dir)),
   )
 
   /** DuckDB-runnable equivalents (same parquet tables registered under

@@ -1,0 +1,125 @@
+package graft.multimodal
+
+import java.awt.image.BufferedImage
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
+
+import javax.imageio.ImageIO
+import javax.sound.sampled.AudioSystem
+
+/** Real media codecs over the JDK's built-in decoders — no external
+  * libraries: `javax.imageio` reads PNG/JPEG/BMP/GIF/WBMP and
+  * `javax.sound.sampled` reads WAV/AIFF/AU PCM. Video has no JDK codec,
+  * so frame decode stays a declared stub ([[Multimodal.decodeStub]]);
+  * everything else here decodes actual bytes.
+  *
+  * All functions are executor-side pure (no shared mutable state):
+  * ImageIO's disk cache is disabled per call so partitions never
+  * contend on temp files. */
+object MediaCodecs {
+
+  final case class ImageInfo(width: Int, height: Int,
+      lumaHistogram: Array[Double], meanLuma: Double)
+
+  final case class AudioInfo(sampleRate: Int, channels: Int, frames: Long,
+      durationS: Double, rms: Double, peak: Double)
+
+  /** Decode an encoded image (PNG/JPEG/BMP/GIF). Returns None for bytes
+    * no installed reader accepts — a corrupt cell must degrade to a null
+    * row, not fail the partition. */
+  def decodeImage(bytes: Array[Byte]): Option[ImageInfo] = {
+    if (bytes == null || bytes.isEmpty) None
+    else {
+      // ImageIO.read closes the stream it wraps — no finally needed
+      val img = ImageIO.read(new ByteArrayInputStream(bytes))
+      if (img == null) None
+      else {
+        val (w, h) = (img.getWidth, img.getHeight)
+        val hist = new Array[Double](8)
+        var sum = 0.0
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val rgb = img.getRGB(x, y)
+            // ITU-R BT.601 integer luma
+            val luma = (((rgb >> 16) & 0xFF) * 299 + ((rgb >> 8) & 0xFF) * 587 +
+              (rgb & 0xFF) * 114) / 1000
+            hist(luma >> 5) += 1.0
+            sum += luma
+            x += 1
+          }
+          y += 1
+        }
+        val n = (w.toLong * h).toDouble
+        Some(ImageInfo(w, h, hist.map(_ / n), sum / n))
+      }
+    }
+  }
+
+  /** Re-encode an image resized to `w`×`h` (PNG out). Bilinear-quality
+    * Graphics2D scale — the real resize a training pipeline runs before
+    * feature extraction. None when the input doesn't decode. */
+  def resizeImage(bytes: Array[Byte], w: Int, h: Int): Option[Array[Byte]] = {
+    require(w > 0 && h > 0, s"bad target size ${w}x$h")
+    val src = ImageIO.read(new ByteArrayInputStream(bytes))
+    if (src == null) None
+    else {
+      val dst = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+      val g = dst.createGraphics()
+      try {
+        g.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
+          java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+        g.drawImage(src, 0, 0, w, h, null)
+      } finally g.dispose()
+      val out = new ByteArrayOutputStream()
+      ImageIO.write(dst, "png", out)
+      Some(out.toByteArray)
+    }
+  }
+
+  /** Decode a WAV/AIFF/AU container to PCM stats: sample rate, channels,
+    * frame count, duration, RMS and peak of the normalized signal
+    * (16-bit PCM; 8-bit falls back to byte-domain). None for bytes the
+    * audio system can't read. */
+  def decodeAudio(bytes: Array[Byte]): Option[AudioInfo] = {
+    if (bytes == null || bytes.isEmpty) return None
+    scala.util.Try {
+      val ais = AudioSystem.getAudioInputStream(new ByteArrayInputStream(bytes))
+      try {
+        val fmt = ais.getFormat
+        val frames = ais.getFrameLength
+        val data = ais.readAllBytes()
+        val bits = fmt.getSampleSizeInBits
+        var sumSq = 0.0
+        var peak = 0.0
+        var n = 0
+        if (bits == 16) {
+          val order =
+            if (fmt.isBigEndian) java.nio.ByteOrder.BIG_ENDIAN
+            else java.nio.ByteOrder.LITTLE_ENDIAN
+          val sb = java.nio.ByteBuffer.wrap(data).order(order).asShortBuffer()
+          n = sb.remaining()
+          var i = 0
+          while (i < n) {
+            val v = sb.get(i) / 32768.0
+            sumSq += v * v
+            if (math.abs(v) > peak) peak = math.abs(v)
+            i += 1
+          }
+        } else {
+          n = data.length
+          var i = 0
+          while (i < n) {
+            val v = ((data(i) & 0xFF) - 128) / 128.0
+            sumSq += v * v
+            if (math.abs(v) > peak) peak = math.abs(v)
+            i += 1
+          }
+        }
+        AudioInfo(fmt.getSampleRate.toInt, fmt.getChannels, frames,
+          if (fmt.getSampleRate > 0) frames / fmt.getSampleRate.toDouble else 0.0,
+          if (n == 0) 0.0 else math.sqrt(sumSq / n), peak)
+      } finally ais.close()
+    }.toOption
+  }
+}

@@ -1,8 +1,88 @@
 package graft.multimodal
 
+import java.awt.image.BufferedImage
+import java.io.ByteArrayOutputStream
+
+import javax.imageio.ImageIO
+import javax.sound.sampled.{AudioFileFormat, AudioFormat, AudioInputStream, AudioSystem}
+
 import graft.SparkSpec
 
 class MultimodalSpec extends SparkSpec {
+
+  /** Encode a deterministic w×h gradient as PNG bytes. */
+  private def pngBytes(w: Int, h: Int): Array[Byte] = {
+    val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w) {
+      val v = (x * 255 / math.max(w - 1, 1)) & 0xFF
+      img.setRGB(x, y, (v << 16) | (v << 8) | v)
+    }
+    val out = new ByteArrayOutputStream()
+    ImageIO.write(img, "png", out)
+    out.toByteArray
+  }
+
+  /** Encode a 16-bit mono PCM sine at `hz` as a WAV container. */
+  private def wavBytes(hz: Double, rate: Float, seconds: Double): Array[Byte] = {
+    val n = (rate * seconds).toInt
+    val pcm = new Array[Byte](n * 2)
+    for (i <- 0 until n) {
+      val s = (math.sin(2 * math.Pi * hz * i / rate) * 0.5 * 32767).toInt.toShort
+      pcm(2 * i) = (s & 0xFF).toByte
+      pcm(2 * i + 1) = ((s >> 8) & 0xFF).toByte
+    }
+    val fmt = new AudioFormat(rate, 16, 1, true, false)
+    val ais = new AudioInputStream(new java.io.ByteArrayInputStream(pcm), fmt, n.toLong)
+    val out = new ByteArrayOutputStream()
+    AudioSystem.write(ais, AudioFileFormat.Type.WAVE, out)
+    out.toByteArray
+  }
+
+  test("real image decode: dims, luma histogram, resize round-trip (JDK ImageIO)") {
+    val png = pngBytes(32, 16)
+    val info = MediaCodecs.decodeImage(png).get
+    assert(info.width == 32 && info.height == 16)
+    assert(math.abs(info.lumaHistogram.sum - 1.0) < 1e-9)
+    // a 0→255 gradient spreads mass across all 8 luma bins
+    assert(info.lumaHistogram.count(_ > 0) == 8, info.lumaHistogram.toSeq)
+    val small = MediaCodecs.resizeImage(png, 8, 4).get
+    val re = MediaCodecs.decodeImage(small).get
+    assert(re.width == 8 && re.height == 4)
+    // resize preserves gross brightness (bilinear average of a gradient)
+    assert(math.abs(re.meanLuma - info.meanLuma) < 16.0, s"${re.meanLuma} vs ${info.meanLuma}")
+    // JPEG through the same decoder
+    val jimg = new BufferedImage(10, 10, BufferedImage.TYPE_INT_RGB)
+    val jout = new ByteArrayOutputStream(); ImageIO.write(jimg, "jpg", jout)
+    assert(MediaCodecs.decodeImage(jout.toByteArray).get.width == 10)
+    assert(MediaCodecs.decodeImage("not an image".getBytes).isEmpty)
+  }
+
+  test("real audio decode: WAV rate/duration/RMS/peak (JDK sampled audio)") {
+    val wav = wavBytes(hz = 440.0, rate = 8000f, seconds = 0.5)
+    val a = MediaCodecs.decodeAudio(wav).get
+    assert(a.sampleRate == 8000 && a.channels == 1)
+    assert(math.abs(a.durationS - 0.5) < 0.01, a.durationS)
+    // sine at amplitude 0.5: RMS = 0.5/√2 ≈ 0.354, peak ≈ 0.5
+    assert(math.abs(a.rms - 0.3536) < 0.01, a.rms)
+    assert(math.abs(a.peak - 0.5) < 0.01, a.peak)
+    assert(MediaCodecs.decodeAudio("not audio".getBytes).isEmpty)
+  }
+
+  test("extractDecoded: real codecs in the partition-batch path, stub fallback flagged") {
+    import spark.implicits._
+    val rows = Seq(
+      Multimodal.MediaRecord(1L, "image", pngBytes(20, 10), 0, 0, 0),
+      Multimodal.MediaRecord(2L, "audio", wavBytes(220.0, 8000f, 0.25), 0, 0, 0),
+      Multimodal.MediaRecord(3L, "video", "fake-video-bytes".getBytes, 0, 0, 16000),
+      Multimodal.MediaRecord(4L, "image", "corrupt!".getBytes, 0, 0, 0))
+    val out = Multimodal.extractDecoded(spark, rows.toDF())
+      .collect().sortBy(_.media_id)
+    assert(out(0).decoded && out(0).width == 20 && out(0).height == 10)
+    assert(out(1).decoded && out(1).sample_rate == 8000 &&
+      math.abs(out(1).duration_s - 0.25) < 0.01)
+    assert(!out(2).decoded && out(2).features.length == 8) // video → declared stub
+    assert(!out(3).decoded) // corrupt image degrades per-row, not per-partition
+  }
 
   test("media frame: binary content + typed metadata, 3 modalities") {
     val media = Multimodal.fromDocuments(spark, Sf0001)
@@ -33,6 +113,18 @@ class MultimodalSpec extends SparkSpec {
     val rows = frames.collect()
     assert(rows.nonEmpty)
     assert(rows.forall(_.getAs[Array[Byte]]("frame").length <= 32))
+  }
+
+  test("decodeSummary: synthesized PNG/WAV rows all decode, video stays stub") {
+    val rows = Multimodal.decodeSummary(spark, Sf0001).collect()
+    assert(rows.map(_.getString(0)).toSeq == Seq("audio", "image", "video"))
+    val byMod = rows.map(r => r.getString(0) -> r).toMap
+    // every synthesized image/audio container decodes with the REAL codec
+    assert(byMod("image").getAs[Long]("n_decoded") == byMod("image").getAs[Long]("n"))
+    assert(byMod("audio").getAs[Long]("n_decoded") == byMod("audio").getAs[Long]("n"))
+    assert(byMod("video").getAs[Long]("n_decoded") == 0)
+    assert(byMod("image").getAs[Double]("avg_width") == 16.0)
+    assert(byMod("audio").getAs[Double]("avg_rate") == 8000.0)
   }
 
   test("feature summary aggregates per modality") {
