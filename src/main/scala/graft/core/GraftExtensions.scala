@@ -42,5 +42,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("graft_simhash"),
       new ExpressionInfo(classOf[graft.functions.SimHashSig].getName, "graft_simhash"),
       LshFunctions.simhashFromExprs _))
+    e.injectFunction((
+      FunctionIdentifier("graft_shingles"),
+      new ExpressionInfo(classOf[graft.functions.HashedShingles].getName, "graft_shingles"),
+      LshFunctions.shinglesFromExprs _))
   }
 }

@@ -111,6 +111,75 @@ case class HyperplaneSigs(child: Expression, seed: Long, bits: Int, tables: Int)
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
+/** Shared row-kernel for [[HashedShingles]] — one static entry point
+  * used by both interpreted eval and codegen (the generated code calls
+  * it, keeping the surrounding operators inside whole-stage codegen
+  * without inlining a large loop body). */
+object ShingleKernel {
+  private val Space = org.apache.spark.unsafe.types.UTF8String.fromString(" ")
+
+  /** Distinct 64-bit hashes of word k-shingles of a token array —
+    * value-identical to the composition
+    * `transform(array_distinct(transform(sequence(...), i =>
+    * array_join(slice(toks, i, k), " "))), xxhash64)`: same shingle
+    * strings (space-joined, null tokens skipped like array_join), same
+    * xxhash64 seed, same first-occurrence order. The only divergence is
+    * a 2⁻⁶⁴-probability hash collision between distinct shingles (the
+    * composition would keep both longs, this dedupes on the hash). */
+  def hashedShingles(toks: ArrayData, k: Int): ArrayData = {
+    val n = toks.numElements()
+    if (n < k) return new GenericArrayData(Array.emptyLongArray)
+    val seen = new java.util.LinkedHashSet[java.lang.Long]()
+    val parts = new Array[org.apache.spark.unsafe.types.UTF8String](k)
+    var i = 0
+    while (i <= n - k) {
+      var j = 0
+      while (j < k) {
+        parts(j) = if (toks.isNullAt(i + j)) null else toks.getUTF8String(i + j)
+        j += 1
+      }
+      val sh = org.apache.spark.unsafe.types.UTF8String.concatWs(Space, parts: _*)
+      seen.add(XXH64.hashUTF8String(sh, 42L))
+      i += 1
+    }
+    val out = new Array[Long](seen.size)
+    var p = 0
+    val it = seen.iterator()
+    while (it.hasNext) { out(p) = it.next(); p += 1 }
+    new GenericArrayData(out)
+  }
+}
+
+/** Distinct hashed word k-shingles of a token array in ONE fused pass —
+  * output `array<long>`. Replaces a 4-layer interpreted HOF chain
+  * (shingle transform → array_join → array_distinct → hash transform)
+  * that materialized every shingle STRING and ran boxed lambda calls
+  * per element; this builds each shingle once, hashes it, and dedupes
+  * longs — the dominant map stage of both the MinHash and the n-gram
+  * dedup plans. */
+case class HashedShingles(child: Expression, k: Int) extends UnaryExpression {
+
+  require(k >= 1, s"k must be >= 1, got $k")
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(org.apache.spark.sql.types.StringType, _) =>
+      TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"graft_shingles expects array<string>, got $t")
+  }
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_shingles"
+
+  override def nullSafeEval(a: Any): Any =
+    ShingleKernel.hashedShingles(a.asInstanceOf[ArrayData], k)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, v =>
+      s"${ev.value} = graft.functions.ShingleKernel.hashedShingles($v, $k);")
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 /** All `numHashes` MinHash signature slots in one fused pass — output
   * `array<long>`, element i = min over the input 64-bit shingle hashes
   * of permutation i. Bit-identical to the expression-composed form
@@ -285,6 +354,19 @@ object LshFunctions {
   def lshSigs(spark: SparkSession, v: Column, seed: Long, bits: Int, tables: Int): Column = {
     register(spark)
     call_function("graft_lsh_sigs", v, lit(seed), lit(bits), lit(tables))
+  }
+
+  def shinglesFromExprs(exprs: Seq[Expression]): HashedShingles = {
+    require(exprs.length == 2,
+      s"graft_shingles expects (array<string>, k), got ${exprs.length} args")
+    HashedShingles(exprs.head, asLongArg(exprs(1), "k").toInt)
+  }
+
+  /** Distinct hashed k-shingles of a token array, one fused kernel. */
+  def hashedShingles(spark: SparkSession, toks: Column, k: Int): Column = {
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_shingles", shinglesFromExprs, "built-in")
+    call_function("graft_shingles", toks, lit(k))
   }
 
   /** Shared SQL-registry builders (used by both the session-extension

@@ -1,5 +1,7 @@
 package graft.index
 
+import org.apache.hadoop.fs.Path
+
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -12,42 +14,142 @@ import graft.functions.TextFunctions
   * the QUERY form only (array-membership predicate over a scan); this is
   * the materialized index.
   *
-  * Layout: `(token, id)` pairs under `<root>/_index/<table>/`,
-  * repartitioned BY TOKEN and token-sorted within files — a term lookup
-  * prunes to the one partition file whose min/max token range covers
-  * the term (footer stats + dictionary filtering), instead of scanning
-  * the corpus. At 100 TB the index is the standard sub-linear path for
-  * selective terms; the scan form stays right for dense terms.
+  * Layout: `(token, id)` pairs under `<root>/_index/<table>/date=…/`,
+  * mirroring the table's date partitioning, token-repartitioned and
+  * token-sorted within files — a term lookup prunes to the files whose
+  * min/max token range covers the term (footer stats + dictionary
+  * filtering), instead of scanning the corpus. At 100 TB the index is
+  * the standard sub-linear path for selective terms; the scan form
+  * stays right for dense terms.
   *
-  * Freshness: the build records the table's mutation version; [[isFresh]]
-  * compares against the live version and [[searchFresh]] rebuilds before
-  * serving when stale (the reference updates its index synchronously on
-  * write; rebuilding on version change is the batch-engine equivalent —
-  * an incremental refresh would diff per-partition versions). */
+  * Freshness is INCREMENTAL at date-partition granularity: the build
+  * records a per-date fingerprint of the table's data files; [[refresh]]
+  * re-indexes only dates whose fingerprint changed (one Spark job over
+  * the changed dates, landed via dynamic partition overwrite) and drops
+  * index partitions for dates that disappeared (retention). A 100-TB
+  * table appending one day of data re-indexes one day, not the corpus —
+  * the batch-engine equivalent of the reference's synchronous per-write
+  * index update. [[build]] remains the full rebuild. */
 class InvertedIndex(store: TableStore) {
 
   private def spark = store.spark
+  private def hconf = spark.sparkContext.hadoopConfiguration
 
   def indexPath(table: String): String = s"${store.root}/_index/$table"
 
   private def versionFile(table: String) =
-    new org.apache.hadoop.fs.Path(indexPath(table), "_built_version")
+    new Path(indexPath(table), "_built_version")
 
-  /** Build (or rebuild) the index for `table`'s `textCol`. */
+  private def manifestFile(table: String) =
+    new Path(indexPath(table), "_date_manifest")
+
+  /** Per-date fingerprint of the table's storage: file names + lengths
+    * (rename-in commits and partition swaps both change the list). */
+  private def dateFingerprints(table: String): Map[String, String] = {
+    val tp = new Path(store.tablePath(table))
+    val fs = tp.getFileSystem(hconf)
+    if (!fs.exists(tp)) Map.empty
+    else fs.listStatus(tp).filter(_.getPath.getName.startsWith("date=")).map { st =>
+      val files = fs.listStatus(st.getPath)
+        .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+        .map(f => s"${f.getPath.getName}:${f.getLen}").sorted.mkString("|")
+      val digest = java.security.MessageDigest.getInstance("SHA-256")
+        .digest(files.getBytes("UTF-8")).take(12).map(b => f"$b%02x").mkString
+      st.getPath.getName.stripPrefix("date=") -> digest
+    }.toMap
+  }
+
+  private def writeMeta(table: String, fps: Map[String, String]): Unit = {
+    val fs = versionFile(table).getFileSystem(hconf)
+    val mo = fs.create(manifestFile(table), true)
+    mo.write(fps.toSeq.sorted.map { case (d, f) => s"$d=$f" }
+      .mkString("\n").getBytes("UTF-8"))
+    mo.close()
+    val vo = fs.create(versionFile(table), true)
+    vo.write(store.version(table).toString.getBytes("UTF-8")); vo.close()
+  }
+
+  private def readManifest(table: String): Option[Map[String, String]] = {
+    val p = manifestFile(table)
+    val fs = p.getFileSystem(hconf)
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      val txt = try new String(
+        org.apache.hadoop.io.IOUtils.readFullyToByteArray(in), "UTF-8")
+      finally in.close()
+      Some(txt.linesIterator.flatMap(_.split("=", 2) match {
+        case Array(d, f) => Some(d -> f); case _ => None
+      }).toMap)
+    }
+  }
+
+  /** `(id, token, date)` rows for the given dates (None = all). */
+  private def indexRows(table: String, textCol: String, idCol: String,
+      dates: Option[Seq[String]]): DataFrame = {
+    val base = store.storageDf(table)
+    val scoped = dates match {
+      case Some(ds) => base.filter(col("date").isin(ds: _*)) // partition-pruned scan
+      case None => base
+    }
+    scoped.select(col(idCol).as("id"), col("date"),
+        explode(array_distinct(TextFunctions.tokens(col(textCol)))).as("token"))
+      // token-clustered files within each output date partition: rows
+      // arrive token-partitioned and (date, token)-sorted, and the
+      // writer splits them per date value
+      .repartition(col("token"))
+      .sortWithinPartitions(col("date"), col("token"))
+      .select(col("token"), col("id"), col("date"))
+  }
+
+  /** Full build (or rebuild) of the index for `table`'s `textCol`. */
   def build(table: String, textCol: String = "text", idCol: String = "id"): Unit =
     store.withTableLock(table) {
-      val version = store.version(table)
-      InvertedIndex.buildFrame(
-        spark, store.read(table), idCol, textCol, indexPath(table))
-      val fs = versionFile(table).getFileSystem(spark.sparkContext.hadoopConfiguration)
-      val out = fs.create(versionFile(table), true)
-      out.write(version.toString.getBytes("UTF-8")); out.close()
+      store.flush(table) // index covers everything written so far
+      indexRows(table, textCol, idCol, None)
+        .write.mode("overwrite").partitionBy("date").parquet(indexPath(table))
+      writeMeta(table, dateFingerprints(table))
     }
+
+  final case class RefreshStats(rebuilt: Seq[String], removed: Seq[String],
+      unchanged: Int)
+
+  /** Incremental refresh: re-index only the date partitions whose data
+    * files changed since the recorded manifest (landed via dynamic
+    * partition overwrite — untouched index partitions are not
+    * rewritten), drop index partitions for dates the table no longer
+    * has. Falls back to a full [[build]] when no manifest exists. */
+  def refresh(table: String, textCol: String = "text",
+      idCol: String = "id"): RefreshStats = store.withTableLock(table) {
+    store.flush(table)
+    readManifest(table) match {
+      case None =>
+        build(table, textCol, idCol)
+        RefreshStats(dateFingerprints(table).keys.toSeq.sorted, Nil, 0)
+      case Some(recorded) =>
+        val current = dateFingerprints(table)
+        val changed = current.collect {
+          case (d, fp) if !recorded.get(d).contains(fp) => d
+        }.toSeq.sorted
+        val removed = (recorded.keySet -- current.keySet).toSeq.sorted
+        val fs = versionFile(table).getFileSystem(hconf)
+        removed.foreach { d =>
+          fs.delete(new Path(indexPath(table), s"date=$d"), true)
+        }
+        if (changed.nonEmpty)
+          indexRows(table, textCol, idCol, Some(changed))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic") // replace ONLY changed dates
+            .partitionBy("date").parquet(indexPath(table))
+        writeMeta(table, current)
+        RefreshStats(changed, removed, current.size - changed.size)
+    }
+  }
 
   /** Does the persisted index match the table's current version? */
   def isFresh(table: String): Boolean = {
     val p = versionFile(table)
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val fs = p.getFileSystem(hconf)
     fs.exists(p) && {
       val in = fs.open(p)
       val txt = try new String(
@@ -66,21 +168,22 @@ class InvertedIndex(store: TableStore) {
   def search(table: String, terms: Seq[String], requireAll: Boolean = false): DataFrame =
     store.read(table).join(lookup(table, terms, requireAll), Seq("id"), "left_semi")
 
-  /** [[search]] with rebuild-on-stale. */
+  /** [[search]] with incremental refresh-on-stale. */
   def searchFresh(table: String, terms: Seq[String],
       requireAll: Boolean = false, textCol: String = "text"): DataFrame = {
-    if (!isFresh(table)) build(table, textCol)
+    if (!isFresh(table)) refresh(table, textCol)
     search(table, terms, requireAll)
   }
 }
 
 object InvertedIndex {
 
-  /** Build an index for any frame: distinct `(token, id)` pairs,
-    * token-clustered. Tokens follow the engine's tokenizer
-    * ([[TextFunctions.tokens]] — the same rule every text operator and
-    * the t06 scan-form search use, so index answers match scan answers
-    * bit-for-bit). */
+  /** Build a FLAT index for any frame at a path: distinct `(token, id)`
+    * pairs, token-clustered (no date partitioning — for corpora outside
+    * a TableStore, e.g. the t07 documents index). Tokens follow the
+    * engine's tokenizer ([[TextFunctions.tokens]] — the same rule every
+    * text operator and the t06 scan-form search use, so index answers
+    * match scan answers bit-for-bit). */
   def buildFrame(spark: SparkSession, df: DataFrame, idCol: String,
       textCol: String, path: String): Unit =
     df.select(col(idCol).as("id"),

@@ -39,16 +39,14 @@ object Dedup {
       .select(col("fp"), col("keep_id"), col("n_copies"))
       .orderBy(col("keep_id"))
 
-  private def shingleSets(s: SparkSession, dir: String): DataFrame =
-    Tables.load(s, dir, "documents")
-      // materialize the token array in its own projection so the split
-      // isn't re-inlined into the shingle lambda (per-element re-split)
-      .select(col("doc_id"), tokens(col("text")).as("w"))
-      .select(col("doc_id"), shinglesFromTokens(col("w"), ShingleK).as("sh"))
-
   /** Distinct shingles as 64-bit hashes — the working representation for
     * signatures, inverted-index joins AND exact verification (8-byte
-    * elements instead of ~20-byte strings; collisions ~2⁻⁶⁴).
+    * elements instead of ~20-byte strings; collisions ~2⁻⁶⁴). One fused
+    * codegen kernel ([[graft.functions.HashedShingles]]) does
+    * shingle→join→distinct→hash in a single pass per row — the 4-layer
+    * HOF composition it replaced ran interpreted boxed lambdas per
+    * element and materialized every shingle string (value-equivalence
+    * pinned in LshKernelsSpec).
     *
     * Materialized via localCheckpoint: every consumer uses this frame
     * 2–3 times (self-joins, signature + verify) and Spark recomputes
@@ -56,8 +54,9 @@ object Dedup {
     * expensive map stage here (measured 3.5× end-to-end win). At cluster
     * scale the equivalent is a persisted/cached shingle table. */
   private def hashedShingleSets(s: SparkSession, dir: String): DataFrame =
-    shingleSets(s, dir)
-      .select(col("doc_id"), transform(col("sh"), x => xxhash64(x)).as("hs"))
+    Tables.load(s, dir, "documents")
+      .select(col("doc_id"),
+        graft.functions.LshFunctions.hashedShingles(s, tokens(col("text")), ShingleK).as("hs"))
       .localCheckpoint(true)
 
   /** Candidate pairs from equal-width bucket join, skew-bounded.

@@ -51,6 +51,30 @@ class LshKernelsSpec extends SparkSpec {
     }
   }
 
+  test("HashedShingles == shingle/array_join/array_distinct/xxhash64 composition") {
+    import spark.implicits._
+    val k = 3
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "a a a a a a"), // heavy duplication → distinct matters
+      (3L, "one two"), // shorter than k → empty
+      (4L, ""),
+      (5L, "alpha beta gamma delta alpha beta gamma delta")).toDF("id", "text")
+    val toks = split(col("text"), " ")
+    val kernel = docs.select(col("id"),
+      LshFunctions.hashedShingles(spark, toks, k).as("hs"))
+      .orderBy("id").collect().map(_.getSeq[Long](1).toSeq)
+    val composed = docs
+      .select(col("id"), toks.as("w"))
+      .select(col("id"),
+        graft.functions.TextFunctions.shinglesFromTokens(col("w"), k).as("sh"))
+      .select(col("id"), transform(col("sh"), x => xxhash64(x)).as("hs"))
+      .orderBy("id").collect().map(_.getSeq[Long](1).toSeq)
+    kernel.zip(composed).foreach { case (ks, cs) =>
+      assert(ks == cs, s"kernel=$ks composed=$cs")
+    }
+  }
+
   test("SimHashSig == explode + 64 bit-sum aggregate formulation") {
     import spark.implicits._
     val data = Seq(

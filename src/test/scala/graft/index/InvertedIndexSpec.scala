@@ -48,6 +48,69 @@ class InvertedIndexSpec extends SparkSpec {
     assert(idx.isFresh("t"))
   }
 
+  test("incremental refresh re-indexes only changed date partitions") {
+    val store = new TableStore(spark, tmpDir("idx4"))
+    def recAt(id: String, date: String, text: String) =
+      DynRecord(id, Timestamp.valueOf(s"$date 00:00:00"), Map("text" -> text))
+    store.write("t", Seq(
+      recAt("a", "2024-01-01", "alpha beta"),
+      recAt("b", "2024-01-02", "gamma delta")))
+    store.flush("t")
+    val idx = new InvertedIndex(store)
+    idx.build("t")
+    val fs = new org.apache.hadoop.fs.Path(idx.indexPath("t"))
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def dateDirModTime(d: String): Long = {
+      val p = new org.apache.hadoop.fs.Path(idx.indexPath("t"), s"date=$d")
+      fs.listStatus(p).filter(_.isFile).map(_.getModificationTime).max
+    }
+    val day1Before = dateDirModTime("2024-01-01")
+    Thread.sleep(1100) // FS modtime granularity can be 1s
+    // append to day 2 and add day 3 — day 1 untouched
+    store.write("t", Seq(
+      recAt("c", "2024-01-02", "delta epsilon"),
+      recAt("d", "2024-01-03", "zeta")))
+    val stats = idx.refresh("t") // flushes internally
+    assert(stats.rebuilt == Seq("2024-01-02", "2024-01-03"), stats)
+    assert(stats.removed.isEmpty && stats.unchanged == 1, stats)
+    // the unchanged date partition's files were NOT rewritten
+    assert(dateDirModTime("2024-01-01") == day1Before,
+      "unchanged date partition was rewritten")
+    assert(idx.isFresh("t"))
+    def ids(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.getAs[String]("id")).toSet
+    assert(ids(idx.search("t", Seq("delta"))) == Set("b", "c"))
+    assert(ids(idx.search("t", Seq("zeta"))) == Set("d"))
+    assert(ids(idx.search("t", Seq("alpha"))) == Set("a"))
+    // no-op refresh touches nothing
+    val stats2 = idx.refresh("t")
+    assert(stats2.rebuilt.isEmpty && stats2.unchanged == 3, stats2)
+  }
+
+  test("refresh drops index partitions for dates removed by retention") {
+    val store = new TableStore(spark, tmpDir("idx5"))
+    def recAt(id: String, date: String, text: String) =
+      DynRecord(id, Timestamp.valueOf(s"$date 00:00:00"), Map("text" -> text))
+    store.write("t", Seq(
+      recAt("old", "2020-01-01", "ancient words"),
+      recAt("new", "2024-06-01", "fresh words")))
+    store.flush("t")
+    val idx = new InvertedIndex(store)
+    idx.build("t")
+    // retention purge of the old date, then refresh
+    store.setConfig("t", graft.ingest.TableConfig(retentionDays = 30))
+    val muts = new graft.mutate.Mutations(store)
+    muts.applyRetention("t", java.time.LocalDate.parse("2024-06-10"))
+    val stats = idx.refresh("t")
+    assert(stats.removed == Seq("2020-01-01"), stats)
+    val fs = new org.apache.hadoop.fs.Path(idx.indexPath("t"))
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(
+      idx.indexPath("t"), "date=2020-01-01")))
+    val hits = idx.search("t", Seq("words")).collect().map(_.getAs[String]("id")).toSet
+    assert(hits == Set("new"))
+  }
+
   test("term lookup pushes the token filter into the index scan") {
     val store = new TableStore(spark, tmpDir("idx3"))
     store.write("t", Seq(rec("a", "x y z"), rec("b", "p q r")))
