@@ -67,6 +67,9 @@ object SparkEntry {
     "t05_curation"        -> (TextAnalysis.curation _),
     "t06_text_search"     -> (TextAnalysis.textSearch _),
     "t07_indexed_search"  -> (TextAnalysis.indexedSearch _),
+    "t08_pii_redaction"   -> (TextAnalysis.piiRedaction _),
+    "t09_decontamination" -> (TextAnalysis.decontaminate _),
+    "t10_repetition"      -> (TextAnalysis.repetition _),
     // training-data pipeline: deduplication
     "d01_dedup_exact"     -> (Dedup.exact _),
     "d02_minhash_lsh"     -> (Dedup.minhashLsh _),
@@ -345,6 +348,45 @@ object SparkEntry {
         |   OR (list_contains(string_split(text,' '), 'spark')
         |       AND list_contains(string_split(text,' '), 'window'))
         |ORDER BY doc_id""".stripMargin,
+    // regexes are written in the Java∩RE2 common subset; DuckDB needs
+    // the 'g' flag for replace-all (Spark replaces all by default)
+    "t08_pii_redaction" ->
+      """WITH aug AS (
+        | SELECT doc_id,
+        |  CASE WHEN doc_id % 7 = 0
+        |   THEN text || ' contact user' || doc_id || '@example.com ip 10.0.'
+        |        || (doc_id % 256) || '.' || (doc_id % 100)
+        |   ELSE text END AS aug
+        | FROM documents)
+        |SELECT doc_id,
+        | len(regexp_extract_all(aug, '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}')) AS n_emails,
+        | len(regexp_extract_all(aug, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS n_ips,
+        | md5(regexp_replace(
+        |   regexp_replace(aug, '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}', '<EMAIL>', 'g'),
+        |   '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g')) AS redacted_fp
+        |FROM aug ORDER BY doc_id""".stripMargin,
+    "t09_decontamination" ->
+      """WITH sh AS (
+        | SELECT doc_id,
+        |  list_distinct([w[i]||' '||w[i+1]||' '||w[i+2]||' '||w[i+3]||' '||w[i+4]
+        |                 for i in range(1, len(w)-3)]) AS sh
+        | FROM (SELECT doc_id, string_split(text,' ') AS w FROM documents)),
+        |bench AS (SELECT DISTINCT unnest(sh) AS h FROM sh WHERE doc_id % 23 = 0),
+        |tr AS (SELECT doc_id, unnest(sh) AS h FROM sh WHERE doc_id % 23 <> 0)
+        |SELECT tr.doc_id, count(*) AS n_shared
+        |FROM tr JOIN bench USING (h)
+        |GROUP BY tr.doc_id
+        |ORDER BY doc_id""".stripMargin,
+    "t10_repetition" ->
+      """WITH g AS (
+        | SELECT doc_id, greatest(len(w)-2, 0) AS n_grams,
+        |  len(list_distinct([w[i]||' '||w[i+1]||' '||w[i+2]
+        |                     for i in range(1, len(w)-1)])) AS n_distinct
+        | FROM (SELECT doc_id, string_split(text,' ') AS w FROM documents))
+        |SELECT doc_id, n_grams, n_distinct,
+        | round(CAST(1 AS DOUBLE) - CAST(n_distinct AS DOUBLE)/CAST(n_grams AS DOUBLE), 4)
+        |  AS rep_ratio
+        |FROM g WHERE n_grams > 0 ORDER BY doc_id""".stripMargin,
     "d01_dedup_exact" ->
       """SELECT md5(lower(trim(text))) AS fp, min(doc_id) AS keep_id,
         | count(*) AS n_copies

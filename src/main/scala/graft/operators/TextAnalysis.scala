@@ -109,6 +109,74 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
+  // PII patterns chosen to mean the same thing in Java regex (Spark) and
+  // RE2 (DuckDB oracle): character classes, bounded repetition, \b — no
+  // backrefs or lookaround (RE2 has neither).
+  private val EmailRe = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+  private val IpRe = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+
+  /** PII redaction — scrub emails and IPs from document text, reporting
+    * per-doc match counts and the redacted-content fingerprint. The
+    * corpus is synthetic and PII-free, so every 7th doc is DETERMINISTICALLY
+    * augmented with derived PII first (both engines build the identical
+    * augmented text — the redaction path has real work at every SF).
+    * Pure codegen expressions: one scan, no shuffle. */
+  def piiRedaction(s: SparkSession, dir: String): DataFrame = {
+    val aug = when(col("doc_id") % 7 === 0,
+      concat(col("text"),
+        lit(" contact user"), col("doc_id").cast("string"),
+        lit("@example.com ip 10.0."), (col("doc_id") % 256).cast("string"),
+        lit("."), (col("doc_id") % 100).cast("string")))
+      .otherwise(col("text"))
+    Tables.load(s, dir, "documents")
+      .select(col("doc_id"), aug.as("aug"))
+      .select(
+        col("doc_id"),
+        size(regexp_extract_all(col("aug"), lit(EmailRe), lit(0))).cast("long").as("n_emails"),
+        size(regexp_extract_all(col("aug"), lit(IpRe), lit(0))).cast("long").as("n_ips"),
+        md5(regexp_replace(
+          regexp_replace(col("aug"), EmailRe, "<EMAIL>"),
+          IpRe, "<IP>").cast("binary")).as("redacted_fp"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Benchmark decontamination — flag training docs sharing any word
+    * 5-gram with the benchmark/eval set (deterministic stand-in: every
+    * 23rd doc). The benchmark shingle UNION is distinct'd and BROADCAST —
+    * eval suites are small by nature, so at 100 TB the training corpus
+    * streams one codegen'd hash-probe pass, no shuffle of the corpus
+    * side; output is per-doc shared-shingle counts. Shingle hashing uses
+    * the same fused kernel as dedup ([[graft.functions.HashedShingles]]). */
+  def decontaminate(s: SparkSession, dir: String): DataFrame = {
+    val sh = Tables.load(s, dir, "documents")
+      .select(col("doc_id"),
+        graft.functions.LshFunctions.hashedShingles(s, tokens(col("text")), 5).as("hs"))
+    val bench = sh.filter(col("doc_id") % 23 === 0)
+      .select(explode(col("hs")).as("h")).distinct()
+    val train = sh.filter(col("doc_id") % 23 =!= 0)
+      .select(col("doc_id"), explode(col("hs")).as("h"))
+    train.join(broadcast(bench), Seq("h"))
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_shared"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Intra-document repetition score: 1 − distinct/total word 3-grams —
+    * the boilerplate/looping-text gate every curation pipeline runs.
+    * One scan, pure expressions (the fused shingle kernel provides the
+    * distinct count without materializing shingle strings). */
+  def repetition(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "documents")
+      .select(col("doc_id"), tokens(col("text")).as("w"))
+      .select(col("doc_id"),
+        greatest(size(col("w")) - 2, lit(0)).cast("long").as("n_grams"),
+        size(graft.functions.LshFunctions.hashedShingles(s, col("w"), 3))
+          .cast("long").as("n_distinct"))
+      .filter(col("n_grams") > 0)
+      .select(col("doc_id"), col("n_grams"), col("n_distinct"),
+        round(lit(1.0) - col("n_distinct").cast("double") / col("n_grams").cast("double"), 4)
+          .as("rep_ratio"))
+      .orderBy(col("doc_id"))
+
   /** Content fingerprints: md5 (exact-dup key) + order-sensitive rolling
     * hash (cheap near-identity check for shifted content). */
   def fingerprints(s: SparkSession, dir: String): DataFrame =

@@ -73,6 +73,59 @@ class PipelineOpsSpec extends SparkSpec {
       s"expected only the planted pair, got ${cands.size} candidates")
   }
 
+  test("pii redaction: augmented docs lose their email/ip, clean docs untouched") {
+    import org.apache.spark.sql.functions._
+    val out = TextAnalysis.piiRedaction(spark, Sf001)
+    val rows = out.collect()
+    val aug = rows.filter(_.getAs[Long]("doc_id") % 7 == 0)
+    val clean = rows.filter(_.getAs[Long]("doc_id") % 7 != 0)
+    assert(aug.nonEmpty && aug.forall(r =>
+      r.getAs[Long]("n_emails") == 1 && r.getAs[Long]("n_ips") == 1), "augmented docs must match exactly once each")
+    assert(clean.forall(r => r.getAs[Long]("n_emails") == 0))
+    // the redacted fingerprint of a clean doc equals md5 of its raw text
+    val raw = graft.core.Tables.load(spark, Sf001, "documents")
+      .filter(col("doc_id") % 7 =!= 0)
+      .select(col("doc_id"), md5(col("text").cast("binary")).as("fp")).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("fp")).toMap
+    clean.foreach(r =>
+      assert(r.getAs[String]("redacted_fp") == raw(r.getAs[Long]("doc_id"))))
+  }
+
+  test("decontamination probes the corpus against a BROADCAST benchmark set") {
+    val df = TextAnalysis.decontaminate(spark, Sf001)
+    val rows = df.collect()
+    assert(rows.forall(_.getAs[Long]("n_shared") >= 1))
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"benchmark set must broadcast (corpus side streams):\n$plan")
+  }
+
+  test("repetition ratio is 0 for all-distinct 3-grams and high for loops") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // planted frame through the same expressions the query uses
+    val docs = Seq(
+      (1L, "a b c d e f g"), // all distinct 3-grams → 0
+      (2L, Seq.fill(50)("spam ham").mkString(" ")) // 2 distinct / 98 grams
+    ).toDF("doc_id", "text")
+    val out = docs
+      .select(col("doc_id"), graft.functions.TextFunctions.tokens(col("text")).as("w"))
+      .select(col("doc_id"),
+        greatest(size(col("w")) - 2, lit(0)).cast("long").as("n_grams"),
+        size(graft.functions.LshFunctions.hashedShingles(spark, col("w"), 3))
+          .cast("long").as("n_distinct"))
+      .withColumn("rep_ratio",
+        round(lit(1.0) - col("n_distinct").cast("double") / col("n_grams").cast("double"), 4))
+      .collect().map(r => r.getLong(0) -> r.getAs[Double]("rep_ratio")).toMap
+    assert(out(1L) == 0.0)
+    assert(out(2L) > 0.9, s"looping text must score high, got ${out(2L)}")
+    // and the corpus query returns sane bounds
+    val corpus = TextAnalysis.repetition(spark, Sf001).collect()
+    assert(corpus.nonEmpty && corpus.forall { r =>
+      val x = r.getAs[Double]("rep_ratio"); x >= 0.0 && x < 1.0
+    })
+  }
+
   test("embedding LSH near-dup equals the brute-force pair set (recall 1.0)") {
     import org.apache.spark.sql.functions._
     import graft.functions.VectorFunctions
