@@ -217,9 +217,10 @@ case class MinHashSigs(child: Expression, numHashes: Int) extends UnaryExpressio
       // reading the undefined slot) keeps the claimed bit-identity with
       // array_min(transform(hs, h => xxhash64(lit(i), h)))
       val isNull = v.isNullAt(d)
+      val h = if (isNull) 0L else v.getLong(d) // hoisted: read once per element
       var i = 0
       while (i < numHashes) {
-        val x = if (isNull) seeds(i) else XXH64.hashLong(v.getLong(d), seeds(i))
+        val x = if (isNull) seeds(i) else XXH64.hashLong(h, seeds(i))
         if (x < mins(i)) mins(i) = x
         i += 1
       }

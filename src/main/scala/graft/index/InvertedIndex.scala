@@ -84,12 +84,22 @@ class InvertedIndex(store: TableStore) {
     }
   }
 
-  /** `(id, token, date)` rows for the given dates (None = all). */
+  private val HiveDefaultPartition = "__HIVE_DEFAULT_PARTITION__"
+
+  /** `(id, token, date)` rows for the given dates (None = all). The
+    * null-date partition surfaces in directory listings as
+    * `__HIVE_DEFAULT_PARTITION__` but in DATA as a NULL — an `isin` on
+    * the directory name would silently never match it. */
   private def indexRows(table: String, textCol: String, idCol: String,
       dates: Option[Seq[String]]): DataFrame = {
     val base = store.storageDf(table)
     val scoped = dates match {
-      case Some(ds) => base.filter(col("date").isin(ds: _*)) // partition-pruned scan
+      case Some(ds) => // partition-pruned scan
+        val (nullDates, realDates) = ds.partition(_ == HiveDefaultPartition)
+        val cond =
+          if (nullDates.isEmpty) col("date").isin(realDates: _*)
+          else col("date").isin(realDates: _*) || col("date").isNull
+        base.filter(cond)
       case None => base
     }
     scoped.select(col(idCol).as("id"), col("date"),
@@ -133,7 +143,14 @@ class InvertedIndex(store: TableStore) {
         }.toSeq.sorted
         val removed = (recorded.keySet -- current.keySet).toSeq.sorted
         val fs = versionFile(table).getFileSystem(hconf)
-        removed.foreach { d =>
+        // drop removed AND changed index partitions up front: dynamic
+        // overwrite only rewrites partitions PRESENT in the written
+        // data, so a changed date whose new content yields zero index
+        // rows (all docs deleted / text nulled) would otherwise keep
+        // serving its stale entries forever. A crash between this delete
+        // and writeMeta leaves the OLD manifest, so the next refresh
+        // re-detects the date as changed and rebuilds — self-healing.
+        (removed ++ changed).foreach { d =>
           fs.delete(new Path(indexPath(table), s"date=$d"), true)
         }
         if (changed.nonEmpty)

@@ -87,18 +87,21 @@ object Multimodal {
     media.as[MediaRecord].mapPartitions { it =>
       javax.imageio.ImageIO.setUseCache(false) // per-partition codec setup
       it.map { r =>
+        // a null content CELL must degrade like a corrupt one — the stub
+        // fallback itself dereferences content, so null-guard here
+        val bytes = if (r.content == null) Array.emptyByteArray else r.content
         def stub(sr: Int) = DecodedFeatures(r.media_id, r.modality,
-          r.content.length.toLong, 0, 0, sr, 0.0, decodeStub(r.content), decoded = false)
+          bytes.length.toLong, 0, 0, sr, 0.0, decodeStub(bytes), decoded = false)
         r.modality match {
-          case "image" => MediaCodecs.decodeImage(r.content) match {
+          case "image" => MediaCodecs.decodeImage(bytes) match {
             case Some(i) => DecodedFeatures(r.media_id, r.modality,
-              r.content.length.toLong, i.width, i.height, 0, 0.0,
+              bytes.length.toLong, i.width, i.height, 0, 0.0,
               i.lumaHistogram, decoded = true)
             case None => stub(0)
           }
-          case "audio" => MediaCodecs.decodeAudio(r.content) match {
+          case "audio" => MediaCodecs.decodeAudio(bytes) match {
             case Some(a) => DecodedFeatures(r.media_id, r.modality,
-              r.content.length.toLong, 0, 0, a.sampleRate, a.durationS,
+              bytes.length.toLong, 0, 0, a.sampleRate, a.durationS,
               Array(a.rms, a.peak, a.channels.toDouble, a.frames.toDouble),
               decoded = true)
             case None => stub(r.sample_rate)

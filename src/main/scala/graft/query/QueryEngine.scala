@@ -174,6 +174,9 @@ class QueryEngine(store: TableStore, cache: ResultCache = new ResultCache(),
       } else {
         val sid = cursor >>> 32
         val from = (cursor & 0xFFFFFFFFL).toInt
+        // offsets are only ever packed ≤ MaxStreamRows; a forged cursor
+        // with high offset bits sign-extends negative here — reject it
+        if (from < 0) return Left(s"invalid cursor $cursor")
         streams.synchronized(Option(streams.get(sid))) match {
           case Some(rows) => Right(slicePage(sid, rows, from, pageSize))
           case None => Left(
@@ -185,8 +188,14 @@ class QueryEngine(store: TableStore, cache: ResultCache = new ResultCache(),
 
   private def slicePage(sid: Long, rows: Array[String], from: Int,
       pageSize: Int): (Array[String], Long) = {
-    val page = rows.slice(from, from + pageSize)
-    if (from + pageSize < rows.length) (page, packCursor(sid, from + pageSize))
+    // long arithmetic: a client-controlled pageSize near Int.MaxValue
+    // must not wrap from+pageSize negative (which would both pass the
+    // end-of-stream check and sign-extend over the sid bits in the
+    // packed cursor); clamp to ≥1 so a non-positive size cannot loop
+    val ps = math.max(1, pageSize)
+    val end = math.min(rows.length.toLong, from.toLong + ps)
+    val page = rows.slice(from, end.toInt)
+    if (end < rows.length) (page, packCursor(sid, end.toInt))
     else (page, -1L)
   }
 

@@ -152,7 +152,7 @@ class RestServer(facade: ServiceFacade, host: String = "127.0.0.1", port: Int = 
         val raw = bodyString(ex)
         val (table, id) =
           if (raw.nonEmpty) { val b = mapper.readTree(raw); (text(b, "table"), text(b, "id")) }
-          else { val q = queryParams(ex); (q("table"), q("id")) }
+          else { val q = queryParams(ex); (param(q, "table"), param(q, "id")) }
         respond(ex, 200, obj("deleted" -> facade.deleteData(table, id)))
       case ("POST", List("v1", "data", "cleanup-empty-ids")) =>
         val n = facade.cleanupEmptyIds(text(body(ex), "table"))
@@ -184,12 +184,12 @@ class RestServer(facade: ServiceFacade, host: String = "127.0.0.1", port: Int = 
         respond(ex, 200, obj("files" -> files))
       case ("GET", List("v1", "metadata", "backups")) =>
         val arr = mapper.createArrayNode()
-        facade.listBackups(queryParams(ex)("dest")).foreach(arr.add)
+        facade.listBackups(param(queryParams(ex), "dest")).foreach(arr.add)
         val o = mapper.createObjectNode(); o.set[JsonNode]("backups", arr)
         respond(ex, 200, o)
       case ("GET", List("v1", "metadata", "status")) =>
         val q = queryParams(ex)
-        facade.backupStatus(q("dest"), q("table")) match {
+        facade.backupStatus(param(q, "dest"), param(q, "table")) match {
           case Some(s) => respond(ex, 200, obj("table" -> s.table, "files" -> s.files,
             "bytes" -> s.bytes, "modified_at" -> s.modifiedAt,
             "has_metadata" -> s.hasMetadata))
@@ -255,9 +255,14 @@ class RestServer(facade: ServiceFacade, host: String = "127.0.0.1", port: Int = 
     val ts =
       if (tsNode.isNumber) new java.sql.Timestamp(tsNode.asLong)
       else {
+        // zone-aware forms FIRST: stripping the Z and feeding
+        // Timestamp.valueOf would silently reinterpret a UTC instant as
+        // server-local wall-clock (hours of shift + wrong date partition)
         val s = tsNode.asText
-        scala.util.Try(java.sql.Timestamp.valueOf(s.replace('T', ' ').stripSuffix("Z")))
-          .getOrElse(java.sql.Timestamp.from(java.time.Instant.parse(s)))
+        scala.util.Try(java.sql.Timestamp.from(java.time.Instant.parse(s)))
+          .orElse(scala.util.Try(java.sql.Timestamp.from(
+            java.time.OffsetDateTime.parse(s).toInstant)))
+          .getOrElse(java.sql.Timestamp.valueOf(s.replace('T', ' ')))
       }
     val payload = Option(node.get("payload")).filter(_.isObject).map { p =>
       val it = p.properties().iterator()
@@ -346,6 +351,12 @@ class RestServer(facade: ServiceFacade, host: String = "127.0.0.1", port: Int = 
     val os = ex.getResponseBody
     os.write(bytes); os.close()
   }
+
+  /** Required query parameter — a 400 (IllegalArgumentException), not a
+    * NoSuchElementException that the handler would report as a 500. */
+  private def param(q: Map[String, String], name: String): String =
+    q.getOrElse(name, throw new IllegalArgumentException(
+      s"query parameter '$name' required"))
 
   private def queryParams(ex: HttpExchange): Map[String, String] =
     Option(ex.getRequestURI.getRawQuery).map(

@@ -111,6 +111,28 @@ class InvertedIndexSpec extends SparkSpec {
     assert(hits == Set("new"))
   }
 
+  test("refresh purges index entries when a changed date ends up with zero rows") {
+    val store = new TableStore(spark, tmpDir("idx6"))
+    def recAt(id: String, date: String, text: String) =
+      DynRecord(id, Timestamp.valueOf(s"$date 00:00:00"), Map("text" -> text))
+    store.write("t", Seq(
+      recAt("a", "2024-01-01", "unique marker"),
+      recAt("b", "2024-01-02", "other stuff")))
+    store.flush("t")
+    val idx = new InvertedIndex(store)
+    idx.build("t")
+    assert(idx.search("t", Seq("marker")).count() == 1)
+    // delete the only doc of day 1: the date's files change but the new
+    // index content for it is EMPTY — dynamic overwrite alone would keep
+    // the stale (token → a) entries forever
+    val muts = new graft.mutate.Mutations(store)
+    assert(muts.deleteById("t", "a") == 1)
+    idx.refresh("t")
+    assert(idx.search("t", Seq("marker")).count() == 0,
+      "stale index entries survived a zero-row partition refresh")
+    assert(idx.search("t", Seq("stuff")).count() == 1)
+  }
+
   test("term lookup pushes the token filter into the index scan") {
     val store = new TableStore(spark, tmpDir("idx3"))
     store.write("t", Seq(rec("a", "x y z"), rec("b", "p q r")))

@@ -162,6 +162,23 @@ class QueryEngineSpec extends SparkSpec {
     assert(!pa2.sameElements(pa1), "page 2 must advance past page 1")
   }
 
+  test("huge/negative page sizes cannot overflow the cursor arithmetic") {
+    val (_, engine) = freshEngine()
+    val sql = "SELECT id FROM users ORDER BY id"
+    val Right((p1, c1)) = engine.executePage(sql, 0, 1): @unchecked
+    assert(p1.length == 1 && c1 > 0)
+    // Int.MaxValue page size from a live cursor: must end the stream
+    // cleanly (-1), not wrap negative past the end-of-stream check
+    val Right((rest, c2)) = engine.executePage(sql, c1, Int.MaxValue): @unchecked
+    assert(rest.length == 2 && c2 == -1L, s"got ${rest.length} rows, cursor $c2")
+    // non-positive page size is clamped, not an infinite zero-row loop
+    val Right((p3, c3)) = engine.executePage(sql, 0, 0): @unchecked
+    assert(p3.length == 1 && c3 > 0)
+    // a forged cursor with offset bits sign-extending negative is rejected
+    val forged = (1L << 32) | 0x80000000L
+    assert(engine.executePage(sql, forged, 1).isLeft)
+  }
+
   test("an evicted/unknown stream cursor fails explicitly, not by re-executing") {
     val (_, engine) = freshEngine()
     // a cursor carrying a stream id that was never allocated
