@@ -165,8 +165,11 @@ object Dedup {
     a.join(b, Seq("blk", "bv")).filter(col("doc_a") < col("doc_b"))
       .select(col("doc_a"), col("doc_b"),
         bit_count(col("sim_a").bitwiseXOR(col("sim_b"))).cast("long").as("hamming"))
-      .distinct()
+      // threshold BEFORE distinct: hamming is a pure function of the
+      // pair, and most block collisions fail it — the dedup shuffle
+      // carries survivors only, not every colliding pair
       .filter(col("hamming") <= MaxHamming)
+      .distinct()
       .orderBy(col("doc_a"), col("doc_b"))
   }
 

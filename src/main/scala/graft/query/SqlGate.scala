@@ -25,6 +25,15 @@ object SqlGate {
 
   val MaxQueryLength = 10000
 
+  /** Functions a SELECT-level principal must not reach: `reflect`/
+    * `java_method` invoke ARBITRARY static Java methods (e.g.
+    * `reflect('java.lang.System','getenv','PATH')` — environment
+    * disclosure from a query), and `graft_secret_key` is the engine's
+    * key accessor (not registered in any SQL registry, but gated here
+    * too so a future registration mistake cannot re-open key
+    * exfiltration). */
+  private val BlockedFunctions = Set("reflect", "java_method", "graft_secret_key")
+
   def validate(spark: SparkSession, sql: String): Either[String, Gated] = {
     if (sql == null || sql.trim.isEmpty) return Left("empty query")
     if (sql.length > MaxQueryLength) return Left(s"query exceeds $MaxQueryLength chars")
@@ -47,7 +56,12 @@ object SqlGate {
           val qualified = collectQualified(plan)
           if (qualified.nonEmpty)
             Left(s"qualified relation names are not supported: ${qualified.head}")
-          else Right(Gated(plan, extractTables(plan)))
+          else {
+            val blocked = collectBlockedFunctions(plan)
+            if (blocked.nonEmpty)
+              Left(s"function is not allowed: ${blocked.head}")
+            else Right(Gated(plan, extractTables(plan)))
+          }
         }
     }
   }
@@ -73,6 +87,29 @@ object SqlGate {
       case r: UnresolvedRelation if r.multipartIdentifier.length > 1 =>
         out += r.multipartIdentifier.mkString(".")
       case other => other.subqueries.foreach(walk)
+    }
+    walk(plan)
+    out.toSeq
+  }
+
+  /** Blocked function invocations anywhere in the query, including CTE
+    * bodies, expression subqueries, and lambda bodies. */
+  private def collectBlockedFunctions(plan: LogicalPlan): Seq[String] = {
+    val out = scala.collection.mutable.ArrayBuffer[String]()
+    def walkExpr(e: org.apache.spark.sql.catalyst.expressions.Expression): Unit = e.foreach {
+      case f: org.apache.spark.sql.catalyst.analysis.UnresolvedFunction =>
+        val name = f.nameParts.last.toLowerCase
+        if (BlockedFunctions(name)) out += name
+      case sub: org.apache.spark.sql.catalyst.expressions.SubqueryExpression =>
+        walk(sub.plan)
+      case _ => ()
+    }
+    def walk(p: LogicalPlan): Unit = p.foreach {
+      // cteRelations are innerChildren (not traversed by foreach); the
+      // main body IS in children and gets its own visit below
+      case w: org.apache.spark.sql.catalyst.plans.logical.UnresolvedWith =>
+        w.cteRelations.foreach { case (_, cte, _) => walk(cte) }
+      case node => node.expressions.foreach(walkExpr)
     }
     walk(plan)
     out.toSeq

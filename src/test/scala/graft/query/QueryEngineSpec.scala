@@ -39,6 +39,23 @@ class QueryEngineSpec extends SparkSpec {
     assert(SqlGate.validate(spark, "").isLeft)
   }
 
+  test("gate: arbitrary-static-call and key-accessor functions are rejected") {
+    // reflect/java_method invoke arbitrary static Java methods — an env/
+    // system-property disclosure from plain SELECT
+    assert(SqlGate.validate(spark,
+      "SELECT reflect('java.lang.System','getenv','PATH')").isLeft)
+    assert(SqlGate.validate(spark,
+      "SELECT java_method('java.lang.System','getProperty','user.dir')").isLeft)
+    // also inside CTE bodies, subqueries, and mixed case
+    assert(SqlGate.validate(spark,
+      "WITH x AS (SELECT REFLECT('a','b') AS v) SELECT * FROM x").isLeft)
+    assert(SqlGate.validate(spark,
+      "SELECT 1 WHERE (SELECT reflect('a','b')) IS NOT NULL").isLeft)
+    assert(SqlGate.validate(spark, "SELECT graft_secret_key(1)").isLeft)
+    // similarly-named columns/tables are NOT blocked — only invocations
+    assert(SqlGate.validate(spark, "SELECT reflect FROM users").isRight)
+  }
+
   test("gate: datasource-on-file escapes are rejected (qualified names)") {
     // SELECT-only is not enough: runSQLOnFiles would read arbitrary paths
     assert(SqlGate.validate(spark, "SELECT * FROM text.`/etc/passwd`").isLeft)
