@@ -30,6 +30,30 @@ class ReferenceCompatSpec extends SparkSpec {
     new QueryEngine(store)
   }
 
+  test("gate parity with the reference's own injection corpus (query_test.go:207-227)") {
+    def blocked(sql: String): Boolean = SqlGate.validate(spark, sql).isLeft
+    // the reference's valid queries stay valid
+    assert(!blocked("SELECT * FROM users WHERE id = 1"))
+    assert(!blocked("SELECT name, email FROM users ORDER BY created_at DESC LIMIT 10"))
+    assert(!blocked("SELECT COUNT(*) FROM users GROUP BY status"))
+    // quote tautology: allowed in the reference too (it is valid SQL —
+    // parameterization, not gating, is the tautology defense)
+    assert(!blocked("SELECT * FROM users WHERE id = '1' OR '1'='1'"))
+    // every multi-statement / piggybacked-DML case the reference blocks
+    assert(blocked("SELECT * FROM users; DELETE FROM users"))
+    assert(blocked("SELECT * FROM users; DROP TABLE users"))
+    assert(blocked("SELECT * FROM users; INSERT INTO users VALUES (1, 'hacker')"))
+    assert(blocked("SELECT * FROM users; UPDATE users SET password = 'hacked'"))
+    assert(blocked("SELECT * FROM users; EXEC xp_cmdshell 'dir'"))
+    // INTENTIONAL divergences (SqlGate scaladoc): the reference's regex
+    // gate bans comments and UNION as injection paranoia; a parser-level
+    // gate doesn't need to — a comment can't smuggle a second statement
+    // past parsePlan, and UNION is a plain relational operator
+    assert(!blocked("SELECT * FROM users--"))
+    assert(!blocked("SELECT * FROM users/* comment */"))
+    assert(!blocked("SELECT * FROM users UNION SELECT * FROM admins"))
+  }
+
   test("point lookup (reference README.md:169)") {
     val engine = engineWithData()
     val r = engine.executeJson("SELECT * FROM users WHERE id = 'user-001'")
