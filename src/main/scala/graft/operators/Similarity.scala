@@ -55,11 +55,6 @@ object Similarity {
     * interpreted higher-order lambdas per plane per row). */
   private val SigSeed = 1L
 
-  /** Sign signature: bit p = 1 iff v · plane_p > 0 (single table of
-    * `Planes` bits). */
-  private def signature(s: SparkSession, v: Column): Column =
-    element_at(graft.functions.LshFunctions.lshSigs(s, v, SigSeed, Planes, 1), 1)
-
   private val Cells = 16
   private val NProbe = 6
   private val KmSampleN = 1024
@@ -161,23 +156,36 @@ object Similarity {
       .orderBy(col("query_id"), col("rank"))
   }
 
-  /** LSH-bucketed ANN: candidates share the query's bucket or any probe
-    * flip of ≤2 signature bits (multi-probe raises recall without extra
-    * shuffles — probes are broadcast with the queries). */
+  /** Independent signature tables for query-ANN: recall comes from the
+    * OR over tables (1−(1−p^bits)^tables), the standard LSH knob — one
+    * table with deeper multi-probe flattens toward a scan; more tables
+    * keep per-bucket candidate lists tight while recall climbs. The
+    * same family (6 bits, hash-derived planes) as the d05 near-dup
+    * path, which measures recall 1.0 at its threshold. */
+  private val AnnTables = 8
+
+  /** LSH-bucketed ANN: each vector lands in one bucket per signature
+    * table; a query probes its bucket and every 1-bit flip in EVERY
+    * table (probes are broadcast with the queries — the corpus side
+    * streams through one equi-join, no shuffle of vectors). Pairs that
+    * collide in several tables are deduped BEFORE scoring, so each
+    * candidate pays its dot product once. */
   def annLsh(s: SparkSession, dir: String): DataFrame = {
-    val e = withNorm(s, Tables.load(s, dir, "embeddings")).withColumn("sig", signature(s, col("v")))
-    val q = e.filter(col("vec_id") < NumQueries)
-      .select(col("vec_id").as("query_id"), col("v").as("qv"),
-        col("norm").as("qn"), col("sig").as("qsig"))
-    val flips: Seq[Long] = 0L +:
-      (0 until Planes).map(b => 1L << b) ++:
-      (for (i <- 0 until Planes; j <- i + 1 until Planes) yield (1L << i) | (1L << j))
-    val probes = q.select(col("query_id"), col("qv"), col("qn"),
-      explode(array(flips.map(m => col("qsig").bitwiseXOR(lit(m))): _*)).as("sig"))
+    val e0 = withNorm(s, Tables.load(s, dir, "embeddings"))
+    def withSigs(df: DataFrame, idAs: String, vAs: String, nAs: String): DataFrame =
+      df.select(col("vec_id").as(idAs), col("v").as(vAs), col("norm").as(nAs),
+        posexplode(graft.functions.LshFunctions.lshSigs(
+          s, col("v"), SigSeed, Planes, AnnTables)).as(Seq("tbl", "sig")))
+    val e = withSigs(e0, "vec_id", "v", "norm")
+    val qsigs = withSigs(e0.filter(col("vec_id") < NumQueries), "query_id", "qv", "qn")
+    val flips: Seq[Long] = 0L +: (0 until Planes).map(b => 1L << b)
+    val probes = qsigs.select(col("query_id"), col("qv"), col("qn"), col("tbl"),
+      explode(array(flips.map(m => col("sig").bitwiseXOR(lit(m))): _*)).as("sig"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("vec_id"))
-    e.join(broadcast(probes), Seq("sig"))
+    e.join(broadcast(probes), Seq("tbl", "sig"))
       .filter(col("vec_id") =!= col("query_id"))
+      .dropDuplicates("query_id", "vec_id") // multi-table collisions: score once
       .withColumn("cosine", VectorFunctions.dot(s, col("v"), col("qv")) / (col("norm") * col("qn")))
       .withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= K)

@@ -31,10 +31,12 @@ class PipelineOpsSpec extends SparkSpec {
     assert(lsh.nonEmpty)
     // every LSH row is a real vector pair with rank ≤ 10
     assert(lsh.forall(_.getAs[Long]("rank") <= 10))
-    // recall sanity: at least 30% of true top-10 found by multi-probe LSH
+    // recall floor for the 8-table × 6-bit multi-probe family; actual
+    // measured recall at sf0.01 prints below for floor calibration
     val hits = lsh.map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id")))
       .count(brute.contains)
-    assert(hits >= brute.size * 3 / 10, s"recall too low: $hits/${brute.size}")
+    info(s"ann-lsh recall: $hits/${brute.size}")
+    assert(hits >= brute.size * 8 / 10, s"recall too low: $hits/${brute.size}")
   }
 
   test("ann IVF recall: k-means cells at nprobe 6/16 reach >=60% of true top-10") {
