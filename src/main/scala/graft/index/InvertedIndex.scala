@@ -211,11 +211,22 @@ object InvertedIndex {
 
   /** Id lookup against a built index path. The `isin` filter pushes to
     * the parquet scan (min/max + dictionary pruning on the
-    * token-clustered files). */
+    * token-clustered files). An index whose every partition has been
+    * emptied (all docs deleted, then refreshed) has NO parquet files —
+    * that is zero matches, not an AnalysisException from schema
+    * inference. */
   def lookupAt(spark: SparkSession, path: String, terms: Seq[String],
       requireAll: Boolean): DataFrame = {
     val distinctTerms = terms.distinct
-    val hits = spark.read.parquet(path)
+    val indexDf = scala.util.Try(spark.read.parquet(path)).getOrElse(
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("token",
+            org.apache.spark.sql.types.StringType),
+          org.apache.spark.sql.types.StructField("id",
+            org.apache.spark.sql.types.StringType)))))
+    val hits = indexDf
       .filter(col("token").isin(distinctTerms: _*))
     if (requireAll)
       hits.groupBy(col("id"))

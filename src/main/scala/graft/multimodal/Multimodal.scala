@@ -65,8 +65,9 @@ object Multimodal {
     media.as[MediaRecord].mapPartitions { it =>
       // per-partition setup would go here (codec init, model load…)
       it.map { r =>
-        MediaFeatures(r.media_id, r.modality, r.content.length.toLong,
-          decodeStub(r.content))
+        val bytes = if (r.content == null) Array.emptyByteArray else r.content
+        MediaFeatures(r.media_id, r.modality, bytes.length.toLong,
+          decodeStub(bytes))
       }
     }
   }
@@ -144,14 +145,15 @@ object Multimodal {
     fromDocuments(spark, dir).as[MediaRecord].mapPartitions { it =>
       javax.imageio.ImageIO.setUseCache(false)
       it.map { r =>
+        val content = if (r.content == null) Array.emptyByteArray else r.content
         r.modality match {
           case "image" =>
             val img = new java.awt.image.BufferedImage(16, 16,
               java.awt.image.BufferedImage.TYPE_INT_RGB)
             var i = 0
             while (i < 256) {
-              val v = if (r.content.isEmpty) 0
-                else r.content(i % r.content.length) & 0xFF
+              val v = if (content.isEmpty) 0
+                else content(i % content.length) & 0xFF
               img.setRGB(i % 16, i / 16, (v << 16) | (v << 8) | v)
               i += 1
             }

@@ -260,6 +260,10 @@ class RestServer(facade: ServiceFacade, host: String = "127.0.0.1", port: Int = 
         // server-local wall-clock (hours of shift + wrong date partition)
         val s = tsNode.asText
         scala.util.Try(java.sql.Timestamp.from(java.time.Instant.parse(s)))
+          // space-separated UTC form ("yyyy-MM-dd HH:mm:ssZ"): normalize
+          // to ISO and parse as the UTC instant it denotes
+          .orElse(scala.util.Try(java.sql.Timestamp.from(
+            java.time.Instant.parse(s.replace(' ', 'T')))))
           .orElse(scala.util.Try(java.sql.Timestamp.from(
             java.time.OffsetDateTime.parse(s).toInstant)))
           .getOrElse(java.sql.Timestamp.valueOf(s.replace('T', ' ')))

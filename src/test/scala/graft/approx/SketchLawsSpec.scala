@@ -27,7 +27,12 @@ class SketchLawsSpec extends SparkSpec {
 
   private def estimate(bins: Seq[Array[Byte]]): Long = {
     import spark.implicits._
-    bins.toDF("s")
+    // hll_sketch_agg over ZERO rows yields a null sketch — an empty
+    // slice contributes nothing to the union, and an all-empty merge
+    // estimates 0 (not an NPE), keeping the laws total over n=0 draws
+    val nonNull = bins.filter(_ != null)
+    if (nonNull.isEmpty) 0L
+    else nonNull.toDF("s")
       .agg(hll_sketch_estimate(hll_union_agg(col("s"), lit(false))).as("e"))
       .head().getLong(0)
   }

@@ -133,6 +133,19 @@ class InvertedIndexSpec extends SparkSpec {
     assert(idx.search("t", Seq("stuff")).count() == 1)
   }
 
+  test("an index emptied of every partition serves zero matches, not an error") {
+    val store = new TableStore(spark, tmpDir("idx7"))
+    store.write("t", Seq(rec("only", "solitary words")))
+    store.flush("t")
+    val idx = new InvertedIndex(store)
+    idx.build("t")
+    assert(idx.search("t", Seq("solitary")).count() == 1)
+    new graft.mutate.Mutations(store).deleteById("t", "only")
+    idx.refresh("t") // every index partition is now gone — no parquet files
+    assert(idx.search("t", Seq("solitary")).count() == 0)
+    assert(idx.lookup("t", Seq("anything")).count() == 0)
+  }
+
   test("term lookup pushes the token filter into the index scan") {
     val store = new TableStore(spark, tmpDir("idx3"))
     store.write("t", Seq(rec("a", "x y z"), rec("b", "p q r")))
