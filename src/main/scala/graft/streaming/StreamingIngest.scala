@@ -239,6 +239,45 @@ class StreamingIngest(store: TableStore) {
       .start()
   }
 
+  /** Start a json ingest stream that DEDUPES by CONTENT fingerprint
+    * across micro-batches — the streaming form of the pipeline's exact
+    * dedup (d01): re-sent or mirrored documents with identical content
+    * in `contentCols` land exactly once within the watermark horizon,
+    * regardless of their record ids. State carries one md5 per distinct
+    * content within the horizon; the watermark bounds it (same state
+    * shape as the id-dedup variant). */
+  def startContentDedupedJsonIngest(
+      table: String,
+      sourceDir: String,
+      schema: StructType,
+      checkpoint: String,
+      contentCols: Seq[String],
+      watermark: String = "1 day",
+      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
+    require(contentCols.nonEmpty, "contentCols must name at least one column")
+    store.ensureTable(table)
+    spark.readStream
+      .schema(schema)
+      .json(sourceDir)
+      .withColumn("_graft_fp",
+        md5(concat_ws(" ", contentCols.map(c => col(c).cast("string")): _*)))
+      .withWatermark("timestamp", watermark)
+      .dropDuplicatesWithinWatermark("_graft_fp")
+      .drop("_graft_fp")
+      .writeStream
+      .queryName(s"ingest-cdedup-$table")
+      .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty)
+          commitBatch(table, streamId(checkpoint), batchId,
+            batch.withColumn("date", to_date(col("timestamp"))),
+            legacySids = Seq(legacyStreamId(checkpoint)))
+        ()
+      }
+      .start()
+  }
+
   /** Watermarked sliding-window aggregation over a streaming frame —
     * the reference's "hourly DATE_TRUNC" benchmark shape as a live
     * stream (SURVEY.md §2.1). Caller supplies the streaming source df

@@ -166,6 +166,24 @@ class StreamingSpec extends SparkSpec {
     assert(store.read("t").count() == 2) // dup collapsed, other kept
   }
 
+  test("content-deduped ingest: identical content lands once across distinct ids") {
+    val root = tmpDir("scd")
+    val src = tmpDir("scd-src")
+    val store = new TableStore(spark, root)
+    val ing = new StreamingIngest(store)
+    // same content under three different ids + one distinct doc
+    Files.writeString(Paths.get(src, "b1.json"),
+      """{"id":"a","timestamp":"2024-01-01T10:00:00.000Z","v":7.0}
+        |{"id":"b","timestamp":"2024-01-01T10:00:01.000Z","v":7.0}
+        |{"id":"c","timestamp":"2024-01-01T10:00:02.000Z","v":7.0}
+        |{"id":"d","timestamp":"2024-01-01T10:00:03.000Z","v":9.0}""".stripMargin)
+    ing.startContentDedupedJsonIngest("t", src, recSchema, tmpDir("scd-ckpt"),
+      contentCols = Seq("v"))
+      .awaitTermination(60000)
+    val vs = store.read("t").collect().map(_.getAs[Double]("v")).sorted.toSeq
+    assert(vs == Seq(7.0, 9.0), s"got $vs") // content-dup collapsed, ids ignored
+  }
+
   test("sessionize: gap-based sessions with custom state") {
     import spark.implicits._
     def ev(u: Long, t: String, v: Double) =
