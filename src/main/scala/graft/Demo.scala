@@ -74,6 +74,30 @@ object Demo {
     println(s"== metrics: queries=${m.totalQueries} writes=${m.totalWrites} " +
       s"cacheHits=${m.cacheHits} avgMs=${m.avgQueryMs.round}")
 
+    // 7. REST transport: token-gated query over real loopback HTTP
+    val authed = new graft.serve.ServiceFacade(store,
+      authSecret = Some("demo-secret-0123456789abcdef"))
+    val rest = new graft.serve.RestServer(authed)
+    val port = rest.start()
+    try {
+      val http = java.net.http.HttpClient.newHttpClient()
+      def post(path: String, body: String, token: Option[String] = None) = {
+        val b = java.net.http.HttpRequest.newBuilder(
+          java.net.URI.create(s"http://127.0.0.1:$port$path"))
+          .header("Content-Type", "application/json")
+        token.foreach(t => b.header("Authorization", s"Bearer $t"))
+        http.send(b.POST(java.net.http.HttpRequest.BodyPublishers.ofString(body)).build(),
+          java.net.http.HttpResponse.BodyHandlers.ofString())
+      }
+      val noAuth = post("/v1/query", """{"sql":"SELECT 1 AS one"}""")
+      println(s"== REST without token: HTTP ${noAuth.statusCode()}")
+      val tok = post("/v1/auth/token", """{"subject":"demo"}""").body()
+      val access = """"access_token":"([^"]+)"""".r.findFirstMatchIn(tok).get.group(1)
+      val q = post("/v1/query",
+        """{"sql":"SELECT count(*) AS n FROM users"}""", Some(access))
+      println(s"== REST with token: HTTP ${q.statusCode()} body ${q.body()}")
+    } finally rest.stop()
+
     spark.stop()
   }
 }
