@@ -29,15 +29,24 @@ object Dedup {
   private val JaccardThreshold = 0.8
   private val MaxBucket = 64
 
+  // Every operator has a FRAME-parametric form (the library API: any
+  // DataFrame carrying the canonical columns `doc_id`/`text`, or
+  // `vec_id`/`embedding` for vectors — rename upstream if needed) and a
+  // (SparkSession, dir) wrapper binding it to the driver-contract
+  // benchmark table.
+
   /** Exact dedup: hash-groupBy on md5(text); survivor = min doc_id.
     * Reference analogue: delete-duplicates has no counterpart — minIODB
     * dedups only by record id; content dedup is the pipeline addition. */
-  def exact(s: SparkSession, dir: String): DataFrame =
-    Tables.load(s, dir, "documents")
+  def exact(docs: DataFrame): DataFrame =
+    docs
       .groupBy(md5Fingerprint(col("text")).as("fp"))
       .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
       .select(col("fp"), col("keep_id"), col("n_copies"))
       .orderBy(col("keep_id"))
+
+  def exact(s: SparkSession, dir: String): DataFrame =
+    exact(Tables.load(s, dir, "documents"))
 
   /** Distinct shingles as 64-bit hashes — the working representation for
     * signatures, inverted-index joins AND exact verification (8-byte
@@ -53,10 +62,11 @@ object Dedup {
     * shared subtrees per use — tokenize+shingle+hash is the single most
     * expensive map stage here (measured 3.5× end-to-end win). At cluster
     * scale the equivalent is a persisted/cached shingle table. */
-  private def hashedShingleSets(s: SparkSession, dir: String): DataFrame =
-    Tables.load(s, dir, "documents")
+  private def hashedShingleSets(docs: DataFrame): DataFrame =
+    docs
       .select(col("doc_id"),
-        graft.functions.LshFunctions.hashedShingles(s, tokens(col("text")), ShingleK).as("hs"))
+        graft.functions.LshFunctions.hashedShingles(
+          docs.sparkSession, tokens(col("text")), ShingleK).as("hs"))
       .localCheckpoint(true)
 
   /** Candidate pairs from equal-width bucket join, skew-bounded.
@@ -120,8 +130,9 @@ object Dedup {
     * formulation shuffles every (doc, shingle) row; at 100 TB that
     * shuffle dwarfs the candidate join this feeds). The only shuffles
     * are the tiny band-bucket join and the verify join. */
-  def minhashLsh(s: SparkSession, dir: String): DataFrame = {
-    val hashed = hashedShingleSets(s, dir)
+  def minhashLsh(docs: DataFrame): DataFrame = {
+    val s = docs.sparkSession
+    val hashed = hashedShingleSets(docs)
     val sig = hashed.select(col("doc_id"),
       graft.functions.LshFunctions.minhashSigs(s, col("hs"), NumHashes).as("ms"))
     // element_at is 1-based: slot m_{2b} is element 2b+1
@@ -132,6 +143,9 @@ object Dedup {
       .select(col("doc_id"), posexplode(array(bandHashes: _*)).as(Seq("band", "bh")))
     jaccardVerified(hashed, bucketPairs(bands, Seq("band", "bh")))
   }
+
+  def minhashLsh(s: SparkSession, dir: String): DataFrame =
+    minhashLsh(Tables.load(s, dir, "documents"))
 
   /** Max hamming distance for SimHash near-dups. Short small-vocabulary
     * documents flip a few bits per token edit (measured: true near-dups
@@ -148,10 +162,11 @@ object Dedup {
     * the block join), then block LSH (hamming ≤ MaxHamming must collide
     * in ≥1 of SimBlocks blocks) and exact hamming verify via
     * bit_count. */
-  def simhash(s: SparkSession, dir: String): DataFrame = {
-    val sigs = Tables.load(s, dir, "documents")
+  def simhash(docs: DataFrame): DataFrame = {
+    val sigs = docs
       .select(col("doc_id"),
-        graft.functions.LshFunctions.simhashSig(s, tokens(col("text"))).as("simhash"))
+        graft.functions.LshFunctions.simhashSig(
+          docs.sparkSession, tokens(col("text"))).as("simhash"))
     val bitsPerBlock = 64 / SimBlocks
     val mask = (1L << bitsPerBlock) - 1
     val blocks = sigs.select(
@@ -172,6 +187,9 @@ object Dedup {
       .distinct()
       .orderBy(col("doc_a"), col("doc_b"))
   }
+
+  def simhash(s: SparkSession, dir: String): DataFrame =
+    simhash(Tables.load(s, dir, "documents"))
 
   /** Document-frequency cap for the n-gram inverted index. A shingle
     * shared by k documents emits k² pair hits in the self-join, so one
@@ -252,10 +270,13 @@ object Dedup {
     * exact jaccard verify over the full hashed shingle sets — no O(n²)
     * cross join, no uncapped hot key. 64-bit hash collisions are ~2⁻⁶⁴
     * per shingle pair. */
-  def ngramJaccard(s: SparkSession, dir: String): DataFrame = {
-    val sh = hashedShingleSets(s, dir)
+  def ngramJaccard(docs: DataFrame): DataFrame = {
+    val sh = hashedShingleSets(docs)
     jaccardVerified(sh, ngramCandidates(sh, NgramDfCap))
   }
+
+  def ngramJaccard(s: SparkSession, dir: String): DataFrame =
+    ngramJaccard(Tables.load(s, dir, "documents"))
 
   // ---- embedding near-dup: hyperplane-LSH candidates + exact verify ----
 
@@ -295,9 +316,10 @@ object Dedup {
     * on (table, signature), skew-capped) + exact cosine verify — same
     * result set as the all-pairs formulation, no cross product in the
     * plan. Per-query ANN over the same signatures is Similarity.annLsh. */
-  def embeddingNearDup(s: SparkSession, dir: String): DataFrame = {
+  def embeddingNearDup(embeddings: DataFrame): DataFrame = {
     import graft.functions.VectorFunctions
-    val e = Tables.load(s, dir, "embeddings")
+    val s = embeddings.sparkSession
+    val e = embeddings
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
       .withColumn("norm", VectorFunctions.norm(s, col("v")))
       .localCheckpoint(true) // signatures + verify reuse; stop recompute per use
@@ -317,4 +339,7 @@ object Dedup {
       .distinct() // pairs collide in many tables; dedupe survivors only
       .orderBy(col("vec_a"), col("vec_b"))
   }
+
+  def embeddingNearDup(s: SparkSession, dir: String): DataFrame =
+    embeddingNearDup(Tables.load(s, dir, "embeddings"))
 }

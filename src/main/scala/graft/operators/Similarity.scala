@@ -32,20 +32,31 @@ object Similarity {
     df.select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
       .withColumn("norm", VectorFunctions.norm(s, col("v")))
 
-  /** Exact brute-force top-k cosine for query vectors (vec_id < NumQueries). */
-  def annBrute(s: SparkSession, dir: String): DataFrame = {
-    val e = withNorm(s, Tables.load(s, dir, "embeddings"))
-    val q = e.filter(col("vec_id") < NumQueries)
+  // Frame-parametric forms (the library API): `corpus` and `queries`
+  // are any DataFrames carrying (`vec_id`, `embedding`); the
+  // (SparkSession, dir) overloads bind the driver-contract benchmark
+  // table with its first `NumQueries` vectors as queries.
+
+  /** Exact brute-force top-k cosine of `queries` against `corpus`. */
+  def annBrute(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
+    val s = corpus.sparkSession
+    val e = withNorm(s, corpus)
+    val q = withNorm(s, queries)
       .select(col("vec_id").as("query_id"), col("v").as("qv"), col("norm").as("qn"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("vec_id"))
     e.join(broadcast(q), col("vec_id") =!= col("query_id"))
       .withColumn("cosine", VectorFunctions.dot(s, col("v"), col("qv")) / (col("norm") * col("qn")))
       .withColumn("rank", row_number().over(w).cast("long"))
-      .filter(col("rank") <= K)
+      .filter(col("rank") <= k)
       .select(col("query_id"), col("rank"), col("vec_id").as("neighbor_id"),
         round(col("cosine"), 2).as("cosine"))
       .orderBy(col("query_id"), col("rank"))
+  }
+
+  def annBrute(s: SparkSession, dir: String): DataFrame = {
+    val all = Tables.load(s, dir, "embeddings")
+    annBrute(all, all.filter(col("vec_id") < NumQueries), K)
   }
 
   /** Seed for the query-ANN hyperplane family (shared kernel with the
@@ -121,9 +132,10 @@ object Similarity {
     * `NProbe` nearest cells. Assignment is a broadcast of the tiny
     * centroid set against the fact side — one codegen'd pass, no
     * shuffle of vectors; the probe join shuffles only candidates. */
-  def annIvf(s: SparkSession, dir: String): DataFrame = {
+  def annIvf(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
+    val s = corpus.sparkSession
     import s.implicits._
-    val e = withNorm(s, Tables.load(s, dir, "embeddings"))
+    val e = withNorm(s, corpus)
     val cent = kmeansCentroids(s, e).zipWithIndex
       .map { case (c, i) => (i.toLong, c) }.toSeq
       .toDF("cell", "cv")
@@ -136,7 +148,7 @@ object Similarity {
       .agg(max_by(col("cell"), col("sim")).as("cell"))
     val indexed = e.join(assign, "vec_id")
     // query probes its NProbe nearest cells
-    val q = e.filter(col("vec_id") < NumQueries)
+    val q = withNorm(s, queries)
       .select(col("vec_id").as("query_id"), col("v").as("qv"), col("norm").as("qn"))
     val wProbe = Window.partitionBy(col("query_id")).orderBy(col("csim").desc, col("cell"))
     val probes = q.crossJoin(broadcast(cent))
@@ -150,10 +162,15 @@ object Similarity {
       .filter(col("vec_id") =!= col("query_id"))
       .withColumn("cosine", VectorFunctions.dot(s, col("v"), col("qv")) / (col("norm") * col("qn")))
       .withColumn("rank", row_number().over(w).cast("long"))
-      .filter(col("rank") <= K)
+      .filter(col("rank") <= k)
       .select(col("query_id"), col("rank"), col("vec_id").as("neighbor_id"),
         round(col("cosine"), 2).as("cosine"))
       .orderBy(col("query_id"), col("rank"))
+  }
+
+  def annIvf(s: SparkSession, dir: String): DataFrame = {
+    val all = Tables.load(s, dir, "embeddings")
+    annIvf(all, all.filter(col("vec_id") < NumQueries), K)
   }
 
   /** Independent signature tables for query-ANN: recall comes from the
@@ -170,14 +187,14 @@ object Similarity {
     * streams through one equi-join, no shuffle of vectors). Pairs that
     * collide in several tables are deduped BEFORE scoring, so each
     * candidate pays its dot product once. */
-  def annLsh(s: SparkSession, dir: String): DataFrame = {
-    val e0 = withNorm(s, Tables.load(s, dir, "embeddings"))
+  def annLsh(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
+    val s = corpus.sparkSession
     def withSigs(df: DataFrame, idAs: String, vAs: String, nAs: String): DataFrame =
       df.select(col("vec_id").as(idAs), col("v").as(vAs), col("norm").as(nAs),
         posexplode(graft.functions.LshFunctions.lshSigs(
           s, col("v"), SigSeed, Planes, AnnTables)).as(Seq("tbl", "sig")))
-    val e = withSigs(e0, "vec_id", "v", "norm")
-    val qsigs = withSigs(e0.filter(col("vec_id") < NumQueries), "query_id", "qv", "qn")
+    val e = withSigs(withNorm(s, corpus), "vec_id", "v", "norm")
+    val qsigs = withSigs(withNorm(s, queries), "query_id", "qv", "qn")
     val flips: Seq[Long] = 0L +: (0 until Planes).map(b => 1L << b)
     val probes = qsigs.select(col("query_id"), col("qv"), col("qn"), col("tbl"),
       explode(array(flips.map(m => col("sig").bitwiseXOR(lit(m))): _*)).as("sig"))
@@ -188,9 +205,14 @@ object Similarity {
       .dropDuplicates("query_id", "vec_id") // multi-table collisions: score once
       .withColumn("cosine", VectorFunctions.dot(s, col("v"), col("qv")) / (col("norm") * col("qn")))
       .withColumn("rank", row_number().over(w).cast("long"))
-      .filter(col("rank") <= K)
+      .filter(col("rank") <= k)
       .select(col("query_id"), col("rank"), col("vec_id").as("neighbor_id"),
         round(col("cosine"), 2).as("cosine"))
       .orderBy(col("query_id"), col("rank"))
+  }
+
+  def annLsh(s: SparkSession, dir: String): DataFrame = {
+    val all = Tables.load(s, dir, "embeddings")
+    annLsh(all, all.filter(col("vec_id") < NumQueries), K)
   }
 }

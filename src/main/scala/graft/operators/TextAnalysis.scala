@@ -11,9 +11,14 @@ import graft.functions.TextFunctions._
   * shuffle except the final presentation sort. */
 object TextAnalysis {
 
+  // Every operator has a FRAME-parametric form (the library API: any
+  // DataFrame carrying `doc_id`/`text`, plus the columns a specific
+  // operator names) and a (SparkSession, dir) wrapper binding it to the
+  // driver-contract benchmark table.
+
   /** Per-document token statistics. */
-  def textStats(s: SparkSession, dir: String): DataFrame =
-    Tables.load(s, dir, "documents")
+  def textStats(docs: DataFrame): DataFrame =
+    docs
       .select(
         col("doc_id"),
         tokenCount(col("text")).as("n_tokens"),
@@ -22,9 +27,12 @@ object TextAnalysis {
         col("n_chars"))
       .orderBy(col("doc_id"))
 
+  def textStats(s: SparkSession, dir: String): DataFrame =
+    textStats(Tables.load(s, dir, "documents"))
+
   /** Quality scoring: stopword ratio, punctuation ratio, composite. */
-  def qualityScoring(s: SparkSession, dir: String): DataFrame =
-    Tables.load(s, dir, "documents")
+  def qualityScoring(docs: DataFrame): DataFrame =
+    docs
       .select(
         col("doc_id"),
         round(stopwordRatio(col("text")), 4).as("stop_ratio"),
@@ -32,21 +40,27 @@ object TextAnalysis {
         qualityScore(col("text")).as("quality"))
       .orderBy(col("doc_id"))
 
+  def qualityScoring(s: SparkSession, dir: String): DataFrame =
+    qualityScoring(Tables.load(s, dir, "documents"))
+
   /** Deterministic language guess + corpus-level agreement stats. */
-  def langId(s: SparkSession, dir: String): DataFrame =
-    Tables.load(s, dir, "documents")
+  def langId(docs: DataFrame): DataFrame =
+    docs
       .select(col("lang"), langGuess(col("text")).as("lang_guess"))
       .groupBy(col("lang"), col("lang_guess"))
       .agg(count(lit(1)).as("n"))
       .orderBy(col("lang"), col("lang_guess"))
 
+  def langId(s: SparkSession, dir: String): DataFrame =
+    langId(Tables.load(s, dir, "documents"))
+
   /** End-to-end curation pipeline — the flagship training-data shape:
     * score → filter (quality + length gates) → exact-dedup (keep lowest
     * doc_id per content fingerprint) → per-source corpus stats. One scan,
     * one window, one aggregation. */
-  def curation(s: SparkSession, dir: String): DataFrame = {
+  def curation(docs: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val scored = Tables.load(s, dir, "documents")
+    val scored = docs
       .select(
         col("doc_id"), col("source"),
         md5Fingerprint(col("text")).as("fp"),
@@ -70,17 +84,23 @@ object TextAnalysis {
       .orderBy(col("source"))
   }
 
+  def curation(s: SparkSession, dir: String): DataFrame =
+    curation(Tables.load(s, dir, "documents"))
+
   /** Token search (the reference's inverted-index surface, SURVEY #35,
     * mapped to a tokenized-array membership predicate — at scale this
     * pairs with the materialized index below; the predicate form
     * benefits from parquet dictionary + bloom pruning). */
-  def textSearch(s: SparkSession, dir: String): DataFrame =
-    Tables.load(s, dir, "documents")
+  def textSearch(docs: DataFrame): DataFrame =
+    docs
       .filter(array_contains(tokens(col("text")), "dup") ||
         (array_contains(tokens(col("text")), "spark") &&
           array_contains(tokens(col("text")), "window")))
       .select(col("doc_id"), col("source"), col("n_chars"))
       .orderBy(col("doc_id"))
+
+  def textSearch(s: SparkSession, dir: String): DataFrame =
+    textSearch(Tables.load(s, dir, "documents"))
 
   /** The same search through the PERSISTED inverted index
     * ([[graft.index.InvertedIndex]] — SURVEY #35's materialized form):
@@ -116,20 +136,11 @@ object TextAnalysis {
   private val IpRe = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
 
   /** PII redaction — scrub emails and IPs from document text, reporting
-    * per-doc match counts and the redacted-content fingerprint. The
-    * corpus is synthetic and PII-free, so every 7th doc is DETERMINISTICALLY
-    * augmented with derived PII first (both engines build the identical
-    * augmented text — the redaction path has real work at every SF).
+    * per-doc match counts and the redacted-content fingerprint.
     * Pure codegen expressions: one scan, no shuffle. */
-  def piiRedaction(s: SparkSession, dir: String): DataFrame = {
-    val aug = when(col("doc_id") % 7 === 0,
-      concat(col("text"),
-        lit(" contact user"), col("doc_id").cast("string"),
-        lit("@example.com ip 10.0."), (col("doc_id") % 256).cast("string"),
-        lit("."), (col("doc_id") % 100).cast("string")))
-      .otherwise(col("text"))
-    Tables.load(s, dir, "documents")
-      .select(col("doc_id"), aug.as("aug"))
+  def piiRedaction(docs: DataFrame): DataFrame =
+    docs
+      .select(col("doc_id"), col("text").as("aug"))
       .select(
         col("doc_id"),
         size(regexp_extract_all(col("aug"), lit(EmailRe), lit(0))).cast("long").as("n_emails"),
@@ -138,7 +149,19 @@ object TextAnalysis {
           regexp_replace(col("aug"), EmailRe, "<EMAIL>"),
           IpRe, "<IP>").cast("binary")).as("redacted_fp"))
       .orderBy(col("doc_id"))
-  }
+
+  /** Driver-contract wrapper: the benchmark corpus is synthetic and
+    * PII-FREE, so every 7th doc is DETERMINISTICALLY augmented with
+    * derived PII first (the DuckDB oracle builds the identical augmented
+    * text) — the redaction path has real work at every SF. */
+  def piiRedaction(s: SparkSession, dir: String): DataFrame =
+    piiRedaction(Tables.load(s, dir, "documents")
+      .withColumn("text", when(col("doc_id") % 7 === 0,
+        concat(col("text"),
+          lit(" contact user"), col("doc_id").cast("string"),
+          lit("@example.com ip 10.0."), (col("doc_id") % 256).cast("string"),
+          lit("."), (col("doc_id") % 100).cast("string")))
+        .otherwise(col("text"))))
 
   /** Benchmark decontamination — flag training docs sharing any word
     * 5-gram with the benchmark/eval set (deterministic stand-in: every
@@ -147,29 +170,34 @@ object TextAnalysis {
     * streams one codegen'd hash-probe pass, no shuffle of the corpus
     * side; output is per-doc shared-shingle counts. Shingle hashing uses
     * the same fused kernel as dedup ([[graft.functions.HashedShingles]]). */
-  def decontaminate(s: SparkSession, dir: String): DataFrame = {
-    val sh = Tables.load(s, dir, "documents")
-      .select(col("doc_id"),
-        graft.functions.LshFunctions.hashedShingles(s, tokens(col("text")), 5).as("hs"))
-    val bench = sh.filter(col("doc_id") % 23 === 0)
-      .select(explode(col("hs")).as("h")).distinct()
-    val train = sh.filter(col("doc_id") % 23 =!= 0)
-      .select(col("doc_id"), explode(col("hs")).as("h"))
+  def decontaminate(trainDocs: DataFrame, benchmarkDocs: DataFrame): DataFrame = {
+    def sh(df: DataFrame) = df.select(col("doc_id"),
+      graft.functions.LshFunctions.hashedShingles(
+        df.sparkSession, tokens(col("text")), 5).as("hs"))
+    val bench = sh(benchmarkDocs).select(explode(col("hs")).as("h")).distinct()
+    val train = sh(trainDocs).select(col("doc_id"), explode(col("hs")).as("h"))
     train.join(broadcast(bench), Seq("h"))
       .groupBy(col("doc_id")).agg(count(lit(1)).as("n_shared"))
       .orderBy(col("doc_id"))
+  }
+
+  def decontaminate(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(s, dir, "documents")
+    decontaminate(docs.filter(col("doc_id") % 23 =!= 0),
+      docs.filter(col("doc_id") % 23 === 0))
   }
 
   /** Intra-document repetition score: 1 − distinct/total word 3-grams —
     * the boilerplate/looping-text gate every curation pipeline runs.
     * One scan, pure expressions (the fused shingle kernel provides the
     * distinct count without materializing shingle strings). */
-  def repetition(s: SparkSession, dir: String): DataFrame =
-    Tables.load(s, dir, "documents")
+  def repetition(docs: DataFrame): DataFrame =
+    docs
       .select(col("doc_id"), tokens(col("text")).as("w"))
       .select(col("doc_id"),
         greatest(size(col("w")) - 2, lit(0)).cast("long").as("n_grams"),
-        size(graft.functions.LshFunctions.hashedShingles(s, col("w"), 3))
+        size(graft.functions.LshFunctions.hashedShingles(
+          docs.sparkSession, col("w"), 3))
           .cast("long").as("n_distinct"))
       .filter(col("n_grams") > 0)
       .select(col("doc_id"), col("n_grams"), col("n_distinct"),
@@ -177,13 +205,19 @@ object TextAnalysis {
           .as("rep_ratio"))
       .orderBy(col("doc_id"))
 
+  def repetition(s: SparkSession, dir: String): DataFrame =
+    repetition(Tables.load(s, dir, "documents"))
+
   /** Content fingerprints: md5 (exact-dup key) + order-sensitive rolling
     * hash (cheap near-identity check for shifted content). */
-  def fingerprints(s: SparkSession, dir: String): DataFrame =
-    Tables.load(s, dir, "documents")
+  def fingerprints(docs: DataFrame): DataFrame =
+    docs
       .select(
         col("doc_id"),
         md5Fingerprint(col("text")).as("fp_md5"),
         rollingFingerprint(col("text")).as("fp_roll"))
       .orderBy(col("doc_id"))
+
+  def fingerprints(s: SparkSession, dir: String): DataFrame =
+    fingerprints(Tables.load(s, dir, "documents"))
 }
