@@ -91,8 +91,11 @@ object Demo {
       }
       val noAuth = post("/v1/query", """{"sql":"SELECT 1 AS one"}""")
       println(s"== REST without token: HTTP ${noAuth.statusCode()}")
-      val tok = post("/v1/auth/token", """{"subject":"demo"}""").body()
-      val access = """"access_token":"([^"]+)"""".r.findFirstMatchIn(tok).get.group(1)
+      val tokResp = post("/v1/auth/token", """{"subject":"demo"}""")
+      require(tokResp.statusCode() == 200,
+        s"token issue failed: HTTP ${tokResp.statusCode()} ${tokResp.body()}")
+      val access = """"access_token":"([^"]+)"""".r
+        .findFirstMatchIn(tokResp.body()).get.group(1)
       val q = post("/v1/query",
         """{"sql":"SELECT count(*) AS n FROM users"}""", Some(access))
       println(s"== REST with token: HTTP ${q.statusCode()} body ${q.body()}")

@@ -37,15 +37,21 @@ object Similarity {
   // (SparkSession, dir) overloads bind the driver-contract benchmark
   // table with its first `NumQueries` vectors as queries.
 
-  /** Exact brute-force top-k cosine of `queries` against `corpus`. */
-  def annBrute(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
+  /** Exact brute-force top-k cosine of `queries` against `corpus`.
+    * `excludeSelf` drops corpus rows whose vec_id equals the query's —
+    * correct when queries ⊆ corpus (the wrappers); pass false for a
+    * DISJOINT query set whose id space may coincide with the corpus's,
+    * where the filter would silently drop true nearest neighbors. */
+  def annBrute(corpus: DataFrame, queries: DataFrame, k: Int,
+      excludeSelf: Boolean = true): DataFrame = {
     val s = corpus.sparkSession
     val e = withNorm(s, corpus)
     val q = withNorm(s, queries)
       .select(col("vec_id").as("query_id"), col("v").as("qv"), col("norm").as("qn"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("vec_id"))
-    e.join(broadcast(q), col("vec_id") =!= col("query_id"))
+    e.join(broadcast(q),
+        if (excludeSelf) col("vec_id") =!= col("query_id") else lit(true))
       .withColumn("cosine", VectorFunctions.dot(s, col("v"), col("qv")) / (col("norm") * col("qn")))
       .withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= k)
@@ -132,7 +138,8 @@ object Similarity {
     * `NProbe` nearest cells. Assignment is a broadcast of the tiny
     * centroid set against the fact side — one codegen'd pass, no
     * shuffle of vectors; the probe join shuffles only candidates. */
-  def annIvf(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
+  def annIvf(corpus: DataFrame, queries: DataFrame, k: Int,
+      excludeSelf: Boolean = true): DataFrame = {
     val s = corpus.sparkSession
     import s.implicits._
     val e = withNorm(s, corpus)
@@ -159,7 +166,7 @@ object Similarity {
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("vec_id"))
     indexed.join(broadcast(probes), Seq("cell"))
-      .filter(col("vec_id") =!= col("query_id"))
+      .filter(if (excludeSelf) col("vec_id") =!= col("query_id") else lit(true))
       .withColumn("cosine", VectorFunctions.dot(s, col("v"), col("qv")) / (col("norm") * col("qn")))
       .withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= k)
@@ -187,7 +194,8 @@ object Similarity {
     * streams through one equi-join, no shuffle of vectors). Pairs that
     * collide in several tables are deduped BEFORE scoring, so each
     * candidate pays its dot product once. */
-  def annLsh(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
+  def annLsh(corpus: DataFrame, queries: DataFrame, k: Int,
+      excludeSelf: Boolean = true): DataFrame = {
     val s = corpus.sparkSession
     def withSigs(df: DataFrame, idAs: String, vAs: String, nAs: String): DataFrame =
       df.select(col("vec_id").as(idAs), col("v").as(vAs), col("norm").as(nAs),
@@ -201,7 +209,7 @@ object Similarity {
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("vec_id"))
     e.join(broadcast(probes), Seq("tbl", "sig"))
-      .filter(col("vec_id") =!= col("query_id"))
+      .filter(if (excludeSelf) col("vec_id") =!= col("query_id") else lit(true))
       .dropDuplicates("query_id", "vec_id") // multi-table collisions: score once
       .withColumn("cosine", VectorFunctions.dot(s, col("v"), col("qv")) / (col("norm") * col("qn")))
       .withColumn("rank", row_number().over(w).cast("long"))

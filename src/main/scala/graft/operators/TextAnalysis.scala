@@ -91,16 +91,30 @@ object TextAnalysis {
     * mapped to a tokenized-array membership predicate — at scale this
     * pairs with the materialized index below; the predicate form
     * benefits from parquet dictionary + bloom pruning). */
-  def textSearch(docs: DataFrame): DataFrame =
-    docs
-      .filter(array_contains(tokens(col("text")), "dup") ||
-        (array_contains(tokens(col("text")), "spark") &&
-          array_contains(tokens(col("text")), "window")))
-      .select(col("doc_id"), col("source"), col("n_chars"))
-      .orderBy(col("doc_id"))
+  /** Library form: rows of `docs` containing ANY of `anyOf` tokens OR
+    * ALL of `allOf` tokens (either list may be empty; both empty
+    * matches nothing). Returns the filtered frame — callers project. */
+  def textSearch(docs: DataFrame, anyOf: Seq[String],
+      allOf: Seq[String] = Nil): DataFrame = {
+    val toks = tokens(col("text"))
+    val anyPred = anyOf.map(t => array_contains(toks, t)).reduceOption(_ || _)
+    val allPred =
+      if (allOf.isEmpty) None
+      else Some(allOf.map(t => array_contains(toks, t)).reduce(_ && _))
+    val pred = (anyPred, allPred) match {
+      case (Some(a), Some(b)) => a || b
+      case (Some(a), None) => a
+      case (None, Some(b)) => b
+      case (None, None) => lit(false)
+    }
+    docs.filter(pred)
+  }
 
   def textSearch(s: SparkSession, dir: String): DataFrame =
-    textSearch(Tables.load(s, dir, "documents"))
+    textSearch(Tables.load(s, dir, "documents"),
+      anyOf = Seq("dup"), allOf = Seq("spark", "window"))
+      .select(col("doc_id"), col("source"), col("n_chars"))
+      .orderBy(col("doc_id"))
 
   /** The same search through the PERSISTED inverted index
     * ([[graft.index.InvertedIndex]] — SURVEY #35's materialized form):

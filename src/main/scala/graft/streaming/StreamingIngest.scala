@@ -207,26 +207,29 @@ class StreamingIngest(store: TableStore) {
       .start()
   }
 
-  /** Start a json ingest stream that DEDUPES by record id across
-    * micro-batches (streaming state + watermark): re-sent records within
-    * the watermark horizon land exactly once — the idempotent-write
-    * guarantee the reference approximates with buffer-key replacement
-    * (`concurrent_buffer.go:1016-1042`). */
-  def startDedupedJsonIngest(
+  /** Shared keyed-dedup ingest: watermark + dropDuplicates on a derived
+    * key column, then the idempotent batch commit — one plumbing path
+    * for the id- and content-keyed variants so commit/watermark fixes
+    * cannot drift between them. */
+  private def startKeyedDedupIngest(
       table: String,
       sourceDir: String,
       schema: StructType,
       checkpoint: String,
-      watermark: String = "1 day",
-      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
+      queryName: String,
+      key: org.apache.spark.sql.Column,
+      watermark: String,
+      trigger: Trigger): StreamingQuery = {
     store.ensureTable(table)
     spark.readStream
       .schema(schema)
       .json(sourceDir)
+      .withColumn("_graft_dk", key)
       .withWatermark("timestamp", watermark)
-      .dropDuplicatesWithinWatermark("id")
+      .dropDuplicatesWithinWatermark("_graft_dk")
+      .drop("_graft_dk")
       .writeStream
-      .queryName(s"ingest-dedup-$table")
+      .queryName(queryName)
       .option("checkpointLocation", checkpoint)
       .trigger(trigger)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
@@ -239,13 +242,32 @@ class StreamingIngest(store: TableStore) {
       .start()
   }
 
+  /** Start a json ingest stream that DEDUPES by record id across
+    * micro-batches (streaming state + watermark): re-sent records within
+    * the watermark horizon land exactly once — the idempotent-write
+    * guarantee the reference approximates with buffer-key replacement
+    * (`concurrent_buffer.go:1016-1042`). */
+  def startDedupedJsonIngest(
+      table: String,
+      sourceDir: String,
+      schema: StructType,
+      checkpoint: String,
+      watermark: String = "1 day",
+      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+    startKeyedDedupIngest(table, sourceDir, schema, checkpoint,
+      s"ingest-dedup-$table", col("id"), watermark, trigger)
+
   /** Start a json ingest stream that DEDUPES by CONTENT fingerprint
     * across micro-batches — the streaming form of the pipeline's exact
     * dedup (d01): re-sent or mirrored documents with identical content
     * in `contentCols` land exactly once within the watermark horizon,
-    * regardless of their record ids. State carries one md5 per distinct
-    * content within the horizon; the watermark bounds it (same state
-    * shape as the id-dedup variant). */
+    * regardless of their record ids. The fingerprint matches d01's
+    * normalization (lower + trim per column, like
+    * [[graft.functions.TextFunctions.md5Fingerprint]]) and encodes the
+    * column TUPLE as JSON — unambiguous, so ("a b","c") and ("a","b c")
+    * can never collide the way a separator-join would, and null vs
+    * empty stay distinct. State carries one md5 per distinct content
+    * within the horizon; the watermark bounds it. */
   def startContentDedupedJsonIngest(
       table: String,
       sourceDir: String,
@@ -255,27 +277,10 @@ class StreamingIngest(store: TableStore) {
       watermark: String = "1 day",
       trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
     require(contentCols.nonEmpty, "contentCols must name at least one column")
-    store.ensureTable(table)
-    spark.readStream
-      .schema(schema)
-      .json(sourceDir)
-      .withColumn("_graft_fp",
-        md5(concat_ws(" ", contentCols.map(c => col(c).cast("string")): _*)))
-      .withWatermark("timestamp", watermark)
-      .dropDuplicatesWithinWatermark("_graft_fp")
-      .drop("_graft_fp")
-      .writeStream
-      .queryName(s"ingest-cdedup-$table")
-      .option("checkpointLocation", checkpoint)
-      .trigger(trigger)
-      .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        if (!batch.isEmpty)
-          commitBatch(table, streamId(checkpoint), batchId,
-            batch.withColumn("date", to_date(col("timestamp"))),
-            legacySids = Seq(legacyStreamId(checkpoint)))
-        ()
-      }
-      .start()
+    val fp = md5(to_json(struct(
+      contentCols.map(c => lower(trim(col(c).cast("string"))).as(c)): _*)).cast("binary"))
+    startKeyedDedupIngest(table, sourceDir, schema, checkpoint,
+      s"ingest-cdedup-$table", fp, watermark, trigger)
   }
 
   /** Watermarked sliding-window aggregation over a streaming frame —
