@@ -208,9 +208,9 @@ class StreamingIngest(store: TableStore) {
   }
 
   /** Shared keyed-dedup ingest: watermark + dropDuplicates on a derived
-    * key column, then the idempotent batch commit — one plumbing path
-    * for the id- and content-keyed variants so commit/watermark fixes
-    * cannot drift between them. */
+    * key column, then the idempotent batch commit + CDC INSERT events —
+    * one plumbing path for the id- and content-keyed variants so
+    * commit/watermark/CDC fixes cannot drift between them. */
   private def startKeyedDedupIngest(
       table: String,
       sourceDir: String,
@@ -220,6 +220,10 @@ class StreamingIngest(store: TableStore) {
       key: org.apache.spark.sql.Column,
       watermark: String,
       trigger: Trigger): StreamingQuery = {
+    // withColumn would silently REPLACE (and then drop) a same-named
+    // payload field — refuse rather than destroy user data
+    require(!schema.fieldNames.contains("_graft_dk"),
+      "schema must not contain the reserved column '_graft_dk'")
     store.ensureTable(table)
     spark.readStream
       .schema(schema)
@@ -233,10 +237,22 @@ class StreamingIngest(store: TableStore) {
       .option("checkpointLocation", checkpoint)
       .trigger(trigger)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        if (!batch.isEmpty)
-          commitBatch(table, streamId(checkpoint), batchId,
-            batch.withColumn("date", to_date(col("timestamp"))),
+        if (!batch.isEmpty) {
+          val dated = batch.withColumn("date", to_date(col("timestamp")))
+          val sid = streamId(checkpoint)
+          commitBatch(table, sid, batchId, dated,
             legacySids = Seq(legacyStreamId(checkpoint)))
+          // CDC parity with the plain ingest paths: subscribers see the
+          // SURVIVING records (post-dedup), per-batch OVERWRITE so
+          // replays never duplicate events
+          dated.select(
+            lit("INSERT").as("op"),
+            col("id"),
+            col("timestamp"),
+            lit(batchId).as("batch_id"),
+            lit(CdcLog.nextEmittedAt()).as("emitted_at"))
+            .write.mode("overwrite").parquet(s"${cdcPath(table)}/$sid-b$batchId")
+        }
         ()
       }
       .start()

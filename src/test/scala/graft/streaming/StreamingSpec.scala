@@ -164,6 +164,9 @@ class StreamingSpec extends SparkSpec {
     ing.startDedupedJsonIngest("t", src, recSchema, tmpDir("sdd-ckpt"))
       .awaitTermination(60000)
     assert(store.read("t").count() == 2) // dup collapsed, other kept
+    // CDC parity: the surviving records produce INSERT events
+    val cdc = ing.cdcLog("t").collect()
+    assert(cdc.length == 2 && cdc.forall(_.getAs[String]("op") == "INSERT"))
   }
 
   test("content-deduped ingest: identical content lands once across distinct ids") {
