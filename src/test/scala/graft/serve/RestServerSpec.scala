@@ -138,6 +138,37 @@ class RestServerSpec extends SparkSpec {
     }
   }
 
+  test("concurrent mixed HTTP load: parallel writes and queries stay consistent") {
+    withServer() { (port, facade) =>
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.duration._
+      implicit val ec: scala.concurrent.ExecutionContext =
+        scala.concurrent.ExecutionContext.global
+      // 24 parallel writers into two tables + interleaved queries
+      val writes = (1 to 24).map { i =>
+        Future {
+          send(port, "POST", "/v1/data",
+            s"""{"table":"c${i % 2}","record":{"id":"r$i",
+               |"timestamp":1704067200000,"payload":{"i":$i}}}""".stripMargin)
+        }
+      }
+      val queries = (1 to 8).map { _ =>
+        Future { send(port, "GET", "/v1/tables") }
+      }
+      val all = Await.result(Future.sequence(writes ++ queries), 120.seconds)
+      assert(all.forall(_._1 == 200), s"statuses: ${all.map(_._1).distinct}")
+      // every acknowledged write is queryable (hybrid buffer∪storage)
+      val (qc, qb) = send(port, "POST", "/v1/query",
+        """{"sql":"SELECT count(*) AS n FROM c0"}""")
+      val (qc1, qb1) = send(port, "POST", "/v1/query",
+        """{"sql":"SELECT count(*) AS n FROM c1"}""")
+      assert(qc == 200 && qc1 == 200)
+      val n0 = """"n":(\d+)""".r.findFirstMatchIn(qb).get.group(1).toInt
+      val n1 = """"n":(\d+)""".r.findFirstMatchIn(qb1).get.group(1).toInt
+      assert(n0 + n1 == 24, s"lost writes: c0=$n0 c1=$n1")
+    }
+  }
+
   test("malformed requests are 400s with an error body, not 500s") {
     withServer() { (port, _) =>
       val (c1, b1) = send(port, "POST", "/v1/query", """{"no_sql":true}""")
