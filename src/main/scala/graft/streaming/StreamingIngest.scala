@@ -137,13 +137,7 @@ class StreamingIngest(store: TableStore) {
           // come from the shared CdcLog clock: a second clock would let
           // an event land at or below a consumer's committed cursor and
           // be dropped at its strict-'>' filter.
-          dated.select(
-            lit("INSERT").as("op"),
-            col("id"),
-            col("timestamp"),
-            lit(batchId).as("batch_id"),
-            lit(CdcLog.nextEmittedAt()).as("emitted_at"))
-            .write.mode("overwrite").parquet(s"${cdcPath(table)}/$sid-b$batchId")
+          emitInsertCdc(table, sid, batchId, dated)
         }
         ()
       }
@@ -193,13 +187,7 @@ class StreamingIngest(store: TableStore) {
             val sid = streamId(checkpoint)
             commitBatch(table, sid, batchId, dated,
               legacySids = Seq(legacyStreamId(checkpoint)))
-            dated.select(
-              lit("INSERT").as("op"),
-              col("id"),
-              col("timestamp"),
-              lit(batchId).as("batch_id"),
-              lit(CdcLog.nextEmittedAt()).as("emitted_at")) // shared CDC clock
-              .write.mode("overwrite").parquet(s"${cdcPath(table)}/$sid-b$batchId")
+            emitInsertCdc(table, sid, batchId, dated)
           }
         }
         ()
@@ -207,32 +195,60 @@ class StreamingIngest(store: TableStore) {
       .start()
   }
 
-  /** Shared keyed-dedup ingest: watermark + dropDuplicates on a derived
-    * key column, then the idempotent batch commit + CDC INSERT events —
-    * one plumbing path for the id- and content-keyed variants so
-    * commit/watermark/CDC fixes cannot drift between them. */
+  /** CDC INSERT events for a committed micro-batch — the ONE emit path
+    * every ingest variant shares (per-batch dir written with OVERWRITE:
+    * replays rewrite, never duplicate; `emitted_at` MUST come from the
+    * shared CdcLog clock — see [[startJsonIngest]]). */
+  private def emitInsertCdc(table: String, sid: String, batchId: Long,
+      dated: DataFrame): Unit =
+    dated.select(
+      lit("INSERT").as("op"),
+      col("id"),
+      col("timestamp"),
+      lit(batchId).as("batch_id"),
+      lit(CdcLog.nextEmittedAt()).as("emitted_at"))
+      .write.mode("overwrite").parquet(s"${cdcPath(table)}/$sid-b$batchId")
+
+  /** Shared keyed-dedup ingest: watermark + dropDuplicates on the key,
+    * then the idempotent batch commit + CDC INSERT events — one plumbing
+    * path for the id- and content-keyed variants so
+    * commit/watermark/CDC fixes cannot drift between them.
+    *
+    * @param derivedKey None = dedup directly on the `id` column (keeps
+    *        the state-store key schema of checkpoints created before the
+    *        content variant existed — a derived-column key would break
+    *        their restart continuity); Some(fp) = dedup on the derived
+    *        fingerprint column. */
   private def startKeyedDedupIngest(
       table: String,
       sourceDir: String,
       schema: StructType,
       checkpoint: String,
       queryName: String,
-      key: org.apache.spark.sql.Column,
+      derivedKey: Option[org.apache.spark.sql.Column],
       watermark: String,
       trigger: Trigger): StreamingQuery = {
-    // withColumn would silently REPLACE (and then drop) a same-named
-    // payload field — refuse rather than destroy user data
+    // fail at START, not mid-stream: the record model requires id +
+    // timestamp (commit partitions on timestamp, CDC carries id), and a
+    // payload field named like the reserved key column would be silently
+    // replaced-then-dropped
+    require(schema.fieldNames.contains("id") && schema.fieldNames.contains("timestamp"),
+      "ingest schema must carry 'id' and 'timestamp' columns")
     require(!schema.fieldNames.contains("_graft_dk"),
       "schema must not contain the reserved column '_graft_dk'")
     store.ensureTable(table)
-    spark.readStream
-      .schema(schema)
-      .json(sourceDir)
-      .withColumn("_graft_dk", key)
-      .withWatermark("timestamp", watermark)
-      .dropDuplicatesWithinWatermark("_graft_dk")
-      .drop("_graft_dk")
-      .writeStream
+    val src = spark.readStream.schema(schema).json(sourceDir)
+    val deduped = derivedKey match {
+      case None => src
+        .withWatermark("timestamp", watermark)
+        .dropDuplicatesWithinWatermark("id")
+      case Some(key) => src
+        .withColumn("_graft_dk", key)
+        .withWatermark("timestamp", watermark)
+        .dropDuplicatesWithinWatermark("_graft_dk")
+        .drop("_graft_dk")
+    }
+    deduped.writeStream
       .queryName(queryName)
       .option("checkpointLocation", checkpoint)
       .trigger(trigger)
@@ -242,16 +258,8 @@ class StreamingIngest(store: TableStore) {
           val sid = streamId(checkpoint)
           commitBatch(table, sid, batchId, dated,
             legacySids = Seq(legacyStreamId(checkpoint)))
-          // CDC parity with the plain ingest paths: subscribers see the
-          // SURVIVING records (post-dedup), per-batch OVERWRITE so
-          // replays never duplicate events
-          dated.select(
-            lit("INSERT").as("op"),
-            col("id"),
-            col("timestamp"),
-            lit(batchId).as("batch_id"),
-            lit(CdcLog.nextEmittedAt()).as("emitted_at"))
-            .write.mode("overwrite").parquet(s"${cdcPath(table)}/$sid-b$batchId")
+          // subscribers see the SURVIVING records (post-dedup)
+          emitInsertCdc(table, sid, batchId, dated)
         }
         ()
       }
@@ -271,7 +279,7 @@ class StreamingIngest(store: TableStore) {
       watermark: String = "1 day",
       trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
     startKeyedDedupIngest(table, sourceDir, schema, checkpoint,
-      s"ingest-dedup-$table", col("id"), watermark, trigger)
+      s"ingest-dedup-$table", derivedKey = None, watermark, trigger)
 
   /** Start a json ingest stream that DEDUPES by CONTENT fingerprint
     * across micro-batches — the streaming form of the pipeline's exact
@@ -296,7 +304,7 @@ class StreamingIngest(store: TableStore) {
     val fp = md5(to_json(struct(
       contentCols.map(c => lower(trim(col(c).cast("string"))).as(c)): _*)).cast("binary"))
     startKeyedDedupIngest(table, sourceDir, schema, checkpoint,
-      s"ingest-cdedup-$table", fp, watermark, trigger)
+      s"ingest-cdedup-$table", derivedKey = Some(fp), watermark, trigger)
   }
 
   /** Watermarked sliding-window aggregation over a streaming frame —
