@@ -169,6 +169,26 @@ class StreamingSpec extends SparkSpec {
     assert(cdc.length == 2 && cdc.forall(_.getAs[String]("op") == "INSERT"))
   }
 
+  test("deduped ingest: state survives a restart (dup after restart still dropped)") {
+    val root = tmpDir("sddr")
+    val src = tmpDir("sddr-src")
+    val ckpt = tmpDir("sddr-ckpt")
+    val store = new TableStore(spark, root)
+    val ing = new StreamingIngest(store)
+    Files.writeString(Paths.get(src, "b1.json"),
+      """{"id":"k","timestamp":"2024-01-01T10:00:00.000Z","v":1.0}""")
+    ing.startDedupedJsonIngest("t", src, recSchema, ckpt).awaitTermination(60000)
+    assert(store.read("t").count() == 1)
+    // RESTART over the same checkpoint, then re-send the same id within
+    // the watermark horizon — the restored dedup state must drop it
+    Files.writeString(Paths.get(src, "b2.json"),
+      """{"id":"k","timestamp":"2024-01-01T10:30:00.000Z","v":2.0}
+        |{"id":"k2","timestamp":"2024-01-01T10:31:00.000Z","v":3.0}""".stripMargin)
+    ing.startDedupedJsonIngest("t", src, recSchema, ckpt).awaitTermination(60000)
+    val vs = store.read("t").collect().map(_.getAs[Double]("v")).sorted.toSeq
+    assert(vs == Seq(1.0, 3.0), s"dedup state lost across restart: $vs")
+  }
+
   test("content-deduped ingest: identical content lands once across distinct ids") {
     val root = tmpDir("scd")
     val src = tmpDir("scd-src")
