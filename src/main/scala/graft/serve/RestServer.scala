@@ -28,6 +28,8 @@ import graft.ingest.{DynRecord, TableConfig}
   *   PUT    /v1/data                     updateData      (bearer)
   *   DELETE /v1/data                     deleteData      (bearer)
   *   POST   /v1/data/cleanup-empty-ids   cleanupEmptyIds (bearer)
+  *   GET    /v1/cdc/{table}?group=&limit= pollEvents     (bearer)
+  *   POST   /v1/cdc/{table}/commit       commitEvents    (bearer)
   *   POST   /v1/tables                   createTable     (bearer)
   *   GET    /v1/tables                   listTables      (bearer)
   *   GET    /v1/tables/{name}            getTable        (bearer)
@@ -157,6 +159,18 @@ class RestServer(facade: ServiceFacade, host: String = "127.0.0.1", port: Int = 
       case ("POST", List("v1", "data", "cleanup-empty-ids")) =>
         val n = facade.cleanupEmptyIds(text(body(ex), "table"))
         respond(ex, 200, obj("cleaned" -> n))
+      case ("GET", List("v1", "cdc", table)) =>
+        val q = queryParams(ex)
+        val limit = q.get("limit").flatMap(_.toIntOption).getOrElse(1000)
+        val (events, hw) = facade.pollEvents(table, param(q, "group"), limit)
+        respondRaw(ex, 200,
+          s"""{"events":${events.mkString("[", ",", "]")},"high_water":$hw}""")
+      case ("POST", List("v1", "cdc", table, "commit")) =>
+        val b = body(ex)
+        val hwNode = b.get("high_water")
+        require(hwNode != null && hwNode.isNumber, "field 'high_water' required")
+        facade.commitEvents(table, text(b, "group"), hwNode.asLong)
+        respond(ex, 200, obj("committed" -> hwNode.asLong))
       case ("POST", List("v1", "tables")) =>
         val b = body(ex)
         facade.createTable(text(b, "table"), tableConfig(b.get("config")))

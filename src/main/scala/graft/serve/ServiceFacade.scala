@@ -108,6 +108,30 @@ class ServiceFacade(store: TableStore, authSecret: Option[String] = None,
     * `POST /v1/data/cleanup-empty-ids`). */
   def cleanupEmptyIds(table: String): Long = mutations.cleanupEmptyIds(table)
 
+  // ------------------------------------------------------- subscriptions
+
+  /** Poll a consumer group's CDC events (reference Subscribe verbs,
+    * `internal/subscription/manager.go`): up to `limit` events strictly
+    * newer than the group's committed cursor, oldest first, plus the
+    * high-water mark (micros) OF THE RETURNED SLICE — the value a
+    * stateless client passes to [[commitEvents]]. At-least-once:
+    * uncommitted polls re-deliver. */
+  def pollEvents(table: String, group: String,
+      limit: Int = 1000): (Array[String], Long) = {
+    val consumer = new graft.streaming.CdcConsumer(store, table, group)
+    val page = consumer.poll().limit(math.min(math.max(limit, 1), 10000))
+      .localCheckpoint(true) // one execution serves both payload and mark
+    val rows = page.toJSON.collect()
+    val hw = page.agg(org.apache.spark.sql.functions.max("emitted_at"))
+      .head().getTimestamp(0)
+    (rows, if (hw == null) 0L else graft.streaming.CdcLog.toMicros(hw))
+  }
+
+  /** Advance a consumer group's cursor to an explicit high-water mark
+    * from a previous poll (never moves backwards). */
+  def commitEvents(table: String, group: String, highWater: Long): Unit =
+    new graft.streaming.CdcConsumer(store, table, group).commitAt(highWater)
+
   def createTable(table: String, config: TableConfig = TableConfig()): Unit =
     store.createTable(table, config)
 

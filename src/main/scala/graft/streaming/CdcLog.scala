@@ -137,8 +137,16 @@ class CdcConsumer(store: TableStore, table: String, group: String) {
 
   /** Advance the cursor past everything the last poll returned. */
   def commit(): Unit = if (lastSeenHighWater >= 0) {
-    val out = fs.create(cursorPath, true)
-    out.write(lastSeenHighWater.toString.getBytes("UTF-8")); out.close()
+    commitAt(lastSeenHighWater)
     lastSeenHighWater = -1L
+  }
+
+  /** Commit an EXPLICIT high-water mark (micros) — for stateless/remote
+    * consumers (REST) that received the mark in a poll response. Never
+    * moves the cursor backwards: a late or replayed commit request must
+    * not re-deliver everything after an earlier successful commit. */
+  def commitAt(micros: Long): Unit = if (micros > committed()) {
+    val out = fs.create(cursorPath, true)
+    out.write(micros.toString.getBytes("UTF-8")); out.close()
   }
 }

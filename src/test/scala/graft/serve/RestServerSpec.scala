@@ -138,6 +138,33 @@ class RestServerSpec extends SparkSpec {
     }
   }
 
+  test("CDC subscription over HTTP: poll → commit → empty poll (at-least-once)") {
+    withServer() { (port, facade) =>
+      // mutations publish UPDATE/DELETE events to the CDC log
+      send(port, "POST", "/v1/data",
+        """{"table":"c","record":{"id":"x","timestamp":1704067200000,
+          |"payload":{"v":1}}}""".stripMargin)
+      send(port, "PUT", "/v1/data",
+        """{"table":"c","record":{"id":"x","timestamp":1704067200000,
+          |"payload":{"v":2}}}""".stripMargin)
+      send(port, "DELETE", "/v1/data?table=c&id=x")
+      val (pc, pb) = send(port, "GET", "/v1/cdc/c?group=g1")
+      assert(pc == 200 && pb.contains("\"UPDATE\"") && pb.contains("\"DELETE\""), s"$pc $pb")
+      val hw = """"high_water":(\d+)""".r.findFirstMatchIn(pb).get.group(1).toLong
+      assert(hw > 0)
+      // uncommitted re-poll re-delivers (at-least-once)
+      val (_, pb2) = send(port, "GET", "/v1/cdc/c?group=g1")
+      assert(pb2.contains("\"UPDATE\""))
+      // commit the mark → next poll is empty; another group still sees all
+      assert(send(port, "POST", "/v1/cdc/c/commit",
+        s"""{"group":"g1","high_water":$hw}""")._1 == 200)
+      val (_, pb3) = send(port, "GET", "/v1/cdc/c?group=g1")
+      assert(pb3.contains("\"events\":[]"), pb3)
+      val (_, other) = send(port, "GET", "/v1/cdc/c?group=g2")
+      assert(other.contains("\"UPDATE\""))
+    }
+  }
+
   test("concurrent mixed HTTP load: parallel writes and queries stay consistent") {
     withServer() { (port, facade) =>
       import scala.concurrent.{Await, Future}
