@@ -76,6 +76,7 @@ object SparkEntry {
     "d03_simhash"         -> (Dedup.simhash _),
     "d04_ngram_jaccard"   -> (Dedup.ngramJaccard _),
     "d05_embedding_neardup" -> (Dedup.embeddingNearDup _),
+    "d06_embedding_neardup_prod" -> (Dedup.embeddingNearDupHi _),
     // training-data pipeline: similarity search
     "s01_ann_brute"       -> (Similarity.annBrute _),
     "s02_ann_lsh"         -> (Similarity.annLsh _),
@@ -424,6 +425,14 @@ object SparkEntry {
         | round(CAST(list_cosine_similarity(a.embedding, b.embedding) AS DOUBLE), 2) AS cosine
         |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
         |WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.45
+        |ORDER BY vec_a, vec_b""".stripMargin,
+    // production near-dup threshold: same machinery, 12-bit signatures —
+    // the genuinely subquadratic config (see Dedup.EmbBitsHi)
+    "d06_embedding_neardup_prod" ->
+      """SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+        | round(CAST(list_cosine_similarity(a.embedding, b.embedding) AS DOUBLE), 2) AS cosine
+        |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        |WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.8
         |ORDER BY vec_a, vec_b""".stripMargin,
     "s01_ann_brute" ->
       """SELECT query_id, rank, neighbor_id, cosine FROM (

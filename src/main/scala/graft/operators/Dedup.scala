@@ -309,39 +309,69 @@ object Dedup {
   private val EmbBits = 6
   private val EmbTables = 64
 
+  /** Production-threshold signature depth: at τ=0.8 (bit-agreement
+    * p ≈ 0.795) a 12-bit × 64-table family keeps ambient pairs
+    * (p ≈ 0.55) at ~64·0.55¹² ≈ 5% while a boundary pair at exactly
+    * τ=0.8 still collides with probability 1−(1−0.795¹²)⁶⁴ ≈ 0.985 —
+    * and real near-dups (cosine ≫ τ) with ≈1. Deeper bits at τ=0.45
+    * would NOT help: ambient agreement (0.55) is too close to
+    * boundary agreement (0.648) for any (bits, tables) to separate
+    * them — that τ keeps ~63% of pairs by the geometry of the corpus,
+    * which is why 0.45 is the labeled exact-sweep config and 0.8 the
+    * production one. */
+  private val EmbBitsHi = 12
+  val ProductionEmbTau = 0.8
+
   /** (vec_id, tbl, sig) — one row per signature table per vector, via
     * the codegen'd [[graft.functions.HyperplaneSigs]] kernel (one fused
     * multiply-add loop per row against the process-cached plane matrix;
     * zero shuffle — the first shuffle in the dedup plan is the tiny
     * bucket join this feeds). */
-  private def embSignatures(s: SparkSession, e: DataFrame): DataFrame =
+  private def embSignatures(s: SparkSession, e: DataFrame, bits: Int): DataFrame =
     e.select(col("vec_id"),
       posexplode(graft.functions.LshFunctions.lshSigs(
-        s, col("v"), EmbSeed, EmbBits, EmbTables)).as(Seq("tbl", "sig")))
+        s, col("v"), EmbSeed, bits, EmbTables)).as(Seq("tbl", "sig")))
+
+  /** Embedding frame normalized to (vec_id, v, norm), materialized once
+    * (signatures + verify reuse it 2–3×). */
+  private def embNormed(e: DataFrame): DataFrame = {
+    import graft.functions.VectorFunctions
+    e.select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .withColumn("norm", VectorFunctions.norm(e.sparkSession, col("v")))
+      .localCheckpoint(true)
+  }
+
+  /** LSH candidate pairs for [[embeddingNearDup]] — package-visible so
+    * the keep-rate spec can count candidates per signature depth.
+    * cap = skew backstop only (2^bits buckets/table spread any SF; a
+    * degenerate all-equal-sign bucket chains instead of exploding) —
+    * far above test-SF bucket widths, so no recall effect. */
+  private[operators] def embCandidates(e: DataFrame, bits: Int): DataFrame =
+    bucketPairs(
+      embSignatures(e.sparkSession, e, bits)
+        .select(col("vec_id").as("doc_id"), col("tbl"), col("sig")),
+      Seq("tbl", "sig"), cap = 4096, dedupe = false)
+      .withColumnRenamed("doc_a", "vec_a").withColumnRenamed("doc_b", "vec_b")
 
   /** Embedding cosine near-dup pairs: LSH-bucketed candidates (equi-join
     * on (table, signature), skew-capped) + exact cosine verify — same
     * result set as the all-pairs formulation, no cross product in the
-    * plan. Per-query ANN over the same signatures is Similarity.annLsh. */
-  def embeddingNearDup(embeddings: DataFrame): DataFrame = {
+    * plan. Signature depth follows the threshold: τ ≥ 0.8 gets the
+    * 12-bit production family (~5% candidate keep-rate), lower τ the
+    * 6-bit exact-sweep family (see [[EmbBitsHi]] for why no family
+    * prunes the τ=0.45 tail). Per-query ANN over the same signatures is
+    * Similarity.annLsh. */
+  def embeddingNearDup(embeddings: DataFrame,
+      tau: Double = 0.45): DataFrame = {
     import graft.functions.VectorFunctions
     val s = embeddings.sparkSession
-    val e = embeddings
-      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
-      .withColumn("norm", VectorFunctions.norm(s, col("v")))
-      .localCheckpoint(true) // signatures + verify reuse; stop recompute per use
-    // cap = skew backstop only (2^6 buckets/table spread ~n/64 wide at
-    // any SF; a degenerate all-equal-sign bucket chains instead of
-    // exploding) — far above test-SF bucket widths, so no recall effect
-    val cand = bucketPairs(
-      embSignatures(s, e).select(col("vec_id").as("doc_id"), col("tbl"), col("sig")),
-      Seq("tbl", "sig"), cap = 4096, dedupe = false)
-      .withColumnRenamed("doc_a", "vec_a").withColumnRenamed("doc_b", "vec_b")
-    cand
+    val e = embNormed(embeddings)
+    val bits = if (tau >= ProductionEmbTau) EmbBitsHi else EmbBits
+    embCandidates(e, bits)
       .join(e.select(col("vec_id").as("vec_a"), col("v").as("va"), col("norm").as("na")), "vec_a")
       .join(e.select(col("vec_id").as("vec_b"), col("v").as("vb"), col("norm").as("nb")), "vec_b")
       .withColumn("cosine", VectorFunctions.dot(s, col("va"), col("vb")) / (col("na") * col("nb")))
-      .filter(col("cosine") >= 0.45)
+      .filter(col("cosine") >= tau)
       .select(col("vec_a"), col("vec_b"), round(col("cosine"), 2).as("cosine"))
       .distinct() // pairs collide in many tables; dedupe survivors only
       .orderBy(col("vec_a"), col("vec_b"))
@@ -349,4 +379,9 @@ object Dedup {
 
   def embeddingNearDup(s: SparkSession, dir: String): DataFrame =
     embeddingNearDup(Tables.load(s, dir, "embeddings"))
+
+  /** Production-threshold variant (τ=0.8, 12-bit signatures) — the
+    * config whose candidate generation is genuinely subquadratic. */
+  def embeddingNearDupHi(s: SparkSession, dir: String): DataFrame =
+    embeddingNearDup(Tables.load(s, dir, "embeddings"), ProductionEmbTau)
 }

@@ -72,8 +72,14 @@ object Similarity {
     * interpreted higher-order lambdas per plane per row). */
   private val SigSeed = 1L
 
-  private val Cells = 16
-  private val NProbe = 6
+  // Calibrated at sf0.01 against the exact top-10: recall per scanned
+  // fraction improves with FINER cells at constant nProbe/cells — the
+  // r3 config (16 cells, probe 6 = 0.38 of the corpus) measured 62%
+  // recall; (32, 12) probes the same 0.38 fraction and measures 92%
+  // (finer cells put each true neighbor's cell higher in the query's
+  // centroid ranking). Floor pinned ≥80% in PipelineOpsSpec.
+  private val Cells = 32
+  private val NProbe = 12
   private val KmSampleN = 1024
   private val KmIters = 10
 
@@ -85,7 +91,8 @@ object Similarity {
     * (deterministic 2-approx k-center seeding — no RNG anywhere), then
     * `KmIters` Lloyd rounds with cosine assignment and re-normalized
     * mean centroids. Returns unit-norm centroids. */
-  private def kmeansCentroids(s: SparkSession, e: DataFrame): Array[Array[Double]] = {
+  private def kmeansCentroids(s: SparkSession, e: DataFrame,
+      cells: Int = Cells): Array[Array[Double]] = {
     val sample: Array[Array[Double]] = e
       .filter(col("norm") > 0)
       .orderBy(xxhash64(col("vec_id")), col("vec_id"))
@@ -102,7 +109,7 @@ object Similarity {
       while (i < a.length && i < b.length) { s0 += a(i) * b(i); i += 1 }
       s0
     }
-    val k = math.min(Cells, sample.length)
+    val k = math.min(cells, sample.length)
     val cents = scala.collection.mutable.ArrayBuffer[Array[Double]](sample(0))
     while (cents.size < k) // farthest-first: minimize the max cosine to chosen
       cents += sample.minBy(v => cents.map(c => dot(c, v)).max)
@@ -139,11 +146,12 @@ object Similarity {
     * centroid set against the fact side — one codegen'd pass, no
     * shuffle of vectors; the probe join shuffles only candidates. */
   def annIvf(corpus: DataFrame, queries: DataFrame, k: Int,
-      excludeSelf: Boolean = true): DataFrame = {
+      excludeSelf: Boolean = true,
+      cells: Int = Cells, nProbe: Int = NProbe): DataFrame = {
     val s = corpus.sparkSession
     import s.implicits._
     val e = withNorm(s, corpus)
-    val cent = kmeansCentroids(s, e).zipWithIndex
+    val cent = kmeansCentroids(s, e, cells).zipWithIndex
       .map { case (c, i) => (i.toLong, c) }.toSeq
       .toDF("cell", "cv")
       .withColumn("cn", lit(1.0))
@@ -161,7 +169,7 @@ object Similarity {
     val probes = q.crossJoin(broadcast(cent))
       .withColumn("csim", VectorFunctions.dot(s, col("qv"), col("cv")) / (col("qn") * col("cn")))
       .withColumn("pr", row_number().over(wProbe))
-      .filter(col("pr") <= NProbe)
+      .filter(col("pr") <= nProbe)
       .select(col("query_id"), col("qv"), col("qn"), col("cell"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("vec_id"))

@@ -179,18 +179,23 @@ object TextAnalysis {
 
   /** Benchmark decontamination — flag training docs sharing any word
     * 5-gram with the benchmark/eval set (deterministic stand-in: every
-    * 23rd doc). The benchmark shingle UNION is distinct'd and BROADCAST —
-    * eval suites are small by nature, so at 100 TB the training corpus
-    * streams one codegen'd hash-probe pass, no shuffle of the corpus
-    * side; output is per-doc shared-shingle counts. Shingle hashing uses
-    * the same fused kernel as dedup ([[graft.functions.HashedShingles]]). */
+    * 23rd doc). The benchmark shingle UNION is distinct'd and — when it
+    * is actually small, the eval-suite norm — broadcast BY AQE at
+    * runtime, so the training corpus streams one codegen'd hash-probe
+    * pass with no corpus-side shuffle. Deliberately NO broadcast()
+    * hint (same reasoning as the d04 hotPerDoc join): a hint would
+    * force-broadcast an eval set of ANY size — an oversized benchmark
+    * (or a misuse passing two corpora) would OOM the driver instead of
+    * degrading to a shuffle join. Both directions are pinned in
+    * PlanSpec. Shingle hashing uses the same fused kernel as dedup
+    * ([[graft.functions.HashedShingles]]). */
   def decontaminate(trainDocs: DataFrame, benchmarkDocs: DataFrame): DataFrame = {
     def sh(df: DataFrame) = df.select(col("doc_id"),
       graft.functions.LshFunctions.hashedShingles(
         df.sparkSession, tokens(col("text")), 5).as("hs"))
     val bench = sh(benchmarkDocs).select(explode(col("hs")).as("h")).distinct()
     val train = sh(trainDocs).select(col("doc_id"), explode(col("hs")).as("h"))
-    train.join(broadcast(bench), Seq("h"))
+    train.join(bench, Seq("h"))
       .groupBy(col("doc_id")).agg(count(lit(1)).as("n_shared"))
       .orderBy(col("doc_id"))
   }

@@ -21,7 +21,8 @@ import graft.catalog.TableStore
   *        construction, and engines without a default leave the owner's
   *        alias view alone. */
 class QueryEngine(store: TableStore, cache: ResultCache = new ResultCache(),
-    defaultTable: Option[String] = None) {
+    defaultTable: Option[String] = None,
+    maxStreamBytes: Long = QueryEngine.DefaultMaxStreamBytes) {
 
   defaultTable.foreach { d =>
     val prev = Option(QueryEngine.aliasDefaultFor(store.spark).putIfAbsent("table", d))
@@ -140,11 +141,29 @@ class QueryEngine(store: TableStore, cache: ResultCache = new ResultCache(),
   // snapshot (the query executes ONCE, like the reference's materialized
   // StreamQuery) and an evicted stream is an explicit error, never a
   // silent re-execution.
-  private val streams = new java.util.LinkedHashMap[Long, Array[String]](32, 0.75f, true) {
-    override def removeEldestEntry(
-        e: java.util.Map.Entry[Long, Array[String]]): Boolean = size > 16
-  }
+  // Eviction is BYTES-accounted, not entry-counted: MaxStreamRows rows
+  // of wide JSON made the old 16-entry count bound gigabytes of driver
+  // heap. Bytes = 2/char of the snapshot's JSON rows (the same
+  // accounting ResultCache uses); eviction drops least-recently-paged
+  // streams until the total fits. A SINGLE snapshot over the whole
+  // budget is rejected at open (explicit error telling the client to
+  // narrow the query), never admitted to evict every other live stream.
+  private final case class Snapshot(rows: Array[String], bytes: Long)
+  private val streams = new java.util.LinkedHashMap[Long, Snapshot](32, 0.75f, true)
+  private var streamBytes = 0L
   private val nextStreamId = new java.util.concurrent.atomic.AtomicLong(0)
+
+  private def admitStream(sid: Long, snap: Snapshot): Unit = streams.synchronized {
+    streams.put(sid, snap)
+    streamBytes += snap.bytes
+    // access-ordered map: eldest (least-recently-paged) first; the
+    // just-admitted sid sits at the tail and is never evicted here
+    val it = streams.entrySet().iterator()
+    while (streamBytes > maxStreamBytes && it.hasNext) {
+      val e = it.next()
+      if (e.getKey != sid) { streamBytes -= e.getValue.bytes; it.remove() }
+    }
+  }
 
   private def packCursor(sid: Long, offset: Int): Long = (sid << 32) | offset.toLong
 
@@ -164,10 +183,17 @@ class QueryEngine(store: TableStore, cache: ResultCache = new ResultCache(),
         plan(gated, sql, MaxStreamRows, res).flatMap { qr =>
           scala.util.Try(qr.df.toJSON.collect()) match {
             case scala.util.Success(rows) =>
-              // sid stays in [1, 2^31): positive cursors, no offset overlap
-              val sid = nextStreamId.updateAndGet(s => (s % (Int.MaxValue - 1)) + 1)
-              streams.synchronized(streams.put(sid, rows))
-              Right(slicePage(sid, rows, 0, pageSize))
+              val bytes = rows.foldLeft(0L)(_ + _.length.toLong * 2)
+              if (bytes > maxStreamBytes)
+                Left(s"stream snapshot of $bytes bytes exceeds the " +
+                  s"$maxStreamBytes-byte stream budget — narrow the query " +
+                  "or page with LIMIT/OFFSET")
+              else {
+                // sid stays in [1, 2^31): positive cursors, no offset overlap
+                val sid = nextStreamId.updateAndGet(s => (s % (Int.MaxValue - 1)) + 1)
+                admitStream(sid, Snapshot(rows, bytes))
+                Right(slicePage(sid, rows, 0, pageSize))
+              }
             case scala.util.Failure(e) => Left(s"execution error: ${e.getMessage}")
           }
         }
@@ -178,7 +204,7 @@ class QueryEngine(store: TableStore, cache: ResultCache = new ResultCache(),
         // with high offset bits sign-extends negative here — reject it
         if (from < 0) return Left(s"invalid cursor $cursor")
         streams.synchronized(Option(streams.get(sid))) match {
-          case Some(rows) => Right(slicePage(sid, rows, from, pageSize))
+          case Some(snap) => Right(slicePage(sid, snap.rows, from, pageSize))
           case None => Left(
             s"unknown or expired stream cursor $cursor — restart at cursor 0")
         }
@@ -203,6 +229,9 @@ class QueryEngine(store: TableStore, cache: ResultCache = new ResultCache(),
 }
 
 object QueryEngine {
+  /** Default driver-heap budget for all live pagination snapshots. */
+  val DefaultMaxStreamBytes: Long = 64L << 20
+
   private val owned = java.util.Collections.synchronizedMap(
     new java.util.WeakHashMap[org.apache.spark.sql.SparkSession,
       scala.collection.concurrent.TrieMap[String, Unit]]())

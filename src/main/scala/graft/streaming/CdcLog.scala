@@ -74,10 +74,72 @@ object CdcLog {
     val p = new org.apache.hadoop.fs.Path(path(store, table))
     val fs = p.getFileSystem(store.spark.sparkContext.hadoopConfiguration)
     if (fs.exists(p))
-      store.spark.read.option("recursiveFileLookup", "true").parquet(path(store, table))
+      // explicit schema: a fully-trimmed log (retention dropped every
+      // slice) has no parquet files to infer from, and must read as
+      // empty, not throw UNABLE_TO_INFER_SCHEMA
+      store.spark.read.schema(Schema)
+        .option("recursiveFileLookup", "true").parquet(path(store, table))
     else store.spark.createDataFrame(
       store.spark.sparkContext.emptyRDD[Row], Schema)
   }
+
+  /** Consumer groups with a persisted cursor for `table`. */
+  def groups(store: TableStore, table: String): Seq[String] = {
+    val p = new org.apache.hadoop.fs.Path(path(store, table), "_offsets")
+    val fs = p.getFileSystem(store.spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) Seq.empty
+    else fs.listStatus(p).toSeq.filter(_.isFile).map(_.getPath.getName)
+  }
+
+  /** Trim the CDC log — the reference trims its Redis Streams with
+    * MAXLEN (`internal/subscription/redis_subscriber.go`); here the unit
+    * of trimming is one emission dir (one batch/mutation slice), dropped
+    * when EVERY registered consumer group has committed past its last
+    * event. `maxAgeMicros` additionally drops slices older than the age
+    * cutoff regardless of commits — the lossy MAXLEN analogue, opt-in
+    * because a lagging group silently loses trimmed events (its cursor
+    * stays valid: poll() simply returns what survived).
+    *
+    * With NO registered groups the committed low-water is 0 and only the
+    * age cutoff trims — a log nobody consumes is retained until the
+    * operator opts into age-based loss, never silently emptied.
+    *
+    * Runs under the table mutation lock (the same lock every
+    * producer-side commit and mutation holds) so a slice can never
+    * vanish under a concurrent poll's file listing. One scan of the log
+    * computes every slice's high-water event; deletion is directory
+    * drops, no rewrite. Returns the number of slices dropped. */
+  def applyRetention(store: TableStore, table: String,
+      maxAgeMicros: Option[Long] = None,
+      nowMicros: Long = System.currentTimeMillis() * 1000L): Int =
+    store.withTableLock(table) {
+      import org.apache.spark.sql.functions._
+      val root = new org.apache.hadoop.fs.Path(path(store, table))
+      val fs = root.getFileSystem(store.spark.sparkContext.hadoopConfiguration)
+      if (!fs.exists(root)) 0
+      else {
+        val gs = groups(store, table)
+        val lowWater =
+          if (gs.isEmpty) 0L
+          else gs.map(g => new CdcConsumer(store, table, g).committed()).min
+        val ageCut = maxAgeMicros.map(a => nowMicros - a)
+        // one scan: per-slice high-water emitted_at (slice = emission dir
+        // = the path component under the log root)
+        val sliceHw = read(store, table)
+          .select(input_file_name().as("f"), unix_micros(col("emitted_at")).as("em"))
+          .withColumn("slice", element_at(split(col("f"), "/"), -2))
+          .groupBy(col("slice")).agg(max(col("em")).as("hw"))
+          .collect()
+          .map(r => r.getString(0) -> r.getLong(1))
+        val drop = sliceHw.collect {
+          case (slice, hw) if hw <= lowWater || ageCut.exists(hw < _) => slice
+        }
+        drop.foreach { d =>
+          fs.delete(new org.apache.hadoop.fs.Path(root, d), true)
+        }
+        drop.length
+      }
+    }
 }
 
 /** Named consumer group over a table's CDC log — the reference's
@@ -106,6 +168,16 @@ class CdcConsumer(store: TableStore, table: String, group: String) {
   private def cursorPath = new org.apache.hadoop.fs.Path(
     CdcLog.path(store, table), s"_offsets/$group")
   private def fs = cursorPath.getFileSystem(store.spark.sparkContext.hadoopConfiguration)
+
+  // Register the group at first contact (cursor 0): retention's
+  // committed-low-water only protects groups it can SEE, and a consumer
+  // that has polled but never committed must hold the low-water at 0 —
+  // an unregistered-but-active group would otherwise lose its
+  // yet-uncommitted slices to other groups' commits.
+  if (!fs.exists(cursorPath)) {
+    val out = fs.create(cursorPath, false)
+    out.write("0".getBytes("UTF-8")); out.close()
+  }
 
   /** Committed high-water mark (epoch micros — emitted_at is
     * micros-unique, so micros must survive the round-trip or

@@ -27,10 +27,14 @@ object Sessionize {
     * calling; in batch runs timeouts never fire, so batch output is
     * closed sessions only.
     *
-    * Memory note: each invocation sorts ONE user's events from ONE
-    * micro-batch (bounded by trigger size, not by total stream volume);
-    * gap detection needs intra-batch event-time order, which file/kafka
-    * sources do not guarantee. */
+    * Memory note: gap sessions are the transitive closure of "within
+    * GapMs", which is ORDER-INDEPENDENT — so instead of materializing
+    * and sorting one user's batch slice (the r3 shape: a hot user in a
+    * large trigger allocated their whole slice), each event folds into
+    * a TreeMap of live session intervals keyed by start time. Per-event
+    * work is O(log s) and peak allocation is O(sessions in the batch),
+    * never O(events in the batch) — raw events are never buffered, in
+    * order or not. */
   def sessionize(events: Dataset[Event]): Dataset[SessionOut] = {
     implicit val outEnc = Encoders.product[SessionOut]
     implicit val stEnc = Encoders.product[SessionState]
@@ -47,18 +51,50 @@ object Sessionize {
             Iterator.single(SessionOut(userId, new Timestamp(st.start),
               new Timestamp(st.lastSeen), st.events, st.total))
           } else {
-            val sorted = rows.toSeq.sortBy(_.ts.getTime)
-            var st = state.getOption.getOrElse(SessionState(-1L, -1L, 0, 0.0))
-            val out = scala.collection.mutable.ArrayBuffer[SessionOut]()
-            sorted.foreach { e =>
+            // live session intervals, keyed (and iterated) by start
+            val sessions = new java.util.TreeMap[Long, SessionState]()
+            state.getOption.foreach(st => sessions.put(st.start, st))
+            rows.foreach { e =>
               val t = e.ts.getTime
-              if (st.start < 0) st = SessionState(t, t, 1, e.value)
-              else if (t - st.lastSeen > GapMs) {
-                out += SessionOut(userId, new Timestamp(st.start),
-                  new Timestamp(st.lastSeen), st.events, st.total)
-                st = SessionState(t, t, 1, e.value)
-              } else st = st.copy(lastSeen = t, events = st.events + 1,
-                total = st.total + e.value)
+              val fl = sessions.floorEntry(t)
+              if (fl != null && t - fl.getValue.lastSeen <= GapMs) {
+                // t lands inside or within-gap-after the preceding
+                // session: absorb, then swallow any following sessions
+                // the extended end now bridges
+                val s0 = fl.getValue
+                var m = SessionState(s0.start, math.max(s0.lastSeen, t),
+                  s0.events + 1, s0.total + e.value)
+                var ce = sessions.higherEntry(m.start)
+                while (ce != null && ce.getValue.start - m.lastSeen <= GapMs) {
+                  val c = ce.getValue
+                  m = SessionState(m.start, math.max(m.lastSeen, c.lastSeen),
+                    m.events + c.events, m.total + c.total)
+                  sessions.remove(ce.getKey)
+                  ce = sessions.higherEntry(m.start)
+                }
+                sessions.put(m.start, m)
+              } else {
+                val ce = sessions.ceilingEntry(t)
+                if (ce != null && ce.getValue.start - t <= GapMs) {
+                  // within gap BEFORE the next session: extend it down
+                  // (its floor-gap can't close — the floor check failed)
+                  val c = ce.getValue
+                  sessions.remove(ce.getKey)
+                  sessions.put(t, SessionState(t, c.lastSeen,
+                    c.events + 1, c.total + e.value))
+                } else sessions.put(t, SessionState(t, t, 1, e.value))
+              }
+            }
+            // every interval but the last is closed by construction
+            // (consecutive intervals are > GapMs apart, or they'd have
+            // merged); the last stays open in state
+            val out = scala.collection.mutable.ArrayBuffer[SessionOut]()
+            val it = sessions.values().iterator()
+            var st = it.next() // state or ≥1 event: never empty
+            while (it.hasNext) {
+              out += SessionOut(userId, new Timestamp(st.start),
+                new Timestamp(st.lastSeen), st.events, st.total)
+              st = it.next()
             }
             state.update(st)
             // getCurrentWatermarkMs throws in batch mode (no watermark →

@@ -51,6 +51,37 @@ class PlanSpec extends SparkSpec {
     assert(plan.contains("TakeOrderedAndProject"), s"plan:\n$plan")
   }
 
+  test("t09 bench side broadcasts via AQE when small, degrades to shuffle when not") {
+    // small eval set (the driver wrapper's shape): AQE must convert the
+    // probe join to broadcast at runtime — corpus side never shuffles
+    val small = executedPlan(
+      graft.operators.TextAnalysis.decontaminate(spark, Sf0001))
+    assert(small.contains("BroadcastHashJoin"),
+      s"small eval set not AQE-broadcast:\n$small")
+    // an eval set too big to broadcast (simulated via the adaptive
+    // threshold): the SAME code must degrade to a shuffle join — not
+    // force a driver-sized broadcast, not error
+    val docs = graft.core.Tables.load(spark, Sf0001, "documents")
+    val conf = spark.conf
+    val prev = conf.get("spark.sql.autoBroadcastJoinThreshold")
+    val prevA = conf.get("spark.sql.adaptive.autoBroadcastJoinThreshold", prev)
+    try {
+      conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+      val big = graft.operators.TextAnalysis.decontaminate(
+        docs.filter("doc_id % 23 != 0"), docs.filter("doc_id % 23 = 0"))
+      val plan = executedPlan(big)
+      assert(!plan.contains("BroadcastHashJoin"),
+        s"join did not flip off broadcast:\n$plan")
+      assert(plan.contains("SortMergeJoin") || plan.contains("ShuffledHashJoin"),
+        s"no shuffle-join fallback in:\n$plan")
+      assert(big.count() > 0)
+    } finally {
+      conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+      conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", prevA)
+    }
+  }
+
   test("graft_dot is session-registered via extensions (SQL-usable)") {
     val r = spark.sql("SELECT graft_dot(array(1.0D, 2.0D), array(3.0D, 4.0D)) AS d")
       .head().getDouble(0)

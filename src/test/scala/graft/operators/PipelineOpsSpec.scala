@@ -39,14 +39,15 @@ class PipelineOpsSpec extends SparkSpec {
     assert(hits >= brute.size * 8 / 10, s"recall too low: $hits/${brute.size}")
   }
 
-  test("ann IVF recall: k-means cells at nprobe 6/16 reach >=60% of true top-10") {
+  test("ann IVF recall: k-means cells at nprobe 12/32 reach >=80% of true top-10") {
     val brute = Similarity.annBrute(spark, Sf001).collect()
       .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
     val ivf = Similarity.annIvf(spark, Sf001).collect()
     assert(ivf.nonEmpty)
     val hits = ivf.map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id")))
       .count(brute.contains)
-    assert(hits >= brute.size * 6 / 10, s"IVF recall too low: $hits/${brute.size}")
+    info(s"ann-ivf recall: $hits/${brute.size}") // measured 46/50 at calibration
+    assert(hits >= brute.size * 8 / 10, s"IVF recall too low: $hits/${brute.size}")
   }
 
   test("dedup exact groups every doc (no dups in corpus → n groups)") {
@@ -149,5 +150,59 @@ class PipelineOpsSpec extends SparkSpec {
       s"missed=${(brute -- lsh).take(5)} extra=${(lsh -- brute).take(5)} " +
         s"(${lsh.size} vs ${brute.size})")
     assert(brute.nonEmpty, "corpus has no near-dup pairs — test is vacuous")
+  }
+
+  test("production-τ embedding near-dup: recall 1.0 on planted near-dups at τ=0.8") {
+    import org.apache.spark.sql.functions._
+    import graft.functions.VectorFunctions
+    // the synthetic corpus's max pair cosine is 0.51 (measured), so
+    // τ=0.8 pairs must be PLANTED: 20 vectors re-enter under id+10⁶
+    // with a deterministic per-dim perturbation (cosine ≈ 0.99) — the
+    // production family must find exactly the brute τ=0.8 pair set,
+    // which is the 20 planted pairs plus any perturbed-vs-other hits
+    val base = graft.core.Tables.load(spark, Sf001, "embeddings")
+      .select(col("vec_id"), col("embedding"))
+    val planted = base.filter(col("vec_id") < 20)
+      .select((col("vec_id") + 1000000L).as("vec_id"),
+        expr("transform(embedding, (x, i) -> x * cast(1.0 + 0.1*cos(i) AS float))")
+          .as("embedding"))
+    val corpus = base.unionByName(planted)
+    val e = corpus
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .withColumn("norm", VectorFunctions.norm(spark, col("v")))
+    val a = e.select(col("vec_id").as("vec_a"), col("v").as("va"), col("norm").as("na"))
+    val b = e.select(col("vec_id").as("vec_b"), col("v").as("vb"), col("norm").as("nb"))
+    val brute = a.crossJoin(b).filter(col("vec_a") < col("vec_b"))
+      .withColumn("cosine", VectorFunctions.dot(spark, col("va"), col("vb")) / (col("na") * col("nb")))
+      .filter(col("cosine") >= Dedup.ProductionEmbTau)
+      .select(col("vec_a"), col("vec_b")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(brute.size >= 20, s"planting failed: ${brute.size} brute pairs")
+    val hi = Dedup.embeddingNearDup(corpus, Dedup.ProductionEmbTau).collect()
+      .map(r => (r.getAs[Long]("vec_a"), r.getAs[Long]("vec_b"))).toSet
+    assert(hi == brute,
+      s"missed=${(brute -- hi).take(5)} extra=${(hi -- brute).take(5)} " +
+        s"(${hi.size} vs ${brute.size})")
+  }
+
+  test("12-bit production signatures cut the candidate keep-rate >=5x vs the 6-bit sweep") {
+    import org.apache.spark.sql.functions._
+    import graft.functions.VectorFunctions
+    val e = graft.core.Tables.load(spark, Sf001, "embeddings")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .withColumn("norm", VectorFunctions.norm(spark, col("v")))
+    val n = e.count()
+    val allPairs = n * (n - 1) / 2.0
+    // distinct candidate PAIRS per family (the raw bucket stream counts
+    // a pair once per colliding table; the verify cost driver is the
+    // distinct pair set each family forwards to the exact-cosine stage)
+    def keepRate(bits: Int): Double =
+      Dedup.embCandidates(e, bits).distinct().count() / allPairs
+    val sweep = keepRate(6) // measured ~0.63: the documented τ=0.45 tail
+    val prod = keepRate(12) // measured ~0.05
+    info(f"keep-rate: 6-bit=$sweep%.3f 12-bit=$prod%.3f")
+    assert(prod * 5 <= sweep,
+      f"production family keeps $prod%.3f of pairs vs sweep $sweep%.3f — no cut")
+    assert(prod <= 0.15, f"production keep-rate $prod%.3f not subquadratic-ish")
   }
 }

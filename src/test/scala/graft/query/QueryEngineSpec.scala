@@ -226,6 +226,35 @@ class QueryEngineSpec extends SparkSpec {
     } finally spark.sparkContext.removeSparkListener(listener)
   }
 
+  test("stream snapshots evict by BYTES, and an over-budget snapshot is rejected") {
+    val store = new TableStore(spark, tmpDir("qe"))
+    store.write("users", (1 to 6).map(i =>
+      rec(s"u$i", "2024-01-01 10:00:00", Map("pad" -> ("x" * 2000)))))
+    store.flush("users")
+    // budget fits ~2 wide snapshots (each ~6 rows × ~2k chars × 2 B/char
+    // ≈ 25 KB) but nowhere near the old 16-entry count bound
+    val engine = new QueryEngine(store, maxStreamBytes = 60_000L)
+    val sql = "SELECT id, pad FROM users ORDER BY id"
+    val Right((pa, ca)) = engine.executePage(sql, 0, 1): @unchecked
+    assert(pa.length == 1 && ca > 0)
+    // two more wide streams push total bytes over budget → A (least
+    // recently paged) is evicted even though only 3 streams are live
+    val Right((_, cb)) = engine.executePage(sql, 0, 1): @unchecked
+    val Right((_, cc)) = engine.executePage(sql, 0, 1): @unchecked
+    val resA = engine.executePage(sql, ca, 1)
+    assert(resA.isLeft && resA.swap.exists(_.contains("expired")),
+      s"byte-evicted stream must fail explicitly, got $resA")
+    // the surviving streams still page their original snapshots
+    assert(engine.executePage(sql, cb, 1).isRight)
+    assert(engine.executePage(sql, cc, 1).isRight)
+    // a single snapshot larger than the whole budget is rejected at
+    // open — admitted it would evict every other live stream
+    val tiny = new QueryEngine(store,
+      cache = new ResultCache(), maxStreamBytes = 1000L)
+    val huge = tiny.executePage(sql, 0, 1)
+    assert(huge.isLeft && huge.swap.exists(_.contains("budget")), s"got $huge")
+  }
+
   test("unlimited executeJson is server-side capped") {
     val (_, engine) = freshEngine()
     // DefaultLimit rows at most; with 3 users this just checks the path

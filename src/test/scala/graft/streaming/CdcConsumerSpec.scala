@@ -47,4 +47,51 @@ class CdcConsumerSpec extends SparkSpec {
     assert(g1b.committed() == g1.committed() && g1b.committed() > 0)
     assert(g1b.poll().count() == 0)
   }
+
+  test("retention drops slices all groups committed past; lagging cursors stay valid") {
+    val store = new TableStore(spark, tmpDir("cdcret"))
+    store.write("t", Seq(rec("a", 1)))
+    store.flush("t")
+    val mut = new Mutations(store)
+    mut.deleteById("t", "a") // slice 1 (DELETE)
+
+    val fast = new CdcConsumer(store, "t", "fast")
+    val slow = new CdcConsumer(store, "t", "slow")
+    assert(fast.poll().count() == 1); fast.commit()
+    assert(slow.poll().count() == 1) // polled, never committed
+
+    // slow's cursor is 0 → committed low-water is 0 → nothing droppable
+    assert(CdcLog.applyRetention(store, "t") == 0)
+    assert(slow.poll().count() == 1, "uncommitted events must survive retention")
+
+    slow.commit()
+    store.write("t", Seq(rec("b", 2)))
+    store.flush("t")
+    mut.deleteById("t", "b") // slice 2, past both cursors
+    // both groups committed past slice 1 only → exactly slice 1 dropped
+    assert(CdcLog.applyRetention(store, "t") == 1)
+    // lagging-but-valid cursors: both groups still see the uncommitted slice
+    assert(fast.poll().count() == 1 && slow.poll().count() == 1)
+    fast.commit(); slow.commit()
+    assert(CdcLog.applyRetention(store, "t") == 1, "fully-committed slice trims")
+    assert(fast.poll().count() == 0 && slow.poll().count() == 0)
+  }
+
+  test("age-based retention trims past an uncommitted group (lossy, opt-in)") {
+    val store = new TableStore(spark, tmpDir("cdcage"))
+    store.write("t", Seq(rec("a", 1)))
+    store.flush("t")
+    new Mutations(store).deleteById("t", "a")
+    val g = new CdcConsumer(store, "t", "g")
+    assert(g.poll().count() == 1) // never committed
+
+    // with no age cutoff the uncommitted slice is retained
+    assert(CdcLog.applyRetention(store, "t") == 0)
+    // an age cutoff in the future (maxAge=0 as of "now"+1h) trims it
+    val future = System.currentTimeMillis() * 1000L + 3600L * 1000000L
+    assert(CdcLog.applyRetention(store, "t", maxAgeMicros = Some(0L),
+      nowMicros = future) == 1)
+    // the group's cursor stays usable: poll returns what survived
+    assert(g.poll().count() == 0)
+  }
 }

@@ -222,6 +222,29 @@ class StreamingSpec extends SparkSpec {
     assert(s0.user_id == 1 && s0.events == 2 && s0.total == 3.0)
   }
 
+  test("sessionize: one hot user's large SHUFFLED batch yields the sorted-order sessions") {
+    import spark.implicits._
+    // 5 well-separated sessions of 40 events each, delivered in a fixed
+    // shuffled order inside ONE batch — the interval-merge fold must
+    // produce exactly the sessions an ordered delivery would, without
+    // ever materializing the 200-event slice (it buffers live session
+    // INTERVALS, one per session, not raw events)
+    val base = Timestamp.valueOf("2024-01-01 00:00:00").getTime
+    val ordered = for (s <- 0 until 5; i <- 0 until 40) yield
+      Sessionize.Event(7L, new Timestamp(
+        base + s * 2 * Sessionize.GapMs + i * 1000L), "x", 1.0)
+    val shuffled = new scala.util.Random(42).shuffle(ordered)
+    val sessions = Sessionize.sessionize(spark.createDataset(shuffled).repartition(1))
+      .collect().sortBy(_.startTs.getTime)
+    // append mode: the 4 closed sessions emit, the 5th stays open
+    assert(sessions.length == 4, s"got ${sessions.length} sessions")
+    sessions.zipWithIndex.foreach { case (s, i) =>
+      assert(s.events == 40 && s.total == 40.0, s"session $i: $s")
+      assert(s.startTs.getTime == base + i * 2 * Sessionize.GapMs)
+      assert(s.endTs.getTime == base + i * 2 * Sessionize.GapMs + 39 * 1000L)
+    }
+  }
+
   test("sessionize: idle user's trailing session flushes on event-time timeout") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import spark.implicits._
