@@ -1,0 +1,61 @@
+package graft
+
+import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
+import org.apache.spark.sql.SparkSession
+
+import graft.core.GraftSession
+
+/** Memory-pressure evidence run: executes the shuffle/sort-heaviest
+  * queries under deliberately starved execution memory
+  * (`spark.memory.fraction` shrunk ~12× from the 0.6 default, driver
+  * heap capped via SPARK_DRIVER_MEM) and reports per-query spill
+  * bytes from task metrics. The point is to show the plans DEGRADE to
+  * UnsafeExternalSorter/appender spills under pressure — completing
+  * with nonzero spill — rather than OOM, which a 128 GiB dev box
+  * never exercises. Prints one JSON line; the numbers land in
+  * PLANS.md's scale-evidence section. */
+object SpillProbe {
+
+  private val Probed = Seq("d02_minhash_lsh", "d04_ngram_jaccard", "q06_window")
+
+  def main(args: Array[String]): Unit = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
+    val frac = sys.env.getOrElse("SPARK_GRAFT_MEM_FRACTION", "0.05")
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val spark: SparkSession = GraftSession
+      .builder("graft-spill", cpus)
+      .master(s"local[$cpus]")
+      .config("spark.memory.fraction", frac)
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val mem = new java.util.concurrent.atomic.AtomicLong(0)
+    val disk = new java.util.concurrent.atomic.AtomicLong(0)
+    val listener = new SparkListener {
+      override def onTaskEnd(te: SparkListenerTaskEnd): Unit =
+        Option(te.taskMetrics).foreach { m =>
+          mem.addAndGet(m.memoryBytesSpilled)
+          disk.addAndGet(m.diskBytesSpilled)
+          ()
+        }
+    }
+    spark.sparkContext.addSparkListener(listener)
+
+    val results = Probed.map { name =>
+      mem.set(0); disk.set(0)
+      val t0 = System.nanoTime()
+      val outcome =
+        try { SparkEntry.queries(name)(spark, sfDir).count(); "ok" }
+        catch { case e: Throwable =>
+          System.err.println(s"[spill] $name failed: ${e.getMessage}"); "fail" }
+      val sec = (System.nanoTime() - t0) / 1e9
+      Thread.sleep(1500) // drain in-flight task-end events (bus is private)
+      name -> ((outcome, sec, mem.get(), disk.get()))
+    }
+    val qs = results.map { case (n, (o, s, m, d)) =>
+      f""""$n":{"status":"$o","sec":$s%.2f,"spill_mem_mb":${m / 1048576L},"spill_disk_mb":${d / 1048576L}}"""
+    }.mkString("{", ",", "}")
+    println(s"""{"metric":"spill_probe","mem_fraction":$frac,"heap":"${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}","queries":$qs,"sf":"$sfDir"}""")
+    spark.stop()
+  }
+}
