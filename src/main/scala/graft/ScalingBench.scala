@@ -36,6 +36,15 @@ object ScalingBench {
     "d04_ngram_jaccard", "d05_embedding_neardup",
     "d06_embedding_neardup_prod", "s02_ann_lsh", "s03_ann_ivf")
 
+  /** The sf10 decade measures only the queries whose sf0.1→sf1
+    * exponents were the highest (d02 0.77, s02 0.93) plus the two
+    * embedding near-dup configs they bracket — one more decade answers
+    * "does the trend hold" for the at-risk plans without re-running the
+    * whole suite at 100× test SF. */
+  private val MeasuredSf10 = Seq(
+    "d02_minhash_lsh", "d05_embedding_neardup",
+    "d06_embedding_neardup_prod", "s02_ann_lsh")
+
   private[graft] def ensureSf1(spark: SparkSession, src: String, out: String,
       copies: Int = 10): Unit = {
     val done = new java.io.File(out, "_DONE")
@@ -97,6 +106,67 @@ object ScalingBench {
     ()
   }
 
+  /** sf10 = 10 similarity-preserved copies of the synthesized sf1, for
+    * `documents` and `embeddings` only (the sf10 decade measures the
+    * dedup/ANN suite alone).
+    *
+    * The per-copy seeds live in a DIFFERENT namespace (1000+k) than the
+    * sf0.1→sf1 step's (k). This is load-bearing for the embeddings: a
+    * sign-flip mask is its own inverse, so with a shared namespace,
+    * copy k ∘ sub-copy j and copy j ∘ sub-copy k would compose to the
+    * SAME total mask — two sub-corpora of identical vectors under
+    * different vec_ids, i.e. millions of fake cosine-1.0 "near-dups"
+    * that a real 100× corpus would not contain. Independent masks make
+    * such a collision a 2^-dims event. Same reasoning for the token
+    * bijection (hash-composition namespaces stay disjoint). Unscaled
+    * tables come from the sf0.1 testdata files so `registerAll` still
+    * resolves every view. */
+  private[graft] def ensureSf10(spark: SparkSession, sf1: String, out: String,
+      auxSrc: String, copies: Int = 10): Unit = {
+    val done = new java.io.File(out, "_DONE")
+    if (done.exists()) return
+    new java.io.File(out).mkdirs()
+    val ks = 0 until copies
+
+    val docs = spark.read.parquet(s"$sf1/documents.parquet")
+    ks.map { k =>
+      if (k == 0) docs
+      else docs.select(
+        (col("doc_id") + lit(k * 10000000000L)).as("doc_id"),
+        array_join(transform(split(col("text"), " "),
+          x => concat(lit("w"), pmod(xxhash64(x, lit(1000 + k)), lit(1000000L)))),
+          " ").as("text"),
+        col("lang"), col("source"), col("n_chars"))
+    }.reduce(_ unionByName _)
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .repartition(64)
+      .write.mode("overwrite").parquet(s"$out/documents.parquet")
+
+    val emb = spark.read.parquet(s"$sf1/embeddings.parquet")
+    ks.map { k =>
+      if (k == 0) emb
+      else emb.select(
+        (col("vec_id") + lit(k * 10000000000L)).as("vec_id"),
+        expr(s"transform(embedding, (x, i) -> x * CASE WHEN " +
+          s"pmod(xxhash64(i, ${1000 + k}), 2) = 0 THEN cast(1.0 AS float) " +
+          "ELSE cast(-1.0 AS float) END)").as("embedding"),
+        col("label"))
+    }.reduce(_ unionByName _)
+      .repartition(64)
+      .write.mode("overwrite").parquet(s"$out/embeddings.parquet")
+
+    graft.core.Tables.All
+      .filterNot(Set("documents", "embeddings"))
+      .foreach { t =>
+        java.nio.file.Files.copy(
+          java.nio.file.Paths.get(s"$auxSrc/$t.parquet"),
+          java.nio.file.Paths.get(s"$out/$t.parquet"),
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      }
+    done.createNewFile()
+    ()
+  }
+
   def main(args: Array[String]): Unit = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val sf1Dir = sys.env.getOrElse("SPARK_GRAFT_SF1_DIR", "/tmp/graft_sf1")
@@ -107,11 +177,14 @@ object ScalingBench {
     spark.sparkContext.setLogLevel("WARN")
 
     ensureSf1(spark, "/root/testdata/sf0.1", sf1Dir)
+    val sf10Dir = sys.env.getOrElse("SPARK_GRAFT_SF10_DIR", "/tmp/graft_sf10")
+    ensureSf10(spark, sf1Dir, sf10Dir, "/root/testdata/sf0.1")
     val dirs = Seq(
       "0.001" -> "/root/testdata/sf0.001",
       "0.01" -> "/root/testdata/sf0.01",
       "0.1" -> "/root/testdata/sf0.1",
-      "1" -> sf1Dir)
+      "1" -> sf1Dir,
+      "10" -> sf10Dir)
 
     // JIT/codegen warmup (same rationale as Bench)
     Measured.foreach { name =>
@@ -123,7 +196,7 @@ object ScalingBench {
       scala.collection.mutable.LinkedHashMap[String, Double]]()
     dirs.foreach { case (sf, dir) =>
       graft.core.Tables.registerAll(spark, dir)
-      Measured.foreach { name =>
+      (if (sf == "10") MeasuredSf10 else Measured).foreach { name =>
         def once(): Double = {
           val t0 = System.nanoTime()
           try { SparkEntry.queries(name)(spark, dir).count(); (System.nanoTime() - t0) / 1e9 }
@@ -143,11 +216,13 @@ object ScalingBench {
         (for { a <- m.get(lo); b <- m.get(hi) if a > 0 && b > 0 }
           yield f"${math.log10(b / a)}%.2f").getOrElse("null")
       val ts = m.map { case (sf, t) => f""""sf$sf":$t%.3f""" }.mkString(",")
-      s""""$name":{$ts,"e_mid":${e("0.01", "0.1")},"e_top":${e("0.1", "1")}}"""
+      val xtop = if (m.contains("10")) s""","e_xtop":${e("1", "10")}""" else ""
+      s""""$name":{$ts,"e_mid":${e("0.01", "0.1")},"e_top":${e("0.1", "1")}$xtop}"""
     }.mkString("{", ",", "}")
     val line = s"""{"metric":"scaling","unit":"sec/decade-exponent","queries":$json}"""
     println(line)
-    val pw = new java.io.PrintWriter("SCALING_r04.json")
+    val outFile = sys.env.getOrElse("SPARK_GRAFT_SCALING_OUT", "SCALING_r06.json")
+    val pw = new java.io.PrintWriter(outFile)
     try pw.println(line) finally pw.close()
     spark.stop()
   }

@@ -427,11 +427,25 @@ object SparkEntry {
         |WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.45
         |ORDER BY vec_a, vec_b""".stripMargin,
     // production near-dup threshold: same machinery, 12-bit signatures —
-    // the genuinely subquadratic config (see Dedup.EmbBitsHi)
+    // the genuinely subquadratic config (see Dedup.EmbBitsHi). The
+    // corpus plants 20 perturbed re-entries (cosine ≈ 0.99) IDENTICALLY
+    // on both engines (Dedup.plantedProductionCorpus ↔ the CTE below):
+    // the synthetic corpus's own max pair cosine is ~0.51, so without
+    // planting this row compares 0 rows against 0 rows and proves
+    // nothing. Note the 12-bit family's recall is probabilistic at the
+    // exact τ=0.8 boundary (collision ≈ 0.985); the planted pairs sit
+    // at ≈0.99 where collision ≈ 1, which is what lets an LSH result
+    // hash-match exact all-pairs SQL.
     "d06_embedding_neardup_prod" ->
-      """SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+      """WITH corpus AS (
+        | SELECT vec_id, CAST(embedding AS DOUBLE[]) AS embedding FROM embeddings
+        | UNION ALL
+        | SELECT vec_id + 1000000,
+        |  [embedding[i] * (1.0 + 0.1*cos(i-1)) for i in range(1, len(embedding)+1)]
+        | FROM embeddings WHERE vec_id < 20)
+        |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
         | round(CAST(list_cosine_similarity(a.embedding, b.embedding) AS DOUBLE), 2) AS cosine
-        |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        |FROM corpus a JOIN corpus b ON a.vec_id < b.vec_id
         |WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.8
         |ORDER BY vec_a, vec_b""".stripMargin,
     "s01_ann_brute" ->

@@ -54,7 +54,10 @@ class Mutations(store: TableStore) {
       store.withTableLock(table) {
     store.flush(table) // drain buffer so one rewrite covers everything
     val df = store.storageDf(table)
-    if (!df.columns.contains("id")) return 0L
+    // a fully-emptied table (every partition dropped by earlier deletes)
+    // reads back with the minimal schema — no `date` column means no
+    // date partitions exist, so there is nothing to rewrite
+    if (!df.columns.contains("id") || !df.columns.contains("date")) return 0L
     val affectedDates = df.filter(victim).select(col("date")).distinct()
       .collect().map(_.get(0)).toSeq
     if (affectedDates.isEmpty) { store.bumpVersion(table); return 0L }

@@ -354,13 +354,22 @@ object Dedup {
       .withColumnRenamed("doc_a", "vec_a").withColumnRenamed("doc_b", "vec_b")
 
   /** Embedding cosine near-dup pairs: LSH-bucketed candidates (equi-join
-    * on (table, signature), skew-capped) + exact cosine verify — same
-    * result set as the all-pairs formulation, no cross product in the
-    * plan. Signature depth follows the threshold: τ ≥ 0.8 gets the
-    * 12-bit production family (~5% candidate keep-rate), lower τ the
-    * 6-bit exact-sweep family (see [[EmbBitsHi]] for why no family
-    * prunes the τ=0.45 tail). Per-query ANN over the same signatures is
-    * Similarity.annLsh. */
+    * on (table, signature), skew-capped) + exact cosine verify — never
+    * a cross product in the plan. Signature depth follows the
+    * threshold; the result-set guarantee is scoped per family:
+    *  - τ < 0.8 → the 6-bit exact-sweep family, which keeps ~63% of
+    *    all pairs as candidates: equal to the all-pairs result set,
+    *    validated exhaustively at sf0.01/sf0.1 under the pinned
+    *    [[EmbSeed]] (recall 1.0; an unpinned seed misses ~0.7% of
+    *    pairs sitting exactly at the threshold boundary).
+    *  - τ ≥ 0.8 → the 12-bit production family (~2-5% candidate
+    *    keep-rate): PROBABILISTIC recall, not exact — a boundary pair
+    *    at exactly τ=0.8 collides in ≥1 of the 64 tables w.p.
+    *    1−(1−0.795¹²)⁶⁴ ≈ 0.985, while real near-dups (cosine ≫ τ)
+    *    collide w.p. ≈1. PipelineOpsSpec pins result-set EQUALITY vs
+    *    the brute all-pairs sweep on a planted τ≈0.99 corpus, and the
+    *    d06 DuckDB oracle re-checks it against exact SQL every round.
+    * Per-query ANN over the same signatures is Similarity.annLsh. */
   def embeddingNearDup(embeddings: DataFrame,
       tau: Double = 0.45): DataFrame = {
     import graft.functions.VectorFunctions
@@ -380,8 +389,33 @@ object Dedup {
   def embeddingNearDup(s: SparkSession, dir: String): DataFrame =
     embeddingNearDup(Tables.load(s, dir, "embeddings"))
 
+  /** The d06 demo corpus: `embeddings` plus a perturbed re-entry of the
+    * first 20 vectors under `vec_id + 10⁶` (deterministic per-dimension
+    * scaling, cosine(base, perturbed) ≈ 0.99 ≫ τ=0.8). The synthetic
+    * corpus's own max pair cosine is ~0.51, so an UN-planted τ=0.8
+    * result set is empty at every test SF and a correctness row over it
+    * proves nothing; the planting is mirrored verbatim in the d06
+    * DuckDB oracle SQL (same precedent as t08's injected PII), so the
+    * oracle compares a NON-EMPTY production-threshold result. Double
+    * arithmetic on both engines: float→double widening is exact, so
+    * the only cross-engine drift is ≤1-ulp libm cos() — invisible at
+    * the round(·,2) the oracle hashes and ~0.2 away from the τ
+    * decision boundary. */
+  def plantedProductionCorpus(e: DataFrame): DataFrame = {
+    val base = e.select(col("vec_id"),
+      col("embedding").cast("array<double>").as("embedding"))
+    val planted = base.filter(col("vec_id") < 20)
+      .select((col("vec_id") + 1000000L).as("vec_id"),
+        expr("transform(embedding, (x, i) -> x * (1.0 + 0.1*cos(i)))")
+          .as("embedding"))
+    base.unionByName(planted)
+  }
+
   /** Production-threshold variant (τ=0.8, 12-bit signatures) — the
-    * config whose candidate generation is genuinely subquadratic. */
+    * config whose candidate generation is genuinely subquadratic —
+    * demonstrated over [[plantedProductionCorpus]] so the result (and
+    * its oracle row) is non-empty at test SFs. */
   def embeddingNearDupHi(s: SparkSession, dir: String): DataFrame =
-    embeddingNearDup(Tables.load(s, dir, "embeddings"), ProductionEmbTau)
+    embeddingNearDup(plantedProductionCorpus(Tables.load(s, dir, "embeddings")),
+      ProductionEmbTau)
 }

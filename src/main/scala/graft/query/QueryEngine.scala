@@ -143,36 +143,139 @@ class QueryEngine(store: TableStore, cache: ResultCache = new ResultCache(),
   // silent re-execution.
   // Eviction is BYTES-accounted, not entry-counted: MaxStreamRows rows
   // of wide JSON made the old 16-entry count bound gigabytes of driver
-  // heap. Bytes = 2/char of the snapshot's JSON rows (the same
-  // accounting ResultCache uses); eviction drops least-recently-paged
-  // streams until the total fits. A SINGLE snapshot over the whole
-  // budget is rejected at open (explicit error telling the client to
-  // narrow the query), never admitted to evict every other live stream.
-  private final case class Snapshot(rows: Array[String], bytes: Long)
+  // heap. Bytes = DRIVER-HEAP cost — 2/char of in-heap JSON rows (the
+  // same accounting ResultCache uses), or just the 8-byte-per-row offset
+  // index for a disk-spilled snapshot; eviction drops
+  // least-recently-paged streams until the total fits. A snapshot whose
+  // rows exceed the budget is NOT rejected: it spills to a local temp
+  // file ([[DiskSnapshot]] — the reference paginates any result,
+  // `miniodb_service.go:1276-1377`) and pages from disk by offset, so
+  // only its offset index ever counts against driver heap.
+  private sealed trait Snapshot {
+    def bytes: Long // accounted driver-heap cost
+    def rowCount: Int
+    /** Largest page end for a page starting at `from` with the client's
+      * requested row count — lets a disk snapshot additionally bound a
+      * single page's HEAP materialization by the byte budget (a giant
+      * pageSize over a giant spilled snapshot must not re-create the
+      * unbounded collect this machinery exists to prevent). */
+    def pageEnd(from: Int, maxRows: Int): Int
+    def slice(from: Int, until: Int): Array[String]
+    def close(): Unit
+  }
+  private final case class HeapSnapshot(rows: Array[String], bytes: Long)
+      extends Snapshot {
+    def rowCount: Int = rows.length
+    def pageEnd(from: Int, maxRows: Int): Int =
+      math.min(rows.length.toLong, from.toLong + maxRows).toInt
+    def slice(from: Int, until: Int): Array[String] = rows.slice(from, until)
+    def close(): Unit = ()
+  }
+  /** Rows spilled to a local temp file as newline-delimited UTF-8 JSON
+    * (`toJSON` emits single-line documents, so '\n' is a safe row
+    * terminator); `offsets(i)` = byte offset of row i, plus a final
+    * end-of-data sentinel. Heap cost is the offset index alone. */
+  private final class DiskSnapshot(file: java.io.File, offsets: Array[Long],
+      pageByteCap: Long) extends Snapshot {
+    val bytes: Long = offsets.length.toLong * 8
+    def rowCount: Int = offsets.length - 1
+    def pageEnd(from: Int, maxRows: Int): Int = {
+      val reqEnd = math.min(rowCount.toLong, from.toLong + maxRows).toInt
+      var hi = from
+      // always make ≥1 row of progress, even a single over-cap row —
+      // a row can't split, and zero progress would loop the client
+      while (hi < reqEnd &&
+          (hi == from || offsets(hi + 1) - offsets(from) <= pageByteCap))
+        hi += 1
+      hi
+    }
+    def slice(from: Int, until: Int): Array[String] = {
+      val lo = math.max(0, from); val hi = math.min(rowCount, until)
+      if (hi <= lo) return Array.empty
+      val raf = new java.io.RandomAccessFile(file, "r")
+      try {
+        val buf = new Array[Byte]((offsets(hi) - offsets(lo)).toInt)
+        raf.seek(offsets(lo)); raf.readFully(buf)
+        val out = new Array[String](hi - lo)
+        var i = lo
+        while (i < hi) {
+          out(i - lo) = new String(buf, (offsets(i) - offsets(lo)).toInt,
+            (offsets(i + 1) - 1 - offsets(i)).toInt, "UTF-8") // -1 drops '\n'
+          i += 1
+        }
+        out
+      } finally raf.close()
+    }
+    def close(): Unit = { file.delete(); () }
+  }
   private val streams = new java.util.LinkedHashMap[Long, Snapshot](32, 0.75f, true)
   private var streamBytes = 0L
-  private val nextStreamId = new java.util.concurrent.atomic.AtomicLong(0)
+  // private[query] so the sid-collision spec can wind the allocator back
+  // (a real collision needs 2^31 opens)
+  private[query] val nextStreamId = new java.util.concurrent.atomic.AtomicLong(0)
 
-  private def admitStream(sid: Long, snap: Snapshot): Unit = streams.synchronized {
-    streams.put(sid, snap)
+  private[query] def accountedStreamBytes: Long = streams.synchronized(streamBytes)
+
+  private[query] def admitStream(sid: Long, snap: Snapshot): Unit = streams.synchronized {
+    // a replaced live entry (sid collision after 2^31 streams) must give
+    // its bytes back — and release its disk file — or the budget leaks
+    val prev = streams.put(sid, snap)
+    if (prev != null) { streamBytes -= prev.bytes; prev.close() }
     streamBytes += snap.bytes
     // access-ordered map: eldest (least-recently-paged) first; the
     // just-admitted sid sits at the tail and is never evicted here
     val it = streams.entrySet().iterator()
     while (streamBytes > maxStreamBytes && it.hasNext) {
       val e = it.next()
-      if (e.getKey != sid) { streamBytes -= e.getValue.bytes; it.remove() }
+      if (e.getKey != sid) {
+        streamBytes -= e.getValue.bytes; e.getValue.close(); it.remove()
+      }
     }
   }
 
   private def packCursor(sid: Long, offset: Int): Long = (sid << 32) | offset.toLong
 
+  /** Materialize a plan into a snapshot WITHOUT ever holding an
+    * over-budget result in driver heap: rows stream in one partition at
+    * a time (`toLocalIterator`), accumulate on-heap only while under
+    * the byte budget, and the moment the budget is crossed everything
+    * drains to a local temp file instead — heap stays bounded by
+    * budget + one partition regardless of result width. */
+  private def openSnapshot(df: DataFrame): Snapshot = {
+    val it = df.toJSON.toLocalIterator()
+    val rows = scala.collection.mutable.ArrayBuffer.empty[String]
+    var heapBytes = 0L
+    while (it.hasNext && heapBytes <= maxStreamBytes) {
+      val r = it.next(); rows += r; heapBytes += r.length.toLong * 2
+    }
+    if (heapBytes <= maxStreamBytes) HeapSnapshot(rows.toArray, heapBytes)
+    else {
+      val file = java.io.File.createTempFile("graft-stream-", ".jsonl")
+      file.deleteOnExit() // backstop; eviction/replacement deletes eagerly
+      val out = new java.io.BufferedOutputStream(
+        new java.io.FileOutputStream(file), 1 << 20)
+      val offsets = scala.collection.mutable.ArrayBuffer.empty[Long]
+      var pos = 0L
+      def emit(r: String): Unit = {
+        val b = r.getBytes("UTF-8")
+        offsets += pos; out.write(b); out.write('\n'); pos += b.length + 1
+      }
+      try {
+        rows.foreach(emit); rows.clear()
+        while (it.hasNext) emit(it.next())
+      } finally out.close()
+      offsets += pos // end-of-data sentinel
+      new DiskSnapshot(file, offsets.toArray, maxStreamBytes)
+    }
+  }
+
   /** Cursor pagination for server-streaming results (StreamQuery):
     * cursor 0 opens a stream — executes the plan once into a capped
-    * snapshot (`MaxStreamRows`) under a fresh opaque stream id — and
-    * every returned cursor encodes that id, so later pages are pure
-    * driver-side slices of the SAME snapshot (-1 = exhausted). A cursor
-    * for an evicted/unknown stream fails explicitly; clients restart at
+    * snapshot (`MaxStreamRows`, disk-spilled when over the heap
+    * budget) under a fresh opaque stream id — and every returned
+    * cursor encodes that id, so later pages are pure driver-side
+    * slices of the SAME snapshot (-1 = exhausted). A cursor for an
+    * evicted/unknown stream fails explicitly; clients restart at
     * cursor 0. */
   def executePage(sql: String, cursor: Long, pageSize: Int): Either[String, (Array[String], Long)] = {
     if (cursor < 0)
@@ -181,19 +284,12 @@ class QueryEngine(store: TableStore, cache: ResultCache = new ResultCache(),
       if (cursor == 0) {
         val res = resolve(gated.tables)
         plan(gated, sql, MaxStreamRows, res).flatMap { qr =>
-          scala.util.Try(qr.df.toJSON.collect()) match {
-            case scala.util.Success(rows) =>
-              val bytes = rows.foldLeft(0L)(_ + _.length.toLong * 2)
-              if (bytes > maxStreamBytes)
-                Left(s"stream snapshot of $bytes bytes exceeds the " +
-                  s"$maxStreamBytes-byte stream budget — narrow the query " +
-                  "or page with LIMIT/OFFSET")
-              else {
-                // sid stays in [1, 2^31): positive cursors, no offset overlap
-                val sid = nextStreamId.updateAndGet(s => (s % (Int.MaxValue - 1)) + 1)
-                admitStream(sid, Snapshot(rows, bytes))
-                Right(slicePage(sid, rows, 0, pageSize))
-              }
+          scala.util.Try(openSnapshot(qr.df)) match {
+            case scala.util.Success(snap) =>
+              // sid stays in [1, 2^31): positive cursors, no offset overlap
+              val sid = nextStreamId.updateAndGet(s => (s % (Int.MaxValue - 1)) + 1)
+              admitStream(sid, snap)
+              Right(slicePage(sid, snap, 0, pageSize))
             case scala.util.Failure(e) => Left(s"execution error: ${e.getMessage}")
           }
         }
@@ -204,7 +300,7 @@ class QueryEngine(store: TableStore, cache: ResultCache = new ResultCache(),
         // with high offset bits sign-extends negative here — reject it
         if (from < 0) return Left(s"invalid cursor $cursor")
         streams.synchronized(Option(streams.get(sid))) match {
-          case Some(snap) => Right(slicePage(sid, snap.rows, from, pageSize))
+          case Some(snap) => Right(slicePage(sid, snap, from, pageSize))
           case None => Left(
             s"unknown or expired stream cursor $cursor — restart at cursor 0")
         }
@@ -212,16 +308,17 @@ class QueryEngine(store: TableStore, cache: ResultCache = new ResultCache(),
     }
   }
 
-  private def slicePage(sid: Long, rows: Array[String], from: Int,
+  private def slicePage(sid: Long, snap: Snapshot, from: Int,
       pageSize: Int): (Array[String], Long) = {
-    // long arithmetic: a client-controlled pageSize near Int.MaxValue
-    // must not wrap from+pageSize negative (which would both pass the
-    // end-of-stream check and sign-extend over the sid bits in the
-    // packed cursor); clamp to ≥1 so a non-positive size cannot loop
+    // long arithmetic inside pageEnd: a client-controlled pageSize near
+    // Int.MaxValue must not wrap from+pageSize negative (which would
+    // both pass the end-of-stream check and sign-extend over the sid
+    // bits in the packed cursor); clamp to ≥1 so a non-positive size
+    // cannot loop
     val ps = math.max(1, pageSize)
-    val end = math.min(rows.length.toLong, from.toLong + ps)
-    val page = rows.slice(from, end.toInt)
-    if (end < rows.length) (page, packCursor(sid, end.toInt))
+    val end = snap.pageEnd(from, ps)
+    val page = snap.slice(from, end)
+    if (end < snap.rowCount) (page, packCursor(sid, end))
     else (page, -1L)
   }
 

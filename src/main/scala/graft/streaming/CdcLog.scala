@@ -69,7 +69,13 @@ object CdcLog {
   }
 
   /** Consumer-side read of the full event log (empty frame when no
-    * events exist). Batch dirs are plain subdirs → recursive lookup. */
+    * events exist). Batch dirs are plain subdirs → recursive lookup.
+    * Reads are LOCKLESS, so `ignoreMissingFiles` (per-read option, not
+    * session-wide) covers the race with [[applyRetention]]: a slice
+    * dir-deleted between this read's file listing and its execution is
+    * silently skipped — the documented "poll returns what survived"
+    * degradation — instead of failing the scan with
+    * FileNotFoundException. */
   def read(store: TableStore, table: String): DataFrame = {
     val p = new org.apache.hadoop.fs.Path(path(store, table))
     val fs = p.getFileSystem(store.spark.sparkContext.hadoopConfiguration)
@@ -78,7 +84,8 @@ object CdcLog {
       // slice) has no parquet files to infer from, and must read as
       // empty, not throw UNABLE_TO_INFER_SCHEMA
       store.spark.read.schema(Schema)
-        .option("recursiveFileLookup", "true").parquet(path(store, table))
+        .option("recursiveFileLookup", "true")
+        .option("ignoreMissingFiles", "true").parquet(path(store, table))
     else store.spark.createDataFrame(
       store.spark.sparkContext.emptyRDD[Row], Schema)
   }
@@ -105,8 +112,14 @@ object CdcLog {
     * operator opts into age-based loss, never silently emptied.
     *
     * Runs under the table mutation lock (the same lock every
-    * producer-side commit and mutation holds) so a slice can never
-    * vanish under a concurrent poll's file listing. One scan of the log
+    * producer-side commit and mutation holds), which serializes it
+    * against PRODUCERS only — consumers read locklessly, so a poll
+    * in flight while retention deletes a slice sees the degraded (and
+    * documented) behavior, not a crash: [[read]] sets
+    * `ignoreMissingFiles`, so a slice deleted between the poll's file
+    * listing and its execution is skipped, and [[CdcConsumer.poll]]
+    * snapshots its result eagerly, so retention after poll() returns
+    * cannot disturb rows already delivered. One scan of the log
     * computes every slice's high-water event; deletion is directory
     * drops, no rewrite. Returns the number of slices dropped. */
   def applyRetention(store: TableStore, table: String,
@@ -175,8 +188,16 @@ class CdcConsumer(store: TableStore, table: String, group: String) {
   // an unregistered-but-active group would otherwise lose its
   // yet-uncommitted slices to other groups' commits.
   if (!fs.exists(cursorPath)) {
-    val out = fs.create(cursorPath, false)
-    out.write("0".getBytes("UTF-8")); out.close()
+    try {
+      val out = fs.create(cursorPath, false)
+      out.write("0".getBytes("UTF-8")); out.close()
+    } catch {
+      // two first-contact consumers for the same group race this
+      // non-atomic exists→create; the loser finds the desired end state
+      // (cursor file exists, content 0 — a winner that also COMMITTED
+      // before we look is fine too: any committed value supersedes 0)
+      case _: java.io.IOException if fs.exists(cursorPath) => ()
+    }
   }
 
   /** Committed high-water mark (epoch micros — emitted_at is
@@ -195,13 +216,23 @@ class CdcConsumer(store: TableStore, table: String, group: String) {
 
   @volatile private var lastSeenHighWater: Long = -1L
 
-  /** Events strictly newer than the committed cursor, oldest first. */
+  /** Events strictly newer than the committed cursor, oldest first.
+    *
+    * The returned frame is an EAGER SNAPSHOT (`localCheckpoint`): the
+    * log files are read exactly once, here — the high-water mark that
+    * [[commit]] will persist and the rows the caller consumes come from
+    * that single execution, so cursor and delivery can never diverge,
+    * and a retention dir-drop after poll() returns cannot disturb the
+    * delivered rows (a drop DURING the read degrades per
+    * [[CdcLog.read]]'s `ignoreMissingFiles` to "what survived",
+    * consistently for both, since both derive from the one snapshot). */
   def poll(): DataFrame = {
     val since = CdcLog.fromMicros(committed())
     val events = CdcLog.read(store, table)
       .filter(org.apache.spark.sql.functions.col("emitted_at") > since)
       .orderBy(org.apache.spark.sql.functions.col("emitted_at"),
         org.apache.spark.sql.functions.col("id"))
+      .localCheckpoint(true)
     val hw = events.agg(org.apache.spark.sql.functions.max("emitted_at")).head().getTimestamp(0)
     lastSeenHighWater = if (hw == null) -1L else CdcLog.toMicros(hw)
     events

@@ -152,21 +152,18 @@ class PipelineOpsSpec extends SparkSpec {
     assert(brute.nonEmpty, "corpus has no near-dup pairs — test is vacuous")
   }
 
-  test("production-τ embedding near-dup: recall 1.0 on planted near-dups at τ=0.8") {
+  test("production-τ embedding near-dup EQUALS the brute all-pairs set on the planted corpus") {
     import org.apache.spark.sql.functions._
     import graft.functions.VectorFunctions
     // the synthetic corpus's max pair cosine is 0.51 (measured), so
-    // τ=0.8 pairs must be PLANTED: 20 vectors re-enter under id+10⁶
-    // with a deterministic per-dim perturbation (cosine ≈ 0.99) — the
-    // production family must find exactly the brute τ=0.8 pair set,
-    // which is the 20 planted pairs plus any perturbed-vs-other hits
-    val base = graft.core.Tables.load(spark, Sf001, "embeddings")
-      .select(col("vec_id"), col("embedding"))
-    val planted = base.filter(col("vec_id") < 20)
-      .select((col("vec_id") + 1000000L).as("vec_id"),
-        expr("transform(embedding, (x, i) -> x * cast(1.0 + 0.1*cos(i) AS float))")
-          .as("embedding"))
-    val corpus = base.unionByName(planted)
+    // τ=0.8 pairs must be PLANTED — the SHIPPED d06 corpus
+    // (Dedup.plantedProductionCorpus, mirrored in the DuckDB oracle)
+    // re-enters 20 vectors under id+10⁶ with a deterministic per-dim
+    // perturbation (cosine ≈ 0.99). The production family must return
+    // exactly the brute τ=0.8 result set: the 20 planted pairs plus
+    // any perturbed-vs-other hits
+    val corpus = Dedup.plantedProductionCorpus(
+      graft.core.Tables.load(spark, Sf001, "embeddings"))
     val e = corpus
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
       .withColumn("norm", VectorFunctions.norm(spark, col("v")))

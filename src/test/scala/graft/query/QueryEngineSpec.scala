@@ -226,7 +226,7 @@ class QueryEngineSpec extends SparkSpec {
     } finally spark.sparkContext.removeSparkListener(listener)
   }
 
-  test("stream snapshots evict by BYTES, and an over-budget snapshot is rejected") {
+  test("stream snapshots evict by BYTES (least-recently-paged first)") {
     val store = new TableStore(spark, tmpDir("qe"))
     store.write("users", (1 to 6).map(i =>
       rec(s"u$i", "2024-01-01 10:00:00", Map("pad" -> ("x" * 2000)))))
@@ -247,12 +247,64 @@ class QueryEngineSpec extends SparkSpec {
     // the surviving streams still page their original snapshots
     assert(engine.executePage(sql, cb, 1).isRight)
     assert(engine.executePage(sql, cc, 1).isRight)
-    // a single snapshot larger than the whole budget is rejected at
-    // open — admitted it would evict every other live stream
+  }
+
+  test("over-budget snapshot spills to disk and pages end-to-end with bounded heap") {
+    val store = new TableStore(spark, tmpDir("qe"))
+    store.write("users", (1 to 6).map(i =>
+      rec(s"u$i", "2024-01-01 10:00:00", Map("pad" -> ("x" * 2000)))))
+    store.flush("users")
+    val sql = "SELECT id, pad FROM users ORDER BY id"
+    // budget of 1 KB; the snapshot is ~12 KB of JSON → must spill, and
+    // the accounted heap cost must be the offset index, not the payload
     val tiny = new QueryEngine(store,
       cache = new ResultCache(), maxStreamBytes = 1000L)
-    val huge = tiny.executePage(sql, 0, 1)
-    assert(huge.isLeft && huge.swap.exists(_.contains("budget")), s"got $huge")
+    val Right((p1, c1)) = tiny.executePage(sql, 0, 100): @unchecked
+    // per-page byte cap: each ~4 KB-JSON row alone exceeds the 1 KB
+    // budget, so a 100-row page request still returns one row at a time
+    assert(p1.length == 1, s"page of ${p1.length} rows ignored the byte cap")
+    assert(tiny.accountedStreamBytes <= 7 * 8,
+      s"disk snapshot accounted ${tiny.accountedStreamBytes} heap bytes")
+    var cursor = c1
+    val got = scala.collection.mutable.ArrayBuffer[String](p1: _*)
+    while (cursor != -1L) {
+      val Right((p, c)) = tiny.executePage(sql, cursor, 100): @unchecked
+      got ++= p; cursor = c
+    }
+    assert(got.length == 6, s"paged ${got.length} of 6 rows")
+    assert((1 to 6).forall(i => got(i - 1).contains(s"u$i")),
+      "disk pages must preserve snapshot order")
+  }
+
+  test("sid collision returns the replaced snapshot's bytes and disk file") {
+    val store = new TableStore(spark, tmpDir("qe"))
+    store.write("users", (1 to 6).map(i =>
+      rec(s"u$i", "2024-01-01 10:00:00", Map("pad" -> ("x" * 2000)))))
+    store.flush("users")
+    val sql = "SELECT id, pad FROM users ORDER BY id"
+    val engine = new QueryEngine(store,
+      cache = new ResultCache(), maxStreamBytes = 60_000L)
+    val Right(_) = engine.executePage(sql, 0, 1): @unchecked
+    val oneSnapshot = engine.accountedStreamBytes
+    assert(oneSnapshot > 0)
+    // wind the allocator back so the next open reuses sid 1
+    engine.nextStreamId.set(0)
+    val Right(_) = engine.executePage(sql, 0, 1): @unchecked
+    assert(engine.accountedStreamBytes == oneSnapshot,
+      s"collision leaked: ${engine.accountedStreamBytes} != $oneSnapshot")
+
+    // same for a DISK snapshot: replacement must delete the spill file
+    def spillFiles = Option(new java.io.File(
+      System.getProperty("java.io.tmpdir")).listFiles()).get
+      .count(_.getName.startsWith("graft-stream-"))
+    val tiny = new QueryEngine(store,
+      cache = new ResultCache(), maxStreamBytes = 1000L)
+    val before = spillFiles
+    val Right(_) = tiny.executePage(sql, 0, 1): @unchecked
+    assert(spillFiles == before + 1, "over-budget open must create a spill file")
+    tiny.nextStreamId.set(0)
+    val Right(_) = tiny.executePage(sql, 0, 1): @unchecked
+    assert(spillFiles == before + 1, "replaced disk snapshot must delete its file")
   }
 
   test("unlimited executeJson is server-side capped") {

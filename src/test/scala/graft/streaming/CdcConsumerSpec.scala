@@ -77,6 +77,62 @@ class CdcConsumerSpec extends SparkSpec {
     assert(fast.poll().count() == 0 && slow.poll().count() == 0)
   }
 
+  test("retention racing an in-flight poll: poll returns survivors, never throws") {
+    val store = new TableStore(spark, tmpDir("cdcrace"))
+    store.write("t", Seq(rec("a", 1)))
+    store.flush("t")
+    val mut = new Mutations(store)
+    mut.deleteById("t", "a") // slice 1
+    mut.updateById("t", rec("a", 2)) // slice 2
+
+    val g = new CdcConsumer(store, "t", "g")
+    // poll() snapshots eagerly: the DataFrame a caller holds must stay
+    // fully consumable even if retention drops every slice before the
+    // caller gets around to collecting it
+    val inFlight = g.poll()
+    val future = System.currentTimeMillis() * 1000L + 3600L * 1000000L
+    assert(CdcLog.applyRetention(store, "t", maxAgeMicros = Some(0L),
+      nowMicros = future) == 2, "both slices age-trimmed under the poll")
+    val rows = inFlight.collect() // files are gone; snapshot must not care
+    assert(rows.length == 2, "pre-retention poll delivers the full snapshot")
+    // the mark poll() recorded came from the same snapshot → commit is
+    // consistent with what was delivered
+    g.commit()
+    assert(g.poll().count() == 0)
+
+    // and a FRESH read after the trim sees the empty log, not an error
+    assert(CdcLog.read(store, "t").count() == 0)
+  }
+
+  test("two concurrent first-contact consumers for one group both construct") {
+    val store = new TableStore(spark, tmpDir("cdcreg"))
+    store.write("t", Seq(rec("a", 1)))
+    store.flush("t")
+    new Mutations(store).deleteById("t", "a")
+
+    // race many first-contacts for the SAME fresh group: the loser of
+    // the exists→create race must proceed, not throw
+    // FileAlreadyExistsException out of the constructor
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(8)
+    try {
+      val barrier = new java.util.concurrent.CyclicBarrier(8)
+      val futures = (1 to 8).map { _ =>
+        pool.submit(new java.util.concurrent.Callable[CdcConsumer] {
+          def call(): CdcConsumer = {
+            barrier.await()
+            new CdcConsumer(store, "t", "fresh")
+          }
+        })
+      }
+      val consumers = futures.map(_.get()) // .get() rethrows any failure
+      assert(consumers.forall(_.committed() == 0L))
+    } finally pool.shutdown()
+    // the registered group participates in retention low-water as usual
+    assert(CdcLog.groups(store, "t").contains("fresh"))
+    assert(CdcLog.applyRetention(store, "t") == 0,
+      "uncommitted fresh group holds the low-water at 0")
+  }
+
   test("age-based retention trims past an uncommitted group (lossy, opt-in)") {
     val store = new TableStore(spark, tmpDir("cdcage"))
     store.write("t", Seq(rec("a", 1)))
