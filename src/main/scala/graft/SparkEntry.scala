@@ -77,6 +77,8 @@ object SparkEntry {
     "d04_ngram_jaccard"   -> (Dedup.ngramJaccard _),
     "d05_embedding_neardup" -> (Dedup.embeddingNearDup _),
     "d06_embedding_neardup_prod" -> (Dedup.embeddingNearDupHi _),
+    "d07_incremental_neardup" -> (Dedup.incrementalNearDup _),
+    "d08_dedup_clusters"  -> (Dedup.dedupClusters _),
     // training-data pipeline: similarity search
     "s01_ann_brute"       -> (Similarity.annBrute _),
     "s02_ann_lsh"         -> (Similarity.annLsh _),
@@ -448,6 +450,48 @@ object SparkEntry {
         |FROM corpus a JOIN corpus b ON a.vec_id < b.vec_id
         |WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.8
         |ORDER BY vec_a, vec_b""".stripMargin,
+    // incremental form of d02: corpus (doc_id % 3 != 0) lives in a
+    // persisted signature index; the delta (doc_id % 3 == 0) plays the
+    // incoming batch — result = exact near-dup pairs touching the delta
+    "d07_incremental_neardup" ->
+      """WITH sh AS (
+        | SELECT doc_id,
+        |  list_distinct([w[i]||' '||w[i+1]||' '||w[i+2]
+        |                 for i in range(1, len(w)-1)]) AS sh
+        | FROM (SELECT doc_id, string_split(text,' ') AS w FROM documents))
+        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        | round(len(list_intersect(a.sh,b.sh))
+        |  / CAST(len(a.sh)+len(b.sh)-len(list_intersect(a.sh,b.sh)) AS DOUBLE), 4)
+        |  AS jaccard
+        |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        |WHERE (a.doc_id % 3 = 0 OR b.doc_id % 3 = 0)
+        |  AND len(list_intersect(a.sh,b.sh))
+        |  / CAST(len(a.sh)+len(b.sh)-len(list_intersect(a.sh,b.sh)) AS DOUBLE) >= 0.8
+        |ORDER BY doc_a, doc_b""".stripMargin,
+    // connected components over the exact pair graph — the oracle walks
+    // the transitive closure with a recursive CTE and takes each node's
+    // min reachable id; Spark side is log-round pointer-jump propagation
+    "d08_dedup_clusters" ->
+      """WITH RECURSIVE sh AS (
+        | SELECT doc_id,
+        |  list_distinct([w[i]||' '||w[i+1]||' '||w[i+2]
+        |                 for i in range(1, len(w)-1)]) AS sh
+        | FROM (SELECT doc_id, string_split(text,' ') AS w FROM documents)),
+        |pairs AS (
+        | SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+        | FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        | WHERE len(list_intersect(a.sh,b.sh))
+        |  / CAST(len(a.sh)+len(b.sh)-len(list_intersect(a.sh,b.sh)) AS DOUBLE) >= 0.8),
+        |edges AS (
+        | SELECT doc_a AS u, doc_b AS v FROM pairs
+        | UNION
+        | SELECT doc_b AS u, doc_a AS v FROM pairs),
+        |reach AS (
+        | SELECT u, u AS r FROM (SELECT DISTINCT u FROM edges)
+        | UNION
+        | SELECT e.u, reach.r FROM edges e JOIN reach ON e.v = reach.u)
+        |SELECT u AS doc_id, min(r) AS cluster_id
+        |FROM reach GROUP BY u ORDER BY doc_id""".stripMargin,
     "s01_ann_brute" ->
       """SELECT query_id, rank, neighbor_id, cosine FROM (
         | SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,

@@ -62,7 +62,7 @@ object Dedup {
     * shared subtrees per use — tokenize+shingle+hash is the single most
     * expensive map stage here (measured 3.5× end-to-end win). At cluster
     * scale the equivalent is a persisted/cached shingle table. */
-  private def hashedShingleSets(docs: DataFrame): DataFrame =
+  private[graft] def hashedShingleSets(docs: DataFrame): DataFrame =
     docs
       .select(col("doc_id"),
         graft.functions.LshFunctions.hashedShingles(
@@ -130,18 +130,24 @@ object Dedup {
     * formulation shuffles every (doc, shingle) row; at 100 TB that
     * shuffle dwarfs the candidate join this feeds). The only shuffles
     * are the tiny band-bucket join and the verify join. */
-  def minhashLsh(docs: DataFrame): DataFrame = {
-    val s = docs.sparkSession
-    val hashed = hashedShingleSets(docs)
+  /** (doc_id, band, bh) — the banded MinHash signature rows the LSH
+    * bucket join keys on; shared by the one-shot path ([[minhashLsh]])
+    * and the persisted index ([[graft.index.SignatureIndex]]). Pure map,
+    * zero shuffle. */
+  private[graft] def bandedSignatures(hashed: DataFrame): DataFrame = {
+    val s = hashed.sparkSession
     val sig = hashed.select(col("doc_id"),
       graft.functions.LshFunctions.minhashSigs(s, col("hs"), NumHashes).as("ms"))
     // element_at is 1-based: slot m_{2b} is element 2b+1
     val bandHashes: Seq[Column] = (0 until Bands).map(bnd =>
       xxhash64(lit(bnd),
         element_at(col("ms"), 2 * bnd + 1), element_at(col("ms"), 2 * bnd + 2)))
-    val bands = sig
-      .select(col("doc_id"), posexplode(array(bandHashes: _*)).as(Seq("band", "bh")))
-    jaccardVerified(hashed, bucketPairs(bands, Seq("band", "bh")))
+    sig.select(col("doc_id"), posexplode(array(bandHashes: _*)).as(Seq("band", "bh")))
+  }
+
+  def minhashLsh(docs: DataFrame): DataFrame = {
+    val hashed = hashedShingleSets(docs)
+    jaccardVerified(hashed, bucketPairs(bandedSignatures(hashed), Seq("band", "bh")))
   }
 
   def minhashLsh(s: SparkSession, dir: String): DataFrame =
@@ -418,4 +424,146 @@ object Dedup {
   def embeddingNearDupHi(s: SparkSession, dir: String): DataFrame =
     embeddingNearDup(plantedProductionCorpus(Tables.load(s, dir, "embeddings")),
       ProductionEmbTau)
+
+  // ---- incremental near-dup against a persisted signature index ----
+
+  /** Skew backstop for the incremental candidate join (same rationale
+    * as [[embCandidates]]'s cap): in a bucket wider than this (only a
+    * boilerplate band reaches it) each delta row links to the bucket's
+    * MIN doc instead of fanning out delta×bucket — linear work, and the
+    * mega-cluster stays connected for [[clustersFromPairs]] (bucket
+    * members are near-identical, so the link pair passes verify). */
+  private val IncrMaxBucket = 4096
+
+  /** Near-dup pairs TOUCHING a new ingest batch, against a persisted
+    * corpus index ([[graft.index.SignatureIndex]]) — the daily-ingest
+    * form of [[minhashLsh]]: a 100 TB corpus taking a 0.1% batch does
+    * delta-sized signature work plus one candidate join, instead of
+    * recomputing corpus-wide signatures per batch.
+    *
+    * Shuffle shape: the delta's signatures are a zero-shuffle map; the
+    * candidate join reads the persisted band table but — the delta side
+    * being small — AQE broadcasts it, so the CORPUS IS NEVER SHUFFLED
+    * (no hard hint, per the t09 lesson: an oversized delta degrades to
+    * a shuffle join instead of an OOM). Exact verify touches only
+    * candidate rows: the pairs frame is pair-count-sized, and its join
+    * against the persisted shingle table broadcasts the pairs side.
+    * Bucket widths come from the index's persisted per-bucket counts
+    * merged with the delta's own — a right-outer join keyed by the
+    * delta's buckets, so corpus-wide counts are scanned (footer-pruned
+    * via the bh-sorted layout), never shuffled.
+    *
+    * Result = the [[minhashLsh]] pair set restricted to pairs with ≥1
+    * side in the delta (recall caveats identical: P(band miss | j=0.8)
+    * ≈ 1e-14; capped buckets emit connectivity links only). */
+  def incrementalPairs(deltaDocs: DataFrame, indexPath: String): DataFrame = {
+    val s = deltaDocs.sparkSession
+    val idx = graft.index.SignatureIndex
+    val deltaSh = hashedShingleSets(deltaDocs)
+    val deltaBands = bandedSignatures(deltaSh).localCheckpoint(true)
+
+    val deltaCounts = deltaBands.groupBy(col("band"), col("bh"))
+      .agg(count(lit(1)).as("dn"), min(col("doc_id")).as("dmin"))
+    val hotB = idx.counts(s, indexPath)
+      .join(deltaCounts, Seq("band", "bh"), "right_outer")
+      .filter(coalesce(col("n"), lit(0L)) + col("dn") > IncrMaxBucket)
+      .select(col("band"), col("bh"),
+        least(coalesce(col("min_doc"), col("dmin")), col("dmin")).as("min_doc"))
+      .localCheckpoint(true) // tiny by construction; broadcast-joined 3×
+
+    val hotKeys = broadcast(hotB.select(col("band"), col("bh")))
+    val dNorm = deltaBands.join(hotKeys, Seq("band", "bh"), "left_anti")
+    val allNorm = idx.bands(s, indexPath).unionByName(deltaBands)
+      .join(hotKeys, Seq("band", "bh"), "left_anti")
+    val cand = dNorm.select(col("doc_id").as("da"), col("band"), col("bh"))
+      .join(allNorm.select(col("doc_id").as("ob"), col("band"), col("bh")),
+        Seq("band", "bh"))
+      .filter(col("da") =!= col("ob"))
+      .select(least(col("da"), col("ob")).as("doc_a"),
+        greatest(col("da"), col("ob")).as("doc_b"))
+    val hotPairs = deltaBands.join(broadcast(hotB), Seq("band", "bh"))
+      .filter(col("doc_id") =!= col("min_doc"))
+      .select(least(col("doc_id"), col("min_doc")).as("doc_a"),
+        greatest(col("doc_id"), col("min_doc")).as("doc_b"))
+    val pairs = cand.unionByName(hotPairs).distinct()
+    jaccardVerified(idx.shingles(s, indexPath).unionByName(deltaSh), pairs)
+  }
+
+  /** d07 driver binding: corpus = `doc_id % 3 != 0` (indexed once per
+    * sf dir, tmp-cached — same immutable-testdata precedent as t07's
+    * inverted index), delta = `doc_id % 3 == 0` played as the incoming
+    * batch. Oracle: exact all-pairs jaccard restricted to pairs
+    * touching the delta. */
+  def incrementalNearDup(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(s, dir, "documents")
+    val isDelta = col("doc_id") % 3 === 0
+    val dirKey = java.security.MessageDigest.getInstance("SHA-256")
+      .digest(dir.getBytes("UTF-8")).take(8).map(b => f"$b%02x").mkString
+    val path = s"${System.getProperty("java.io.tmpdir")}/graft-sigidx-$dirKey"
+    if (!graft.index.SignatureIndex.ready(s, path))
+      graft.index.SignatureIndex.build(docs.filter(!isDelta), path)
+    incrementalPairs(docs.filter(isDelta), path)
+  }
+
+  // ---- duplicate-cluster extraction (connected components) ----
+
+  /** Connected components over the undirected near-dup pair graph:
+    * (doc_id, cluster_id = component-min doc_id) for every doc in ≥1
+    * pair; the survivor set is `doc_id == cluster_id`. This is the step
+    * that turns PAIRS into the keep/drop decision — pairs alone
+    * over-delete transitive groups (a~b, b~c: dropping both b and c
+    * loses c's only surviving representative if done pairwise).
+    *
+    * Algorithm: min-label propagation WITH pointer jumping, O(log n)
+    * rounds — load-bearing here because [[bucketPairs]] emits CHAINS
+    * for capped mega-buckets, and plain neighbor propagation needs
+    * O(chain length) rounds on a path graph; jumping (label ←
+    * label-of-label) halves distance-to-root per round. Each round is
+    * two self-joins + one aggregate over the (node, label) frame,
+    * lineage kept flat with an eager localCheckpoint (at cluster scale:
+    * checkpoint to durable storage instead). Fixpoint ⇒ every label is
+    * its component's min: the min labels itself, and any frontier node
+    * adjacent to a min-labeled node would still change — so no
+    * non-uniform fixpoint exists. */
+  private[operators] def clustersFromPairs(pairs: DataFrame): DataFrame = {
+    val edges = pairs
+      .select(col("doc_a").as("u"), col("doc_b").as("v"))
+      .unionByName(pairs.select(col("doc_b").as("u"), col("doc_a").as("v")))
+      .localCheckpoint(true)
+    var p = edges.groupBy(col("u"))
+      .agg(min(col("v")).as("m"))
+      .select(col("u").as("v"), least(col("u"), col("m")).as("p"))
+      .localCheckpoint(true)
+    var changed = 1L
+    var rounds = 0
+    while (changed > 0) {
+      rounds += 1
+      // 64 pointer-jump rounds cover components of 2^64 nodes — a
+      // non-converging loop is a bug, not a big graph
+      require(rounds <= 64, "connected-components failed to converge")
+      val jumped = p.as("x").join(p.as("y"), col("x.p") === col("y.v"))
+        .select(col("x.v").as("v"), col("x.p").as("p0"), col("y.p").as("jp"))
+      val nbr = edges.join(p, "v")
+        .groupBy(col("u")).agg(min(col("p")).as("np"))
+        .withColumnRenamed("u", "v")
+      val next = jumped.join(nbr, Seq("v"))
+        .select(col("v"), least(col("p0"), col("jp"), col("np")).as("p"))
+        .localCheckpoint(true)
+      changed = next.join(p.withColumnRenamed("p", "prev"), Seq("v"))
+        .filter(col("p") =!= col("prev")).count()
+      p = next
+    }
+    p.select(col("v").as("doc_id"), col("p").as("cluster_id"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Duplicate clusters from the MinHash near-dup pair graph (d08):
+    * exact-verified pairs ([[minhashLsh]]) → connected components →
+    * (doc_id, cluster_id). Oracle: transitive closure by recursive CTE
+    * over the same exact pair predicate. */
+  def dedupClusters(docs: DataFrame): DataFrame =
+    clustersFromPairs(minhashLsh(docs).select(col("doc_a"), col("doc_b")))
+
+  def dedupClusters(s: SparkSession, dir: String): DataFrame =
+    dedupClusters(Tables.load(s, dir, "documents"))
 }

@@ -202,4 +202,85 @@ class PipelineOpsSpec extends SparkSpec {
       f"production family keeps $prod%.3f of pairs vs sweep $sweep%.3f — no cut")
     assert(prod <= 0.15, f"production keep-rate $prod%.3f not subquadratic-ish")
   }
+
+  test("incremental near-dup equals the batch pair set restricted to the delta") {
+    import org.apache.spark.sql.functions._
+    val docs = graft.core.Tables.load(spark, Sf001, "documents")
+    val isDelta = col("doc_id") % 3 === 0
+    val path = tmpDir("sigidx")
+    graft.index.SignatureIndex.build(docs.filter(!isDelta), path)
+    val incr = Dedup.incrementalPairs(docs.filter(isDelta), path).collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))).toSet
+    val full = Dedup.minhashLsh(docs).collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))).toSet
+    val expected = full.filter { case (a, b) => a % 3 == 0 || b % 3 == 0 }
+    assert(incr == expected,
+      s"missed=${(expected -- incr).take(5)} extra=${(incr -- expected).take(5)}")
+    assert(expected.nonEmpty, "no pair touches the delta — test is vacuous")
+    assert((full -- expected).nonEmpty,
+      "every pair touches the delta — restriction untested")
+  }
+
+  test("signature-index append: a second batch sees the first as corpus") {
+    import org.apache.spark.sql.functions._
+    val docs = graft.core.Tables.load(spark, Sf001, "documents")
+    val old = docs.filter(col("doc_id") % 3 =!= 0)
+    val batch1 = docs.filter(col("doc_id") % 3 === 0 && col("doc_id") % 2 === 0)
+    val batch2 = docs.filter(col("doc_id") % 3 === 0 && col("doc_id") % 2 =!= 0)
+    val path = tmpDir("sigidx-append")
+    graft.index.SignatureIndex.build(old, path)
+    val p1 = Dedup.incrementalPairs(batch1, path).collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))).toSet
+    graft.index.SignatureIndex.append(batch1, path)
+    val p2 = Dedup.incrementalPairs(batch2, path).collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))).toSet
+    // two-batch ingest covers every pair the one-shot batch job finds,
+    // except pairs entirely inside the untouched original corpus
+    val full = Dedup.minhashLsh(docs).collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))).toSet
+    val expected = full.filter { case (a, b) => a % 3 == 0 || b % 3 == 0 }
+    assert((p1 ++ p2) == expected,
+      s"missed=${(expected -- p1 -- p2).take(5)} extra=${((p1 ++ p2) -- expected).take(5)}")
+  }
+
+  test("cluster extraction: pointer jumping resolves chains and separates components") {
+    import spark.implicits._
+    // a 9-node chain (the shape capped mega-buckets emit) plus a
+    // separate triangle and an isolated pair
+    val chain = (1L to 8L).map(i => (i, i + 1))
+    val tri = Seq((20L, 21L), (21L, 22L), (20L, 22L))
+    val iso = Seq((30L, 31L))
+    val pairs = (chain ++ tri ++ iso).toDF("doc_a", "doc_b")
+    val out = Dedup.clustersFromPairs(pairs).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("cluster_id")).toMap
+    assert((1L to 9L).forall(out(_) == 1L), s"chain: $out")
+    assert(Seq(20L, 21L, 22L).forall(out(_) == 20L))
+    assert(Seq(30L, 31L).forall(out(_) == 30L))
+    assert(out.size == 14)
+  }
+
+  test("dedup clusters: every near-dup pair lands in one cluster, minima are survivors") {
+    val pairs = Dedup.minhashLsh(spark, Sf001).collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b")))
+    assert(pairs.nonEmpty)
+    val clusters = Dedup.dedupClusters(spark, Sf001).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("cluster_id")).toMap
+    // reference union-find over the same pairs
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElse(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    pairs.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val nodes = pairs.flatMap(p => Seq(p._1, p._2)).distinct
+    val expected = nodes.map { n =>
+      // component id = min member, reachable by chasing parents
+      val root = find(n)
+      n -> nodes.filter(m => find(m) == root).min
+    }.toMap
+    assert(clusters == expected)
+  }
 }
