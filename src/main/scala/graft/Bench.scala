@@ -38,9 +38,14 @@ object Bench {
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       def once(): Double = {
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count(); (System.nanoTime() - t0) / 1e9 }
+        val t = try { fn(spark, sfDir).count(); (System.nanoTime() - t0) / 1e9 }
         catch { case e: Throwable =>
           System.err.println(s"[bench] $name failed: ${e.getMessage}"); -1.0 }
+        // post-timing: drop this iteration's localCheckpoint blocks —
+        // each iteration rebuilds its own, so stale ones are dead weight
+        // that evicts later queries' working sets
+        graft.core.Caching.releaseAll(spark)
+        t
       }
       val first = once()
       // a failing query fails fast once, not N times
@@ -51,8 +56,22 @@ object Bench {
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
+    // ANN recall vs the exact brute top-k, recorded next to the timings
+    // so a recall regression shows up round-over-round, not just in a
+    // one-time spec pin
+    val recalls = Seq(
+      "s02_ann_lsh" -> graft.operators.Similarity.annLsh(spark, sfDir),
+      "s03_ann_ivf" -> graft.operators.Similarity.annIvf(spark, sfDir))
+      .flatMap { case (name, df) =>
+        val r = try Some(graft.operators.Similarity.recallVsBrute(spark, sfDir, df))
+        catch { case e: Throwable =>
+          System.err.println(s"[bench] recall $name failed: ${e.getMessage}"); None }
+        graft.core.Caching.releaseAll(spark)
+        r.map(name -> _)
+      }
+    val rs = recalls.map { case (k, v) => f""""$k":$v%.3f""" }.mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"recall":$rs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -428,16 +428,18 @@ object SparkEntry {
         |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
         |WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.45
         |ORDER BY vec_a, vec_b""".stripMargin,
-    // production near-dup threshold: same machinery, 12-bit signatures —
-    // the genuinely subquadratic config (see Dedup.EmbBitsHi). The
-    // corpus plants 20 perturbed re-entries (cosine ≈ 0.99) IDENTICALLY
-    // on both engines (Dedup.plantedProductionCorpus ↔ the CTE below):
-    // the synthetic corpus's own max pair cosine is ~0.51, so without
-    // planting this row compares 0 rows against 0 rows and proves
-    // nothing. Note the 12-bit family's recall is probabilistic at the
-    // exact τ=0.8 boundary (collision ≈ 0.985); the planted pairs sit
-    // at ≈0.99 where collision ≈ 1, which is what lets an LSH result
-    // hash-match exact all-pairs SQL.
+    // production near-dup threshold: same machinery, corpus-sized
+    // signature depth (Dedup.adaptiveEmbBits — bucket count grows with
+    // the corpus, so candidate volume stays O(n·tables) instead of the
+    // Θ(n²/2^bits) a fixed depth gives). The corpus plants 20 perturbed
+    // re-entries (cosine ≈ 0.99) IDENTICALLY on both engines
+    // (Dedup.plantedProductionCorpus ↔ the CTE below): the synthetic
+    // corpus's own max pair cosine is ~0.51, so without planting this
+    // row compares 0 rows against 0 rows and proves nothing. Note the
+    // family's recall is probabilistic at the exact τ=0.8 boundary
+    // (collision ≈ 0.98 at the 12-bit floor, decaying with depth); the
+    // planted pairs sit at ≈0.99 where collision ≈ 1 at every depth,
+    // which is what lets an LSH result hash-match exact all-pairs SQL.
     "d06_embedding_neardup_prod" ->
       """WITH corpus AS (
         | SELECT vec_id, CAST(embedding AS DOUBLE[]) AS embedding FROM embeddings

@@ -73,9 +73,20 @@ object SignatureIndex {
 
   /** Ingest a new batch: delta-sized appends to bands/shingles, then a
     * counts re-merge. The merge materializes eagerly BEFORE the
-    * overwrite (Spark cannot overwrite a path its plan still reads). */
+    * overwrite (Spark cannot overwrite a path its plan still reads).
+    *
+    * Crash consistency: the three writes are not atomic together — a
+    * failure after the bands append but before the counts overwrite
+    * would leave counts understating bucket widths (breaking hot-bucket
+    * detection) in an index that still looks usable. So the READY
+    * marker is dropped first and re-created only after the counts
+    * overwrite lands: a torn append leaves `ready() == false` and the
+    * next builder rebuilds, same contract as the WAL's torn-segment
+    * drop. (Single-writer per index path, as documented above; a
+    * concurrent reader mid-append sees not-ready, not wrong.) */
   def append(deltaDocs: DataFrame, path: String): Unit = {
     val s = deltaDocs.sparkSession
+    fs(s, path).delete(marker(path), false)
     val sh = Dedup.hashedShingleSets(deltaDocs)
     val b = Dedup.bandedSignatures(sh).localCheckpoint(true)
     b.sortWithinPartitions(col("bh"))
@@ -92,5 +103,7 @@ object SignatureIndex {
       .localCheckpoint(true)
     merged.repartitionByRange(col("bh")).sortWithinPartitions(col("bh"))
       .write.mode("overwrite").parquet(s"$path/counts")
+    val out = fs(s, path).create(marker(path), true)
+    out.close()
   }
 }

@@ -304,9 +304,9 @@ object Dedup {
     * tail, where LSH prunes weakly no matter the parameters: 6 bits ×
     * 64 tables keeps ~63% of all pairs as candidates at test SF (the
     * win is the JOIN SHAPE — bucketed equi-join, never a materialized
-    * cross product). At production near-dup thresholds (cosine ≥ 0.8,
-    * p ≈ 0.86) the same machinery keeps <2% and is genuinely
-    * subquadratic. `EmbSeed` is validated by exhaustive comparison
+    * cross product). At production near-dup thresholds (cosine ≥ 0.8)
+    * the adaptive-depth family keeps candidate volume O(n·tables) —
+    * see [[adaptiveEmbBits]]. `EmbSeed` is validated by exhaustive comparison
     * against the exact pair set at sf0.01 and sf0.1 (recall 1.0;
     * per-pair miss ≈ 0.7% per random seed at the exact threshold
     * boundary — the seed is pinned so the result is reproducible, and
@@ -315,18 +315,43 @@ object Dedup {
   private val EmbBits = 6
   private val EmbTables = 64
 
-  /** Production-threshold signature depth: at τ=0.8 (bit-agreement
-    * p ≈ 0.795) a 12-bit × 64-table family keeps ambient pairs
-    * (p ≈ 0.55) at ~64·0.55¹² ≈ 5% while a boundary pair at exactly
-    * τ=0.8 still collides with probability 1−(1−0.795¹²)⁶⁴ ≈ 0.985 —
-    * and real near-dups (cosine ≫ τ) with ≈1. Deeper bits at τ=0.45
-    * would NOT help: ambient agreement (0.55) is too close to
-    * boundary agreement (0.648) for any (bits, tables) to separate
-    * them — that τ keeps ~63% of pairs by the geometry of the corpus,
-    * which is why 0.45 is the labeled exact-sweep config and 0.8 the
-    * production one. */
+  /** Production-threshold signature depth FLOOR: at τ=0.8
+    * (bit-agreement p ≈ 0.795) a 12-bit × 64-table family keeps
+    * ambient pairs (p ≈ 0.55) at ~64·0.55¹² ≈ 5% while a boundary pair
+    * at exactly τ=0.8 still collides with probability
+    * 1−(1−0.795¹²)⁶⁴ ≈ 0.985 — and real near-dups (cosine ≫ τ) with
+    * ≈1. Deeper bits at τ=0.45 would NOT help: ambient agreement
+    * (0.55) is too close to boundary agreement (0.648) for any
+    * (bits, tables) to separate them — that τ keeps ~63% of pairs by
+    * the geometry of the corpus, which is why 0.45 is the labeled
+    * exact-sweep config and 0.8 the production one. */
   private val EmbBitsHi = 12
+  private val EmbBitsMax = 24
   val ProductionEmbTau = 0.8
+
+  /** Signature depth for the production family as a function of corpus
+    * size — the load-bearing scale fix: FIXED bits fix the bucket count
+    * (2^bits per table), so bucket width grows ∝ n and within-bucket
+    * all-pairs candidate work grows Θ(n²/2^bits) — a constant-factor
+    * reduction, not an asymptotic one (measured: the fixed-12-bit
+    * config did not complete at the 200k-vector scaling point). Growing
+    * bits with log₂(n) keeps buckets ∝ n, expected bucket width O(1),
+    * and candidate volume O(n·tables).
+    *
+    * bits = clamp(12, ⌈log₂ n⌉ − 1, 24) targets expected random-bucket
+    * width ≈ 2. Cost of depth is recall at the THRESHOLD BOUNDARY:
+    * collision probability per table is p^bits
+    * (p = 1 − acos(cos θ)/π), so across 64 tables a pair at exactly
+    * τ=0.8 (p ≈ 0.795) is found w.p. ≈ 0.98 at 12 bits (n ≤ 8k),
+    * ≈ 0.73 at 17 bits (n ≈ 200k), while true near-dups
+    * (cosine ≥ 0.95, p ≥ 0.93) stay ≥ 0.99 through 24 bits. That decay
+    * is the standard LSH size/recall trade — holding boundary recall
+    * constant would need tables ∝ p^−bits — and is disclosed in
+    * [[embeddingNearDup]]'s contract rather than papered over. */
+  private[operators] def adaptiveEmbBits(n: Long): Int = {
+    val ceilLog2 = 64 - java.lang.Long.numberOfLeadingZeros(math.max(1L, n - 1))
+    math.min(EmbBitsMax, math.max(EmbBitsHi, ceilLog2 - 1))
+  }
 
   /** (vec_id, tbl, sig) — one row per signature table per vector, via
     * the codegen'd [[graft.functions.HyperplaneSigs]] kernel (one fused
@@ -349,14 +374,24 @@ object Dedup {
 
   /** LSH candidate pairs for [[embeddingNearDup]] — package-visible so
     * the keep-rate spec can count candidates per signature depth.
-    * cap = skew backstop only (2^bits buckets/table spread any SF; a
-    * degenerate all-equal-sign bucket chains instead of exploding) —
-    * far above test-SF bucket widths, so no recall effect. */
+    *
+    * The skew cap depends on the family: the 6-bit exact-sweep family
+    * has only 64 buckets/table and its contract is keeping ~63% of all
+    * pairs, so its buckets are wide BY DESIGN (cap 4096 = backstop for
+    * a degenerate all-equal-sign bucket only). The production family
+    * (adaptive bits, expected width O(1)) caps at [[MaxBucket]]: any
+    * bucket wider than 64 is a correlated cluster, and chaining it
+    * (like the MinHash path) bounds the worst bucket's work to O(width)
+    * while keeping the cluster connected for [[clustersFromPairs]] —
+    * members of such a bucket agree on `bits` sign projections, so
+    * chain neighbors pass the exact-cosine verify when they are real
+    * near-dups. */
   private[operators] def embCandidates(e: DataFrame, bits: Int): DataFrame =
     bucketPairs(
       embSignatures(e.sparkSession, e, bits)
         .select(col("vec_id").as("doc_id"), col("tbl"), col("sig")),
-      Seq("tbl", "sig"), cap = 4096, dedupe = false)
+      Seq("tbl", "sig"),
+      cap = if (bits >= EmbBitsHi) MaxBucket else 4096, dedupe = false)
       .withColumnRenamed("doc_a", "vec_a").withColumnRenamed("doc_b", "vec_b")
 
   /** Embedding cosine near-dup pairs: LSH-bucketed candidates (equi-join
@@ -368,20 +403,27 @@ object Dedup {
     *    validated exhaustively at sf0.01/sf0.1 under the pinned
     *    [[EmbSeed]] (recall 1.0; an unpinned seed misses ~0.7% of
     *    pairs sitting exactly at the threshold boundary).
-    *  - τ ≥ 0.8 → the 12-bit production family (~2-5% candidate
-    *    keep-rate): PROBABILISTIC recall, not exact — a boundary pair
-    *    at exactly τ=0.8 collides in ≥1 of the 64 tables w.p.
-    *    1−(1−0.795¹²)⁶⁴ ≈ 0.985, while real near-dups (cosine ≫ τ)
-    *    collide w.p. ≈1. PipelineOpsSpec pins result-set EQUALITY vs
-    *    the brute all-pairs sweep on a planted τ≈0.99 corpus, and the
-    *    d06 DuckDB oracle re-checks it against exact SQL every round.
+    *  - τ ≥ 0.8 → the production family with corpus-sized signature
+    *    depth ([[adaptiveEmbBits]]: 12 bits up to ~8k vectors, +1 bit
+    *    per doubling, capped at 24 — bucket count ∝ n keeps candidate
+    *    volume O(n·tables)): PROBABILISTIC recall, not exact — a
+    *    boundary pair at exactly τ=0.8 collides in ≥1 of the 64 tables
+    *    w.p. ≈0.98 at 12 bits, decaying with depth (≈0.73 at 17 bits /
+    *    200k vectors), while real near-dups (cosine ≥ 0.95) collide
+    *    w.p. ≥0.99 at every depth ≤ 24. PipelineOpsSpec pins
+    *    result-set EQUALITY vs the brute all-pairs sweep on planted
+    *    τ≈0.99 corpora (both the 12-bit and a deeper adaptive regime),
+    *    and the d06 DuckDB oracle re-checks it against exact SQL every
+    *    round.
     * Per-query ANN over the same signatures is Similarity.annLsh. */
   def embeddingNearDup(embeddings: DataFrame,
       tau: Double = 0.45): DataFrame = {
     import graft.functions.VectorFunctions
     val s = embeddings.sparkSession
     val e = embNormed(embeddings)
-    val bits = if (tau >= ProductionEmbTau) EmbBitsHi else EmbBits
+    // e is eagerly checkpointed, so sizing the family costs one cheap
+    // count over materialized blocks, not a second scan of the source
+    val bits = if (tau >= ProductionEmbTau) adaptiveEmbBits(e.count()) else EmbBits
     embCandidates(e, bits)
       .join(e.select(col("vec_id").as("vec_a"), col("v").as("va"), col("norm").as("na")), "vec_a")
       .join(e.select(col("vec_id").as("vec_b"), col("v").as("vb"), col("norm").as("nb")), "vec_b")
@@ -417,23 +459,18 @@ object Dedup {
     base.unionByName(planted)
   }
 
-  /** Production-threshold variant (τ=0.8, 12-bit signatures) — the
-    * config whose candidate generation is genuinely subquadratic —
-    * demonstrated over [[plantedProductionCorpus]] so the result (and
+  /** Production-threshold variant (τ=0.8, corpus-sized signature
+    * depth): candidate volume stays O(n·tables) because the bucket
+    * count grows with the corpus ([[adaptiveEmbBits]]) and the skew
+    * tail is chain-capped — at the cost of boundary-pair recall
+    * decaying with depth (disclosed in [[embeddingNearDup]]).
+    * Demonstrated over [[plantedProductionCorpus]] so the result (and
     * its oracle row) is non-empty at test SFs. */
   def embeddingNearDupHi(s: SparkSession, dir: String): DataFrame =
     embeddingNearDup(plantedProductionCorpus(Tables.load(s, dir, "embeddings")),
       ProductionEmbTau)
 
   // ---- incremental near-dup against a persisted signature index ----
-
-  /** Skew backstop for the incremental candidate join (same rationale
-    * as [[embCandidates]]'s cap): in a bucket wider than this (only a
-    * boilerplate band reaches it) each delta row links to the bucket's
-    * MIN doc instead of fanning out delta×bucket — linear work, and the
-    * mega-cluster stays connected for [[clustersFromPairs]] (bucket
-    * members are near-identical, so the link pair passes verify). */
-  private val IncrMaxBucket = 4096
 
   /** Near-dup pairs TOUCHING a new ingest batch, against a persisted
     * corpus index ([[graft.index.SignatureIndex]]) — the daily-ingest
@@ -448,14 +485,24 @@ object Dedup {
     * a shuffle join instead of an OOM). Exact verify touches only
     * candidate rows: the pairs frame is pair-count-sized, and its join
     * against the persisted shingle table broadcasts the pairs side.
-    * Bucket widths come from the index's persisted per-bucket counts
-    * merged with the delta's own — a right-outer join keyed by the
-    * delta's buckets, so corpus-wide counts are scanned (footer-pruned
-    * via the bh-sorted layout), never shuffled.
+    * Bucket widths come from the index's persisted per-bucket counts,
+    * first semi-joined against the BROADCAST set of delta bucket keys
+    * (delta-sized; footer-pruned via the bh-sorted layout) — the
+    * pruned frame is then small enough that the outer merge with the
+    * delta's own counts builds on the pruned side, so corpus-wide
+    * counts are scanned once and never shuffled.
     *
     * Result = the [[minhashLsh]] pair set restricted to pairs with ≥1
-    * side in the delta (recall caveats identical: P(band miss | j=0.8)
-    * ≈ 1e-14; capped buckets emit connectivity links only). */
+    * side in the delta, for every bucket at or under the SHARED
+    * [[MaxBucket]] cap (P(band miss | j=0.8) ≈ 1e-14). Buckets wider
+    * than the cap emit CONNECTIVITY LINKS only, in both paths — but
+    * not the same links: the batch path chains adjacent sorted members,
+    * the incremental path links each delta row to the bucket's min doc.
+    * Equivalent for [[clustersFromPairs]] connectivity (both keep the
+    * mega-cluster one component), NOT pairwise identical — callers
+    * comparing pair sets across the two paths must restrict to
+    * uncapped buckets (the batch-equivalence spec plants both
+    * regimes). */
   def incrementalPairs(deltaDocs: DataFrame, indexPath: String): DataFrame = {
     val s = deltaDocs.sparkSession
     val idx = graft.index.SignatureIndex
@@ -464,9 +511,17 @@ object Dedup {
 
     val deltaCounts = deltaBands.groupBy(col("band"), col("bh"))
       .agg(count(lit(1)).as("dn"), min(col("doc_id")).as("dmin"))
-    val hotB = idx.counts(s, indexPath)
+    // Spark cannot build the STREAM (delta) side of a right-outer
+    // broadcast join, so an un-pruned outer merge would broadcast or
+    // shuffle the full corpus counts table — semi-prune it down to the
+    // delta-touched buckets first (broadcast of delta keys), then the
+    // outer merge's build side is delta-sized by construction.
+    val touchedCounts = idx.counts(s, indexPath)
+      .join(broadcast(deltaCounts.select(col("band"), col("bh"))),
+        Seq("band", "bh"), "left_semi")
+    val hotB = touchedCounts
       .join(deltaCounts, Seq("band", "bh"), "right_outer")
-      .filter(coalesce(col("n"), lit(0L)) + col("dn") > IncrMaxBucket)
+      .filter(coalesce(col("n"), lit(0L)) + col("dn") > MaxBucket)
       .select(col("band"), col("bh"),
         least(coalesce(col("min_doc"), col("dmin")), col("dmin")).as("min_doc"))
       .localCheckpoint(true) // tiny by construction; broadcast-joined 3×
@@ -493,12 +548,33 @@ object Dedup {
     * sf dir, tmp-cached — same immutable-testdata precedent as t07's
     * inverted index), delta = `doc_id % 3 == 0` played as the incoming
     * batch. Oracle: exact all-pairs jaccard restricted to pairs
-    * touching the delta. */
+    * touching the delta.
+    *
+    * The cache key hashes the dir path PLUS a content fingerprint of
+    * the source parquet (per-file name/length/mtime): regenerated
+    * testdata at the same path gets a fresh index instead of silently
+    * reusing a stale one, and the marker-guarded build races only
+    * between processes reading identical source data (where both
+    * builds write identical content). */
   def incrementalNearDup(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.load(s, dir, "documents")
     val isDelta = col("doc_id") % 3 === 0
+    val src = new org.apache.hadoop.fs.Path(s"$dir/documents.parquet")
+    val fs = src.getFileSystem(s.sparkContext.hadoopConfiguration)
+    val fingerprint =
+      if (!fs.exists(src)) "absent"
+      else {
+        val it = fs.listFiles(src, true)
+        val parts = scala.collection.mutable.ArrayBuffer[String]()
+        while (it.hasNext) {
+          val f = it.next()
+          parts += s"${f.getPath.getName}:${f.getLen}:${f.getModificationTime}"
+        }
+        parts.sorted.mkString("|")
+      }
     val dirKey = java.security.MessageDigest.getInstance("SHA-256")
-      .digest(dir.getBytes("UTF-8")).take(8).map(b => f"$b%02x").mkString
+      .digest(s"$dir|$fingerprint".getBytes("UTF-8"))
+      .take(8).map(b => f"$b%02x").mkString
     val path = s"${System.getProperty("java.io.tmpdir")}/graft-sigidx-$dirKey"
     if (!graft.index.SignatureIndex.ready(s, path))
       graft.index.SignatureIndex.build(docs.filter(!isDelta), path)

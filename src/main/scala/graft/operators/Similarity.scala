@@ -231,4 +231,23 @@ object Similarity {
     val all = Tables.load(s, dir, "embeddings")
     annLsh(all, all.filter(col("vec_id") < NumQueries), K)
   }
+
+  /** Mean per-query recall of `approx` against the exact brute-force
+    * top-k over the same dir — the round-over-round regression metric
+    * the bench records next to each ANN timing (a one-time spec pin
+    * can't catch drift; a recall field in BENCH/SCALING json can).
+    * Both result sets are top-k per query (≤ NumQueries·K rows), so
+    * the collect is bounded regardless of corpus size. */
+  def recallVsBrute(s: SparkSession, dir: String, approx: DataFrame): Double = {
+    def sets(df: DataFrame): Map[Long, Set[Long]] = df.collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id")))
+      .groupBy(_._1).map { case (q, rs) => q -> rs.map(_._2).toSet }
+    val exact = sets(annBrute(s, dir))
+    val got = sets(approx)
+    if (exact.isEmpty) 0.0
+    else exact.map { case (q, ex) =>
+      if (ex.isEmpty) 1.0
+      else (got.getOrElse(q, Set.empty[Long]) & ex).size.toDouble / ex.size
+    }.sum / exact.size
+  }
 }

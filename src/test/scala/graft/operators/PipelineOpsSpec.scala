@@ -203,6 +203,112 @@ class PipelineOpsSpec extends SparkSpec {
     assert(prod <= 0.15, f"production keep-rate $prod%.3f not subquadratic-ish")
   }
 
+  test("adaptive production bits: 12-bit floor at test SF, +1 per doubling, capped") {
+    assert(Dedup.adaptiveEmbBits(1) == 12)
+    assert(Dedup.adaptiveEmbBits(520) == 12)
+    assert(Dedup.adaptiveEmbBits(8192) == 12)    // ⌈log₂ 8192⌉−1 = 12
+    assert(Dedup.adaptiveEmbBits(8193) == 13)
+    assert(Dedup.adaptiveEmbBits(200000) == 17)  // the sf10 scaling point
+    assert(Dedup.adaptiveEmbBits(1L << 40) == 24) // depth cap
+    // monotone: a bigger corpus never gets a shallower family
+    val probes = Seq(1L, 100L, 8192L, 8193L, 50000L, 200000L, 1L << 30)
+    assert(probes.map(Dedup.adaptiveEmbBits) == probes.map(Dedup.adaptiveEmbBits).sorted)
+  }
+
+  test("production-τ near-dup stays EXACT on planted pairs in the adaptive-depth regime") {
+    import org.apache.spark.sql.functions._
+    import graft.functions.VectorFunctions
+    // 8,500 deterministic hash-derived vectors → adaptiveEmbBits = 13:
+    // exercises the regime where depth EXCEEDS the 12-bit floor (the
+    // sf10 failure was invisible to every spec because they all ran at
+    // floor depth). Planted: first 20 vectors re-entered perturbed
+    // (cosine ≈ 0.99). Ambient 64-dim hash vectors concentrate at
+    // |cosine| ≲ 0.75 over 36M pairs, so brute τ=0.8 = planted only.
+    val n = 8500
+    val base = spark.range(n).select(col("id").as("vec_id"),
+      expr("transform(sequence(0, 63), d -> " +
+        "cast(xxhash64(id * 64 + d) as double) / 9.223372036854776e18)")
+        .as("embedding"))
+    val corpus = Dedup.plantedProductionCorpus(base)
+    val e = corpus.select(col("vec_id"), col("embedding").as("v"))
+      .withColumn("norm", VectorFunctions.norm(spark, col("v")))
+      .localCheckpoint(true)
+    val brute = e.select(col("vec_id").as("vec_a"), col("v").as("va"), col("norm").as("na"))
+      .crossJoin(e.select(col("vec_id").as("vec_b"), col("v").as("vb"), col("norm").as("nb")))
+      .filter(col("vec_a") < col("vec_b"))
+      .withColumn("cosine",
+        VectorFunctions.dot(spark, col("va"), col("vb")) / (col("na") * col("nb")))
+      .filter(col("cosine") >= Dedup.ProductionEmbTau)
+      .select(col("vec_a"), col("vec_b")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(brute.size >= 20, s"planting failed: ${brute.size} brute pairs")
+    val lsh = Dedup.embeddingNearDup(corpus, Dedup.ProductionEmbTau).collect()
+      .map(r => (r.getAs[Long]("vec_a"), r.getAs[Long]("vec_b"))).toSet
+    assert(lsh == brute,
+      s"missed=${(brute -- lsh).take(5)} extra=${(lsh -- brute).take(5)} " +
+        s"(${lsh.size} vs ${brute.size})")
+  }
+
+  test("simhash result EQUALS the brute hamming<=5 pair set (not just covers it)") {
+    import org.apache.spark.sql.functions._
+    // independent oracle: signatures via the same kernel, then brute
+    // all-pairs hamming. The 8-block LSH is recall-exact up to hamming
+    // 7 (pigeonhole: ≤7 flips leave ≥1 of 8 blocks intact), so for the
+    // shipped ≤5 radius the operator must return EXACTLY this set — a
+    // radius or block-layout regression shows as a set diff, not a
+    // row-count coincidence
+    val sigs = graft.core.Tables.load(spark, Sf001, "documents")
+      .select(col("doc_id"), graft.functions.LshFunctions.simhashSig(
+        spark, graft.functions.TextFunctions.tokens(col("text"))).as("sig"))
+      .localCheckpoint(true)
+    val brute = sigs.select(col("doc_id").as("doc_a"), col("sig").as("sig_a"))
+      .crossJoin(sigs.select(col("doc_id").as("doc_b"), col("sig").as("sig_b")))
+      .filter(col("doc_a") < col("doc_b"))
+      .withColumn("hamming",
+        bit_count(col("sig_a").bitwiseXOR(col("sig_b"))).cast("long"))
+      .filter(col("hamming") <= 5)
+      .collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"), r.getAs[Long]("hamming")))
+      .toSet
+    assert(brute.nonEmpty, "no hamming<=5 pairs at sf0.01 — test is vacuous")
+    val got = Dedup.simhash(spark, Sf001).collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"), r.getAs[Long]("hamming")))
+      .toSet
+    assert(got == brute,
+      s"missed=${(brute -- got).take(5)} extra=${(got -- brute).take(5)} " +
+        s"(${got.size} vs ${brute.size})")
+  }
+
+  test("incremental hot bucket links delta to bucket-min: linear work, connected result") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // a mega-bucket: 60 corpus + 20 delta docs with IDENTICAL text
+    // (every band collides; combined width 80 > MaxBucket=64), plus
+    // unrelated singletons on both sides
+    val text = "alpha beta gamma delta epsilon zeta eta theta"
+    val corpusDocs = ((100L until 160L).map(i => (i, text)) ++
+      Seq((900L, "solo corpus doc about nothing shared at all here")))
+      .toDF("doc_id", "text")
+    val deltaDocs = ((200L until 220L).map(i => (i, text)) ++
+      Seq((901L, "another unrelated delta document with its own words")))
+      .toDF("doc_id", "text")
+    val path = tmpDir("sigidx-hot")
+    graft.index.SignatureIndex.build(corpusDocs, path)
+    val pairs = Dedup.incrementalPairs(deltaDocs, path).collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))).toSet
+    // each delta member links to the bucket min (100) ONLY — 20 pairs,
+    // not 20×60 fan-out, and no delta×delta pairs inside the hot bucket
+    val expected = (200L until 220L).map(d => (100L, d)).toSet
+    assert(pairs == expected,
+      s"missed=${(expected -- pairs).take(5)} extra=${(pairs -- expected).take(5)}")
+    // connectivity: the links keep every delta doc in the corpus
+    // cluster for downstream component extraction
+    val clusters = Dedup.clustersFromPairs(
+      pairs.toSeq.toDF("doc_a", "doc_b")).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("cluster_id")).toMap
+    assert((200L until 220L).forall(clusters(_) == 100L))
+  }
+
   test("incremental near-dup equals the batch pair set restricted to the delta") {
     import org.apache.spark.sql.functions._
     val docs = graft.core.Tables.load(spark, Sf001, "documents")
