@@ -191,10 +191,16 @@ object ScalingBench {
     val t0 = System.nanoTime()
     try { fn(); ((System.nanoTime() - t0) / 1e9, null) }
     catch { case e: Throwable =>
+      // keep the head AND tail of the message: Spark stage-failure text
+      // front-loads scheduler detail and buries the root cause (e.g.
+      // "No space left on device") at the end
+      def trim(msg: String): String = {
+        val m = msg.replaceAll("[\"\\\\\n\r\t]", " ")
+        if (m.length <= 240) m else m.take(120) + " ... " + m.takeRight(120)
+      }
       val why =
         if (timedOut) s"timeout after ${TimeoutSec}s"
-        else (s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage)}")
-          .replaceAll("[\"\\\\\n\r\t]", " ").take(200)
+        else trim(s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage)}")
       System.err.println(s"[scaling] $name@sf$sf failed: $why")
       (-1.0, why)
     } finally { timer.cancel(); spark.sparkContext.clearJobGroup() }

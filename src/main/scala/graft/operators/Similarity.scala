@@ -80,8 +80,24 @@ object Similarity {
   // centroid ranking). Floor pinned ≥80% in PipelineOpsSpec.
   private val Cells = 32
   private val NProbe = 12
-  private val KmSampleN = 1024
   private val KmIters = 10
+
+  /** IVF sizing as a function of corpus size. A FIXED cell count does
+    * not survive corpus growth: 32 cells over 2k vectors puts ~62
+    * vectors in a cell and the bench's recall field measured the decay
+    * (0.92 at 500 rows → 0.74 at 2k with the fixed config). Standard
+    * IVF sizing — cells ≈ √n (capped: centroid training is
+    * driver-side), probe count a constant FRACTION of cells (3/8, the
+    * calibrated recall/scan trade) — keeps per-cell population and
+    * scanned fraction stable as the corpus grows. At cluster scale the
+    * cap is a config; 256 cells bounds the k-means sample at 8k
+    * vectors (~4 MB on the driver). */
+  private val MaxCells = 256
+  private def ivfConfig(n: Long): (Int, Int) = {
+    val cells = math.min(MaxCells,
+      math.max(Cells, math.ceil(math.sqrt(math.max(1L, n).toDouble)).toInt))
+    (cells, math.max(NProbe, cells * 3 / 8))
+  }
 
   /** Deterministic spherical k-means over a hash-sampled subset —
     * IVF centroid training. The sample is the `KmSampleN` vectors with
@@ -93,10 +109,12 @@ object Similarity {
     * mean centroids. Returns unit-norm centroids. */
   private def kmeansCentroids(s: SparkSession, e: DataFrame,
       cells: Int = Cells): Array[Array[Double]] = {
+    // ≥32 sample points per centroid keeps Lloyd stable as cells grow
+    val sampleN = math.max(1024, 32 * cells)
     val sample: Array[Array[Double]] = e
       .filter(col("norm") > 0)
       .orderBy(xxhash64(col("vec_id")), col("vec_id"))
-      .limit(KmSampleN)
+      .limit(sampleN)
       .select(col("v"), col("norm"))
       .collect()
       .map { r =>
@@ -147,11 +165,15 @@ object Similarity {
     * shuffle of vectors; the probe join shuffles only candidates. */
   def annIvf(corpus: DataFrame, queries: DataFrame, k: Int,
       excludeSelf: Boolean = true,
-      cells: Int = Cells, nProbe: Int = NProbe): DataFrame = {
+      cells: Int = 0, nProbe: Int = 0): DataFrame = {
     val s = corpus.sparkSession
     import s.implicits._
     val e = withNorm(s, corpus)
-    val cent = kmeansCentroids(s, e, cells).zipWithIndex
+    // cells/nProbe ≤ 0 → size from the corpus ([[ivfConfig]])
+    val (cCells, cProbe) =
+      if (cells > 0 && nProbe > 0) (cells, nProbe)
+      else ivfConfig(corpus.count())
+    val cent = kmeansCentroids(s, e, cCells).zipWithIndex
       .map { case (c, i) => (i.toLong, c) }.toSeq
       .toDF("cell", "cv")
       .withColumn("cn", lit(1.0))
@@ -169,7 +191,7 @@ object Similarity {
     val probes = q.crossJoin(broadcast(cent))
       .withColumn("csim", VectorFunctions.dot(s, col("qv"), col("cv")) / (col("qn") * col("cn")))
       .withColumn("pr", row_number().over(wProbe))
-      .filter(col("pr") <= nProbe)
+      .filter(col("pr") <= cProbe)
       .select(col("query_id"), col("qv"), col("qn"), col("cell"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("vec_id"))
@@ -199,26 +221,42 @@ object Similarity {
   /** LSH-bucketed ANN: each vector lands in one bucket per signature
     * table; a query probes its bucket and every 1-bit flip in EVERY
     * table (probes are broadcast with the queries — the corpus side
-    * streams through one equi-join, no shuffle of vectors). Pairs that
-    * collide in several tables are deduped BEFORE scoring, so each
-    * candidate pays its dot product once. */
+    * streams through one equi-join, no shuffle of vectors).
+    *
+    * Payload discipline — the load-bearing shape at scale: the bucket
+    * join and the multi-table dedup run over SLIM (id, tbl, sig) rows
+    * only. An earlier formulation carried the full vectors (v, qv,
+    * norms — ~1 KB/row at 64 dims) through the dedup shuffle, which
+    * measured 40× cost per 10× corpus at the 200k-vector scaling point
+    * (spill-bound); deduping 16-byte id pairs and re-attaching vectors
+    * once per DISTINCT candidate makes the shuffled bytes ∝ candidate
+    * count, not candidate count × vector width. Each candidate then
+    * pays its dot product exactly once: query vectors re-attach by
+    * broadcast (queries are few), corpus vectors by an id equi-join. */
   def annLsh(corpus: DataFrame, queries: DataFrame, k: Int,
       excludeSelf: Boolean = true): DataFrame = {
     val s = corpus.sparkSession
-    def withSigs(df: DataFrame, idAs: String, vAs: String, nAs: String): DataFrame =
-      df.select(col("vec_id").as(idAs), col("v").as(vAs), col("norm").as(nAs),
+    def sigs(df: DataFrame, idAs: String): DataFrame =
+      df.select(col("vec_id").as(idAs),
         posexplode(graft.functions.LshFunctions.lshSigs(
           s, col("v"), SigSeed, Planes, AnnTables)).as(Seq("tbl", "sig")))
-    val e = withSigs(withNorm(s, corpus), "vec_id", "v", "norm")
-    val qsigs = withSigs(withNorm(s, queries), "query_id", "qv", "qn")
+    val e = withNorm(s, corpus).localCheckpoint(true) // sigs + scoring reuse
+    val q = withNorm(s, queries)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"), col("norm").as("qn"))
     val flips: Seq[Long] = 0L +: (0 until Planes).map(b => 1L << b)
-    val probes = qsigs.select(col("query_id"), col("qv"), col("qn"), col("tbl"),
-      explode(array(flips.map(m => col("sig").bitwiseXOR(lit(m))): _*)).as("sig"))
+    val probes = sigs(withNorm(s, queries), "query_id")
+      .select(col("query_id"), col("tbl"),
+        explode(array(flips.map(m => col("sig").bitwiseXOR(lit(m))): _*)).as("sig"))
+    val cand = sigs(e, "vec_id")
+      .join(broadcast(probes), Seq("tbl", "sig"))
+      .filter(if (excludeSelf) col("vec_id") =!= col("query_id") else lit(true))
+      .select(col("query_id"), col("vec_id"))
+      .dropDuplicates("query_id", "vec_id") // multi-table collisions: score once
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("vec_id"))
-    e.join(broadcast(probes), Seq("tbl", "sig"))
-      .filter(if (excludeSelf) col("vec_id") =!= col("query_id") else lit(true))
-      .dropDuplicates("query_id", "vec_id") // multi-table collisions: score once
+    cand
+      .join(e, "vec_id")
+      .join(broadcast(q), "query_id")
       .withColumn("cosine", VectorFunctions.dot(s, col("v"), col("qv")) / (col("norm") * col("qn")))
       .withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= k)
