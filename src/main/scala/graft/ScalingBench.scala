@@ -191,12 +191,21 @@ object ScalingBench {
     val t0 = System.nanoTime()
     try { fn(); ((System.nanoTime() - t0) / 1e9, null) }
     catch { case e: Throwable =>
-      // keep the head AND tail of the message: Spark stage-failure text
-      // front-loads scheduler detail and buries the root cause (e.g.
-      // "No space left on device") at the end
+      // Spark stage-failure text front-loads scheduler detail and
+      // buries the root cause mid-message; keep the head plus every
+      // DISTINCT "SomeException: reason" mention so the record carries
+      // the actual cause (e.g. "IOException: No space left on device"),
+      // not scheduler boilerplate
       def trim(msg: String): String = {
         val m = msg.replaceAll("[\"\\\\\n\r\t]", " ")
-        if (m.length <= 240) m else m.take(120) + " ... " + m.takeRight(120)
+        if (m.length <= 240) m
+        else {
+          val causes = "([\\w.]*(?:Exception|Error)): ([^(]{0,70}?)(?:  at |$|\\()".r
+            .findAllMatchIn(m)
+            .map(x => s"${x.group(1).split('.').last}: ${x.group(2).trim}")
+            .toSeq.distinct.take(3)
+          (m.take(100) +: causes).mkString(" ... ").take(400)
+        }
       }
       val why =
         if (timedOut) s"timeout after ${TimeoutSec}s"
