@@ -16,7 +16,8 @@ import graft.core.GraftSession
   * PLANS.md's scale-evidence section. */
 object SpillProbe {
 
-  private val Probed = Seq("d02_minhash_lsh", "d04_ngram_jaccard", "q06_window")
+  private val Probed = Seq("d02_minhash_lsh", "d04_ngram_jaccard",
+    "d06_embedding_neardup_prod", "s02_ann_lsh", "q06_window")
 
   def main(args: Array[String]): Unit = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
@@ -49,6 +50,7 @@ object SpillProbe {
         catch { case e: Throwable =>
           System.err.println(s"[spill] $name failed: ${e.getMessage}"); "fail" }
       val sec = (System.nanoTime() - t0) / 1e9
+      graft.core.Caching.releaseAll(spark) // query boundary (see Caching)
       Thread.sleep(1500) // drain in-flight task-end events (bus is private)
       name -> ((outcome, sec, mem.get(), disk.get()))
     }
