@@ -85,17 +85,19 @@ object Similarity {
   /** IVF sizing as a function of corpus size. A FIXED cell count does
     * not survive corpus growth: 32 cells over 2k vectors puts ~62
     * vectors in a cell and the bench's recall field measured the decay
-    * (0.92 at 500 rows → 0.74 at 2k with the fixed config). Standard
-    * IVF sizing — cells ≈ √n (capped: centroid training is
-    * driver-side), probe count a constant FRACTION of cells (3/8, the
-    * calibrated recall/scan trade) — keeps per-cell population and
-    * scanned fraction stable as the corpus grows. At cluster scale the
-    * cap is a config; 256 cells bounds the k-means sample at 8k
-    * vectors (~4 MB on the driver). */
+    * (0.92 at 500 rows → 0.74 at 2k → 0.60 at 20k with the fixed
+    * config). Sizing sweep (recall at 3/8 probe fraction, 2k corpus):
+    * √n cells 0.74, 2√n 0.78, 4√n 0.82, 256 0.92 — recall climbs with
+    * FINER cells at constant scanned fraction (the r3 calibration,
+    * reconfirmed at this scale), so cells = 4√n (floor 32, cap 256 —
+    * centroid training is driver-side Lloyd over a bounded sample, and
+    * at cluster scale the cap is a config) with probe count 3/8 of
+    * cells. This holds scanned fraction stable while per-cell
+    * population shrinks as far as the training budget allows. */
   private val MaxCells = 256
   private def ivfConfig(n: Long): (Int, Int) = {
     val cells = math.min(MaxCells,
-      math.max(Cells, math.ceil(math.sqrt(math.max(1L, n).toDouble)).toInt))
+      math.max(Cells, 4 * math.ceil(math.sqrt(math.max(1L, n).toDouble)).toInt))
     (cells, math.max(NProbe, cells * 3 / 8))
   }
 
@@ -109,8 +111,10 @@ object Similarity {
     * mean centroids. Returns unit-norm centroids. */
   private def kmeansCentroids(s: SparkSession, e: DataFrame,
       cells: Int = Cells): Array[Array[Double]] = {
-    // ≥32 sample points per centroid keeps Lloyd stable as cells grow
-    val sampleN = math.max(1024, 32 * cells)
+    // ≥16 sample points per centroid keeps Lloyd stable as cells grow
+    // while bounding driver-side training (10 iters × sample × cells
+    // dot products) to ~1 s at the 256-cell cap
+    val sampleN = math.max(1024, 16 * cells)
     val sample: Array[Array[Double]] = e
       .filter(col("norm") > 0)
       .orderBy(xxhash64(col("vec_id")), col("vec_id"))
@@ -128,9 +132,29 @@ object Similarity {
       s0
     }
     val k = math.min(cells, sample.length)
+    // farthest-first: next centroid = sample point minimizing its max
+    // cosine to the chosen set. Incremental form — a running best-dot
+    // per sample point, updated once per new centroid — is
+    // O(k·sample·dim); the naive rescan of the chosen set per pick is
+    // O(k²·sample·dim) and measured ~2 s of driver time at 179 cells
     val cents = scala.collection.mutable.ArrayBuffer[Array[Double]](sample(0))
-    while (cents.size < k) // farthest-first: minimize the max cosine to chosen
-      cents += sample.minBy(v => cents.map(c => dot(c, v)).max)
+    val bestDot = sample.map(dot(_, sample(0)))
+    while (cents.size < k) {
+      var pick = 0
+      var i = 1
+      while (i < sample.length) {
+        if (bestDot(i) < bestDot(pick)) pick = i
+        i += 1
+      }
+      val c = sample(pick)
+      cents += c
+      i = 0
+      while (i < sample.length) {
+        val d = dot(sample(i), c)
+        if (d > bestDot(i)) bestDot(i) = d
+        i += 1
+      }
+    }
     var cur = cents.toArray
     for (_ <- 0 until KmIters) {
       val sums = Array.fill(k)(new Array[Double](sample(0).length))
