@@ -79,6 +79,8 @@ object SparkEntry {
     "d06_embedding_neardup_prod" -> (Dedup.embeddingNearDupHi _),
     "d07_incremental_neardup" -> (Dedup.incrementalNearDup _),
     "d08_dedup_clusters"  -> (Dedup.dedupClusters _),
+    "d09_emb_dedup_clusters" -> (Dedup.embDedupClusters _),
+    "d10_dedup_survivors" -> (Dedup.dedupSurvivors _),
     // training-data pipeline: similarity search
     "s01_ann_brute"       -> (Similarity.annBrute _),
     "s02_ann_lsh"         -> (Similarity.annLsh _),
@@ -494,6 +496,55 @@ object SparkEntry {
         | SELECT e.u, reach.r FROM edges e JOIN reach ON e.v = reach.u)
         |SELECT u AS doc_id, min(r) AS cluster_id
         |FROM reach GROUP BY u ORDER BY doc_id""".stripMargin,
+    // d08's closure semantics over the EMBEDDING pair graph (planted
+    // corpus mirrored from d06 — same CTE, same non-vacuity argument)
+    "d09_emb_dedup_clusters" ->
+      """WITH RECURSIVE corpus AS (
+        | SELECT vec_id, CAST(embedding AS DOUBLE[]) AS embedding FROM embeddings
+        | UNION ALL
+        | SELECT vec_id + 1000000,
+        |  [embedding[i] * (1.0 + 0.1*cos(i-1)) for i in range(1, len(embedding)+1)]
+        | FROM embeddings WHERE vec_id < 20),
+        |pairs AS (
+        | SELECT a.vec_id AS va, b.vec_id AS vb
+        | FROM corpus a JOIN corpus b ON a.vec_id < b.vec_id
+        | WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.8),
+        |edges AS (
+        | SELECT va AS u, vb AS v FROM pairs
+        | UNION
+        | SELECT vb AS u, va AS v FROM pairs),
+        |reach AS (
+        | SELECT u, u AS r FROM (SELECT DISTINCT u FROM edges)
+        | UNION
+        | SELECT e.u, reach.r FROM edges e JOIN reach ON e.v = reach.u)
+        |SELECT u AS vec_id, min(r) AS cluster_id
+        |FROM reach GROUP BY u ORDER BY vec_id""".stripMargin,
+    // the corpus after dedup: drop non-min members of every closure
+    // component (keep each cluster's min doc + all unpaired docs)
+    "d10_dedup_survivors" ->
+      """WITH RECURSIVE sh AS (
+        | SELECT doc_id,
+        |  list_distinct([w[i]||' '||w[i+1]||' '||w[i+2]
+        |                 for i in range(1, len(w)-1)]) AS sh
+        | FROM (SELECT doc_id, string_split(text,' ') AS w FROM documents)),
+        |pairs AS (
+        | SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+        | FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        | WHERE len(list_intersect(a.sh,b.sh))
+        |  / CAST(len(a.sh)+len(b.sh)-len(list_intersect(a.sh,b.sh)) AS DOUBLE) >= 0.8),
+        |edges AS (
+        | SELECT doc_a AS u, doc_b AS v FROM pairs
+        | UNION
+        | SELECT doc_b AS u, doc_a AS v FROM pairs),
+        |reach AS (
+        | SELECT u, u AS r FROM (SELECT DISTINCT u FROM edges)
+        | UNION
+        | SELECT e.u, reach.r FROM edges e JOIN reach ON e.v = reach.u),
+        |dropped AS (
+        | SELECT u FROM reach GROUP BY u HAVING min(r) <> u)
+        |SELECT doc_id, n_chars FROM documents
+        |WHERE doc_id NOT IN (SELECT u FROM dropped)
+        |ORDER BY doc_id""".stripMargin,
     "s01_ann_brute" ->
       """SELECT query_id, rank, neighbor_id, cosine FROM (
         | SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,

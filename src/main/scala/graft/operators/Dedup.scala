@@ -642,4 +642,40 @@ object Dedup {
 
   def dedupClusters(s: SparkSession, dir: String): DataFrame =
     dedupClusters(Tables.load(s, dir, "documents"))
+
+  /** Duplicate clusters over the EMBEDDING modality (d09): the same
+    * pairs→components step as [[dedupClusters]], driven by the
+    * production-τ cosine pair graph instead of the text one — the two
+    * modalities share [[clustersFromPairs]], so a pipeline that dedups
+    * text and vectors gets one clustering semantics. Driver binding
+    * runs over [[plantedProductionCorpus]] (same non-vacuity argument
+    * as d06); oracle: recursive-CTE closure of the exact cosine≥τ pair
+    * predicate. */
+  def embDedupClusters(embeddings: DataFrame, tau: Double = ProductionEmbTau): DataFrame =
+    clustersFromPairs(
+      embeddingNearDup(embeddings, tau)
+        .select(col("vec_a").as("doc_a"), col("vec_b").as("doc_b")))
+      .select(col("doc_id").as("vec_id"), col("cluster_id"))
+
+  def embDedupClusters(s: SparkSession, dir: String): DataFrame =
+    embDedupClusters(plantedProductionCorpus(Tables.load(s, dir, "embeddings")))
+
+  /** The deduplicated corpus (d10) — the decision [[dedupClusters]]
+    * feeds: keep every doc that is its component's min (the survivor)
+    * or in no near-dup pair at all; drop the other cluster members.
+    * One anti-join against the (small) non-survivor side of the
+    * cluster frame, so the corpus streams through un-shuffled.
+    * Pairwise dropping without the component step would over-delete
+    * transitive groups (a~b, b~c: b and c both dropped leaves c's
+    * cluster without its representative). */
+  def dedupSurvivors(docs: DataFrame): DataFrame =
+    docs.join(
+      dedupClusters(docs).filter(col("doc_id") =!= col("cluster_id"))
+        .select(col("doc_id")),
+      Seq("doc_id"), "left_anti")
+      .select(col("doc_id"), col("n_chars"))
+      .orderBy(col("doc_id"))
+
+  def dedupSurvivors(s: SparkSession, dir: String): DataFrame =
+    dedupSurvivors(Tables.load(s, dir, "documents"))
 }

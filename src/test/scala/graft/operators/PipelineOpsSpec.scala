@@ -365,6 +365,46 @@ class PipelineOpsSpec extends SparkSpec {
     assert(out.size == 14)
   }
 
+  test("embedding clusters mirror union-find over the production-τ pair graph") {
+    val corpus = Dedup.plantedProductionCorpus(
+      graft.core.Tables.load(spark, Sf001, "embeddings"))
+    val pairs = Dedup.embeddingNearDup(corpus, Dedup.ProductionEmbTau).collect()
+      .map(r => (r.getAs[Long]("vec_a"), r.getAs[Long]("vec_b")))
+    assert(pairs.nonEmpty)
+    val clusters = Dedup.embDedupClusters(corpus).collect()
+      .map(r => r.getAs[Long]("vec_id") -> r.getAs[Long]("cluster_id")).toMap
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElse(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    pairs.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val nodes = pairs.flatMap(p => Seq(p._1, p._2)).distinct
+    val expected = nodes.map { n =>
+      val root = find(n)
+      n -> nodes.filter(m => find(m) == root).min
+    }.toMap
+    assert(clusters == expected)
+  }
+
+  test("dedup survivors: min of every cluster kept, other members dropped, rest untouched") {
+    val docs = graft.core.Tables.load(spark, Sf001, "documents")
+    val all = docs.select("doc_id").collect().map(_.getLong(0)).toSet
+    val clusters = Dedup.dedupClusters(spark, Sf001).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("cluster_id")))
+    val dropped = clusters.filter { case (d, c) => d != c }.map(_._1).toSet
+    assert(dropped.nonEmpty, "no doc dropped — survivor test is vacuous")
+    val survivors = Dedup.dedupSurvivors(spark, Sf001).collect()
+      .map(_.getAs[Long]("doc_id")).toSet
+    assert(survivors == all -- dropped)
+    // every dropped doc's cluster representative survives
+    val repOf = clusters.toMap
+    assert(dropped.forall(d => survivors.contains(repOf(d))))
+  }
+
   test("dedup clusters: every near-dup pair lands in one cluster, minima are survivors") {
     val pairs = Dedup.minhashLsh(spark, Sf001).collect()
       .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b")))
