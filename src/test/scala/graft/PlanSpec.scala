@@ -82,6 +82,21 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("d10 survivors: corpus anti-joins against a BROADCAST drop set, columns pruned") {
+    val plan = executedPlan(graft.operators.Dedup.dedupSurvivors(spark, Sf0001))
+    // the non-survivor side is small (cluster members only) → broadcast
+    // anti join; the corpus must stream, not shuffle, through the drop
+    assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftAnti"),
+      s"drop set not broadcast-anti-joined:\n$plan")
+    // column pruning reaches the documents scan through the anti join:
+    // d10 outputs (doc_id, n_chars), so the scan must not read text
+    val docScans = plan.linesIterator
+      .filter(l => l.contains("ReadSchema") && l.contains("documents"))
+      .filter(l => l.contains("n_chars")).toSeq
+    assert(docScans.nonEmpty && docScans.forall(!_.contains("text")),
+      s"survivor scan reads pruned-away columns:\n${docScans.mkString("\n")}")
+  }
+
   test("graft_dot is session-registered via extensions (SQL-usable)") {
     val r = spark.sql("SELECT graft_dot(array(1.0D, 2.0D), array(3.0D, 4.0D)) AS d")
       .head().getDouble(0)
