@@ -73,6 +73,24 @@ class QueryEngine(store: TableStore, cache: ResultCache = new ResultCache(),
     Resolution(known, unknown, alias)
   }
 
+  /** Reference-API compat: the documented query surface addresses
+    * dynamic fields BOTH flat (`age > 20`) and payload-qualified
+    * (`payload.age > 20`, `u.payload.name` — reference
+    * `docs/SOLUTION.md:836-849`). Storage here is flattened
+    * ([[graft.ingest.DynamicSchema]]), so the SQL views additionally
+    * expose a synthesized `payload` struct over the dynamic columns —
+    * a minIODB user can paste either spelling. When a query never
+    * touches `payload`, Catalyst's column pruning drops the struct
+    * before the scan (pinned in ReferenceCompatSpec), so the compat
+    * column costs nothing. A flattened field literally named
+    * `payload` keeps the name (no synthesis over it). */
+  private def withPayloadStruct(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions.{col, struct}
+    val dyn = df.columns.filterNot(Set("id", "timestamp", "date"))
+    if (dyn.isEmpty || dyn.contains("payload")) df
+    else df.withColumn("payload", struct(dyn.map(col): _*))
+  }
+
   private def plan(gated: SqlGate.Gated, sql: String, limit: Int,
       res: Resolution): Either[String, QueryResult] = {
     // stale views for since-dropped tables: drop only views WE created —
@@ -83,11 +101,13 @@ class QueryEngine(store: TableStore, cache: ResultCache = new ResultCache(),
       .foreach { t => store.spark.catalog.dropTempView(t); ownedViews.remove(t) }
     scala.util.Try {
       res.known.foreach { t =>
-        store.read(t).createOrReplaceTempView(t); ownedViews.put(t, ())
+        withPayloadStruct(store.read(t)).createOrReplaceTempView(t)
+        ownedViews.put(t, ())
       }
       // legacy default-table alias: `FROM table` resolves to the default
       res.alias.foreach { d =>
-        store.read(d).createOrReplaceTempView("table"); ownedViews.put("table", ())
+        withPayloadStruct(store.read(d)).createOrReplaceTempView("table")
+        ownedViews.put("table", ())
       }
       store.spark.sql(sql)
     } match {

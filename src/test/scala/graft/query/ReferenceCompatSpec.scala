@@ -85,6 +85,42 @@ class ReferenceCompatSpec extends SparkSpec {
     assert(rows == Seq(("u1", 1L), ("u2", 1L), ("u3", 0L)))
   }
 
+  test("payload-qualified field access (reference docs/SOLUTION.md:836-841)") {
+    // the documented single-table spelling: fixed columns flat, dynamic
+    // fields via `payload.` — storage is flattened, the view synthesizes
+    // the struct
+    val engine = engineWithData()
+    val r = engine.executeJson(
+      """SELECT COUNT(*) AS n FROM users
+        |WHERE id = 'user-001' AND timestamp >= '2023-10-01'
+        |  AND payload.age > 20""".stripMargin)
+    assert(r.toOption.get == """[{"n":1}]""", r.toString)
+    // flat access over the same view still works (both spellings coexist)
+    val flat = engine.executeJson(
+      "SELECT COUNT(*) AS n FROM users WHERE age > 25")
+    assert(flat.toOption.get == """[{"n":2}]""", flat.toString) // 30, 45
+  }
+
+  test("multi-table payload join, VERBATIM (reference docs/SOLUTION.md:847)") {
+    val engine = engineWithData()
+    val r = engine.query(
+      "SELECT u.payload.name, COUNT(o.id) as order_count FROM users u " +
+        "LEFT JOIN orders o ON u.id = o.payload.user_id GROUP BY u.payload.name")
+      .toOption.get
+    val rows = r.df.collect().map(x => (x.getString(0), x.getLong(1))).toSeq.sorted
+    assert(rows == Seq(("u1", 1L), ("u2", 1L), ("u3", 0L)))
+  }
+
+  test("unused payload struct is pruned out of the scan (compat column costs nothing)") {
+    val engine = engineWithData()
+    val r = engine.query("SELECT id FROM users").toOption.get
+    r.df.collect()
+    val scans = r.df.queryExecution.executedPlan.toString.linesIterator
+      .filter(_.contains("ReadSchema")).mkString("\n")
+    assert(scans.contains("id") && !scans.contains("name"),
+      s"payload struct not pruned from scan:\n$scans")
+  }
+
   test("filtered top-N (reference docs/SOLUTION.md:429 shape)") {
     val engine = engineWithData()
     val r = engine.query(
