@@ -34,16 +34,29 @@ object ScalingBench {
     "b01_simple_count", "b02_hourly_distinct", "b03_count_distinct",
     "d01_dedup_exact", "d02_minhash_lsh", "d03_simhash",
     "d04_ngram_jaccard", "d05_embedding_neardup",
-    "d06_embedding_neardup_prod", "s02_ann_lsh", "s03_ann_ivf")
+    "d06_embedding_neardup_prod", "d07_incremental_neardup",
+    "s02_ann_lsh", "s03_ann_ivf")
 
-  /** The sf10 decade measures only the queries whose sf0.1→sf1
-    * exponents were the highest (d02 0.77, s02 0.93) plus the two
-    * embedding near-dup configs they bracket — one more decade answers
-    * "does the trend hold" for the at-risk plans without re-running the
-    * whole suite at 100× test SF. */
+  /** The sf10 decade measures the queries whose lower-decade exponents
+    * flagged risk (d02, s02), the two embedding near-dup configs they
+    * bracket, and the incremental path (d07 — the daily-ingest shape
+    * the 100 TB story leans on; its first attempt pays the one-time
+    * index build, the second reuses it, so best-of-2 records the warm
+    * delta-sized cost, same precedent as t07's persisted index). One
+    * more decade answers "does the trend hold" without re-running the
+    * whole suite at 100× test SF.
+    *
+    * d05 runs LAST: it is the labeled-brute config whose sf10 attempt
+    * fails BY DESIGN (disk-full or timeout), and a measured run
+    * scheduled right after its failure inherits the aftermath — one
+    * suite ordering measured d06 at 78 s (vs 9–24 s in every
+    * standalone/clean-order run) while d05's dying shuffle files were
+    * still being reclaimed. A known-failing probe must not precede
+    * queries whose numbers enter the record. */
   private val MeasuredSf10 = Seq(
-    "d02_minhash_lsh", "d05_embedding_neardup",
-    "d06_embedding_neardup_prod", "s02_ann_lsh")
+    "d02_minhash_lsh", "d06_embedding_neardup_prod",
+    "d07_incremental_neardup", "s02_ann_lsh",
+    "d05_embedding_neardup")
 
   private[graft] def ensureSf1(spark: SparkSession, src: String, out: String,
       copies: Int = 10): Unit = {
