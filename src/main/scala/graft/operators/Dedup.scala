@@ -75,9 +75,16 @@ object Dedup {
     * dropped — a mega-cluster of near-identical docs collides in EVERY
     * band, so dropping oversized buckets would lose exactly the heaviest
     * duplicate groups. Instead an oversized bucket emits a sorted CHAIN
-    * (doc₁–doc₂, doc₂–doc₃, …): linear work per bucket, and the cluster
-    * stays connected for downstream grouping (verify keeps chain pairs —
-    * near-identical neighbors pass the jaccard threshold). */
+    * (doc₁–doc₂, doc₂–doc₃, …) PLUS a STAR to the bucket minimum
+    * (min–docᵢ): 2(w−1) links, still linear per bucket, and every member
+    * gets TWO independently verified connections — a single chain
+    * neighbor failing the exact verify (bucket co-location does not
+    * imply pairwise near-dup) no longer disconnects the member; it
+    * survives through the hub unless BOTH links fail. Residual
+    * disclosure: pairs inside an oversized bucket beyond those 2(w−1)
+    * links are never exact-verified, so a capped bucket whose members
+    * are NOT mutually near-dup can still lose pairs — the price of
+    * bounding a w²-degenerate bucket to linear work. */
   /** `dedupe=false` skips the pair-level distinct — right when the
     * verify predicate is a cheap codegen'd scalar (re-verifying a pair
     * once per colliding bucket costs less than shuffling every candidate
@@ -99,11 +106,16 @@ object Dedup {
     val b = small.select(col("doc_id").as("doc_b") +: key: _*)
     val allPairs = a.join(b, keyCols).filter(col("doc_a") < col("doc_b"))
       .select(col("doc_a"), col("doc_b"))
-    val chained = sized.filter(col("bucket_n") > cap)
+    val over = sized.filter(col("bucket_n") > cap)
+    val chained = over
       .withColumn("doc_b", lead(col("doc_id"), 1).over(w.orderBy(col("doc_id"))))
       .filter(col("doc_b").isNotNull)
       .select(col("doc_id").as("doc_a"), col("doc_b"))
-    val pairs = allPairs.unionByName(chained)
+    val starred = over
+      .withColumn("mn", min(col("doc_id")).over(w))
+      .filter(col("doc_id") =!= col("mn"))
+      .select(col("mn").as("doc_a"), col("doc_id").as("doc_b"))
+    val pairs = allPairs.unionByName(chained).unionByName(starred)
     if (dedupe) pairs.distinct() else pairs
   }
 
@@ -315,42 +327,50 @@ object Dedup {
   private val EmbBits = 6
   private val EmbTables = 64
 
-  /** Production-threshold signature depth FLOOR: at τ=0.8
-    * (bit-agreement p ≈ 0.795) a 12-bit × 64-table family keeps
-    * ambient pairs (p ≈ 0.55) at ~64·0.55¹² ≈ 5% while a boundary pair
-    * at exactly τ=0.8 still collides with probability
-    * 1−(1−0.795¹²)⁶⁴ ≈ 0.985 — and real near-dups (cosine ≫ τ) with
-    * ≈1. Deeper bits at τ=0.45 would NOT help: ambient agreement
-    * (0.55) is too close to boundary agreement (0.648) for any
-    * (bits, tables) to separate them — that τ keeps ~63% of pairs by
-    * the geometry of the corpus, which is why 0.45 is the labeled
-    * exact-sweep config and 0.8 the production one. */
-  private val EmbBitsHi = 12
-  private val EmbBitsMax = 24
+  /** Production-threshold family (τ ≥ 0.8): 32 MULTI-PROBED tables of
+    * corpus-sized depth ([[adaptiveEmbBits]]). Deeper bits at τ=0.45
+    * would NOT help: ambient agreement (0.55) is too close to boundary
+    * agreement (0.648) for any (bits, tables) to separate them — that τ
+    * keeps ~63% of pairs by the geometry of the corpus, which is why
+    * 0.45 is the labeled exact-sweep config and 0.8 the production
+    * one. */
+  private val EmbBitsFloor = 16
+  private val EmbBitsMax = 26
+  private val ProbeEmbTables = 32
+  /** Production-family skew cap — larger than the MinHash [[MaxBucket]]
+    * because an oversized bucket here means ≥256 vectors agreeing on
+    * 16–26 sign projections: a genuinely correlated cluster whose
+    * within-bucket pairs deserve the exact verify up to a bound (w ≤ 256
+    * → ≤ 32,640 window-local pairs, a bounded single task). Beyond the
+    * cap: chain + star links only (see [[bucketPairs]]' disclosure). */
+  private val ProdMaxBucket = 256
   val ProductionEmbTau = 0.8
 
   /** Signature depth for the production family as a function of corpus
     * size — the load-bearing scale fix: FIXED bits fix the bucket count
     * (2^bits per table), so bucket width grows ∝ n and within-bucket
     * all-pairs candidate work grows Θ(n²/2^bits) — a constant-factor
-    * reduction, not an asymptotic one (measured: the fixed-12-bit
+    * reduction, not an asymptotic one (measured: a fixed-12-bit
     * config did not complete at the 200k-vector scaling point). Growing
     * bits with log₂(n) keeps buckets ∝ n, expected bucket width O(1),
-    * and candidate volume O(n·tables).
+    * and candidate volume O(n·tables·bits).
     *
-    * bits = clamp(12, ⌈log₂ n⌉ − 1, 24) targets expected random-bucket
-    * width ≈ 2. Cost of depth is recall at the THRESHOLD BOUNDARY:
-    * collision probability per table is p^bits
-    * (p = 1 − acos(cos θ)/π), so across 64 tables a pair at exactly
-    * τ=0.8 (p ≈ 0.795) is found w.p. ≈ 0.98 at 12 bits (n ≤ 8k),
-    * ≈ 0.73 at 17 bits (n ≈ 200k), while true near-dups
-    * (cosine ≥ 0.95, p ≥ 0.93) stay ≥ 0.99 through 24 bits. That decay
-    * is the standard LSH size/recall trade — holding boundary recall
-    * constant would need tables ∝ p^−bits — and is disclosed in
-    * [[embeddingNearDup]]'s contract rather than papered over. */
+    * bits = clamp(16, ⌈log₂ n⌉ + 1, 26) targets expected random-bucket
+    * width ≈ 0.5. Boundary-pair recall is held up by MULTI-PROBING
+    * ([[embCandidatesProbed]]): with single-bit probes the per-table
+    * collision probability for a pair at agreement p is
+    * p^bits + bits·p^(bits−1)(1−p) instead of p^bits, so at exactly
+    * τ=0.8 (p ≈ 0.795) recall across 32 tables is ≈ 0.99 at 16 bits
+    * and ≈ 0.92 at 19 bits (the 200k-vector regime — measured ≈ 0.73
+    * in the r7 UN-probed 64-table family, the disclosed decay this
+    * family exists to fix; pinned by the boundary-recall spec). True
+    * near-dups (cosine ≥ 0.95, p ≥ 0.93) stay ≥ 0.999 through 26
+    * bits. Recall still decays toward the 26-bit cap (≈ 0.75 at
+    * ~2M vectors) — holding it constant would need tables ∝ p^−bits;
+    * the remaining decay is disclosed, not papered over. */
   private[operators] def adaptiveEmbBits(n: Long): Int = {
     val ceilLog2 = 64 - java.lang.Long.numberOfLeadingZeros(math.max(1L, n - 1))
-    math.min(EmbBitsMax, math.max(EmbBitsHi, ceilLog2 - 1))
+    math.min(EmbBitsMax, math.max(EmbBitsFloor, ceilLog2 + 1))
   }
 
   /** (vec_id, tbl, sig) — one row per signature table per vector, via
@@ -358,10 +378,80 @@ object Dedup {
     * multiply-add loop per row against the process-cached plane matrix;
     * zero shuffle — the first shuffle in the dedup plan is the tiny
     * bucket join this feeds). */
-  private def embSignatures(s: SparkSession, e: DataFrame, bits: Int): DataFrame =
+  private def embSignatures(s: SparkSession, e: DataFrame, bits: Int,
+      tables: Int = EmbTables): DataFrame =
     e.select(col("vec_id"),
       posexplode(graft.functions.LshFunctions.lshSigs(
-        s, col("v"), EmbSeed, bits, EmbTables)).as(Seq("tbl", "sig")))
+        s, col("v"), EmbSeed, bits, tables)).as(Seq("tbl", "sig")))
+
+  /** Multi-probe LSH candidate pairs for the production family.
+    *
+    * Base signatures go into buckets as usual; each vector additionally
+    * PROBES every single-bit 0→1 flip of its signature. A pair whose
+    * signatures differ in exactly one bit has a 0 on one side at the
+    * differing position, so that side's flip probe lands exactly on the
+    * other's base signature — all ≤1-bit-mismatch pairs are found
+    * deterministically while emitting only (bits/2 + 1) expected probes
+    * per row instead of (bits + 1) (flipping 1→0 too would find each
+    * such pair twice). This is the same recall mechanism as
+    * [[Similarity.annLsh]]'s query probes, applied symmetrically to the
+    * self-join: per-table boundary collision becomes
+    * p^bits + bits·p^(bits−1)(1−p), which at 19 bits / τ=0.8 lifts
+    * family recall from ≈0.73 (r7, un-probed) to ≈0.92.
+    *
+    * Skew shape: probes join only into buckets at or under
+    * [[ProdMaxBucket]] (within-cap pairs — including same-bucket pairs,
+    * via the un-flipped probe — are exact-verified downstream);
+    * oversized buckets emit chain + star-to-min connectivity links,
+    * same disclosure as [[bucketPairs]]. Output pairs are NOT
+    * deduplicated — the caller screens first, then distincts survivors
+    * (collision multiplicity is ~1 for ambient pairs, so screening
+    * before the distinct saves a full-width shuffle). */
+  private[operators] def embCandidatesProbed(e: DataFrame, bits: Int): DataFrame = {
+    val s = e.sparkSession
+    // materialized once (28 B/row): consumed by the bucket census, the
+    // probe generator, and the join build side — without the checkpoint
+    // the signature kernel would re-run per consumer
+    val n = e.count() // cheap: every caller hands a checkpointed frame
+    val base = embSignatures(s, e, bits, ProbeEmbTables).localCheckpoint(true)
+    // bucket census via one slim groupBy instead of a window over every
+    // base row: only the (rare) OVERSIZED keys flow back, broadcast —
+    // the full signature stream never pays a window shuffle+sort
+    val hot = base.groupBy(col("tbl"), col("sig"))
+      .agg(count(lit(1)).as("bn")).filter(col("bn") > ProdMaxBucket)
+      .select(col("tbl"), col("sig"))
+    val small = base.join(broadcast(hot), Seq("tbl", "sig"), "left_anti")
+    // chain + star links for the oversized buckets; the window sort now
+    // touches only their members, not the corpus
+    val overW = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("tbl"), col("sig"))
+    val over = base.join(broadcast(hot), Seq("tbl", "sig"), "left_semi")
+    val chained = over
+      .withColumn("nxt", lead(col("vec_id"), 1).over(overW.orderBy(col("vec_id"))))
+      .filter(col("nxt").isNotNull)
+      .select(col("vec_id").as("vec_a"), col("nxt").as("vec_b"))
+    val starred = over
+      .withColumn("mn", min(col("vec_id")).over(overW))
+      .filter(col("vec_id") =!= col("mn"))
+      .select(col("mn").as("vec_a"), col("vec_id").as("vec_b"))
+    val flips = array((0 until bits).map(i =>
+      when(col("sig").bitwiseAND(lit(1L << i)) === 0,
+        col("sig").bitwiseOR(lit(1L << i)))): _*)
+    val probes = base.select(col("vec_id").as("pa"), col("tbl"),
+      explode(concat(array(col("sig")), array_compact(flips))).as("sig"))
+    // the probe stream is the big side (bits/2+1 rows per signature);
+    // under the byte budget the base side broadcasts and probes flow
+    // through a codegen'd hash join with ZERO shuffle
+    probes
+      .join(bcastIf(28, n * ProbeEmbTables)(
+        small.select(col("vec_id").as("pb"), col("tbl"), col("sig"))),
+        Seq("tbl", "sig"))
+      .filter(col("pa") =!= col("pb"))
+      .select(least(col("pa"), col("pb")).as("vec_a"),
+        greatest(col("pa"), col("pb")).as("vec_b"))
+      .unionByName(chained)
+      .unionByName(starred)
+  }
 
   /** Embedding frame normalized to (vec_id, v, norm), materialized once
     * (signatures + verify reuse it 2–3×). */
@@ -372,49 +462,88 @@ object Dedup {
       .localCheckpoint(true)
   }
 
-  /** LSH candidate pairs for [[embeddingNearDup]] — package-visible so
-    * the keep-rate spec can count candidates per signature depth.
-    *
-    * The skew cap depends on the family: the 6-bit exact-sweep family
-    * has only 64 buckets/table and its contract is keeping ~63% of all
-    * pairs, so its buckets are wide BY DESIGN (cap 4096 = backstop for
-    * a degenerate all-equal-sign bucket only). The production family
-    * (adaptive bits, expected width O(1)) caps at [[MaxBucket]]: any
-    * bucket wider than 64 is a correlated cluster, and chaining it
-    * (like the MinHash path) bounds the worst bucket's work to O(width)
-    * while keeping the cluster connected for [[clustersFromPairs]] —
-    * members of such a bucket agree on `bits` sign projections, so
-    * chain neighbors pass the exact-cosine verify when they are real
-    * near-dups. */
+  /** Un-probed LSH candidate pairs — the 6-bit exact-sweep family
+    * (package-visible so the keep-rate spec can count candidates per
+    * signature depth). The family has only 64 buckets/table and its
+    * contract is keeping ~63% of all pairs, so its buckets are wide BY
+    * DESIGN (cap 4096 = backstop for a degenerate all-equal-sign
+    * bucket only). The production family goes through
+    * [[embCandidatesProbed]] instead. */
   private[operators] def embCandidates(e: DataFrame, bits: Int): DataFrame =
     bucketPairs(
       embSignatures(e.sparkSession, e, bits)
         .select(col("vec_id").as("doc_id"), col("tbl"), col("sig")),
       Seq("tbl", "sig"),
-      cap = if (bits >= EmbBitsHi) MaxBucket else 4096, dedupe = false)
+      cap = 4096, dedupe = false)
       .withColumnRenamed("doc_a", "vec_a").withColumnRenamed("doc_b", "vec_b")
+
+  /** Byte budget under which a per-vector side table (signatures,
+    * sketches, full vectors) is explicitly broadcast instead of
+    * shuffle-joined: the candidate stream then flows through codegen'd
+    * broadcast-hash joins with ZERO shuffle. 32 MB is comfortably
+    * executor-resident; the decision is per-TABLE (rows × est. row
+    * bytes), so at the 200k-vector sf10 point the 136 B sketches still
+    * broadcast while the 512 B full vectors correctly fall back to a
+    * shuffle join — the fast path degrades per table, never masking a
+    * scale problem wholesale. */
+  private val BroadcastBytes = 32L << 20
+  private[operators] def bcastIf(rowBytes: Long, rows: Long)(df: DataFrame): DataFrame =
+    if (rows * rowBytes <= BroadcastBytes) broadcast(df) else df
+
+  /** Cheap PRE-VERIFY screen sketch: norm-scaled prefix of the vector
+    * plus the norm-scaled L2 mass of the remaining tail,
+    * (pv = v[0:16]/‖v‖, pt = ‖v[16:]‖/‖v‖). For any pair,
+    *   cosine(a,b) = ⟨pv_a, pv_b⟩ + ⟨tail_a, tail_b⟩/(‖a‖‖b‖)
+    *               ≤ ⟨pv_a, pv_b⟩ + pt_a·pt_b            (Cauchy–Schwarz)
+    * — a PROVABLE upper bound, so screening `ub ≥ τ` is
+    * exact-preserving: no pair at or above the threshold is ever
+    * dropped. For ambient pairs the bound sits near pt_a·pt_b ≈ the
+    * tail energy fraction (≈ 0.75 for isotropic 64-dim vectors at a
+    * 16-dim prefix) plus a ±0.06 prefix term — well under τ=0.8 — so
+    * the screen kills most ambient candidates at 136 B/side instead of
+    * the 512 B full vector (the verify-join traffic the r7 record
+    * apportioned ~70% of d06's sf10 cost to). */
+  private val ScreenPrefix = 16
+  private def embSketch(e: DataFrame): DataFrame = {
+    import graft.functions.VectorFunctions
+    val s = e.sparkSession
+    val pv = slice(col("v"), 1, ScreenPrefix)
+    e.select(col("vec_id"),
+      transform(pv, x => x / col("norm")).as("pv"),
+      (sqrt(greatest(lit(0.0),
+        col("norm") * col("norm") - VectorFunctions.dot(s, pv, pv)))
+        / col("norm")).as("pt"))
+  }
 
   /** Embedding cosine near-dup pairs: LSH-bucketed candidates (equi-join
     * on (table, signature), skew-capped) + exact cosine verify — never
-    * a cross product in the plan. Signature depth follows the
+    * a cross product in the plan. Signature family follows the
     * threshold; the result-set guarantee is scoped per family:
-    *  - τ < 0.8 → the 6-bit exact-sweep family, which keeps ~63% of
-    *    all pairs as candidates: equal to the all-pairs result set,
-    *    validated exhaustively at sf0.01/sf0.1 under the pinned
-    *    [[EmbSeed]] (recall 1.0; an unpinned seed misses ~0.7% of
-    *    pairs sitting exactly at the threshold boundary).
-    *  - τ ≥ 0.8 → the production family with corpus-sized signature
-    *    depth ([[adaptiveEmbBits]]: 12 bits up to ~8k vectors, +1 bit
-    *    per doubling, capped at 24 — bucket count ∝ n keeps candidate
-    *    volume O(n·tables)): PROBABILISTIC recall, not exact — a
-    *    boundary pair at exactly τ=0.8 collides in ≥1 of the 64 tables
-    *    w.p. ≈0.98 at 12 bits, decaying with depth (≈0.73 at 17 bits /
-    *    200k vectors), while real near-dups (cosine ≥ 0.95) collide
-    *    w.p. ≥0.99 at every depth ≤ 24. PipelineOpsSpec pins
-    *    result-set EQUALITY vs the brute all-pairs sweep on planted
-    *    τ≈0.99 corpora (both the 12-bit and a deeper adaptive regime),
-    *    and the d06 DuckDB oracle re-checks it against exact SQL every
-    *    round.
+    *  - τ < 0.8 → the 6-bit exact-sweep family ([[embCandidates]]),
+    *    which keeps ~63% of all pairs as candidates: equal to the
+    *    all-pairs result set, validated exhaustively at sf0.01/sf0.1
+    *    under the pinned [[EmbSeed]] (recall 1.0; an unpinned seed
+    *    misses ~0.7% of pairs sitting exactly at the threshold
+    *    boundary).
+    *  - τ ≥ 0.8 → the MULTI-PROBED production family
+    *    ([[embCandidatesProbed]] at [[adaptiveEmbBits]] depth):
+    *    PROBABILISTIC recall, not exact — a boundary pair at exactly
+    *    τ=0.8 is found w.p. ≈0.99 at 16 bits, ≈0.92 at 19 bits (the
+    *    200k-vector regime; boundary-recall spec pins the measured
+    *    floor), decaying toward the 26-bit cap; true near-dups
+    *    (cosine ≥ 0.95) stay ≥0.999 at every depth. PipelineOpsSpec
+    *    pins result-set EQUALITY vs the brute all-pairs sweep on
+    *    planted corpora, and the d06 DuckDB oracle re-checks it
+    *    against exact SQL every round.
+    *
+    * Verify shape (the r7 record put ~70% of d06's sf10 cost in this
+    * stage): candidates are screened FIRST by the provable
+    * [[embSketch]] cosine upper bound — 136 B sketches attach instead
+    * of 512 B vectors, and ambient pairs (the overwhelming majority)
+    * die at the bound; survivors are then distinct'd (result-sized)
+    * and only they pay the full-vector exact-cosine join. Under the
+    * [[bcastIf]] byte budget the sketch/vector sides broadcast and the
+    * candidate stream never shuffles at all.
     * Per-query ANN over the same signatures is Similarity.annLsh. */
   def embeddingNearDup(embeddings: DataFrame,
       tau: Double = 0.45): DataFrame = {
@@ -423,14 +552,36 @@ object Dedup {
     val e = embNormed(embeddings)
     // e is eagerly checkpointed, so sizing the family costs one cheap
     // count over materialized blocks, not a second scan of the source
-    val bits = if (tau >= ProductionEmbTau) adaptiveEmbBits(e.count()) else EmbBits
-    embCandidates(e, bits)
-      .join(e.select(col("vec_id").as("vec_a"), col("v").as("va"), col("norm").as("na")), "vec_a")
-      .join(e.select(col("vec_id").as("vec_b"), col("v").as("vb"), col("norm").as("nb")), "vec_b")
+    val n = e.count()
+    val production = tau >= ProductionEmbTau
+    val skSide = bcastIf(160, n) _ // sketch: 16 scaled doubles + pt
+    val side = bcastIf(540, n) _   // full vector + norm
+    val screened =
+      if (production) {
+        val sk = embSketch(e)
+        // screen BEFORE the distinct: ambient multiplicity is ~1, so
+        // filtering at the sketch bound first makes the distinct
+        // shuffle survivor-sized instead of candidate-sized
+        embCandidatesProbed(e, adaptiveEmbBits(n))
+          .join(skSide(sk.select(col("vec_id").as("vec_a"),
+            col("pv").as("pva"), col("pt").as("pta"))), "vec_a")
+          .join(skSide(sk.select(col("vec_id").as("vec_b"),
+            col("pv").as("pvb"), col("pt").as("ptb"))), "vec_b")
+          .filter(VectorFunctions.dot(s, col("pva"), col("pvb"))
+            + col("pta") * col("ptb") >= tau - 1e-9)
+          .select(col("vec_a"), col("vec_b"))
+          .distinct()
+      } else {
+        // the sweep family's τ sits below the ambient tail-energy bound
+        // (~0.75), so the sketch screen would pass everything — skip it
+        embCandidates(e, EmbBits).distinct()
+      }
+    screened
+      .join(side(e.select(col("vec_id").as("vec_a"), col("v").as("va"), col("norm").as("na"))), "vec_a")
+      .join(side(e.select(col("vec_id").as("vec_b"), col("v").as("vb"), col("norm").as("nb"))), "vec_b")
       .withColumn("cosine", VectorFunctions.dot(s, col("va"), col("vb")) / (col("na") * col("nb")))
       .filter(col("cosine") >= tau)
       .select(col("vec_a"), col("vec_b"), round(col("cosine"), 2).as("cosine"))
-      .distinct() // pairs collide in many tables; dedupe survivors only
       .orderBy(col("vec_a"), col("vec_b"))
   }
 

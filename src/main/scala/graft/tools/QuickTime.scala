@@ -1,0 +1,33 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+
+/** Dev harness: time individual SparkEntry queries against arbitrary SF
+  * dirs without running the whole Bench/ScalingBench suites.
+  *
+  *   sbt "runMain graft.tools.QuickTime <query> <dir> [<query> <dir> ...]"
+  *
+  * Each (query, dir) pair runs once with [[graft.core.Caching.releaseAll]]
+  * at the boundary (same block hygiene as the recorded suites); a pair
+  * can repeat to observe warm-cache variance. */
+object QuickTime {
+  def main(args: Array[String]): Unit = {
+    require(args.length >= 2 && args.length % 2 == 0,
+      "usage: QuickTime <query> <dir> [<query> <dir> ...]")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark: SparkSession = graft.core.GraftSession
+      .builder("graft-quicktime", cpus)
+      .master(s"local[$cpus]")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    args.grouped(2).foreach { case Array(name, dir) =>
+      val t0 = System.nanoTime()
+      val res =
+        try { val c = graft.SparkEntry.queries(name)(spark, dir).count(); s"rows=$c" }
+        catch { case e: Throwable => s"FAILED: ${e.getMessage}" }
+      println(f"QT $name @ $dir: ${(System.nanoTime() - t0) / 1e9}%.1f s $res")
+      graft.core.Caching.releaseAll(spark)
+    }
+    spark.stop()
+  }
+}
