@@ -59,11 +59,15 @@ object Bench {
     // ANN recall vs the exact brute top-k, recorded next to the timings
     // so a recall regression shows up round-over-round, not just in a
     // one-time spec pin
+    // thunk per entry: each DataFrame is BUILT inside its own iteration,
+    // so releaseAll always runs at a true query boundary — a plan built
+    // eagerly up front would hold localCheckpoint blocks that the
+    // previous entry's release had already dropped
     val recalls = Seq(
-      "s02_ann_lsh" -> graft.operators.Similarity.annLsh(spark, sfDir),
-      "s03_ann_ivf" -> graft.operators.Similarity.annIvf(spark, sfDir))
-      .flatMap { case (name, df) =>
-        val r = try Some(graft.operators.Similarity.recallVsBrute(spark, sfDir, df))
+      "s02_ann_lsh" -> (() => graft.operators.Similarity.annLsh(spark, sfDir)),
+      "s03_ann_ivf" -> (() => graft.operators.Similarity.annIvf(spark, sfDir)))
+      .flatMap { case (name, mk) =>
+        val r = try Some(graft.operators.Similarity.recallVsBrute(spark, sfDir, mk()))
         catch { case e: Throwable =>
           System.err.println(s"[bench] recall $name failed: ${e.getMessage}"); None }
         graft.core.Caching.releaseAll(spark)

@@ -89,17 +89,54 @@ object Similarity {
     * config). Sizing sweep (recall at 3/8 probe fraction, 2k corpus):
     * √n cells 0.74, 2√n 0.78, 4√n 0.82, 256 0.92 — recall climbs with
     * FINER cells at constant scanned fraction (the r3 calibration,
-    * reconfirmed at this scale), so cells = 4√n (floor 32, cap 256 —
-    * centroid training is driver-side Lloyd over a bounded sample, and
-    * at cluster scale the cap is a config) with probe count 3/8 of
-    * cells. This holds scanned fraction stable while per-cell
-    * population shrinks as far as the training budget allows. */
-  private val MaxCells = 256
+    * reconfirmed at this scale), so cells = 4√n with probe count 3/8
+    * of cells. This holds scanned fraction stable while per-cell
+    * population shrinks as far as the training budget allows. The cap
+    * (1024, up from the r7 256 whose per-cell width was regrowing by
+    * the 200k-vector point) bounds driver-side Lloyd to
+    * ~10 iters × 16k sample × 1024 cells × 64 dims ≈ 10 GFLOP,
+    * parallelized across cores ([[parChunks]]); at cluster scale the
+    * cap is a config and assignment stays distributed either way. */
+  private val MaxCells = 1024
   private def ivfConfig(n: Long): (Int, Int) = {
     val cells = math.min(MaxCells,
       math.max(Cells, 4 * math.ceil(math.sqrt(math.max(1L, n).toDouble)).toInt))
-    (cells, math.max(NProbe, cells * 3 / 8))
+    (cells, probeFor(cells))
   }
+  private def probeFor(cells: Int): Int = math.max(NProbe, cells * 3 / 8)
+
+  /** Fixed chunk-count for the driver-side training loops. */
+  private val ParChunkN =
+    math.max(1, math.min(Runtime.getRuntime.availableProcessors, 32))
+
+  /** Long-lived daemon pool for the training loops: the k-center seeding
+    * calls [[parChunks]] once per picked centroid (up to [[MaxCells]]
+    * times per build), so thread-per-call churn would dominate the
+    * actual arithmetic at small cell counts — measured ~2 s of pure
+    * Thread construction per IVF build at the 180-cell config. */
+  private lazy val trainPool = java.util.concurrent.Executors.newFixedThreadPool(
+    ParChunkN,
+    (r: Runnable) => { val t = new Thread(r, "graft-ivf-train"); t.setDaemon(true); t })
+
+  /** Run `work(chunk, lo, hi)` over [[ParChunkN]] disjoint chunks of
+    * [0, n) on the shared pool — the training loops are pure
+    * array-crunching, so plain threads beat any Spark round trip. The
+    * chunk index lets callers keep per-chunk partials in a FIXED-order
+    * array: merging in index order keeps float accumulation
+    * deterministic regardless of thread finish order. Small inputs run
+    * inline (one chunk): below ~8k elements the submit/join overhead
+    * exceeds the loop itself. */
+  private def parChunks(n: Int)(work: (Int, Int, Int) => Unit): Unit =
+    if (n < 8192) work(0, 0, n)
+    else {
+      val chunk = (n + ParChunkN - 1) / ParChunkN
+      val futs = (0 until ParChunkN).flatMap { t =>
+        val lo = t * chunk; val hi = math.min(n, lo + chunk)
+        if (lo >= hi) None
+        else Some(trainPool.submit(new Runnable { def run(): Unit = work(t, lo, hi) }))
+      }
+      futs.foreach(_.get())
+    }
 
   /** Deterministic spherical k-means over a hash-sampled subset —
     * IVF centroid training. The sample is the `KmSampleN` vectors with
@@ -148,27 +185,56 @@ object Similarity {
       }
       val c = sample(pick)
       cents += c
-      i = 0
-      while (i < sample.length) {
-        val d = dot(sample(i), c)
-        if (d > bestDot(i)) bestDot(i) = d
-        i += 1
+      // the O(sample·dim) running-best update is the k-center hot loop —
+      // chunks are disjoint index ranges, so the parallel writes race on
+      // nothing
+      parChunks(sample.length) { (_, lo, hi) =>
+        var j = lo
+        while (j < hi) {
+          val d = dot(sample(j), c)
+          if (d > bestDot(j)) bestDot(j) = d
+          j += 1
+        }
       }
     }
     var cur = cents.toArray
+    val dim = sample(0).length
     for (_ <- 0 until KmIters) {
-      val sums = Array.fill(k)(new Array[Double](sample(0).length))
-      val counts = new Array[Int](k)
-      sample.foreach { v =>
-        var best = 0; var bestDot = dot(cur(0), v); var c = 1
-        while (c < k) {
-          val d = dot(cur(c), v)
-          if (d > bestDot) { best = c; bestDot = d }
-          c += 1
+      // assignment is O(sample·cells·dim) per round — the training cost
+      // the raised cell cap buys back by running chunks on every core,
+      // each with private accumulators merged after the join
+      val partials = new Array[(Array[Array[Double]], Array[Int])](ParChunkN)
+      parChunks(sample.length) { (t, lo, hi) =>
+        val sums = Array.fill(k)(new Array[Double](dim))
+        val counts = new Array[Int](k)
+        var si = lo
+        while (si < hi) {
+          val v = sample(si)
+          var best = 0; var bd = dot(cur(0), v); var c = 1
+          while (c < k) {
+            val d = dot(cur(c), v)
+            if (d > bd) { best = c; bd = d }
+            c += 1
+          }
+          counts(best) += 1
+          var i = 0
+          while (i < v.length) { sums(best)(i) += v(i); i += 1 }
+          si += 1
         }
-        counts(best) += 1
-        var i = 0
-        while (i < v.length) { sums(best)(i) += v(i); i += 1 }
+        partials(t) = (sums, counts)
+      }
+      val sums = Array.fill(k)(new Array[Double](dim))
+      val counts = new Array[Int](k)
+      partials.foreach {
+        case null => ()
+        case (ps, pc) =>
+          var c = 0
+          while (c < k) {
+            counts(c) += pc(c)
+            var i = 0
+            while (i < dim) { sums(c)(i) += ps(c)(i); i += 1 }
+            c += 1
+          }
       }
       cur = cur.zipWithIndex.map { case (old, c) =>
         if (counts(c) == 0) old // empty cell keeps its centroid
@@ -193,10 +259,11 @@ object Similarity {
     val s = corpus.sparkSession
     import s.implicits._
     val e = withNorm(s, corpus)
-    // cells/nProbe ≤ 0 → size from the corpus ([[ivfConfig]])
-    val (cCells, cProbe) =
-      if (cells > 0 && nProbe > 0) (cells, nProbe)
-      else ivfConfig(corpus.count())
+    // each parameter independently: an explicit value (> 0) is honored,
+    // only the missing one is sized — nProbe from the EFFECTIVE cell
+    // count, cells from the corpus ([[ivfConfig]])
+    val cCells = if (cells > 0) cells else ivfConfig(corpus.count())._1
+    val cProbe = if (nProbe > 0) nProbe else probeFor(cCells)
     val cent = kmeansCentroids(s, e, cCells).zipWithIndex
       .map { case (c, i) => (i.toLong, c) }.toSeq
       .toDF("cell", "cv")
@@ -279,7 +346,12 @@ object Similarity {
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("vec_id"))
     cand
-      .join(e, "vec_id")
+      // corpus vectors re-attach once per distinct candidate; under the
+      // byte budget the vector table broadcasts, so the small-corpus
+      // path pays no shuffle for the attach (the r7 slim-dedup rewrite
+      // cost ~2× at sf0.1 through exactly this join) while the sf10
+      // shape — shuffle equi-join — is unchanged
+      .join(Dedup.bcastIf(540, e.count())(e), "vec_id")
       .join(broadcast(q), "query_id")
       .withColumn("cosine", VectorFunctions.dot(s, col("v"), col("qv")) / (col("norm") * col("qn")))
       .withColumn("rank", row_number().over(w).cast("long"))

@@ -23,7 +23,18 @@ object QuickTime {
     args.grouped(2).foreach { case Array(name, dir) =>
       val t0 = System.nanoTime()
       val res =
-        try { val c = graft.SparkEntry.queries(name)(spark, dir).count(); s"rows=$c" }
+        try name match {
+          // "recall:<s02_ann_lsh|s03_ann_ivf>" → mean recall vs brute
+          case s if s.startsWith("recall:") =>
+            val df = s.stripPrefix("recall:") match {
+              case "s02_ann_lsh" => graft.operators.Similarity.annLsh(spark, dir)
+              case "s03_ann_ivf" => graft.operators.Similarity.annIvf(spark, dir)
+              case other => sys.error(s"no recall target $other")
+            }
+            f"recall=${graft.operators.Similarity.recallVsBrute(spark, dir, df)}%.3f"
+          case _ =>
+            s"rows=${graft.SparkEntry.queries(name)(spark, dir).count()}"
+        }
         catch { case e: Throwable => s"FAILED: ${e.getMessage}" }
       println(f"QT $name @ $dir: ${(System.nanoTime() - t0) / 1e9}%.1f s $res")
       graft.core.Caching.releaseAll(spark)
