@@ -30,21 +30,34 @@ import graft.core.GraftSession
   */
 object ScalingBench {
 
+  /** Scaling-only query bindings measured alongside the SparkEntry
+    * contract queries: d07 with a REALISTIC 1-in-30 delta (the driver's
+    * d07 binds a full third of the corpus as the delta — an upper
+    * bound; this row demonstrates the incremental cost is proportional
+    * to the delta, not the corpus). */
+  private[graft] val Extra: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d07b_small_delta" ->
+      ((s, dir) => graft.operators.Dedup.incrementalNearDupMod(s, dir, 30)))
+
+  private def query(name: String): (SparkSession, String) => DataFrame =
+    SparkEntry.queries.getOrElse(name, Extra(name))
+
   private val Measured = Seq(
     "b01_simple_count", "b02_hourly_distinct", "b03_count_distinct",
     "d01_dedup_exact", "d02_minhash_lsh", "d03_simhash",
     "d04_ngram_jaccard", "d05_embedding_neardup",
     "d06_embedding_neardup_prod", "d07_incremental_neardup",
-    "s02_ann_lsh", "s03_ann_ivf")
+    "d07b_small_delta", "d08_dedup_clusters", "d09_emb_dedup_clusters",
+    "d10_dedup_survivors", "s02_ann_lsh", "s03_ann_ivf")
 
-  /** The sf10 decade measures the queries whose lower-decade exponents
-    * flagged risk (d02, s02), the two embedding near-dup configs they
-    * bracket, and the incremental path (d07 — the daily-ingest shape
-    * the 100 TB story leans on; its first attempt pays the one-time
-    * index build, the second reuses it, so best-of-2 records the warm
-    * delta-sized cost, same precedent as t07's persisted index). One
-    * more decade answers "does the trend hold" without re-running the
-    * whole suite at 100× test SF.
+  /** The sf10 decade measures every query the 100 TB dedup/ANN story
+    * leans on: the near-dup configs, the incremental path under both
+    * delta bindings (first attempt pays the one-time index build, the
+    * second reuses it, so best-of-2 records the warm delta-sized cost —
+    * same precedent as t07's persisted index), the full
+    * pairs→clusters→survivors connected-components family, and both
+    * ANN shapes. One more decade answers "does the trend hold" without
+    * re-running the whole suite at 100× test SF.
     *
     * d05 runs LAST: it is the labeled-brute config whose sf10 attempt
     * fails BY DESIGN (disk-full or timeout), and a measured run
@@ -55,7 +68,9 @@ object ScalingBench {
     * queries whose numbers enter the record. */
   private val MeasuredSf10 = Seq(
     "d02_minhash_lsh", "d06_embedding_neardup_prod",
-    "d07_incremental_neardup", "s02_ann_lsh",
+    "d07_incremental_neardup", "d07b_small_delta",
+    "d08_dedup_clusters", "d09_emb_dedup_clusters", "d10_dedup_survivors",
+    "s02_ann_lsh", "s03_ann_ivf",
     "d05_embedding_neardup")
 
   private[graft] def ensureSf1(spark: SparkSession, src: String, out: String,
@@ -249,7 +264,7 @@ object ScalingBench {
 
     // JIT/codegen warmup (same rationale as Bench)
     Measured.foreach { name =>
-      try SparkEntry.queries(name)(spark, "/root/testdata/sf0.001").count()
+      try query(name)(spark, "/root/testdata/sf0.001").count()
       catch { case _: Throwable => () }
     }
     graft.core.Caching.releaseAll(spark)
@@ -265,7 +280,7 @@ object ScalingBench {
       (if (sf == "10") MeasuredSf10 else Measured).foreach { name =>
         def once(): (Double, String) = {
           val r = attempt(spark, name, sf,
-            () => { SparkEntry.queries(name)(spark, dir).count(); () })
+            () => { query(name)(spark, dir).count(); () })
           // query boundary: release this attempt's localCheckpoint blocks
           // so pinned frames from one query can't evict the next one's
           // working set (the round-6 suite ran with zero cleanup and its
@@ -320,7 +335,7 @@ object ScalingBench {
     }.mkString("{", ",", "}")
     val line = s"""{"metric":"scaling","unit":"sec/decade-exponent","queries":$json}"""
     println(line)
-    val outFile = sys.env.getOrElse("SPARK_GRAFT_SCALING_OUT", "SCALING_r07.json")
+    val outFile = sys.env.getOrElse("SPARK_GRAFT_SCALING_OUT", "SCALING_r08.json")
     val pw = new java.io.PrintWriter(outFile)
     try pw.println(line) finally pw.close()
     spark.stop()

@@ -707,9 +707,20 @@ object Dedup {
     * reusing a stale one, and the marker-guarded build races only
     * between processes reading identical source data (where both
     * builds write identical content). */
-  def incrementalNearDup(s: SparkSession, dir: String): DataFrame = {
+  def incrementalNearDup(s: SparkSession, dir: String): DataFrame =
+    incrementalNearDupMod(s, dir, 3)
+
+  /** [[incrementalNearDup]] with the corpus/delta split parameterized:
+    * delta = `doc_id % mod == 0`. The driver binding uses mod=3 (a
+    * delta of a full THIRD of the corpus — an upper bound on any real
+    * batch); the scaling ladder also measures mod=30 (a ~3% delta, the
+    * realistic daily-ingest shape) to demonstrate the cost is
+    * DELTA-proportional, not corpus-proportional. The index cache key
+    * includes `mod`: the two bindings index different corpora and must
+    * never share a build. */
+  def incrementalNearDupMod(s: SparkSession, dir: String, mod: Int): DataFrame = {
     val docs = Tables.load(s, dir, "documents")
-    val isDelta = col("doc_id") % 3 === 0
+    val isDelta = col("doc_id") % mod === 0
     val src = new org.apache.hadoop.fs.Path(s"$dir/documents.parquet")
     val fs = src.getFileSystem(s.sparkContext.hadoopConfiguration)
     val fingerprint =
@@ -724,7 +735,7 @@ object Dedup {
         parts.sorted.mkString("|")
       }
     val dirKey = java.security.MessageDigest.getInstance("SHA-256")
-      .digest(s"$dir|$fingerprint".getBytes("UTF-8"))
+      .digest(s"$dir|$fingerprint|mod=$mod".getBytes("UTF-8"))
       .take(8).map(b => f"$b%02x").mkString
     val path = s"${System.getProperty("java.io.tmpdir")}/graft-sigidx-$dirKey"
     if (!graft.index.SignatureIndex.ready(s, path))

@@ -33,7 +33,8 @@ object QuickTime {
             }
             f"recall=${graft.operators.Similarity.recallVsBrute(spark, dir, df)}%.3f"
           case _ =>
-            s"rows=${graft.SparkEntry.queries(name)(spark, dir).count()}"
+            val fn = graft.SparkEntry.queries.getOrElse(name, graft.ScalingBench.Extra(name))
+            s"rows=${fn(spark, dir).count()}"
         }
         catch { case e: Throwable => s"FAILED: ${e.getMessage}" }
       println(f"QT $name @ $dir: ${(System.nanoTime() - t0) / 1e9}%.1f s $res")
