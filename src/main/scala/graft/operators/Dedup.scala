@@ -453,14 +453,20 @@ object Dedup {
       .unionByName(starred)
   }
 
-  /** Embedding frame normalized to (vec_id, v, norm), materialized once
-    * (signatures + verify reuse it 2–3×). */
-  private def embNormed(e: DataFrame): DataFrame = {
+  /** Embedding frame normalized to (vec_id, v, norm) — the pre-checkpoint
+    * plan, package-visible so PlanSpec-style pins can assert the parquet
+    * scan prunes to (vec_id, embedding) (the checkpointed form truncates
+    * lineage, hiding the scan from the executed plan). */
+  private[operators] def embNormedPlan(e: DataFrame): DataFrame = {
     import graft.functions.VectorFunctions
     e.select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
       .withColumn("norm", VectorFunctions.norm(e.sparkSession, col("v")))
-      .localCheckpoint(true)
   }
+
+  /** [[embNormedPlan]] materialized once (signatures + verify reuse it
+    * 2–3×). */
+  private def embNormed(e: DataFrame): DataFrame =
+    embNormedPlan(e).localCheckpoint(true)
 
   /** Un-probed LSH candidate pairs — the 6-bit exact-sweep family
     * (package-visible so the keep-rate spec can count candidates per

@@ -424,6 +424,36 @@ class PipelineOpsSpec extends SparkSpec {
     assert(out.size == 14)
   }
 
+  test("d09 plan: embedding scan pruned, slim cluster frames, broadcast verify sides") {
+    import org.apache.spark.sql.functions._
+    // (a) the scan the d06/d09 pipeline reads: `label` never leaves
+    // parquet — the normalization plan selects (vec_id, embedding) and
+    // pruning must reach the scan through the planted-corpus union
+    val src = Dedup.plantedProductionCorpus(
+      graft.core.Tables.load(spark, Sf001, "embeddings"))
+    val normed = Dedup.embNormedPlan(src)
+    normed.collect()
+    val scanLines = normed.queryExecution.executedPlan.toString
+      .linesIterator.filter(l => l.contains("ReadSchema")).toSeq
+    assert(scanLines.nonEmpty &&
+      scanLines.forall(l => l.contains("vec_id") && !l.contains("label")),
+      s"embedding scan not pruned to (vec_id, embedding):\n${scanLines.mkString("\n")}")
+    // (b) the cluster result is exactly two long columns — the shape
+    // every CC round self-joins; anything wider would ride each round's
+    // shuffle at corpus scale
+    val out = Dedup.embDedupClusters(spark, Sf001)
+    assert(out.schema.fields.map(f => (f.name, f.dataType.typeName)).toSeq ==
+      Seq(("vec_id", "long"), ("cluster_id", "long")))
+    // (c) production verify path at test SF: the sketch/vector side
+    // tables broadcast, so the candidate stream reaches the exact-cosine
+    // verify through hash joins, never a shuffle of candidates
+    val nd = Dedup.embeddingNearDup(src, Dedup.ProductionEmbTau)
+    nd.collect()
+    val ndPlan = nd.queryExecution.executedPlan.toString
+    assert(ndPlan.contains("BroadcastHashJoin"),
+      s"verify sides not broadcast at test SF:\n$ndPlan")
+  }
+
   test("embedding clusters mirror union-find over the production-τ pair graph") {
     val corpus = Dedup.plantedProductionCorpus(
       graft.core.Tables.load(spark, Sf001, "embeddings"))

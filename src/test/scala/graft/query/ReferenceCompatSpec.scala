@@ -111,6 +111,45 @@ class ReferenceCompatSpec extends SparkSpec {
     assert(rows == Seq(("u1", 1L), ("u2", 1L), ("u3", 0L)))
   }
 
+  test("nested/list payload values: JSON-text fallback, queryable via payload + JSON funcs") {
+    // the reference's payload is a protobuf Struct (SOLUTION.md:965) —
+    // arbitrary JSON including nested objects and lists. Its own buffer
+    // flattens scalars to typed columns and serializes nested values as
+    // UTF8 JSON bytes (concurrent_buffer.go:560-655); the engine mirrors
+    // that, so nested access is JSON-FUNCTION access on both systems
+    // (DuckDB json_extract_string ↔ Spark get_json_object — dialect
+    // delta documented in COVERAGE.md; there is no dotted
+    // `payload.profile.city` surface in either engine's storage model)
+    val store = new TableStore(spark, tmpDir("compat-nested"))
+    val ts = Timestamp.from(Instant.now().minusSeconds(60))
+    store.write("profiles", Seq(
+      DynRecord("user-123", ts, Map(
+        "name" -> "张三", "age" -> 25,
+        "profile" -> Map("city" -> "北京", "zip" -> "100000"),
+        "tags" -> Seq("vip", "beta"))),
+      DynRecord("user-456", ts, Map(
+        "name" -> "李四", "age" -> 31,
+        "profile" -> Map("city" -> "上海", "zip" -> "200000"),
+        "tags" -> Seq("beta")))))
+    store.flush("profiles")
+    val engine = new QueryEngine(store)
+    // nested object → payload.profile is its JSON text; field extraction
+    // via get_json_object, reachable through BOTH spellings
+    val city = engine.executeJson(
+      """SELECT get_json_object(payload.profile, '$.city') AS city
+        |FROM profiles WHERE id = 'user-123'""".stripMargin)
+    assert(city.toOption.get == """[{"city":"北京"}]""", city.toString)
+    // list value → JSON array text; membership via from_json
+    val vips = engine.executeJson(
+      """SELECT COUNT(*) AS n FROM profiles
+        |WHERE array_contains(from_json(payload.tags, 'array<string>'), 'vip')""".stripMargin)
+    assert(vips.toOption.get == """[{"n":1}]""", vips.toString)
+    // scalar siblings of the nested value still land typed and flat
+    val age = engine.executeJson(
+      "SELECT COUNT(*) AS n FROM profiles WHERE payload.age > 30")
+    assert(age.toOption.get == """[{"n":1}]""", age.toString)
+  }
+
   test("unused payload struct is pruned out of the scan (compat column costs nothing)") {
     val engine = engineWithData()
     val r = engine.query("SELECT id FROM users").toOption.get
