@@ -562,33 +562,42 @@ object Dedup {
     val production = tau >= ProductionEmbTau
     val skSide = bcastIf(160, n) _ // sketch: 16 scaled doubles + pt
     val side = bcastIf(540, n) _   // full vector + norm
-    val screened =
-      if (production) {
-        val sk = embSketch(e)
-        // screen BEFORE the distinct: ambient multiplicity is ~1, so
-        // filtering at the sketch bound first makes the distinct
-        // shuffle survivor-sized instead of candidate-sized
-        embCandidatesProbed(e, adaptiveEmbBits(n))
-          .join(skSide(sk.select(col("vec_id").as("vec_a"),
-            col("pv").as("pva"), col("pt").as("pta"))), "vec_a")
-          .join(skSide(sk.select(col("vec_id").as("vec_b"),
-            col("pv").as("pvb"), col("pt").as("ptb"))), "vec_b")
-          .filter(VectorFunctions.dot(s, col("pva"), col("pvb"))
-            + col("pta") * col("ptb") >= tau - 1e-9)
-          .select(col("vec_a"), col("vec_b"))
-          .distinct()
-      } else {
-        // the sweep family's τ sits below the ambient tail-energy bound
-        // (~0.75), so the sketch screen would pass everything — skip it
-        embCandidates(e, EmbBits).distinct()
-      }
-    screened
+    def verified(cand: DataFrame): DataFrame = cand
       .join(side(e.select(col("vec_id").as("vec_a"), col("v").as("va"), col("norm").as("na"))), "vec_a")
       .join(side(e.select(col("vec_id").as("vec_b"), col("v").as("vb"), col("norm").as("nb"))), "vec_b")
       .withColumn("cosine", VectorFunctions.dot(s, col("va"), col("vb")) / (col("na") * col("nb")))
       .filter(col("cosine") >= tau)
       .select(col("vec_a"), col("vec_b"), round(col("cosine"), 2).as("cosine"))
-      .orderBy(col("vec_a"), col("vec_b"))
+    val out =
+      if (production) {
+        // screen at the sketch bound BEFORE the distinct: ambient
+        // multiplicity is ~1, so the distinct shuffle is survivor-sized
+        // instead of candidate-sized, and the distinct means each
+        // surviving pair pays its full-vector verify exactly once
+        val sk = embSketch(e)
+        verified(
+          embCandidatesProbed(e, adaptiveEmbBits(n))
+            .join(skSide(sk.select(col("vec_id").as("vec_a"),
+              col("pv").as("pva"), col("pt").as("pta"))), "vec_a")
+            .join(skSide(sk.select(col("vec_id").as("vec_b"),
+              col("pv").as("pvb"), col("pt").as("ptb"))), "vec_b")
+            .filter(VectorFunctions.dot(s, col("pva"), col("pvb"))
+              + col("pta") * col("ptb") >= tau - 1e-9)
+            .select(col("vec_a"), col("vec_b"))
+            .distinct())
+      } else {
+        // sweep family: τ sits below the ambient tail-energy bound
+        // (~0.75), so the sketch screen passes everything AND the
+        // candidate set is a ~63% slice of ALL pairs — any pre-verify
+        // distinct would shuffle that near-quadratic stream (measured
+        // 57 s vs 6 s at the 20k-vector point). Instead candidates flow
+        // straight through the broadcast verify (a pure codegen
+        // pipeline, no shuffle) and only the tiny survivor set pays the
+        // distinct that collision multiplicity (~4.7 tables/pair at 6
+        // bits) makes necessary.
+        verified(embCandidates(e, EmbBits)).distinct()
+      }
+    out.orderBy(col("vec_a"), col("vec_b"))
   }
 
   def embeddingNearDup(s: SparkSession, dir: String): DataFrame =
