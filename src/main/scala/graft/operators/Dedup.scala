@@ -649,8 +649,12 @@ object Dedup {
     * being small — AQE broadcasts it, so the CORPUS IS NEVER SHUFFLED
     * (no hard hint, per the t09 lesson: an oversized delta degrades to
     * a shuffle join instead of an OOM). Exact verify touches only
-    * candidate rows: the pairs frame is pair-count-sized, and its join
-    * against the persisted shingle table broadcasts the pairs side.
+    * candidate rows: the candidate-pair doc ids are BROADCAST
+    * semi-joined against the persisted shingle table first, so the
+    * corpus shingles are scanned but never shuffled or broadcast —
+    * without the prune the shingle union out-grows the broadcast
+    * threshold with the corpus and the verify falls back to two
+    * corpus-sized shuffle joins.
     * Bucket widths come from the index's persisted per-bucket counts,
     * first semi-joined against the BROADCAST set of delta bucket keys
     * (delta-sized; footer-pruned via the bh-sorted layout) — the
@@ -672,7 +676,10 @@ object Dedup {
   def incrementalPairs(deltaDocs: DataFrame, indexPath: String): DataFrame = {
     val s = deltaDocs.sparkSession
     val idx = graft.index.SignatureIndex
-    val deltaSh = hashedShingleSets(deltaDocs)
+    // Both materialized: deltaSh feeds the band derivation AND the
+    // verify-side union — un-checkpointed, the verify job re-shingles
+    // the whole delta from raw text a second time.
+    val deltaSh = hashedShingleSets(deltaDocs).localCheckpoint(true)
     val deltaBands = bandedSignatures(deltaSh).localCheckpoint(true)
 
     val deltaCounts = deltaBands.groupBy(col("band"), col("bh"))
@@ -706,8 +713,26 @@ object Dedup {
       .filter(col("doc_id") =!= col("min_doc"))
       .select(least(col("doc_id"), col("min_doc")).as("doc_a"),
         greatest(col("doc_id"), col("min_doc")).as("doc_b"))
-    val pairs = cand.unionByName(hotPairs).distinct()
-    jaccardVerified(idx.shingles(s, indexPath).unionByName(deltaSh), pairs)
+    // Materialized because it feeds TWO consumers (the doc-id prune and
+    // the verify join) and is collision-sized by LSH construction.
+    val pairs = cand.unionByName(hotPairs).distinct().localCheckpoint(true)
+    // Semi-prune the shingle side to candidate docs BEFORE the verify:
+    // un-pruned, the corpus∪delta shingle union out-grows the broadcast
+    // threshold with the corpus (~4 GB at 5M docs) and the verify
+    // degrades to two corpus-sized shuffle joins — the one remaining
+    // corpus-proportional SHUFFLE in the incremental path. Pruned, the
+    // shingle table is scanned once (slim columns, no shuffle) and only
+    // candidate rows ever enter a join, so verify cost tracks the
+    // delta's collision volume at any corpus size.
+    val candDocs = pairs.select(col("doc_a").as("doc_id"))
+      .unionByName(pairs.select(col("doc_b").as("doc_id"))).distinct()
+    // bcastIf degradation: a pathologically duplicate-heavy corpus can
+    // make the candidate set corpus-sized, at which point the semi-join
+    // correctly falls back to a shuffle instead of an oversized
+    // broadcast (the pre-fix behavior, never worse).
+    val candSh = idx.shingles(s, indexPath).unionByName(deltaSh)
+      .join(bcastIf(40, 2 * pairs.count())(candDocs), Seq("doc_id"), "left_semi")
+    jaccardVerified(candSh, pairs)
   }
 
   /** d07 driver binding: corpus = `doc_id % 3 != 0` (indexed once per

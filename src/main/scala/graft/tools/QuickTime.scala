@@ -32,6 +32,15 @@ object QuickTime {
               case other => sys.error(s"no recall target $other")
             }
             f"recall=${graft.operators.Similarity.recallVsBrute(spark, dir, df)}%.3f"
+          // "explain:<query>" → executed (AQE-final) formatted plan
+          case s if s.startsWith("explain:") =>
+            val q = s.stripPrefix("explain:")
+            val fn = graft.SparkEntry.queries.getOrElse(q, graft.ScalingBench.Extra(q))
+            val df = fn(spark, dir)
+            val n = df.count() // materialize so AQE finalizes the plan
+            println(df.queryExecution.explainString(
+              org.apache.spark.sql.execution.FormattedMode))
+            s"rows=$n (plan above)"
           case _ =>
             val fn = graft.SparkEntry.queries.getOrElse(name, graft.ScalingBench.Extra(name))
             s"rows=${fn(spark, dir).count()}"
