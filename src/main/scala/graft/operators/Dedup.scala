@@ -443,7 +443,7 @@ object Dedup {
     // under the byte budget the base side broadcasts and probes flow
     // through a codegen'd hash join with ZERO shuffle
     probes
-      .join(bcastIf(28, n * ProbeEmbTables)(
+      .join(bcastOrHashIf(28, n * ProbeEmbTables)(
         small.select(col("vec_id").as("pb"), col("tbl"), col("sig"))),
         Seq("tbl", "sig"))
       .filter(col("pa") =!= col("pb"))
@@ -495,6 +495,17 @@ object Dedup {
   private val BroadcastBytes = 32L << 20
   private[operators] def bcastIf(rowBytes: Long, rows: Long)(df: DataFrame): DataFrame =
     if (rows * rowBytes <= BroadcastBytes) broadcast(df) else df
+
+  /** [[bcastIf]] whose over-budget fallback is a SHUFFLED HASH join
+    * hint instead of Spark's default sort-merge: the per-vector side
+    * tables this guards are corpus-sized (bounded rows/partition after
+    * the shuffle — a few MB of hash map), while the candidate/probe
+    * stream they join is 10–300× larger. Sort-merge sorts that stream
+    * (at the 200k-vector point: a 67M-row sort whose spill-merge
+    * read-ahead buffers can OOM a small heap); hash-building the
+    * bounded side streams the big side with no sort at all. */
+  private[operators] def bcastOrHashIf(rowBytes: Long, rows: Long)(df: DataFrame): DataFrame =
+    if (rows * rowBytes <= BroadcastBytes) broadcast(df) else df.hint("shuffle_hash")
 
   /** Cheap PRE-VERIFY screen sketch: norm-scaled prefix of the vector
     * plus the norm-scaled L2 mass of the remaining tail,
@@ -560,8 +571,8 @@ object Dedup {
     // count over materialized blocks, not a second scan of the source
     val n = e.count()
     val production = tau >= ProductionEmbTau
-    val skSide = bcastIf(160, n) _ // sketch: 16 scaled doubles + pt
-    val side = bcastIf(540, n) _   // full vector + norm
+    val skSide = bcastOrHashIf(160, n) _ // sketch: 16 scaled doubles + pt
+    val side = bcastOrHashIf(540, n) _   // full vector + norm
     def verified(cand: DataFrame): DataFrame = cand
       .join(side(e.select(col("vec_id").as("vec_a"), col("v").as("va"), col("norm").as("na"))), "vec_a")
       .join(side(e.select(col("vec_id").as("vec_b"), col("v").as("vb"), col("norm").as("nb"))), "vec_b")
