@@ -119,10 +119,25 @@ object Dedup {
     if (dedupe) pairs.distinct() else pairs
   }
 
-  private def jaccardVerified(sh: DataFrame, pairs: DataFrame): DataFrame = {
+  /** Exact-jaccard verification of candidate pairs against the shingle
+    * table. The shingle side is semi-pruned to the candidate doc ids
+    * BEFORE the pair joins: un-pruned, a corpus-sized shingle table
+    * either gets broadcast whole into the verify (measured ~1.5 GB ×2
+    * at the 5M-doc point — a non-plan for a real cluster) or shuffle-
+    * joined twice; pruned, it is scanned once and only candidate rows
+    * (collision-sized by LSH construction) enter any join. Pairs are
+    * materialized because they feed both the prune and the verify, and
+    * the [[bcastIf]] guard degrades the prune to a shuffle semi-join if
+    * a pathological corpus makes the candidate set itself huge. */
+  private def jaccardVerified(sh: DataFrame, pairs0: DataFrame): DataFrame = {
+    val pairs = pairs0.localCheckpoint(true)
+    val candDocs = pairs.select(col("doc_a").as("doc_id"))
+      .unionByName(pairs.select(col("doc_b").as("doc_id"))).distinct()
+    val candSh = sh.join(
+      bcastIf(40, 2 * pairs.count())(candDocs), Seq("doc_id"), "left_semi")
     pairs
-      .join(sh.select(col("doc_id").as("doc_a"), col("hs").as("sh_a")), "doc_a")
-      .join(sh.select(col("doc_id").as("doc_b"), col("hs").as("sh_b")), "doc_b")
+      .join(candSh.select(col("doc_id").as("doc_a"), col("hs").as("sh_a")), "doc_a")
+      .join(candSh.select(col("doc_id").as("doc_b"), col("hs").as("sh_b")), "doc_b")
       .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))).cast("double"))
       // filter on the RAW jaccard (matches the oracle), round only on output
       .withColumn("jaccard_raw",
@@ -724,26 +739,11 @@ object Dedup {
       .filter(col("doc_id") =!= col("min_doc"))
       .select(least(col("doc_id"), col("min_doc")).as("doc_a"),
         greatest(col("doc_id"), col("min_doc")).as("doc_b"))
-    // Materialized because it feeds TWO consumers (the doc-id prune and
-    // the verify join) and is collision-sized by LSH construction.
-    val pairs = cand.unionByName(hotPairs).distinct().localCheckpoint(true)
-    // Semi-prune the shingle side to candidate docs BEFORE the verify:
-    // un-pruned, the corpus∪delta shingle union out-grows the broadcast
-    // threshold with the corpus (~4 GB at 5M docs) and the verify
-    // degrades to two corpus-sized shuffle joins — the one remaining
-    // corpus-proportional SHUFFLE in the incremental path. Pruned, the
-    // shingle table is scanned once (slim columns, no shuffle) and only
-    // candidate rows ever enter a join, so verify cost tracks the
-    // delta's collision volume at any corpus size.
-    val candDocs = pairs.select(col("doc_a").as("doc_id"))
-      .unionByName(pairs.select(col("doc_b").as("doc_id"))).distinct()
-    // bcastIf degradation: a pathologically duplicate-heavy corpus can
-    // make the candidate set corpus-sized, at which point the semi-join
-    // correctly falls back to a shuffle instead of an oversized
-    // broadcast (the pre-fix behavior, never worse).
-    val candSh = idx.shingles(s, indexPath).unionByName(deltaSh)
-      .join(bcastIf(40, 2 * pairs.count())(candDocs), Seq("doc_id"), "left_semi")
-    jaccardVerified(candSh, pairs)
+    // The candidate-doc semi-prune of the corpus∪delta shingle union —
+    // the step that keeps the verify delta-sized at any corpus size —
+    // happens inside [[jaccardVerified]], shared with the batch paths.
+    val pairs = cand.unionByName(hotPairs).distinct()
+    jaccardVerified(idx.shingles(s, indexPath).unionByName(deltaSh), pairs)
   }
 
   /** d07 driver binding: corpus = `doc_id % 3 != 0` (indexed once per
