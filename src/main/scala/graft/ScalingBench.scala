@@ -67,7 +67,8 @@ object ScalingBench {
     * still being reclaimed. A known-failing probe must not precede
     * queries whose numbers enter the record. */
   private val MeasuredSf10 = Seq(
-    "d02_minhash_lsh", "d06_embedding_neardup_prod",
+    "d02_minhash_lsh", "d03_simhash", "d04_ngram_jaccard",
+    "d06_embedding_neardup_prod",
     "d07_incremental_neardup", "d07b_small_delta",
     "d08_dedup_clusters", "d09_emb_dedup_clusters", "d10_dedup_survivors",
     "s02_ann_lsh", "s03_ann_ivf",
