@@ -191,31 +191,50 @@ object Dedup {
   /** SimHash near-dup pairs: 64-bit signature per doc via the fused
     * [[graft.functions.SimHashSig]] kernel (one codegen pass per row —
     * bit-identical to the earlier explode + 64-bit-sum-aggregate
-    * formulation, WITHOUT its per-token shuffle; zero shuffles until
-    * the block join), then block LSH (hamming ≤ MaxHamming must collide
-    * in ≥1 of SimBlocks blocks) and exact hamming verify via
-    * bit_count. */
+    * formulation, WITHOUT its per-token shuffle), then COMBINATORIAL
+    * block LSH and exact hamming verify via bit_count.
+    *
+    * Bucket keys are 3-block combinations (Manku et al., WWW'07
+    * §3.1.1 — the rotated-table scheme solves the same problem): a
+    * pair at hamming ≤ [[MaxHamming]]=5 flips at most 5 of the 8
+    * blocks, leaving ≥3 intact, so SOME C(8,3) combination key matches
+    * DETERMINISTICALLY — the same exact-recall contract as the old
+    * single-block keys. The difference is scale: single 8-bit blocks
+    * give only 8×256 = 2048 buckets TOTAL, so bucket width grows ∝ n
+    * and the self-join is Θ(n²/256) — measured 63 s at 5M docs, pure
+    * quadratic hidden by small test SFs. 56 tables × 24-bit keys give
+    * ~10⁶× the key space: expected width O(1), candidate volume
+    * O(n·tables), and the skew tail (identical-signature clusters)
+    * rides the shared [[bucketPairs]] cap with the same chain+star
+    * disclosure as the MinHash path.
+    *
+    * Verify attaches signatures per pair side via [[bcastOrHashIf]]
+    * (broadcast under budget, shuffled-hash above — never a sorted
+    * corpus stream), thresholds BEFORE the distinct so the dedup
+    * shuffle carries survivors only. */
   def simhash(docs: DataFrame): DataFrame = {
+    val s = docs.sparkSession
+    val n = docs.count()
     val sigs = docs
       .select(col("doc_id"),
         graft.functions.LshFunctions.simhashSig(
-          docs.sparkSession, tokens(col("text"))).as("simhash"))
+          s, tokens(col("text"))).as("simhash"))
+      .localCheckpoint(true) // consumed by the block explode + both verify sides
     val bitsPerBlock = 64 / SimBlocks
     val mask = (1L << bitsPerBlock) - 1
-    val blocks = sigs.select(
-      col("doc_id"), col("simhash"),
-      posexplode(array((0 until SimBlocks).map(blk =>
-        shiftright(col("simhash"), blk * bitsPerBlock).bitwiseAND(mask)): _*)).as(Seq("blk", "bv")))
-    val a = blocks.select(col("doc_id").as("doc_a"), col("simhash").as("sim_a"),
-      col("blk"), col("bv"))
-    val b = blocks.select(col("doc_id").as("doc_b"), col("simhash").as("sim_b"),
-      col("blk"), col("bv"))
-    a.join(b, Seq("blk", "bv")).filter(col("doc_a") < col("doc_b"))
+    val blk = (0 until SimBlocks).map(b =>
+      shiftright(col("simhash"), b * bitsPerBlock).bitwiseAND(mask))
+    val combos = for {
+      i <- 0 until SimBlocks; j <- i + 1 until SimBlocks; k <- j + 1 until SimBlocks
+    } yield blk(i) + shiftleft(blk(j), bitsPerBlock) + shiftleft(blk(k), 2 * bitsPerBlock)
+    val buckets = sigs.select(col("doc_id"),
+      posexplode(array(combos: _*)).as(Seq("tbl", "bv")))
+    val sigSide = bcastOrHashIf(16, n) _
+    bucketPairs(buckets, Seq("tbl", "bv"), dedupe = false)
+      .join(sigSide(sigs.select(col("doc_id").as("doc_a"), col("simhash").as("sim_a"))), "doc_a")
+      .join(sigSide(sigs.select(col("doc_id").as("doc_b"), col("simhash").as("sim_b"))), "doc_b")
       .select(col("doc_a"), col("doc_b"),
         bit_count(col("sim_a").bitwiseXOR(col("sim_b"))).cast("long").as("hamming"))
-      // threshold BEFORE distinct: hamming is a pure function of the
-      // pair, and most block collisions fail it — the dedup shuffle
-      // carries survivors only, not every colliding pair
       .filter(col("hamming") <= MaxHamming)
       .distinct()
       .orderBy(col("doc_a"), col("doc_b"))
