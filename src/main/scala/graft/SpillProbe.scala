@@ -16,8 +16,9 @@ import graft.core.GraftSession
   * PLANS.md's scale-evidence section. */
 object SpillProbe {
 
-  private val Probed = Seq("d02_minhash_lsh", "d04_ngram_jaccard",
-    "d06_embedding_neardup_prod", "s02_ann_lsh", "q06_window")
+  private val Probed = Seq("d02_minhash_lsh", "d03_simhash",
+    "d04_ngram_jaccard", "d06_embedding_neardup_prod", "s02_ann_lsh",
+    "q06_window")
 
   def main(args: Array[String]): Unit = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
