@@ -90,32 +90,53 @@ object Dedup {
     * once per colliding bucket costs less than shuffling every candidate
     * for dedup; survivors are distinct'd after the threshold filter).
     *
+    * `rider` names a small fixed-width column (e.g. an 8-byte simhash
+    * signature) carried THROUGH the bucket join and emitted per side as
+    * `<rider>_a` / `<rider>_b` — verifying off the pair stream directly
+    * instead of re-attaching per-doc state with two candidate-sized
+    * joins afterward. Only worth it when the rider is a few bytes: it
+    * widens every bucket row in the window sort and the self-join
+    * shuffle, which is why the shingle-verified callers (set-valued
+    * state) prune-and-join instead.
+    *
     * (Measured alternative: deriving bucket sizes from a count
     * aggregate + join and emitting pairs via collect_list + double
     * explode replaces the window sort with TWO sort-merge-join sorts
     * and an ObjectHashAggregate — 2-4× slower on every caller at
     * sf0.1. The single window pass stays.) */
   private def bucketPairs(buckets: DataFrame, keyCols: Seq[String],
-      cap: Int = MaxBucket, dedupe: Boolean = true): DataFrame = {
+      cap: Int = MaxBucket, dedupe: Boolean = true,
+      rider: Option[String] = None): DataFrame = {
     val key = keyCols.map(col)
+    val carried = "doc_id" +: rider.toSeq // per-doc columns emitted per side
+    def asSide(suffix: String) = carried.map(c => col(c).as(s"${c}_$suffix"))
+    val outNames = carried.map(_ + "_a") ++ carried.map(_ + "_b")
+    // Each consuming branch recomputes the slim bucket window from the
+    // (checkpointed) signature frame rather than materializing it once:
+    // measured at sf10 (280M bucket rows), eagerly checkpointing the
+    // windowed frame costs 2-3× the whole query — the recompute is a
+    // cheap codegen'd explode + fused window, while the checkpoint
+    // serializes the full wide stream to storage.
     val w = org.apache.spark.sql.expressions.Window.partitionBy(key: _*)
     val sized = buckets
       .withColumn("bucket_n", count(lit(1)).over(w))
     val small = sized.filter(col("bucket_n") <= cap)
-    val a = small.select(col("doc_id").as("doc_a") +: key: _*)
-    val b = small.select(col("doc_id").as("doc_b") +: key: _*)
-    val allPairs = a.join(b, keyCols).filter(col("doc_a") < col("doc_b"))
-      .select(col("doc_a"), col("doc_b"))
+    val a = small.select(asSide("a") ++ key: _*)
+    val b = small.select(asSide("b") ++ key: _*)
+    val allPairs = a.join(b, keyCols).filter(col("doc_id_a") < col("doc_id_b"))
+      .select(outNames.map(col): _*)
     val over = sized.filter(col("bucket_n") > cap)
-    val chained = over
-      .withColumn("doc_b", lead(col("doc_id"), 1).over(w.orderBy(col("doc_id"))))
-      .filter(col("doc_b").isNotNull)
-      .select(col("doc_id").as("doc_a"), col("doc_b"))
+    val wOrd = w.orderBy(col("doc_id"))
+    val chained = carried
+      .foldLeft(over) { (df, c) => df.withColumn(s"${c}_b", lead(col(c), 1).over(wOrd)) }
+      .filter(col("doc_id_b").isNotNull)
+      .select(asSide("a") ++ carried.map(c => col(s"${c}_b")): _*)
     val starred = over
-      .withColumn("mn", min(col("doc_id")).over(w))
-      .filter(col("doc_id") =!= col("mn"))
-      .select(col("mn").as("doc_a"), col("doc_id").as("doc_b"))
+      .withColumn("mn", min(struct(carried.map(col): _*)).over(w))
+      .filter(col("doc_id") =!= col("mn.doc_id"))
+      .select(carried.map(c => col(s"mn.$c").as(s"${c}_a")) ++ asSide("b"): _*)
     val pairs = allPairs.unionByName(chained).unionByName(starred)
+      .withColumnsRenamed(Map("doc_id_a" -> "doc_a", "doc_id_b" -> "doc_b"))
     if (dedupe) pairs.distinct() else pairs
   }
 
@@ -208,18 +229,20 @@ object Dedup {
     * rides the shared [[bucketPairs]] cap with the same chain+star
     * disclosure as the MinHash path.
     *
-    * Verify attaches signatures per pair side via [[bcastOrHashIf]]
-    * (broadcast under budget, shuffled-hash above — never a sorted
-    * corpus stream), thresholds BEFORE the distinct so the dedup
+    * Verify runs ON the pair stream: the 8-byte signature rides the
+    * bucket rows through the self-join (`rider` in [[bucketPairs]]),
+    * so hamming is a codegen'd `bit_count` over columns already
+    * present — no candidate-sized attach joins, and the only shuffles
+    * touching the n·56-row stream are the bucket window and the
+    * bucket self-join. Thresholds BEFORE the distinct so the dedup
     * shuffle carries survivors only. */
   def simhash(docs: DataFrame): DataFrame = {
     val s = docs.sparkSession
-    val n = docs.count()
     val sigs = docs
       .select(col("doc_id"),
         graft.functions.LshFunctions.simhashSig(
           s, tokens(col("text"))).as("simhash"))
-      .localCheckpoint(true) // consumed by the block explode + both verify sides
+      .localCheckpoint(true) // the bucket frame fans out 4 ways in bucketPairs
     val bitsPerBlock = 64 / SimBlocks
     val mask = (1L << bitsPerBlock) - 1
     val blk = (0 until SimBlocks).map(b =>
@@ -227,14 +250,11 @@ object Dedup {
     val combos = for {
       i <- 0 until SimBlocks; j <- i + 1 until SimBlocks; k <- j + 1 until SimBlocks
     } yield blk(i) + shiftleft(blk(j), bitsPerBlock) + shiftleft(blk(k), 2 * bitsPerBlock)
-    val buckets = sigs.select(col("doc_id"),
+    val buckets = sigs.select(col("doc_id"), col("simhash"),
       posexplode(array(combos: _*)).as(Seq("tbl", "bv")))
-    val sigSide = bcastOrHashIf(16, n) _
-    bucketPairs(buckets, Seq("tbl", "bv"), dedupe = false)
-      .join(sigSide(sigs.select(col("doc_id").as("doc_a"), col("simhash").as("sim_a"))), "doc_a")
-      .join(sigSide(sigs.select(col("doc_id").as("doc_b"), col("simhash").as("sim_b"))), "doc_b")
+    bucketPairs(buckets, Seq("tbl", "bv"), dedupe = false, rider = Some("simhash"))
       .select(col("doc_a"), col("doc_b"),
-        bit_count(col("sim_a").bitwiseXOR(col("sim_b"))).cast("long").as("hamming"))
+        bit_count(col("simhash_a").bitwiseXOR(col("simhash_b"))).cast("long").as("hamming"))
       .filter(col("hamming") <= MaxHamming)
       .distinct()
       .orderBy(col("doc_a"), col("doc_b"))
