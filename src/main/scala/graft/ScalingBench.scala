@@ -67,6 +67,8 @@ object ScalingBench {
     * still being reclaimed. A known-failing probe must not precede
     * queries whose numbers enter the record. */
   private val MeasuredSf10 = Seq(
+    "b01_simple_count", "b02_hourly_distinct", "b03_count_distinct",
+    "d01_dedup_exact",
     "d02_minhash_lsh", "d03_simhash", "d04_ngram_jaccard",
     "d06_embedding_neardup_prod",
     "d07_incremental_neardup", "d07b_small_delta",
@@ -136,8 +138,10 @@ object ScalingBench {
   }
 
   /** sf10 = 10 similarity-preserved copies of the synthesized sf1, for
-    * `documents` and `embeddings` only (the sf10 decade measures the
-    * dedup/ANN suite alone).
+    * `documents`, `embeddings` and `events` (the sf10 decade measures
+    * the dedup/ANN suite plus the reference's headline event shapes;
+    * events keep their timestamps so the b-suite's time windows select
+    * the same fraction at every scale).
     *
     * The per-copy seeds live in a DIFFERENT namespace (1000+k) than the
     * sf0.1→sf1 step's (k). This is load-bearing for the embeddings: a
@@ -152,10 +156,31 @@ object ScalingBench {
     * resolves every view. */
   private[graft] def ensureSf10(spark: SparkSession, sf1: String, out: String,
       auxSrc: String, copies: Int = 10): Unit = {
-    val done = new java.io.File(out, "_DONE")
-    if (done.exists()) return
     new java.io.File(out).mkdirs()
     val ks = 0 until copies
+
+    // events got their sf10 synthesis after the first record shipped, so
+    // they carry their own marker: an existing sf10 dir regenerates just
+    // this table instead of the (identical, deterministic) full set
+    val doneEv = new java.io.File(out, "_DONE_EVENTS")
+    if (!doneEv.exists()) {
+      val ev = spark.read.parquet(s"$sf1/events.parquet")
+      ks.map { k =>
+        if (k == 0) ev
+        else ev.select(
+          (col("event_id") + lit(k * 10000000000L)).as("event_id"),
+          col("ts"),
+          (col("user_id") + lit(k * 10000000L)).as("user_id"),
+          col("event_type"), col("value"), col("props"))
+      }.reduce(_ unionByName _)
+        .repartition(64)
+        .write.mode("overwrite").parquet(s"$out/events.parquet")
+      doneEv.createNewFile()
+      ()
+    }
+
+    val done = new java.io.File(out, "_DONE")
+    if (done.exists()) return
 
     val docs = spark.read.parquet(s"$sf1/documents.parquet")
     ks.map { k =>
@@ -185,7 +210,7 @@ object ScalingBench {
       .write.mode("overwrite").parquet(s"$out/embeddings.parquet")
 
     graft.core.Tables.All
-      .filterNot(Set("documents", "embeddings"))
+      .filterNot(Set("documents", "embeddings", "events"))
       .foreach { t =>
         java.nio.file.Files.copy(
           java.nio.file.Paths.get(s"$auxSrc/$t.parquet"),
