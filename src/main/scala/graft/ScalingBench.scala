@@ -42,13 +42,27 @@ object ScalingBench {
   private def query(name: String): (SparkSession, String) => DataFrame =
     SparkEntry.queries.getOrElse(name, Extra(name))
 
-  private val Measured = Seq(
+  private val MeasuredAll = Seq(
     "b01_simple_count", "b02_hourly_distinct", "b03_count_distinct",
     "d01_dedup_exact", "d02_minhash_lsh", "d03_simhash",
     "d04_ngram_jaccard", "d05_embedding_neardup",
     "d06_embedding_neardup_prod", "d07_incremental_neardup",
     "d07b_small_delta", "d08_dedup_clusters", "d09_emb_dedup_clusters",
-    "d10_dedup_survivors", "s02_ann_lsh", "s03_ann_ivf")
+    "d10_dedup_survivors", "d11_substring_dedup",
+    "s02_ann_lsh", "s03_ann_ivf", "t11_bm25_search")
+
+  /** SPARK_GRAFT_SCALING_ONLY=a,b,c restricts the measured set — for
+    * adding rows for NEW queries to an existing record without
+    * re-measuring (and re-risking variance on) the frozen ones. */
+  private def only[A](names: Seq[A])(f: A => String): Seq[A] =
+    sys.env.get("SPARK_GRAFT_SCALING_ONLY") match {
+      case Some(list) =>
+        val keep = list.split(',').map(_.trim).toSet
+        names.filter(n => keep(f(n)))
+      case None => names
+    }
+
+  private def Measured = only(MeasuredAll)(identity)
 
   /** The sf10 decade measures every query the 100 TB dedup/ANN story
     * leans on: the near-dup configs, the incremental path under both
@@ -66,15 +80,18 @@ object ScalingBench {
     * standalone/clean-order run) while d05's dying shuffle files were
     * still being reclaimed. A known-failing probe must not precede
     * queries whose numbers enter the record. */
-  private val MeasuredSf10 = Seq(
+  private val MeasuredSf10All = Seq(
     "b01_simple_count", "b02_hourly_distinct", "b03_count_distinct",
     "d01_dedup_exact",
     "d02_minhash_lsh", "d03_simhash", "d04_ngram_jaccard",
     "d06_embedding_neardup_prod",
     "d07_incremental_neardup", "d07b_small_delta",
     "d08_dedup_clusters", "d09_emb_dedup_clusters", "d10_dedup_survivors",
+    "d11_substring_dedup", "t11_bm25_search",
     "s02_ann_lsh", "s03_ann_ivf",
     "d05_embedding_neardup")
+
+  private def MeasuredSf10 = only(MeasuredSf10All)(identity)
 
   private[graft] def ensureSf1(spark: SparkSession, src: String, out: String,
       copies: Int = 10): Unit = {

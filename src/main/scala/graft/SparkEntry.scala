@@ -70,6 +70,7 @@ object SparkEntry {
     "t08_pii_redaction"   -> (TextAnalysis.piiRedaction _),
     "t09_decontamination" -> (TextAnalysis.decontaminate _),
     "t10_repetition"      -> (TextAnalysis.repetition _),
+    "t11_bm25_search"     -> (TextAnalysis.bm25Search _),
     // training-data pipeline: deduplication
     "d01_dedup_exact"     -> (Dedup.exact _),
     "d02_minhash_lsh"     -> (Dedup.minhashLsh _),
@@ -81,6 +82,7 @@ object SparkEntry {
     "d08_dedup_clusters"  -> (Dedup.dedupClusters _),
     "d09_emb_dedup_clusters" -> (Dedup.embDedupClusters _),
     "d10_dedup_survivors" -> (Dedup.dedupSurvivors _),
+    "d11_substring_dedup" -> (Dedup.substringDedup _),
     // training-data pipeline: similarity search
     "s01_ann_brute"       -> (Similarity.annBrute _),
     "s02_ann_lsh"         -> (Similarity.annLsh _),
@@ -392,6 +394,36 @@ object SparkEntry {
         | round(CAST(1 AS DOUBLE) - CAST(n_distinct AS DOUBLE)/CAST(n_grams AS DOUBLE), 4)
         |  AS rep_ratio
         |FROM g WHERE n_grams > 0 ORDER BY doc_id""".stripMargin,
+    // BM25 (k1=1.2, b=0.75, Lucene idf form) over the t06 vocabulary.
+    // Cross-engine float notes: tf/dl/df/N are exact integers, sumdl is
+    // a BIGINT sum (order-independent), the 3-term score sum runs in
+    // the same fixed order on both sides, and the only libm call is
+    // ln() (≤1-ulp drift, invisible at round(·,4)).
+    "t11_bm25_search" ->
+      """WITH t AS (
+        | SELECT doc_id, len(w) AS dl,
+        |  CAST(len(list_filter(w, x -> x = 'spark'))  AS DOUBLE) AS tf0,
+        |  CAST(len(list_filter(w, x -> x = 'window')) AS DOUBLE) AS tf1,
+        |  CAST(len(list_filter(w, x -> x = 'dup'))    AS DOUBLE) AS tf2
+        | FROM (SELECT doc_id, string_split(text,' ') AS w FROM documents)),
+        |s AS (
+        | SELECT CAST(count(*) AS DOUBLE) AS n, sum(dl) AS sumdl,
+        |  CAST(sum(CASE WHEN tf0>0 THEN 1 ELSE 0 END) AS DOUBLE) AS df0,
+        |  CAST(sum(CASE WHEN tf1>0 THEN 1 ELSE 0 END) AS DOUBLE) AS df1,
+        |  CAST(sum(CASE WHEN tf2>0 THEN 1 ELSE 0 END) AS DOUBLE) AS df2
+        | FROM t)
+        |SELECT doc_id,
+        | round(
+        |   ln(1.0 + (n - df0 + 0.5)/(df0 + 0.5))
+        |    * (tf0 * 2.2) / (tf0 + 1.2*(0.25 + 0.75*CAST(dl AS DOUBLE)/(CAST(sumdl AS DOUBLE)/n)))
+        | + ln(1.0 + (n - df1 + 0.5)/(df1 + 0.5))
+        |    * (tf1 * 2.2) / (tf1 + 1.2*(0.25 + 0.75*CAST(dl AS DOUBLE)/(CAST(sumdl AS DOUBLE)/n)))
+        | + ln(1.0 + (n - df2 + 0.5)/(df2 + 0.5))
+        |    * (tf2 * 2.2) / (tf2 + 1.2*(0.25 + 0.75*CAST(dl AS DOUBLE)/(CAST(sumdl AS DOUBLE)/n)))
+        | , 4) AS bm25
+        |FROM t, s
+        |WHERE tf0 + tf1 + tf2 > 0
+        |ORDER BY doc_id""".stripMargin,
     "d01_dedup_exact" ->
       """SELECT md5(lower(trim(text))) AS fp, min(doc_id) AS keep_id,
         | count(*) AS n_copies
@@ -545,6 +577,25 @@ object SparkEntry {
         |SELECT doc_id, n_chars FROM documents
         |WHERE doc_id NOT IN (SELECT u FROM dropped)
         |ORDER BY doc_id""".stripMargin,
+    // substring dedup coverage: distinct 8-token windows per doc; df
+    // counts DOCUMENTS sharing a window (per-doc windows are distinct);
+    // counts compare exactly because the Spark side aggregates 64-bit
+    // window hashes (collision ≈ 2⁻⁶⁴), the same argument as d02/d04
+    "d11_substring_dedup" ->
+      """WITH sh AS (
+        | SELECT doc_id,
+        |  list_distinct([w[i]||' '||w[i+1]||' '||w[i+2]||' '||w[i+3]||' '||w[i+4]
+        |                 ||' '||w[i+5]||' '||w[i+6]||' '||w[i+7]
+        |                 for i in range(1, len(w)-6)]) AS sh
+        | FROM (SELECT doc_id, string_split(text,' ') AS w FROM documents)),
+        |inv AS (SELECT doc_id, unnest(sh) AS h FROM sh),
+        |dfh AS (SELECT h, count(*) AS dfh FROM inv GROUP BY h)
+        |SELECT doc_id, count(*) AS n_windows,
+        | CAST(sum(CASE WHEN dfh >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_windows,
+        | round(CAST(sum(CASE WHEN dfh >= 2 THEN 1 ELSE 0 END) AS DOUBLE)
+        |       / CAST(count(*) AS DOUBLE), 4) AS dup_ratio
+        |FROM inv JOIN dfh USING (h)
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "s01_ann_brute" ->
       """SELECT query_id, rank, neighbor_id, cosine FROM (
         | SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,

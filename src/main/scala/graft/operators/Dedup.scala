@@ -833,6 +833,57 @@ object Dedup {
     incrementalPairs(docs.filter(isDelta), path)
   }
 
+  // ---- substring (token-window) dedup coverage ----
+
+  /** Window width for substring dedup. Wider than the 3-token jaccard
+    * shingles on purpose: an 8-token window shared verbatim across
+    * documents is copied text, not vocabulary overlap (the signal Lee
+    * et al., "Deduplicating Training Data Makes Language Models
+    * Better", ACL'22, dedups on — their 50-token unit scaled to this
+    * corpus's 20–400-token documents). */
+  private val SubstrK = 8
+
+  /** Per-document duplicated-substring coverage: for each doc, the
+    * fraction of its distinct 8-token windows that appear verbatim in
+    * at least one OTHER place in the corpus — the per-doc signal a
+    * substring-level dedup pipeline thresholds on (docs that are mostly
+    * copied text get dropped or trimmed; a low ratio means the overlap
+    * is quotation-sized).
+    *
+    * Plan shape: one corpus scan explodes distinct hashed windows (the
+    * fused [[graft.functions.HashedShingles]] kernel — 8-byte hashes,
+    * never window strings), checkpointed because both the window-df
+    * aggregate and the coverage join consume it. Window df is a slim
+    * (h, count) aggregate with map-side partial combine; the join back
+    * is h-partitioned against that aggregate (df rows are unique per h,
+    * so fan-out is linear — a boilerplate window shared by k docs emits
+    * k joined rows, not k²), and the final per-doc rollup is one slim
+    * shuffle on doc_id. Nothing in the plan is ever quadratic and no
+    * corpus-width column moves after the scan.
+    *
+    * Distinct-window semantics: a window repeated INSIDE one doc counts
+    * once (per-doc distinct is what the coverage denominator means);
+    * its df counts DOCUMENTS sharing it, matching the recursive
+    * intra-doc case only when another doc shares the window. */
+  def substringDedup(docs: DataFrame): DataFrame = {
+    val inv = docs
+      .select(col("doc_id"),
+        explode(graft.functions.LshFunctions.hashedShingles(
+          docs.sparkSession, tokens(col("text")), SubstrK)).as("h"))
+      .localCheckpoint(true) // 16 B/row; consumed by the df agg AND the join
+    val dfh = inv.groupBy(col("h")).agg(count(lit(1)).as("dfh"))
+    inv.join(dfh, "h")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_windows"),
+        sum(when(col("dfh") >= 2, 1L).otherwise(0L)).as("n_dup_windows"))
+      .withColumn("dup_ratio",
+        round(col("n_dup_windows") / col("n_windows").cast("double"), 4))
+      .orderBy(col("doc_id"))
+  }
+
+  def substringDedup(s: SparkSession, dir: String): DataFrame =
+    substringDedup(Tables.load(s, dir, "documents"))
+
   // ---- duplicate-cluster extraction (connected components) ----
 
   /** Connected components over the undirected near-dup pair graph:

@@ -227,6 +227,75 @@ object TextAnalysis {
   def repetition(s: SparkSession, dir: String): DataFrame =
     repetition(Tables.load(s, dir, "documents"))
 
+  // BM25 constants (Robertson et al., TREC-3; the k1/b defaults every
+  // Lucene-family engine ships)
+  private val Bm25K1 = 1.2
+  private val Bm25B = 0.75
+
+  /** BM25 ranked retrieval over the corpus for a fixed term set — the
+    * scoring layer on top of the token-search surface (SURVEY #35 maps
+    * the reference's inverted index; this adds the relevance ranking a
+    * retrieval consumer actually wants).
+    *
+    * Plan shape (scale-first): per-doc term frequencies come from the
+    * codegen'd `size(w) − size(array_remove(w, t))` identity — one
+    * corpus scan, no per-token explode, no UDF. The corpus statistics
+    * BM25 needs (N, Σdl, per-term df) reduce to a SINGLE ROW, which
+    * broadcasts back over the scored scan — so the whole query is two
+    * passes over the corpus with zero corpus-side shuffle at any scale
+    * (the one-row cross join is a broadcast nested loop by
+    * construction). idf uses the Lucene-standard
+    * ln(1 + (N − df + ½)/(df + ½)) form — positive for any df, so a
+    * term in >half the corpus degrades gracefully instead of scoring
+    * negative.
+    *
+    * Determinism across engines: tf/dl/df are exact integers; Σdl is a
+    * LONG sum (order-independent) cast to double only for the final
+    * avgdl division; the per-term score sum runs in fixed term order on
+    * both sides. The only libm call is ln() — ≤1-ulp engine drift,
+    * invisible at the round(·,4) the oracle hashes. */
+  def bm25(docs: DataFrame, terms: Seq[String]): DataFrame = {
+    require(terms.nonEmpty, "bm25 needs at least one query term")
+    val tf = terms.indices.map(i => col(s"tf$i"))
+    val base = docs
+      .select(col("doc_id"), tokens(col("text")).as("w"))
+      .select(Seq(col("doc_id"), size(col("w")).cast("long").as("dl")) ++
+        terms.zipWithIndex.map { case (t, i) =>
+          (size(col("w")) - size(array_remove(col("w"), t)))
+            .cast("double").as(s"tf$i")
+        }: _*)
+    val aggs = Seq(
+      count(lit(1)).cast("double").as("n"),
+      sum(col("dl")).as("sumdl")) ++
+      terms.indices.map(i =>
+        sum(when(tf(i) > 0, 1L).otherwise(0L)).cast("double").as(s"df$i"))
+    val stats = base.agg(aggs.head, aggs.tail: _*)
+    val avgdl = col("sumdl").cast("double") / col("n")
+    val score = terms.indices.map { i =>
+      val idf = log(lit(1.0) + (col("n") - col(s"df$i") + 0.5) / (col(s"df$i") + 0.5))
+      val denom = tf(i) +
+        lit(Bm25K1) * (lit(1 - Bm25B) + lit(Bm25B) * col("dl").cast("double") / avgdl)
+      idf * (tf(i) * (Bm25K1 + 1)) / denom
+    }.reduce(_ + _)
+    base.crossJoin(broadcast(stats))
+      .filter(tf.reduce(_ + _) > 0)
+      .select(col("doc_id"), round(score, 4).as("bm25"))
+  }
+
+  /** Driver binding (t11): the t06 query vocabulary, full matching set
+    * ordered by doc_id (hash-stable across engines; ranking order is
+    * score-tie-sensitive, so the ranked form is [[bm25TopK]] + spec). */
+  def bm25Search(s: SparkSession, dir: String): DataFrame =
+    bm25(Tables.load(s, dir, "documents"), Seq("spark", "window", "dup"))
+      .orderBy(col("doc_id"))
+
+  /** Ranked form: top-k by score (ties broken by doc_id so the result
+    * is deterministic), the shape a retrieval caller consumes. TopK
+    * compiles to TakeOrderedAndProject — per-partition heaps, no global
+    * sort. */
+  def bm25TopK(docs: DataFrame, terms: Seq[String], k: Int): DataFrame =
+    bm25(docs, terms).orderBy(col("bm25").desc, col("doc_id")).limit(k)
+
   /** Content fingerprints: md5 (exact-dup key) + order-sensitive rolling
     * hash (cheap near-identity check for shifted content). */
   def fingerprints(docs: DataFrame): DataFrame =

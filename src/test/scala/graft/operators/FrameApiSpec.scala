@@ -65,4 +65,44 @@ class FrameApiSpec extends SparkSpec {
     val rep = TextAnalysis.repetition(docsDf(5L -> "x y x y x y x y")).collect()
     assert(rep(0).getAs[Double]("rep_ratio") > 0.5)
   }
+
+  test("bm25 ranks rarer-term and higher-tf docs above common-term docs") {
+    val docs = docsDf(
+      1L -> "spark spark spark engine engine runs fast",
+      2L -> "spark engine runs fast on the cluster",
+      3L -> "engine engine engine engine runs fine today",
+      4L -> "nothing relevant in this document at all")
+    val scored = TextAnalysis.bm25(docs, Seq("spark", "engine"))
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Double]("bm25")).toMap
+    assert(!scored.contains(4L), "doc without any query term must be excluded")
+    // 'spark' (df 2) is rarer than 'engine' (df 3): doc 1 (tf_spark 3)
+    // must outscore doc 2 (tf_spark 1); all matched scores positive
+    assert(scored(1L) > scored(2L), s"got $scored")
+    assert(scored.values.forall(_ > 0))
+    val top = TextAnalysis.bm25TopK(docs, Seq("spark", "engine"), 2)
+      .collect().map(_.getAs[Long]("doc_id"))
+    assert(top.length == 2 && top.head == 1L, s"got ${top.toSeq}")
+  }
+
+  test("substring dedup coverage counts shared 8-token windows only") {
+    val span = "one two three four five six seven eight nine ten"
+    val docs = docsDf(
+      1L -> s"$span unique suffix alpha",
+      2L -> s"different prefix beta $span",   // shares the span with 1
+      3L -> "entirely unrelated words filling out this long document here",
+      4L -> "short doc")                      // < 8 tokens: no windows
+    val r = Dedup.substringDedup(docs).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_windows"), r.getAs[Long]("n_dup_windows"))).toMap
+    assert(!r.contains(4L), "doc with <8 tokens has no windows")
+    // the 10-token shared span has 3 8-token windows, all shared
+    assert(r(1L)._2 == 3 && r(2L)._2 == 3, s"got $r")
+    assert(r(3L)._2 == 0)
+    // intra-doc repetition does NOT count as duplication across docs
+    val solo = Dedup.substringDedup(docsDf(
+      9L -> s"$span $span",
+      8L -> "completely different filler text with many distinct tokens here"))
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("n_dup_windows")).toMap
+    assert(solo(9L) == 0, s"intra-doc repeats must not self-count: $solo")
+  }
 }

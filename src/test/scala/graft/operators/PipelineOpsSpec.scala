@@ -518,4 +518,41 @@ class PipelineOpsSpec extends SparkSpec {
     }.toMap
     assert(clusters == expected)
   }
+
+  test("bm25 matching set equals docs containing any query term, all scores positive") {
+    import org.apache.spark.sql.functions._
+    val docs = graft.core.Tables.load(spark, Sf001, "documents")
+    val w = split(col("text"), " ")
+    val expected = docs
+      .filter(array_contains(w, "spark") || array_contains(w, "window") ||
+        array_contains(w, "dup"))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val got = TextAnalysis.bm25Search(spark, Sf001).collect()
+    assert(got.map(_.getAs[Long]("doc_id")).toSet == expected)
+    // Lucene idf form is positive for any df, so every matched doc
+    // scores > 0 even for terms in more than half the corpus
+    assert(got.forall(_.getAs[Double]("bm25") > 0))
+  }
+
+  test("exact duplicates have full substring-dup coverage (ratio 1.0)") {
+    import org.apache.spark.sql.functions._
+    // the benchmark corpus has no exact text copies (d01: 500 groups /
+    // 500 docs), so plant them: docs 0..19 re-entered verbatim under
+    // fresh ids — every window of a copy lives in its twin, so coverage
+    // must be exactly 1.0 on both sides of each planted pair
+    val base = graft.core.Tables.load(spark, Sf001, "documents")
+    val planted = base.filter(col("doc_id") < 20)
+      .select((col("doc_id") + 1000000L).as("doc_id"), col("text"))
+    val docs = base.select(col("doc_id"), col("text")).unionByName(planted)
+    val cov = Dedup.substringDedup(docs).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Double]("dup_ratio")).toMap
+    val plantedIds = (0L until 20L).flatMap(i => Seq(i, i + 1000000L))
+    val withWindows = plantedIds.filter(cov.contains)
+    assert(withWindows.nonEmpty, "planted dups should have >=8 tokens")
+    val broken = withWindows.filter(id => cov(id) != 1.0)
+    assert(broken.isEmpty, s"exact dups with partial coverage: $broken")
+    // un-planted docs keep whatever coverage the original corpus gives —
+    // none of them may reach 1.0 via the planting itself
+    assert(cov.size >= 500)
+  }
 }
