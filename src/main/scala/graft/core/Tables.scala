@@ -25,9 +25,12 @@ object Tables {
 
   def load(spark: SparkSession, sfDir: String, table: String): DataFrame = {
     val df = spark.read.parquet(path(sfDir, table))
-    // events.ts is parquet TIMESTAMP(NANOS) → read as long nanos (see
-    // GraftSession nanosAsLong) → truncate to µs TimestampType, exactly
-    // what DuckDB does when it casts ns→µs.
+    // events.ts has shipped under two encodings across driver rounds:
+    // parquet TIMESTAMP(NANOS) — read as long nanos (GraftSession
+    // nanosAsLong), truncated here to µs TimestampType exactly like
+    // DuckDB's ns→µs cast — and native µs timestamps, which pass
+    // through untouched (their scan filters push down natively; the
+    // long-nanos path gets the same via NanosTimePushdown).
     df.schema.fields.foldLeft(df) {
       case (d, f) if f.name == "ts" && f.dataType == org.apache.spark.sql.types.LongType =>
         d.withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))

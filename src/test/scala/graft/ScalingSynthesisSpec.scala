@@ -33,8 +33,14 @@ class ScalingSynthesisSpec extends SparkSpec {
   }
 
   test("events synthesis: windows select k x the rows; id namespaces disjoint") {
-    val src = spark.read.parquet(s"$Sf0001/events.parquet")
-    val sf1 = spark.read.parquet(s"$sf1Dir/events.parquet")
+    // encoding-agnostic ts view: the driver has shipped events.ts as
+    // both TIMESTAMP(NANOS)→long (nanosAsLong) and native micros
+    // timestamps; the window-fraction invariant is the same under either
+    def tsLong(d: org.apache.spark.sql.DataFrame) =
+      if (d.schema("ts").dataType == org.apache.spark.sql.types.LongType) d
+      else d.withColumn("ts", unix_micros(col("ts").cast("timestamp")))
+    val src = tsLong(spark.read.parquet(s"$Sf0001/events.parquet"))
+    val sf1 = tsLong(spark.read.parquet(s"$sf1Dir/events.parquet"))
     assert(sf1.count() === 2 * src.count())
     // timestamps preserved: any time window holds exactly 2x the rows
     val (lo, hi) = {
