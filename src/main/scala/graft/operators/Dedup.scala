@@ -852,27 +852,30 @@ object Dedup {
     *
     * Plan shape: one corpus scan explodes distinct hashed windows (the
     * fused [[graft.functions.HashedShingles]] kernel — 8-byte hashes,
-    * never window strings), checkpointed because both the window-df
-    * aggregate and the coverage join consume it. Window df is a slim
-    * (h, count) aggregate with map-side partial combine; the join back
-    * is h-partitioned against that aggregate (df rows are unique per h,
-    * so fan-out is linear — a boilerplate window shared by k docs emits
-    * k joined rows, not k²), and the final per-doc rollup is one slim
-    * shuffle on doc_id. Nothing in the plan is ever quadratic and no
-    * corpus-width column moves after the scan.
+    * never window strings); window df is a `count over
+    * Window.partitionBy(h)` on that stream, so the corpus-sized frame
+    * crosses the wire EXACTLY ONCE (the h exchange feeding the window
+    * sort) and the per-doc rollup is a slim (doc_id, flag) shuffle.
+    * The first cut of this operator computed df as a separate groupBy
+    * and joined it back — two corpus-wide shuffles of the same 16-byte
+    * rows plus a checkpoint between them, and its measured top decade
+    * was e_xtop 1.14 (34 s at the 5M-doc point, storage-pressure-bound);
+    * the single-pass window shape is the same trade [[bucketPairs]]
+    * already measured in its favor. A boilerplate window shared by k
+    * docs is one window group of k rows — counted linearly, never
+    * joined quadratically.
     *
     * Distinct-window semantics: a window repeated INSIDE one doc counts
     * once (per-doc distinct is what the coverage denominator means);
-    * its df counts DOCUMENTS sharing it, matching the recursive
-    * intra-doc case only when another doc shares the window. */
+    * its df counts DOCUMENTS sharing it, so intra-doc repetition alone
+    * never marks a window duplicated. */
   def substringDedup(docs: DataFrame): DataFrame = {
-    val inv = docs
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("h"))
+    docs
       .select(col("doc_id"),
         explode(graft.functions.LshFunctions.hashedShingles(
           docs.sparkSession, tokens(col("text")), SubstrK)).as("h"))
-      .localCheckpoint(true) // 16 B/row; consumed by the df agg AND the join
-    val dfh = inv.groupBy(col("h")).agg(count(lit(1)).as("dfh"))
-    inv.join(dfh, "h")
+      .withColumn("dfh", count(lit(1)).over(w))
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_windows"),
         sum(when(col("dfh") >= 2, 1L).otherwise(0L)).as("n_dup_windows"))
