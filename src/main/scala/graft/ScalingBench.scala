@@ -49,7 +49,8 @@ object ScalingBench {
     "d06_embedding_neardup_prod", "d07_incremental_neardup",
     "d07b_small_delta", "d08_dedup_clusters", "d09_emb_dedup_clusters",
     "d10_dedup_survivors", "d11_substring_dedup",
-    "s02_ann_lsh", "s03_ann_ivf", "t11_bm25_search")
+    "s02_ann_lsh", "s03_ann_ivf", "t11_bm25_search",
+    "t12_multiquery_search")
 
   /** SPARK_GRAFT_SCALING_ONLY=a,b,c restricts the measured set — for
     * adding rows for NEW queries to an existing record without
@@ -87,7 +88,7 @@ object ScalingBench {
     "d06_embedding_neardup_prod",
     "d07_incremental_neardup", "d07b_small_delta",
     "d08_dedup_clusters", "d09_emb_dedup_clusters", "d10_dedup_survivors",
-    "d11_substring_dedup", "t11_bm25_search",
+    "d11_substring_dedup", "t11_bm25_search", "t12_multiquery_search",
     "s02_ann_lsh", "s03_ann_ivf",
     "d05_embedding_neardup")
 

@@ -71,6 +71,7 @@ object SparkEntry {
     "t09_decontamination" -> (TextAnalysis.decontaminate _),
     "t10_repetition"      -> (TextAnalysis.repetition _),
     "t11_bm25_search"     -> (TextAnalysis.bm25Search _),
+    "t12_multiquery_search" -> (TextAnalysis.bm25MultiSearch _),
     // training-data pipeline: deduplication
     "d01_dedup_exact"     -> (Dedup.exact _),
     "d02_minhash_lsh"     -> (Dedup.minhashLsh _),
@@ -424,6 +425,36 @@ object SparkEntry {
         |FROM t, s
         |WHERE tf0 + tf1 + tf2 > 0
         |ORDER BY doc_id""".stripMargin,
+    // batch BM25: queries as data, top-10 per query. Ranking compares
+    // across engines because 2-term score sums are order-independent
+    // (IEEE a+b commutes) and distinct (tf, dl, df) combinations
+    // separate scores by far more than the ≤1-ulp ln() drift (the s01
+    // cosine-rank precedent); ties break on doc_id in both engines.
+    "t12_multiquery_search" ->
+      """WITH q(query_id, term) AS (VALUES
+        |  (1,'spark'),(1,'window'),(2,'dup'),(2,'spark'),(3,'window'),(3,'dup')),
+        |d AS (SELECT doc_id, string_split(text,' ') AS w FROM documents),
+        |base AS (SELECT doc_id, len(w) AS dl FROM d),
+        |s AS (SELECT CAST(count(*) AS DOUBLE) AS n, sum(dl) AS sumdl FROM base),
+        |toks AS (SELECT doc_id, unnest(w) AS term FROM d),
+        |tf AS (
+        | SELECT t.doc_id, t.term, CAST(count(*) AS DOUBLE) AS tf
+        | FROM toks t JOIN (SELECT DISTINCT term FROM q) qt USING (term)
+        | GROUP BY 1, 2),
+        |dft AS (SELECT term, CAST(count(*) AS DOUBLE) AS dft FROM tf GROUP BY 1),
+        |score AS (
+        | SELECT q.query_id, tf.doc_id,
+        |  sum(ln(1.0 + (n - dft + 0.5)/(dft + 0.5)) * (tf * 2.2)
+        |   / (tf + 1.2*(0.25 + 0.75*CAST(dl AS DOUBLE)/(CAST(sumdl AS DOUBLE)/n)))) AS sc
+        | FROM tf JOIN q USING (term) JOIN dft USING (term)
+        |   JOIN base USING (doc_id), s
+        | GROUP BY 1, 2)
+        |SELECT query_id, rank, doc_id, bm25 FROM (
+        | SELECT CAST(query_id AS BIGINT) AS query_id, doc_id, round(sc, 4) AS bm25,
+        |  CAST(row_number() OVER (PARTITION BY query_id ORDER BY sc DESC, doc_id) AS BIGINT) AS rank
+        | FROM score)
+        |WHERE rank <= 10
+        |ORDER BY query_id, rank""".stripMargin,
     "d01_dedup_exact" ->
       """SELECT md5(lower(trim(text))) AS fp, min(doc_id) AS keep_id,
         | count(*) AS n_copies

@@ -438,6 +438,25 @@ object Dedup {
       posexplode(graft.functions.LshFunctions.lshSigs(
         s, col("v"), EmbSeed, bits, tables)).as(Seq("tbl", "sig")))
 
+  /** 63-bit sign signature for the rider screen: independent planes
+    * ([[ScreenSeed]] ≠ [[EmbSeed]], so screen bits are independent of
+    * the bucketing bits a candidate pair already agrees on), one long
+    * per vector, computed by the same codegen kernel as the bucketing
+    * signatures. */
+  private val ScreenSeed = 2L
+  private val ScreenBits = 63
+  /** Max disagreeing screen bits for a candidate pair to survive. Per
+    * bit, P(disagree) = acos(cosine)/π, so across 63 independent bits
+    * (exact binomial tails): a pair at exactly τ=0.8 (p=0.205,
+    * mean 12.9) passes w.p. 0.9996; true near-dups (cosine ≥0.95,
+    * mean ≤6.5) pass w.p. ≈1−1e-9; ambient candidates — the probe
+    * stream's bulk, cosine ~0–0.3 (mean 25–32 bits) — are killed at
+    * 59–96%. The 4e-4 boundary loss is absorbed into the family's
+    * disclosed probabilistic recall (the probe-decay term is 200×
+    * larger); the boundary-recall spec measures the END-TO-END family,
+    * screen included. */
+  private val ScreenMaxDisagree = 24
+
   /** Multi-probe LSH candidate pairs for the production family.
     *
     * Base signatures go into buckets as usual; each vector additionally
@@ -453,21 +472,40 @@ object Dedup {
     * p^bits + bits·p^(bits−1)(1−p), which at 19 bits / τ=0.8 lifts
     * family recall from ≈0.73 (r7, un-probed) to ≈0.92.
     *
+    * Probe volume is the family's cost center — O(n·tables·bits/2)
+    * rows (57M at the 200k-vector point), each join hit emitting a
+    * candidate pair. So the pair stream is screened IN-STAGE, the
+    * instant pairs form: both join sides carry the vector's 63-bit
+    * sign signature ([[ScreenSeed]] planes — the d03 simhash-rider
+    * pattern), and a fused bit_count XOR kills pairs disagreeing on
+    * more than [[ScreenMaxDisagree]] bits before anything downstream
+    * — no join, no shuffle, three codegen ops per pair, ~6× fewer
+    * rows reaching the sketch screen (measured at the 200k point).
+    *
     * Skew shape: probes join only into buckets at or under
     * [[ProdMaxBucket]] (within-cap pairs — including same-bucket pairs,
     * via the un-flipped probe — are exact-verified downstream);
     * oversized buckets emit chain + star-to-min connectivity links,
-    * same disclosure as [[bucketPairs]]. Output pairs are NOT
-    * deduplicated — the caller screens first, then distincts survivors
-    * (collision multiplicity is ~1 for ambient pairs, so screening
-    * before the distinct saves a full-width shuffle). */
+    * same disclosure as [[bucketPairs]] — connectivity links BYPASS the
+    * rider screen (they exist to keep capped clusters connected, and
+    * the exact verify still applies to them). Output pairs are NOT
+    * deduplicated — the caller screens at the sketch bound next, then
+    * distincts survivors (collision multiplicity is ~1 for ambient
+    * pairs, so screening before the distinct saves a full-width
+    * shuffle). */
   private[operators] def embCandidatesProbed(e: DataFrame, bits: Int): DataFrame = {
     val s = e.sparkSession
-    // materialized once (28 B/row): consumed by the bucket census, the
-    // probe generator, and the join build side — without the checkpoint
-    // the signature kernel would re-run per consumer
+    // materialized once (36 B/row with the rider): consumed by the
+    // bucket census, the probe generator, and the join build side —
+    // without the checkpoint the signature kernel would re-run per
+    // consumer
     val n = e.count() // cheap: every caller hands a checkpointed frame
-    val base = embSignatures(s, e, bits, ProbeEmbTables).localCheckpoint(true)
+    val base = e.select(col("vec_id"),
+        element_at(graft.functions.LshFunctions.lshSigs(
+          s, col("v"), ScreenSeed, ScreenBits, 1), 1).as("ss"),
+        posexplode(graft.functions.LshFunctions.lshSigs(
+          s, col("v"), EmbSeed, bits, ProbeEmbTables)).as(Seq("tbl", "sig")))
+      .localCheckpoint(true)
     // bucket census via one slim groupBy instead of a window over every
     // base row: only the (rare) OVERSIZED keys flow back, broadcast —
     // the full signature stream never pays a window shuffle+sort
@@ -491,16 +529,19 @@ object Dedup {
     val flips = array((0 until bits).map(i =>
       when(col("sig").bitwiseAND(lit(1L << i)) === 0,
         col("sig").bitwiseOR(lit(1L << i)))): _*)
-    val probes = base.select(col("vec_id").as("pa"), col("tbl"),
+    val probes = base.select(col("vec_id").as("pa"), col("ss").as("ssa"), col("tbl"),
       explode(concat(array(col("sig")), array_compact(flips))).as("sig"))
     // the probe stream is the big side (bits/2+1 rows per signature);
     // under the byte budget the base side broadcasts and probes flow
-    // through a codegen'd hash join with ZERO shuffle
+    // through a codegen'd hash join with ZERO shuffle. The rider
+    // screen fires in the SAME codegen stage the join output lives in:
+    // a killed pair costs one popcount, never a downstream row.
     probes
-      .join(bcastOrHashIf(28, n * ProbeEmbTables)(
-        small.select(col("vec_id").as("pb"), col("tbl"), col("sig"))),
+      .join(bcastOrHashIf(36, n * ProbeEmbTables)(
+        small.select(col("vec_id").as("pb"), col("ss").as("ssb"), col("tbl"), col("sig"))),
         Seq("tbl", "sig"))
-      .filter(col("pa") =!= col("pb"))
+      .filter(col("pa") =!= col("pb") &&
+        bit_count(col("ssa").bitwiseXOR(col("ssb"))) <= ScreenMaxDisagree)
       .select(least(col("pa"), col("pb")).as("vec_a"),
         greatest(col("pa"), col("pb")).as("vec_b"))
       .unionByName(chained)
@@ -608,13 +649,17 @@ object Dedup {
     *    against exact SQL every round.
     *
     * Verify shape (the r7 record put ~70% of d06's sf10 cost in this
-    * stage): candidates are screened FIRST by the provable
+    * stage): the candidate stream is screened TWICE before the
+    * expensive work — in-stage by the 63-bit sign rider
+    * ([[ScreenMaxDisagree]]: one popcount per pair, kills the ambient
+    * bulk at formation; probabilistic, 4e-4 boundary loss folded into
+    * the family's disclosed recall), then by the provable
     * [[embSketch]] cosine upper bound — 136 B sketches attach instead
-    * of 512 B vectors, and ambient pairs (the overwhelming majority)
-    * die at the bound; survivors are then distinct'd (result-sized)
-    * and only they pay the full-vector exact-cosine join. Under the
-    * [[bcastIf]] byte budget the sketch/vector sides broadcast and the
-    * candidate stream never shuffles at all.
+    * of 512 B vectors, and surviving ambient pairs die at the bound;
+    * survivors are then distinct'd (result-sized) and only they pay
+    * the full-vector exact-cosine join. Under the [[bcastIf]] byte
+    * budget the sketch/vector sides broadcast and the candidate
+    * stream never shuffles at all.
     * Per-query ANN over the same signatures is Similarity.annLsh. */
   def embeddingNearDup(embeddings: DataFrame,
       tau: Double = 0.45): DataFrame = {

@@ -296,6 +296,77 @@ object TextAnalysis {
   def bm25TopK(docs: DataFrame, terms: Seq[String], k: Int): DataFrame =
     bm25(docs, terms).orderBy(col("bm25").desc, col("doc_id")).limit(k)
 
+  /** Batch (multi-query) BM25 top-k — the serving shape: a query SET
+    * scored against the corpus in ONE pass, top-k per query. Where
+    * [[bm25]] hard-codes its terms into per-doc expressions, this form
+    * takes queries as DATA ((query_id, term) rows), so a pipeline can
+    * score thousands of queries per batch.
+    *
+    * Plan shape (scale-first): the corpus explodes to (doc_id, dl,
+    * term) and is immediately pruned by a BROADCAST semi-join against
+    * the distinct query terms — the corpus-sized stream flows through
+    * a codegen'd hash probe and never shuffles; everything after
+    * (per-doc tf, per-term df, per-query score, top-k window) operates
+    * on the matched subset, which is query-selectivity-sized, not
+    * corpus-sized. Corpus stats (N, Σdl) reduce to one broadcast row
+    * off a second pure-map scan. Top-k per query is a rank window over
+    * the per-query score frame with doc_id tie-break, deterministic
+    * across engines (score sums are 2-term, hence order-independent
+    * in IEEE doubles; cross-engine drift is the ≤1-ulp ln() as in
+    * [[bm25]], far from the round(·,4) the oracle hashes).
+    *
+    * The query-term broadcast assumes the query SET's vocabulary fits
+    * an executor (thousands of queries — the serving norm); a
+    * corpus-sized query set would want the inverted-index join form
+    * instead ([[graft.index.InvertedIndex]]). */
+  def bm25MultiQuery(docs: DataFrame, queries: DataFrame, k: Int): DataFrame = {
+    val base = docs.select(col("doc_id"), tokens(col("text")).as("w"))
+      .select(col("doc_id"), col("w"), size(col("w")).cast("long").as("dl"))
+    val stats = base.agg(
+      count(lit(1)).cast("double").as("n"), sum(col("dl")).as("sumdl"))
+    val qTerms = queries.select(col("term")).distinct()
+    val matched = base
+      .select(col("doc_id"), col("dl"), explode(col("w")).as("term"))
+      .join(broadcast(qTerms), Seq("term"), "left_semi")
+    val tf = matched.groupBy(col("doc_id"), col("dl"), col("term"))
+      .agg(count(lit(1)).cast("double").as("tf"))
+    val dft = tf.groupBy(col("term")).agg(count(lit(1)).cast("double").as("dft"))
+    val avgdl = col("sumdl").cast("double") / col("n")
+    val contrib =
+      log(lit(1.0) + (col("n") - col("dft") + 0.5) / (col("dft") + 0.5)) *
+        (col("tf") * (Bm25K1 + 1)) /
+        (col("tf") +
+          lit(Bm25K1) * (lit(1 - Bm25B) + lit(Bm25B) * col("dl").cast("double") / avgdl))
+    val scored = tf
+      .join(broadcast(dft), "term")
+      .crossJoin(broadcast(stats))
+      .join(broadcast(queries), "term")
+      .withColumn("c", contrib)
+      .groupBy(col("query_id"), col("doc_id"))
+      .agg(sum(col("c")).as("sc"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id")).orderBy(col("sc").desc, col("doc_id"))
+    scored
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("doc_id"),
+        round(col("sc"), 4).as("bm25"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  /** Driver binding (t12): three 2-term queries over the t06
+    * vocabulary, top-10 each. Two terms per query keeps the score sum
+    * order-independent bit-for-bit (a+b is commutative in IEEE
+    * doubles), so the per-query ranking hash-matches the oracle. */
+  def bm25MultiSearch(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val q = Seq(
+      (1L, "spark"), (1L, "window"),
+      (2L, "dup"), (2L, "spark"),
+      (3L, "window"), (3L, "dup")).toDF("query_id", "term")
+    bm25MultiQuery(Tables.load(s, dir, "documents"), q, k = 10)
+  }
+
   /** Content fingerprints: md5 (exact-dup key) + order-sensitive rolling
     * hash (cheap near-identity check for shifted content). */
   def fingerprints(docs: DataFrame): DataFrame =

@@ -534,6 +534,26 @@ class PipelineOpsSpec extends SparkSpec {
     assert(got.forall(_.getAs[Double]("bm25") > 0))
   }
 
+  test("multi-query BM25 agrees with the single-query form per query") {
+    import org.apache.spark.sql.functions._
+    val docs = graft.core.Tables.load(spark, Sf001, "documents")
+    // query 1 of the t12 binding = terms (spark, window); the same
+    // formula over the same corpus stats must give bit-identical
+    // rounded scores in both forms (2-term sums commute in IEEE)
+    val single = TextAnalysis.bm25(docs, Seq("spark", "window")).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Double]("bm25")).toMap
+    val multi = TextAnalysis.bm25MultiSearch(spark, Sf001).collect()
+      .filter(_.getAs[Long]("query_id") == 1L)
+    assert(multi.nonEmpty && multi.length <= 10)
+    multi.foreach { r =>
+      val (id, sc) = (r.getAs[Long]("doc_id"), r.getAs[Double]("bm25"))
+      assert(single.get(id).contains(sc), s"doc $id: multi=$sc single=${single.get(id)}")
+    }
+    // ranks descend in score with doc_id tie-break
+    val scores = multi.sortBy(_.getAs[Long]("rank")).map(_.getAs[Double]("bm25"))
+    assert(scores.zip(scores.tail).forall { case (a, b) => a >= b })
+  }
+
   test("exact duplicates have full substring-dup coverage (ratio 1.0)") {
     import org.apache.spark.sql.functions._
     // the benchmark corpus has no exact text copies (d01: 500 groups /
