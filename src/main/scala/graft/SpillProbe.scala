@@ -18,7 +18,7 @@ object SpillProbe {
 
   private val Probed = Seq("d02_minhash_lsh", "d03_simhash",
     "d04_ngram_jaccard", "d06_embedding_neardup_prod", "s02_ann_lsh",
-    "q06_window")
+    "q06_window", "d11_substring_dedup", "t12_multiquery_search")
 
   def main(args: Array[String]): Unit = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
