@@ -50,7 +50,7 @@ object ScalingBench {
     "d07b_small_delta", "d08_dedup_clusters", "d09_emb_dedup_clusters",
     "d10_dedup_survivors", "d11_substring_dedup",
     "s02_ann_lsh", "s03_ann_ivf", "t11_bm25_search",
-    "t12_multiquery_search")
+    "t12_multiquery_search", "t13_keyword_tfidf")
 
   /** SPARK_GRAFT_SCALING_ONLY=a,b,c restricts the measured set — for
     * adding rows for NEW queries to an existing record without
@@ -89,6 +89,7 @@ object ScalingBench {
     "d07_incremental_neardup", "d07b_small_delta",
     "d08_dedup_clusters", "d09_emb_dedup_clusters", "d10_dedup_survivors",
     "d11_substring_dedup", "t11_bm25_search", "t12_multiquery_search",
+    "t13_keyword_tfidf",
     "s02_ann_lsh", "s03_ann_ivf",
     "d05_embedding_neardup")
 

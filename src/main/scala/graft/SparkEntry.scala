@@ -72,6 +72,7 @@ object SparkEntry {
     "t10_repetition"      -> (TextAnalysis.repetition _),
     "t11_bm25_search"     -> (TextAnalysis.bm25Search _),
     "t12_multiquery_search" -> (TextAnalysis.bm25MultiSearch _),
+    "t13_keyword_tfidf"   -> (TextAnalysis.keywords _),
     // training-data pipeline: deduplication
     "d01_dedup_exact"     -> (Dedup.exact _),
     "d02_minhash_lsh"     -> (Dedup.minhashLsh _),
@@ -455,6 +456,28 @@ object SparkEntry {
         | FROM score)
         |WHERE rank <= 10
         |ORDER BY query_id, rank""".stripMargin,
+    // per-doc TF-IDF keywords: ties (equal tf and df) break on term;
+    // distinct (tf, df) combinations separate scores far beyond ln()'s
+    // 1-ulp engine drift (s01 rank-on-double precedent)
+    "t13_keyword_tfidf" ->
+      """WITH inv AS (
+        | SELECT doc_id, unnest(string_split(text,' ')) AS term FROM documents),
+        |tf AS (
+        | SELECT doc_id, term, CAST(count(*) AS DOUBLE) AS tf
+        | FROM inv GROUP BY 1, 2),
+        |n AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM documents),
+        |wd AS (
+        | SELECT doc_id, term, tf,
+        |  CAST(count(*) OVER (PARTITION BY term) AS DOUBLE) AS df
+        | FROM tf),
+        |sc AS (SELECT doc_id, term, tf * ln((n + 1.0)/(df + 1.0)) AS s FROM wd, n),
+        |r AS (
+        | SELECT doc_id, term, s,
+        |  CAST(row_number() OVER (PARTITION BY doc_id ORDER BY s DESC, term) AS BIGINT) AS rank
+        | FROM sc)
+        |SELECT doc_id, rank, term, round(s, 4) AS tfidf
+        |FROM r WHERE rank <= 3
+        |ORDER BY doc_id, rank""".stripMargin,
     "d01_dedup_exact" ->
       """SELECT md5(lower(trim(text))) AS fp, min(doc_id) AS keep_id,
         | count(*) AS n_copies

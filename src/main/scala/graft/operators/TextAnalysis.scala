@@ -367,6 +367,42 @@ object TextAnalysis {
     bm25MultiQuery(Tables.load(s, dir, "documents"), q, k = 10)
   }
 
+  /** Per-document TF-IDF keyword extraction: the top-k terms of each
+    * doc by tf·idf (idf = ln((N+1)/(df+1)), nonnegative, 0 for a term
+    * in every doc) — the feature-extraction / dataset-card shape
+    * (characteristic terms per document against corpus statistics).
+    *
+    * Plan shape: one corpus scan explodes tokens; per-(doc, term) tf is
+    * a groupBy; per-term df rides a `count over Window.partitionBy
+    * (term)` on the tf frame (the d11 single-pass shape — no vocab
+    * join, no second corpus shuffle for df); the per-doc top-k is a
+    * rank window on doc_id. Three corpus-proportional exchanges total,
+    * each of slim (doc, term, counts) rows, all linear.
+    *
+    * Determinism: tf/df/N are exact integers; ties (equal tf AND df →
+    * bit-identical score on both engines) break on term; distinct
+    * (tf, df) pairs separate scores far beyond the ≤1-ulp ln() drift
+    * (the s01 rank-on-double precedent). */
+  def keywords(docs: DataFrame, k: Int = 3): DataFrame = {
+    val wTerm = org.apache.spark.sql.expressions.Window.partitionBy(col("term"))
+    val wDoc = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("s").desc, col("term"))
+    val stats = docs.agg(count(lit(1)).cast("double").as("n"))
+    docs.select(col("doc_id"), explode(tokens(col("text"))).as("term"))
+      .groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).cast("double").as("tf"))
+      .withColumn("df", count(lit(1)).over(wTerm).cast("double"))
+      .crossJoin(broadcast(stats))
+      .withColumn("s", col("tf") * log((col("n") + 1.0) / (col("df") + 1.0)))
+      .withColumn("rank", row_number().over(wDoc).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("doc_id"), col("rank"), col("term"), round(col("s"), 4).as("tfidf"))
+      .orderBy(col("doc_id"), col("rank"))
+  }
+
+  def keywords(s: SparkSession, dir: String): DataFrame =
+    keywords(Tables.load(s, dir, "documents"))
+
   /** Content fingerprints: md5 (exact-dup key) + order-sensitive rolling
     * hash (cheap near-identity check for shifted content). */
   def fingerprints(docs: DataFrame): DataFrame =

@@ -84,6 +84,28 @@ class FrameApiSpec extends SparkSpec {
     assert(top.length == 2 && top.head == 1L, s"got ${top.toSeq}")
   }
 
+  test("tf-idf keywords rank rare terms over ubiquitous ones") {
+    val docs = docsDf(
+      1L -> "common common common zebra common common",
+      2L -> "common words fill this doc entirely now",
+      3L -> "common words appear here too again today")
+    val kw = TextAnalysis.keywords(docs, k = 2).collect()
+      .groupBy(_.getAs[Long]("doc_id"))
+    // 'zebra' (df 1) beats 'common' (df 3, idf ln(4/4)=0) despite tf 5
+    assert(kw(1L).head.getAs[String]("term") == "zebra", s"got ${kw(1L).toSeq}")
+    // a term in every doc scores exactly 0
+    val common = TextAnalysis.keywords(docs, k = 10).collect()
+      .filter(_.getAs[String]("term") == "common")
+    assert(common.forall(_.getAs[Double]("tfidf") == 0.0))
+    // ranks are 1..k with non-increasing scores
+    kw.values.foreach { rows =>
+      val sorted = rows.sortBy(_.getAs[Long]("rank"))
+      assert(sorted.map(_.getAs[Long]("rank")).toSeq == (1L to sorted.length))
+      val s = sorted.map(_.getAs[Double]("tfidf"))
+      assert(s.zip(s.tail).forall { case (a, b) => a >= b })
+    }
+  }
+
   test("substring dedup coverage counts shared 8-token windows only") {
     val span = "one two three four five six seven eight nine ten"
     val docs = docsDf(
