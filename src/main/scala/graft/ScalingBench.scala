@@ -48,7 +48,7 @@ object ScalingBench {
     "d04_ngram_jaccard", "d05_embedding_neardup",
     "d06_embedding_neardup_prod", "d07_incremental_neardup",
     "d07b_small_delta", "d08_dedup_clusters", "d09_emb_dedup_clusters",
-    "d10_dedup_survivors", "d11_substring_dedup",
+    "d10_dedup_survivors", "d11_substring_dedup", "d12_joint_survivors",
     "s02_ann_lsh", "s03_ann_ivf", "t11_bm25_search",
     "t12_multiquery_search", "t13_keyword_tfidf")
 
@@ -88,8 +88,8 @@ object ScalingBench {
     "d06_embedding_neardup_prod",
     "d07_incremental_neardup", "d07b_small_delta",
     "d08_dedup_clusters", "d09_emb_dedup_clusters", "d10_dedup_survivors",
-    "d11_substring_dedup", "t11_bm25_search", "t12_multiquery_search",
-    "t13_keyword_tfidf",
+    "d11_substring_dedup", "d12_joint_survivors",
+    "t11_bm25_search", "t12_multiquery_search", "t13_keyword_tfidf",
     "s02_ann_lsh", "s03_ann_ivf",
     "d05_embedding_neardup")
 

@@ -85,6 +85,7 @@ object SparkEntry {
     "d09_emb_dedup_clusters" -> (Dedup.embDedupClusters _),
     "d10_dedup_survivors" -> (Dedup.dedupSurvivors _),
     "d11_substring_dedup" -> (Dedup.substringDedup _),
+    "d12_joint_survivors" -> (Dedup.jointSurvivors _),
     // training-data pipeline: similarity search
     "s01_ann_brute"       -> (Similarity.annBrute _),
     "s02_ann_lsh"         -> (Similarity.annLsh _),
@@ -650,6 +651,55 @@ object SparkEntry {
         |       / CAST(count(*) AS DOUBLE), 4) AS dup_ratio
         |FROM inv JOIN dfh USING (h)
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // cross-modal survivors: the d10 text closure AND the embedding
+    // closure over the drop-planted corpus (planted ids BELOW their
+    // twins, so the real doc is the non-min drop), drop if non-min in
+    // either modality
+    "d12_joint_survivors" ->
+      """WITH RECURSIVE sh AS (
+        | SELECT doc_id,
+        |  list_distinct([w[i]||' '||w[i+1]||' '||w[i+2]
+        |                 for i in range(1, len(w)-1)]) AS sh
+        | FROM (SELECT doc_id, string_split(text,' ') AS w FROM documents)),
+        |tpairs AS (
+        | SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+        | FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        | WHERE len(list_intersect(a.sh,b.sh))
+        |  / CAST(len(a.sh)+len(b.sh)-len(list_intersect(a.sh,b.sh)) AS DOUBLE) >= 0.8),
+        |tedges AS (
+        | SELECT doc_a AS u, doc_b AS v FROM tpairs
+        | UNION
+        | SELECT doc_b AS u, doc_a AS v FROM tpairs),
+        |treach AS (
+        | SELECT u, u AS r FROM (SELECT DISTINCT u FROM tedges)
+        | UNION
+        | SELECT e.u, treach.r FROM tedges e JOIN treach ON e.v = treach.u),
+        |tdropped AS (
+        | SELECT u FROM treach GROUP BY u HAVING min(r) <> u),
+        |corpus AS (
+        | SELECT vec_id, CAST(embedding AS DOUBLE[]) AS embedding FROM embeddings
+        | UNION ALL
+        | SELECT -(vec_id + 1),
+        |  [embedding[i] * (1.0 + 0.1*cos(i-1)) for i in range(1, len(embedding)+1)]
+        | FROM embeddings WHERE vec_id < 20),
+        |epairs AS (
+        | SELECT a.vec_id AS va, b.vec_id AS vb
+        | FROM corpus a JOIN corpus b ON a.vec_id < b.vec_id
+        | WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.8),
+        |eedges AS (
+        | SELECT va AS u, vb AS v FROM epairs
+        | UNION
+        | SELECT vb AS u, va AS v FROM epairs),
+        |ereach AS (
+        | SELECT u, u AS r FROM (SELECT DISTINCT u FROM eedges)
+        | UNION
+        | SELECT e.u, ereach.r FROM eedges e JOIN ereach ON e.v = ereach.u),
+        |edropped AS (
+        | SELECT u FROM ereach GROUP BY u HAVING min(r) <> u)
+        |SELECT doc_id, n_chars FROM documents
+        |WHERE doc_id NOT IN (SELECT u FROM tdropped)
+        |  AND doc_id NOT IN (SELECT u FROM edropped)
+        |ORDER BY doc_id""".stripMargin,
     "s01_ann_brute" ->
       """SELECT query_id, rank, neighbor_id, cosine FROM (
         | SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,

@@ -1029,4 +1029,52 @@ object Dedup {
 
   def dedupSurvivors(s: SparkSession, dir: String): DataFrame =
     dedupSurvivors(Tables.load(s, dir, "documents"))
+
+  /** Cross-modal deduplicated corpus (d12) — the pipeline capstone: a
+    * document survives only if BOTH modalities keep it — it is its
+    * component's min (or unpaired) in the text near-dup graph
+    * ([[dedupClusters]]) AND in the embedding near-dup graph over the
+    * row with the matching id ([[embDedupClusters]]). One decision
+    * join: the two (small) drop sets union and anti-join the corpus,
+    * which streams through un-shuffled exactly as in
+    * [[dedupSurvivors]]. Ids present in only one modality are judged
+    * by that modality alone (the anti-join ignores the absent side) —
+    * the semantics a mixed-coverage corpus needs. */
+  def jointSurvivors(docs: DataFrame, embeddings: DataFrame,
+      tau: Double = ProductionEmbTau): DataFrame = {
+    val textDrop = dedupClusters(docs)
+      .filter(col("doc_id") =!= col("cluster_id")).select(col("doc_id"))
+    val embDrop = embDedupClusters(embeddings, tau)
+      .filter(col("vec_id") =!= col("cluster_id"))
+      .select(col("vec_id").as("doc_id"))
+    docs.join(textDrop.unionByName(embDrop).distinct(), Seq("doc_id"), "left_anti")
+      .select(col("doc_id"), col("n_chars"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** The d12 demo corpus: like [[plantedProductionCorpus]] but the
+    * perturbed re-entries carry ids BELOW their twins (−(vec_id+1) <
+    * 0 ≤ vec_id), so the component MIN is the synthetic row and the
+    * REAL document is the dropped member. Under the d06/d09 planting
+    * (+10⁶) every embedding drop is a synthetic id that matches no
+    * document, and the cross-modal join would be vacuously equal to
+    * the text-only d10 — this variant makes the embedding modality
+    * actually remove documents, which is what d12 exists to
+    * demonstrate. Mirrored verbatim in the d12 oracle SQL. */
+  def plantedDropCorpus(e: DataFrame): DataFrame = {
+    val base = e.select(col("vec_id"),
+      col("embedding").cast("array<double>").as("embedding"))
+    val planted = base.filter(col("vec_id") < 20)
+      .select((-(col("vec_id") + 1L)).as("vec_id"),
+        expr("transform(embedding, (x, i) -> x * (1.0 + 0.1*cos(i)))")
+          .as("embedding"))
+    base.unionByName(planted)
+  }
+
+  /** d12 driver binding: embeddings = [[plantedDropCorpus]], so the
+    * embedding modality drops real docs 0–19 (where not already
+    * text-dropped) on top of the text drops. */
+  def jointSurvivors(s: SparkSession, dir: String): DataFrame =
+    jointSurvivors(Tables.load(s, dir, "documents"),
+      plantedDropCorpus(Tables.load(s, dir, "embeddings")))
 }

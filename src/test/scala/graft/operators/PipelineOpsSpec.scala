@@ -554,6 +554,22 @@ class PipelineOpsSpec extends SparkSpec {
     assert(scores.zip(scores.tail).forall { case (a, b) => a >= b })
   }
 
+  test("joint survivors = text survivors minus embedding-modality drops") {
+    import org.apache.spark.sql.functions._
+    val docs = graft.core.Tables.load(spark, Sf001, "documents")
+    val textSurv = Dedup.dedupSurvivors(docs).collect().map(_.getLong(0)).toSet
+    val embDrops = Dedup.embDedupClusters(
+      Dedup.plantedDropCorpus(graft.core.Tables.load(spark, Sf001, "embeddings")))
+      .filter(col("vec_id") =!= col("cluster_id"))
+      .collect().map(_.getLong(0)).toSet
+    val joint = Dedup.jointSurvivors(spark, Sf001).collect().map(_.getLong(0)).toSet
+    assert(joint == textSurv -- embDrops)
+    // the drop planting makes the embedding modality remove REAL docs:
+    // the composition must be strictly smaller than the text-only set
+    assert(joint.size < textSurv.size,
+      "embedding modality should drop at least one real doc (non-vacuous)")
+  }
+
   test("exact duplicates have full substring-dup coverage (ratio 1.0)") {
     import org.apache.spark.sql.functions._
     // the benchmark corpus has no exact text copies (d01: 500 groups /
