@@ -74,8 +74,32 @@ object Bench {
         r.map(name -> _)
       }
     val rs = recalls.map { case (k, v) => f""""$k":$v%.3f""" }.mkString("{", ",", "}")
+    // Composable-pipeline measurement: the d08–d12 catalog entries are
+    // self-contained by contract (each binding recomputes from raw
+    // inputs), while the DedupPipeline API computes each modality's
+    // cluster frame once. Two timed phases over ONE pipeline instance —
+    // cluster materialization (cold), then the d10+d12 decision joins
+    // derived from the materialized frames — so the record shows what
+    // d12 costs when the clusters already exist (~one anti-join),
+    // next to its cold catalog number above.
+    val pipelineJson = {
+      def time(f: => Unit): Double =
+        { val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9 }
+      try {
+        val docs = graft.core.Tables.load(spark, sfDir, "documents")
+        val emb = graft.operators.Dedup.plantedDropCorpus(
+          graft.core.Tables.load(spark, sfDir, "embeddings"))
+        val p = graft.operators.DedupPipeline(docs, emb)
+        val tc = time { p.textClusters.count(); p.embClusters.count(); () }
+        val td = time { p.survivors.count(); p.jointSurvivors.count(); () }
+        f""""pipeline":{"clusters_sec":$tc%.3f,"decisions_sec":$td%.3f,"total_sec":${tc + td}%.3f}"""
+      } catch { case e: Throwable =>
+        System.err.println(s"[bench] pipeline failed: ${e.getMessage}")
+        """"pipeline":{}"""
+      } finally { graft.core.Caching.releaseAll(spark); () }
+    }
     val total = results.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"recall":$rs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"recall":$rs,$pipelineJson,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

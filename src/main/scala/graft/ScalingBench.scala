@@ -322,6 +322,46 @@ object ScalingBench {
       scala.collection.mutable.LinkedHashMap[String, Double]]()
     dirs.foreach { case (sf, dir) =>
       graft.core.Tables.registerAll(spark, dir)
+      // Pipeline-shape rows (run FIRST at each SF, before the catalog
+      // queries — at sf10 the catalog ends with d05's by-design failure
+      // and nothing measured may inherit its aftermath): one
+      // DedupPipeline instance, two timed phases — cluster
+      // materialization cold, then the d10+d12 decision joins over the
+      // materialized frames. The pair answers "what does the composed
+      // corpus pass cost" and "what does a decision cost once the
+      // clusters exist" — the two numbers the catalog's self-contained
+      // d10/d12 rows structurally cannot show.
+      val dpNames = Seq("dp_cluster_build", "dp_decision_join")
+      if (only(dpNames)(identity).nonEmpty) {
+        def oncePair(): Seq[(String, (Double, String))] = {
+          val p = graft.operators.DedupPipeline(
+            graft.core.Tables.load(spark, dir, "documents"),
+            graft.operators.Dedup.plantedDropCorpus(
+              graft.core.Tables.load(spark, dir, "embeddings")))
+          val a = attempt(spark, "dp_cluster_build", sf,
+            () => { p.textClusters.count(); p.embClusters.count(); () })
+          val b =
+            if (a._1 < 0) (-1.0, "cluster build failed")
+            else attempt(spark, "dp_decision_join", sf,
+              () => { p.survivors.count(); p.jointSurvivors.count(); () })
+          graft.core.Caching.releaseAll(spark)
+          Seq("dp_cluster_build" -> a, "dp_decision_join" -> b)
+        }
+        val r1 = oncePair()
+        val r2 = if (r1.head._2._1 < 0) r1 else oncePair()
+        dpNames.foreach { name =>
+          val (ta, ea) = r1.find(_._1 == name).get._2
+          val (tb, eb) = r2.find(_._1 == name).get._2
+          val best = if (ta < 0 || tb < 0) math.max(ta, tb) else math.min(ta, tb)
+          times.getOrElseUpdate(name,
+            scala.collection.mutable.LinkedHashMap[String, Double]()).put(sf, best)
+          if (best < 0)
+            errors.getOrElseUpdate(name,
+              scala.collection.mutable.LinkedHashMap[String, String]())
+              .put(sf, if (ea != null) ea else eb)
+          System.err.println(f"[scaling] $name @ sf$sf: $best%.3f s")
+        }
+      }
       (if (sf == "10") MeasuredSf10 else Measured).foreach { name =>
         def once(): (Double, String) = {
           val r = attempt(spark, name, sf,
@@ -378,9 +418,31 @@ object ScalingBench {
         .getOrElse("")
       s""""$name":{$ts,"e_mid":${e("0.01", "0.1")},"e_top":${e("0.1", "1")}$xtop$errs$recs}"""
     }.mkString("{", ",", "}")
-    val line = s"""{"metric":"scaling","unit":"sec/decade-exponent","queries":$json}"""
+    val outFile = sys.env.getOrElse("SPARK_GRAFT_SCALING_OUT", "SCALING_r09.json")
+    // Under SPARK_GRAFT_SCALING_ONLY the run measured a SUBSET — merge
+    // it into the existing record's queries map instead of overwriting
+    // the file wholesale (the var exists to ADD rows to a frozen record;
+    // before this merge, running with ONLY set and the default OUT path
+    // silently destroyed the record's other rows).
+    val merged = (sys.env.get("SPARK_GRAFT_SCALING_ONLY"), new java.io.File(outFile)) match {
+      case (Some(_), f) if f.exists() =>
+        val prior = scala.io.Source.fromFile(f)
+        val priorLine = try prior.mkString.trim finally prior.close()
+        // query entries are one brace level deep with flat value objects,
+        // so a non-greedy single-level match extracts each entry intact
+        val entry = "\"([A-Za-z0-9_]+)\":\\{([^{}]*)\\}".r
+        def entries(s: String) = {
+          val qStart = s.indexOf("\"queries\":")
+          if (qStart < 0) Seq.empty
+          else entry.findAllMatchIn(s.substring(qStart)).map(m => m.group(1) -> m.group(2)).toSeq
+        }
+        val keep = scala.collection.mutable.LinkedHashMap(entries(priorLine): _*)
+        entries(s"""{"queries":$json}""").foreach { case (k, v) => keep(k) = v }
+        keep.map { case (k, v) => s""""$k":{$v}""" }.mkString("{", ",", "}")
+      case _ => json
+    }
+    val line = s"""{"metric":"scaling","unit":"sec/decade-exponent","queries":$merged}"""
     println(line)
-    val outFile = sys.env.getOrElse("SPARK_GRAFT_SCALING_OUT", "SCALING_r08.json")
     val pw = new java.io.PrintWriter(outFile)
     try pw.println(line) finally pw.close()
     spark.stop()

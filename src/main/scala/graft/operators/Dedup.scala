@@ -463,8 +463,10 @@ object Dedup {
     * PROBES every single-bit 0→1 flip of its signature. A pair whose
     * signatures differ in exactly one bit has a 0 on one side at the
     * differing position, so that side's flip probe lands exactly on the
-    * other's base signature — all ≤1-bit-mismatch pairs are found
-    * deterministically while emitting only (bits/2 + 1) expected probes
+    * other's base signature — all ≤1-bit-mismatch pairs are found by
+    * the probe geometry deterministically, then subject to the rider
+    * screen's 4e-4 boundary loss below — while emitting only
+    * (bits/2 + 1) expected probes
     * per row instead of (bits + 1) (flipping 1→0 too would find each
     * such pair twice). This is the same recall mechanism as
     * [[Similarity.annLsh]]'s query probes, applied symmetrically to the
@@ -947,20 +949,42 @@ object Dedup {
     * O(chain length) rounds on a path graph; jumping (label ←
     * label-of-label) halves distance-to-root per round. Each round is
     * two self-joins + one aggregate over the (node, label) frame,
-    * lineage kept flat with an eager localCheckpoint (at cluster scale:
-    * checkpoint to durable storage instead). Fixpoint ⇒ every label is
-    * its component's min: the min labels itself, and any frontier node
-    * adjacent to a min-labeled node would still change — so no
-    * non-uniform fixpoint exists. */
+    * lineage kept flat with an eager checkpoint per round. Fixpoint ⇒
+    * every label is its component's min: the min labels itself, and
+    * any frontier node adjacent to a min-labeled node would still
+    * change — so no non-uniform fixpoint exists.
+    *
+    * Fixed-cost floor (small inputs): each round runs exactly TWO jobs
+    * — the eager checkpoint of the round's label frame (which carries
+    * the previous label alongside the new one) and a count() that
+    * scans that materialized frame for changed labels. The earlier
+    * shape paid a third edge-sized join per round just to compute
+    * `changed`; convergence now reads the delta off the frame the
+    * round materialized anyway. The edge list is pre-partitioned on
+    * its join key once, so the per-round neighbor join re-shuffles
+    * only the (small) label frame, never the edges.
+    *
+    * Checkpoint durability: rounds checkpoint via localCheckpoint
+    * (executor blocks — right for one machine) unless
+    * `spark.graft.cc.checkpointDir` is set, in which case rounds
+    * checkpoint to that durable directory — the cluster-scale option:
+    * localCheckpoint blocks die with an executor, and a lost block
+    * kills the whole iterative job at depth. */
   private[operators] def clustersFromPairs(pairs: DataFrame): DataFrame = {
-    val edges = pairs
+    val s = pairs.sparkSession
+    val ccDir = s.conf.getOption("spark.graft.cc.checkpointDir")
+    ccDir.foreach { d =>
+      if (s.sparkContext.getCheckpointDir.isEmpty) s.sparkContext.setCheckpointDir(d)
+    }
+    def ck(df: DataFrame): DataFrame =
+      if (ccDir.isDefined) df.checkpoint(true) else df.localCheckpoint(true)
+    val edges = ck(pairs
       .select(col("doc_a").as("u"), col("doc_b").as("v"))
       .unionByName(pairs.select(col("doc_b").as("u"), col("doc_a").as("v")))
-      .localCheckpoint(true)
-    var p = edges.groupBy(col("u"))
+      .repartition(col("v")))
+    var p = ck(edges.groupBy(col("u"))
       .agg(min(col("v")).as("m"))
-      .select(col("u").as("v"), least(col("u"), col("m")).as("p"))
-      .localCheckpoint(true)
+      .select(col("u").as("v"), least(col("u"), col("m")).as("p")))
     var changed = 1L
     var rounds = 0
     while (changed > 0) {
@@ -973,12 +997,13 @@ object Dedup {
       val nbr = edges.join(p, "v")
         .groupBy(col("u")).agg(min(col("p")).as("np"))
         .withColumnRenamed("u", "v")
-      val next = jumped.join(nbr, Seq("v"))
-        .select(col("v"), least(col("p0"), col("jp"), col("np")).as("p"))
-        .localCheckpoint(true)
-      changed = next.join(p.withColumnRenamed("p", "prev"), Seq("v"))
-        .filter(col("p") =!= col("prev")).count()
-      p = next
+      // the round frame keeps the previous label (p0) next to the new
+      // one: convergence is a filter over this checkpointed frame, not
+      // another join against the previous round
+      val next = ck(jumped.join(nbr, Seq("v"))
+        .select(col("v"), col("p0"), least(col("p0"), col("jp"), col("np")).as("p")))
+      changed = next.filter(col("p") =!= col("p0")).count()
+      p = next.select(col("v"), col("p"))
     }
     p.select(col("v").as("doc_id"), col("p").as("cluster_id"))
       .orderBy(col("doc_id"))
@@ -987,9 +1012,11 @@ object Dedup {
   /** Duplicate clusters from the MinHash near-dup pair graph (d08):
     * exact-verified pairs ([[minhashLsh]]) → connected components →
     * (doc_id, cluster_id). Oracle: transitive closure by recursive CTE
-    * over the same exact pair predicate. */
+    * over the same exact pair predicate. Thin view over a fresh
+    * [[DedupPipeline]] — hold a pipeline instance instead to share the
+    * cluster frame across downstream derivations. */
   def dedupClusters(docs: DataFrame): DataFrame =
-    clustersFromPairs(minhashLsh(docs).select(col("doc_a"), col("doc_b")))
+    DedupPipeline.text(docs).textClusters.orderBy(col("doc_id"))
 
   def dedupClusters(s: SparkSession, dir: String): DataFrame =
     dedupClusters(Tables.load(s, dir, "documents"))
@@ -1003,10 +1030,7 @@ object Dedup {
     * as d06); oracle: recursive-CTE closure of the exact cosine≥τ pair
     * predicate. */
   def embDedupClusters(embeddings: DataFrame, tau: Double = ProductionEmbTau): DataFrame =
-    clustersFromPairs(
-      embeddingNearDup(embeddings, tau)
-        .select(col("vec_a").as("doc_a"), col("vec_b").as("doc_b")))
-      .select(col("doc_id").as("vec_id"), col("cluster_id"))
+    DedupPipeline.emb(embeddings, tau).embClusters.orderBy(col("vec_id"))
 
   def embDedupClusters(s: SparkSession, dir: String): DataFrame =
     embDedupClusters(plantedProductionCorpus(Tables.load(s, dir, "embeddings")))
@@ -1020,12 +1044,7 @@ object Dedup {
     * transitive groups (a~b, b~c: b and c both dropped leaves c's
     * cluster without its representative). */
   def dedupSurvivors(docs: DataFrame): DataFrame =
-    docs.join(
-      dedupClusters(docs).filter(col("doc_id") =!= col("cluster_id"))
-        .select(col("doc_id")),
-      Seq("doc_id"), "left_anti")
-      .select(col("doc_id"), col("n_chars"))
-      .orderBy(col("doc_id"))
+    DedupPipeline.text(docs).survivors
 
   def dedupSurvivors(s: SparkSession, dir: String): DataFrame =
     dedupSurvivors(Tables.load(s, dir, "documents"))
@@ -1041,16 +1060,8 @@ object Dedup {
     * by that modality alone (the anti-join ignores the absent side) —
     * the semantics a mixed-coverage corpus needs. */
   def jointSurvivors(docs: DataFrame, embeddings: DataFrame,
-      tau: Double = ProductionEmbTau): DataFrame = {
-    val textDrop = dedupClusters(docs)
-      .filter(col("doc_id") =!= col("cluster_id")).select(col("doc_id"))
-    val embDrop = embDedupClusters(embeddings, tau)
-      .filter(col("vec_id") =!= col("cluster_id"))
-      .select(col("vec_id").as("doc_id"))
-    docs.join(textDrop.unionByName(embDrop).distinct(), Seq("doc_id"), "left_anti")
-      .select(col("doc_id"), col("n_chars"))
-      .orderBy(col("doc_id"))
-  }
+      tau: Double = ProductionEmbTau): DataFrame =
+    DedupPipeline(docs, embeddings, tau).jointSurvivors
 
   /** The d12 demo corpus: like [[plantedProductionCorpus]] but the
     * perturbed re-entries carry ids BELOW their twins (−(vec_id+1) <

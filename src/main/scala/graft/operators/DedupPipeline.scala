@@ -1,0 +1,112 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Shared-intermediate dedup pipeline — the composable form of the
+  * d08/d09/d10/d12 operator family.
+  *
+  * The per-query operators are self-contained by contract (each
+  * driver binding recomputes from raw inputs), which is right for a
+  * correctness catalog and wrong for a corpus pass: d10 re-derives the
+  * text clusters d08 just built, and d12 re-runs BOTH modality
+  * pipelines from scratch — the capstone query paying ~2× its
+  * necessary cost. A real training-data pass (the pipeline shape in
+  * Lee et al., "Deduplicating Training Data Makes Language Models
+  * Better", ACL'22) computes each modality's pair graph and cluster
+  * frame ONCE and derives every keep/drop decision from them.
+  *
+  * This class is that pass: each intermediate is a `lazy val`
+  * materialized (eager localCheckpoint) on first touch and shared by
+  * every downstream derivation — ask for [[textClusters]] then
+  * [[survivors]] and the corpus is shingled, signed, bucketed and
+  * clustered exactly once; [[jointSurvivors]] after [[textClusters]]
+  * and [[embClusters]] costs one anti-join. The one-shot operators in
+  * [[Dedup]] are thin views over a fresh instance, so there is a
+  * single code path for both API shapes and the oracle rows pin both.
+  *
+  * Lifetime: intermediates live in the session's block manager until
+  * [[graft.core.Caching.releaseAll]] — hold the instance for the
+  * duration of one corpus pass, release at its boundary (at cluster
+  * scale the equivalent is persisting the cluster frames to durable
+  * storage between stages; they are survivor-sized, not corpus-sized).
+  */
+final class DedupPipeline(
+    docs: Option[DataFrame],
+    embeddings: Option[DataFrame],
+    tau: Double = Dedup.ProductionEmbTau) {
+  require(docs.nonEmpty || embeddings.nonEmpty,
+    "DedupPipeline needs at least one modality")
+
+  private def docsF = docs.getOrElse(
+    sys.error("text-modality derivation on an embeddings-only pipeline"))
+  private def embF = embeddings.getOrElse(
+    sys.error("embedding-modality derivation on a text-only pipeline"))
+
+  /** Exact-verified text near-dup pairs (the d02 result), computed and
+    * materialized once per pipeline. Result-sized. */
+  lazy val textPairs: DataFrame =
+    Dedup.minhashLsh(docsF).localCheckpoint(true)
+
+  /** Text-modality duplicate clusters (the d08 result): connected
+    * components over [[textPairs]]. Survivor-decision-sized. */
+  lazy val textClusters: DataFrame =
+    Dedup.clustersFromPairs(textPairs.select(col("doc_a"), col("doc_b")))
+      .localCheckpoint(true)
+
+  /** Exact-verified embedding near-dup pairs at [[tau]] (the d06
+    * result over the instance's embedding frame). */
+  lazy val embPairs: DataFrame =
+    Dedup.embeddingNearDup(embF, tau).localCheckpoint(true)
+
+  /** Embedding-modality duplicate clusters (the d09 result). */
+  lazy val embClusters: DataFrame =
+    Dedup.clustersFromPairs(
+      embPairs.select(col("vec_a").as("doc_a"), col("vec_b").as("doc_b")))
+      .select(col("doc_id").as("vec_id"), col("cluster_id"))
+      .localCheckpoint(true)
+
+  /** Doc ids the text modality drops: cluster members that are not
+    * their component's min. */
+  def textDropIds: DataFrame =
+    textClusters.filter(col("doc_id") =!= col("cluster_id")).select(col("doc_id"))
+
+  /** Ids the embedding modality drops, as a doc_id frame (vec_id and
+    * doc_id share the id space — the cross-modal join contract). */
+  def embDropIds: DataFrame =
+    embClusters.filter(col("vec_id") =!= col("cluster_id"))
+      .select(col("vec_id").as("doc_id"))
+
+  /** The deduplicated corpus (d10): one anti-join of the corpus
+    * against the text drop set; the corpus streams through
+    * un-shuffled. */
+  def survivors: DataFrame =
+    docsF.join(textDropIds, Seq("doc_id"), "left_anti")
+      .select(col("doc_id"), col("n_chars"))
+      .orderBy(col("doc_id"))
+
+  /** Cross-modal survivors (d12): both modalities' drop sets union
+    * into one anti-join. Ids present in only one modality are judged
+    * by that modality alone. */
+  def jointSurvivors: DataFrame =
+    docsF.join(textDropIds.unionByName(embDropIds).distinct(),
+        Seq("doc_id"), "left_anti")
+      .select(col("doc_id"), col("n_chars"))
+      .orderBy(col("doc_id"))
+}
+
+object DedupPipeline {
+  /** Text-modality-only pipeline (d02/d08/d10 derivations). */
+  def text(docs: DataFrame): DedupPipeline =
+    new DedupPipeline(Some(docs), None)
+
+  /** Embedding-modality-only pipeline (d06/d09 derivations). */
+  def emb(embeddings: DataFrame,
+      tau: Double = Dedup.ProductionEmbTau): DedupPipeline =
+    new DedupPipeline(None, Some(embeddings), tau)
+
+  /** Full two-modality pipeline (everything through d12). */
+  def apply(docs: DataFrame, embeddings: DataFrame,
+      tau: Double = Dedup.ProductionEmbTau): DedupPipeline =
+    new DedupPipeline(Some(docs), Some(embeddings), tau)
+}
