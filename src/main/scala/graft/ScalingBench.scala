@@ -37,7 +37,9 @@ object ScalingBench {
     * to the delta, not the corpus). */
   private[graft] val Extra: Map[String, (SparkSession, String) => DataFrame] = Map(
     "d07b_small_delta" ->
-      ((s, dir) => graft.operators.Dedup.incrementalNearDupMod(s, dir, 30)))
+      ((s, dir) => graft.operators.Dedup.incrementalNearDupMod(s, dir, 30)),
+    "d13b_small_emb_delta" ->
+      ((s, dir) => graft.operators.Dedup.incrementalEmbNearDupMod(s, dir, 30)))
 
   private def query(name: String): (SparkSession, String) => DataFrame =
     SparkEntry.queries.getOrElse(name, Extra(name))
@@ -49,6 +51,7 @@ object ScalingBench {
     "d06_embedding_neardup_prod", "d07_incremental_neardup",
     "d07b_small_delta", "d08_dedup_clusters", "d09_emb_dedup_clusters",
     "d10_dedup_survivors", "d11_substring_dedup", "d12_joint_survivors",
+    "d13_incremental_emb_neardup", "d13b_small_emb_delta",
     "s02_ann_lsh", "s03_ann_ivf", "t11_bm25_search",
     "t12_multiquery_search", "t13_keyword_tfidf")
 
@@ -89,6 +92,7 @@ object ScalingBench {
     "d07_incremental_neardup", "d07b_small_delta",
     "d08_dedup_clusters", "d09_emb_dedup_clusters", "d10_dedup_survivors",
     "d11_substring_dedup", "d12_joint_survivors",
+    "d13_incremental_emb_neardup", "d13b_small_emb_delta",
     "t11_bm25_search", "t12_multiquery_search", "t13_keyword_tfidf",
     "s02_ann_lsh", "s03_ann_ivf",
     "d05_embedding_neardup")

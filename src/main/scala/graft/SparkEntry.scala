@@ -86,6 +86,7 @@ object SparkEntry {
     "d10_dedup_survivors" -> (Dedup.dedupSurvivors _),
     "d11_substring_dedup" -> (Dedup.substringDedup _),
     "d12_joint_survivors" -> (Dedup.jointSurvivors _),
+    "d13_incremental_emb_neardup" -> (Dedup.incrementalEmbNearDup _),
     // training-data pipeline: similarity search
     "s01_ann_brute"       -> (Similarity.annBrute _),
     "s02_ann_lsh"         -> (Similarity.annLsh _),
@@ -700,6 +701,24 @@ object SparkEntry {
         |WHERE doc_id NOT IN (SELECT u FROM tdropped)
         |  AND doc_id NOT IN (SELECT u FROM edropped)
         |ORDER BY doc_id""".stripMargin,
+    // incremental form of d06 over the drop-planted corpus: the corpus
+    // (vec_id % 3 != 0) lives in a persisted embedding-LSH index; the
+    // delta (vec_id % 3 == 0) plays the incoming batch — result =
+    // exact production-τ pairs touching the delta (both engines use
+    // C-style % so negative planted ids split identically)
+    "d13_incremental_emb_neardup" ->
+      """WITH corpus AS (
+        | SELECT vec_id, CAST(embedding AS DOUBLE[]) AS embedding FROM embeddings
+        | UNION ALL
+        | SELECT -(vec_id + 1),
+        |  [embedding[i] * (1.0 + 0.1*cos(i-1)) for i in range(1, len(embedding)+1)]
+        | FROM embeddings WHERE vec_id < 20)
+        |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+        | round(CAST(list_cosine_similarity(a.embedding, b.embedding) AS DOUBLE), 2) AS cosine
+        |FROM corpus a JOIN corpus b ON a.vec_id < b.vec_id
+        |WHERE (a.vec_id % 3 = 0 OR b.vec_id % 3 = 0)
+        |  AND list_cosine_similarity(a.embedding, b.embedding) >= 0.8
+        |ORDER BY vec_a, vec_b""".stripMargin,
     "s01_ann_brute" ->
       """SELECT query_id, rank, neighbor_id, cosine FROM (
         | SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,

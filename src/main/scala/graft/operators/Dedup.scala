@@ -390,14 +390,14 @@ object Dedup {
     * one. */
   private val EmbBitsFloor = 16
   private val EmbBitsMax = 26
-  private val ProbeEmbTables = 32
+  private[graft] val ProbeEmbTables = 32
   /** Production-family skew cap — larger than the MinHash [[MaxBucket]]
     * because an oversized bucket here means ≥256 vectors agreeing on
     * 16–26 sign projections: a genuinely correlated cluster whose
     * within-bucket pairs deserve the exact verify up to a bound (w ≤ 256
     * → ≤ 32,640 window-local pairs, a bounded single task). Beyond the
     * cap: chain + star links only (see [[bucketPairs]]' disclosure). */
-  private val ProdMaxBucket = 256
+  private[graft] val ProdMaxBucket = 256
   val ProductionEmbTau = 0.8
 
   /** Signature depth for the production family as a function of corpus
@@ -422,7 +422,7 @@ object Dedup {
     * bits. Recall still decays toward the 26-bit cap (≈ 0.75 at
     * ~2M vectors) — holding it constant would need tables ∝ p^−bits;
     * the remaining decay is disclosed, not papered over. */
-  private[operators] def adaptiveEmbBits(n: Long): Int = {
+  private[graft] def adaptiveEmbBits(n: Long): Int = {
     val ceilLog2 = 64 - java.lang.Long.numberOfLeadingZeros(math.max(1L, n - 1))
     math.min(EmbBitsMax, math.max(EmbBitsFloor, ceilLog2 + 1))
   }
@@ -432,7 +432,7 @@ object Dedup {
     * multiply-add loop per row against the process-cached plane matrix;
     * zero shuffle — the first shuffle in the dedup plan is the tiny
     * bucket join this feeds). */
-  private def embSignatures(s: SparkSession, e: DataFrame, bits: Int,
+  private[graft] def embSignatures(s: SparkSession, e: DataFrame, bits: Int,
       tables: Int = EmbTables): DataFrame =
     e.select(col("vec_id"),
       posexplode(graft.functions.LshFunctions.lshSigs(
@@ -443,8 +443,8 @@ object Dedup {
     * the bucketing bits a candidate pair already agrees on), one long
     * per vector, computed by the same codegen kernel as the bucketing
     * signatures. */
-  private val ScreenSeed = 2L
-  private val ScreenBits = 63
+  private[graft] val ScreenSeed = 2L
+  private[graft] val ScreenBits = 63
   /** Max disagreeing screen bits for a candidate pair to survive. Per
     * bit, P(disagree) = acos(cosine)/π, so across 63 independent bits
     * (exact binomial tails): a pair at exactly τ=0.8 (p=0.205,
@@ -455,7 +455,7 @@ object Dedup {
     * disclosed probabilistic recall (the probe-decay term is 200×
     * larger); the boundary-recall spec measures the END-TO-END family,
     * screen included. */
-  private val ScreenMaxDisagree = 24
+  private[graft] val ScreenMaxDisagree = 24
 
   /** Multi-probe LSH candidate pairs for the production family.
     *
@@ -554,7 +554,7 @@ object Dedup {
     * plan, package-visible so PlanSpec-style pins can assert the parquet
     * scan prunes to (vec_id, embedding) (the checkpointed form truncates
     * lineage, hiding the scan from the executed plan). */
-  private[operators] def embNormedPlan(e: DataFrame): DataFrame = {
+  private[graft] def embNormedPlan(e: DataFrame): DataFrame = {
     import graft.functions.VectorFunctions
     e.select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
       .withColumn("norm", VectorFunctions.norm(e.sparkSession, col("v")))
@@ -562,7 +562,7 @@ object Dedup {
 
   /** [[embNormedPlan]] materialized once (signatures + verify reuse it
     * 2–3×). */
-  private def embNormed(e: DataFrame): DataFrame =
+  private[graft] def embNormed(e: DataFrame): DataFrame =
     embNormedPlan(e).localCheckpoint(true)
 
   /** Un-probed LSH candidate pairs — the 6-bit exact-sweep family
@@ -590,7 +590,7 @@ object Dedup {
     * shuffle join — the fast path degrades per table, never masking a
     * scale problem wholesale. */
   private val BroadcastBytes = 32L << 20
-  private[operators] def bcastIf(rowBytes: Long, rows: Long)(df: DataFrame): DataFrame =
+  private[graft] def bcastIf(rowBytes: Long, rows: Long)(df: DataFrame): DataFrame =
     if (rows * rowBytes <= BroadcastBytes) broadcast(df) else df
 
   /** [[bcastIf]] whose over-budget fallback is a SHUFFLED HASH join
@@ -601,7 +601,7 @@ object Dedup {
     * (at the 200k-vector point: a 67M-row sort whose spill-merge
     * read-ahead buffers can OOM a small heap); hash-building the
     * bounded side streams the big side with no sort at all. */
-  private[operators] def bcastOrHashIf(rowBytes: Long, rows: Long)(df: DataFrame): DataFrame =
+  private[graft] def bcastOrHashIf(rowBytes: Long, rows: Long)(df: DataFrame): DataFrame =
     if (rows * rowBytes <= BroadcastBytes) broadcast(df) else df.hint("shuffle_hash")
 
   /** Cheap PRE-VERIFY screen sketch: norm-scaled prefix of the vector
@@ -618,7 +618,7 @@ object Dedup {
     * the 512 B full vector (the verify-join traffic the r7 record
     * apportioned ~70% of d06's sf10 cost to). */
   private val ScreenPrefix = 16
-  private def embSketch(e: DataFrame): DataFrame = {
+  private[graft] def embSketch(e: DataFrame): DataFrame = {
     import graft.functions.VectorFunctions
     val s = e.sparkSession
     val pv = slice(col("v"), 1, ScreenPrefix)
@@ -878,6 +878,169 @@ object Dedup {
     if (!graft.index.SignatureIndex.ready(s, path))
       graft.index.SignatureIndex.build(docs.filter(!isDelta), path)
     incrementalPairs(docs.filter(isDelta), path)
+  }
+
+  // ---- incremental embedding near-dup vs a persisted signature index ----
+
+  /** Production-τ embedding near-dup pairs TOUCHING a new vector
+    * batch, against a persisted corpus index
+    * ([[graft.index.EmbSignatureIndex]]) — the vector-modality
+    * analogue of [[incrementalPairs]]: a 100 TB corpus taking a daily
+    * embedding delta does delta-sized signature work plus one
+    * candidate join, instead of re-signing the corpus per query
+    * (what the batch [[embeddingNearDup]] family does by design).
+    *
+    * Probe geometry: the batch path probes every row's single-bit
+    * 0→1 flips symmetrically (either side's flip lands on the
+    * other's base). Here only the DELTA side can probe, so delta
+    * probes flip in BOTH directions — a pair differing at a bit
+    * where the delta row holds 1 and the corpus row 0 is reached by
+    * the delta's 1→0 flip (the corpus side cannot move). That keeps
+    * the batch family's ≤1-bit-mismatch probe contract exactly, at
+    * (bits+1) probes per delta signature instead of (bits/2+1) —
+    * delta-sized, so the doubling is paid on the small side.
+    *
+    * Shuffle shape: under the [[BroadcastBytes]] budget the delta's
+    * probe stream BROADCASTS and the corpus signature table streams
+    * through a codegen'd hash join — the corpus is scanned once,
+    * never shuffled (the design point for a realistic ≤1% daily
+    * delta). An oversized delta degrades to a shuffled-hash join
+    * (the t09 lesson: degrade, never OOM). The rider screen fires
+    * in-stage off the persisted `ss` column; the sketch screen and
+    * exact verify read corpus-side state semi-pruned to candidate
+    * ids first (broadcast of the candidate-id set), so corpus
+    * sketches/vectors are scanned but never shuffled or broadcast
+    * wholesale. Hot buckets come from the persisted ledger merged
+    * with the delta's own counts (right-outer on the delta side,
+    * corpus ledger semi-pruned first) and emit star-to-min links,
+    * the same capped-bucket disclosure as the batch path.
+    *
+    * Depth drift: callers [[graft.index.EmbSignatureIndex.ensure]]
+    * the index BEFORE querying; this function signs the delta at the
+    * index's recorded depth. */
+  def incrementalEmbPairs(deltaEmb: DataFrame, indexPath: String,
+      tau: Double = ProductionEmbTau): DataFrame = {
+    import graft.functions.VectorFunctions
+    val s = deltaEmb.sparkSession
+    val idx = graft.index.EmbSignatureIndex
+    val bits = idx.meta(s, indexPath)._1
+    val e = embNormed(deltaEmb)
+    val nD = e.count()
+    val dBase = idx.signatureRows(e, bits).localCheckpoint(true)
+
+    // hot-bucket ledger: corpus counts pruned to delta-touched keys
+    // (broadcast of delta keys), then right-outer merged with the
+    // delta's own counts — corpus ledger scanned once, never shuffled
+    val dCounts = dBase.groupBy(col("tbl"), col("sig"))
+      .agg(count(lit(1)).as("dn"), min(col("vec_id")).as("dmin"))
+    val touched = idx.counts(s, indexPath)
+      .join(broadcast(dCounts.select(col("tbl"), col("sig"))),
+        Seq("tbl", "sig"), "left_semi")
+    val hotB = touched
+      .join(dCounts, Seq("tbl", "sig"), "right_outer")
+      .filter(coalesce(col("n"), lit(0L)) + col("dn") > ProdMaxBucket)
+      .select(col("tbl"), col("sig"),
+        least(coalesce(col("min_vec"), col("dmin")), col("dmin")).as("min_vec"))
+      .localCheckpoint(true)
+    val hotKeys = broadcast(hotB.select(col("tbl"), col("sig")))
+
+    // candidate join: delta probes (both-direction single-bit flips)
+    // against corpus∪delta base signatures, rider-screened in-stage
+    val flips = array((0 until bits).map(i =>
+      col("sig").bitwiseXOR(lit(1L << i))): _*)
+    val dProbes = dBase.join(hotKeys, Seq("tbl", "sig"), "left_anti")
+      .select(col("vec_id").as("pa"), col("ss").as("ssa"), col("tbl"),
+        explode(concat(array(col("sig")), flips)).as("sig"))
+    val allBase = idx.sigs(s, indexPath).unionByName(dBase)
+      .join(hotKeys, Seq("tbl", "sig"), "left_anti")
+      .select(col("vec_id").as("pb"), col("ss").as("ssb"), col("tbl"), col("sig"))
+    val cand = bcastOrHashIf(28, nD * ProbeEmbTables * (bits + 1))(dProbes)
+      .join(allBase, Seq("tbl", "sig"))
+      .filter(col("pa") =!= col("pb") &&
+        bit_count(col("ssa").bitwiseXOR(col("ssb"))) <= ScreenMaxDisagree)
+      .select(least(col("pa"), col("pb")).as("vec_a"),
+        greatest(col("pa"), col("pb")).as("vec_b"))
+    val hotPairs = dBase.join(broadcast(hotB), Seq("tbl", "sig"))
+      .filter(col("vec_id") =!= col("min_vec"))
+      .select(least(col("vec_id"), col("min_vec")).as("vec_a"),
+        greatest(col("vec_id"), col("min_vec")).as("vec_b"))
+
+    // sketch screen then exact verify, both against corpus∪delta state
+    // semi-pruned to candidate ids (the jaccardVerified pattern: the
+    // corpus-sized tables are scanned once, only candidate rows join)
+    val pairs = cand.unionByName(hotPairs).localCheckpoint(true)
+    val nP = pairs.count()
+    val candIds = pairs.select(col("vec_a").as("vec_id"))
+      .unionByName(pairs.select(col("vec_b").as("vec_id"))).distinct()
+    val candIdsB = bcastIf(16, 2 * nP)(candIds)
+    val sk = idx.sketches(s, indexPath).unionByName(embSketch(e))
+      .join(candIdsB, Seq("vec_id"), "left_semi")
+    val screened = pairs
+      .join(sk.select(col("vec_id").as("vec_a"), col("pv").as("pva"), col("pt").as("pta")), "vec_a")
+      .join(sk.select(col("vec_id").as("vec_b"), col("pv").as("pvb"), col("pt").as("ptb")), "vec_b")
+      .filter(VectorFunctions.dot(s, col("pva"), col("pvb"))
+        + col("pta") * col("ptb") >= tau - 1e-9)
+      .select(col("vec_a"), col("vec_b"))
+      .distinct()
+    val vv = idx.vecs(s, indexPath)
+      .unionByName(e.select(col("vec_id"), col("v"), col("norm")))
+      .join(candIdsB, Seq("vec_id"), "left_semi")
+    screened
+      .join(vv.select(col("vec_id").as("vec_a"), col("v").as("va"), col("norm").as("na")), "vec_a")
+      .join(vv.select(col("vec_id").as("vec_b"), col("v").as("vb"), col("norm").as("nb")), "vec_b")
+      .withColumn("cosine", VectorFunctions.dot(s, col("va"), col("vb")) / (col("na") * col("nb")))
+      .filter(col("cosine") >= tau)
+      .select(col("vec_a"), col("vec_b"), round(col("cosine"), 2).as("cosine"))
+      .orderBy(col("vec_a"), col("vec_b"))
+  }
+
+  /** d13 driver binding: corpus = `vec_id % 3 != 0` of the
+    * drop-planted corpus (indexed once per sf dir, tmp-cached with a
+    * content fingerprint — the d07 precedent), delta = `vec_id % 3
+    * == 0` played as the incoming batch. Oracle: exact all-pairs
+    * cosine ≥ τ restricted to pairs touching the delta. Planted
+    * pairs sit at cosine ≈ 0.99 (sign agreement ≈ 0.955), where the
+    * ≤1-bit probe contract across 32 tables misses with probability
+    * ~1e-25 — which is what lets an LSH result hash-match exact SQL,
+    * the d06 argument. */
+  def incrementalEmbNearDup(s: SparkSession, dir: String): DataFrame =
+    incrementalEmbNearDupMod(s, dir, 3)
+
+  /** [[incrementalEmbNearDup]] with the corpus/delta split
+    * parameterized (delta = `vec_id % mod == 0`; mod=3 is the driver
+    * binding's upper-bound batch, mod=30 the realistic daily-ingest
+    * row the scaling ladder measures). Index cache key = dir content
+    * fingerprint + mod, same staleness contract as
+    * [[incrementalNearDupMod]]. */
+  def incrementalEmbNearDupMod(s: SparkSession, dir: String, mod: Int): DataFrame = {
+    val emb = plantedDropCorpus(Tables.load(s, dir, "embeddings"))
+    val isDelta = col("vec_id") % mod === 0
+    val src = new org.apache.hadoop.fs.Path(s"$dir/embeddings.parquet")
+    val fs = src.getFileSystem(s.sparkContext.hadoopConfiguration)
+    val fingerprint =
+      if (!fs.exists(src)) "absent"
+      else {
+        val it = fs.listFiles(src, true)
+        val parts = scala.collection.mutable.ArrayBuffer[String]()
+        while (it.hasNext) {
+          val f = it.next()
+          parts += s"${f.getPath.getName}:${f.getLen}:${f.getModificationTime}"
+        }
+        parts.sorted.mkString("|")
+      }
+    val dirKey = java.security.MessageDigest.getInstance("SHA-256")
+      .digest(s"$dir|$fingerprint|embmod=$mod".getBytes("UTF-8"))
+      .take(8).map(b => f"$b%02x").mkString
+    val path = s"${System.getProperty("java.io.tmpdir")}/graft-embidx-$dirKey"
+    val corpus = emb.filter(!isDelta)
+    val delta = emb.filter(isDelta)
+    // depth policy: size the index for the corpus+delta total, so a
+    // delta that pushes the corpus past a doubling re-indexes BEFORE
+    // probing (adaptiveEmbBits is ⌈log₂ n⌉-driven: at most one
+    // rebuild per doubling past the 16-bit floor)
+    val total = emb.count()
+    graft.index.EmbSignatureIndex.ensure(corpus, path, total)
+    incrementalEmbPairs(delta, path)
   }
 
   // ---- substring (token-window) dedup coverage ----
