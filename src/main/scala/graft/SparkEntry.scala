@@ -73,6 +73,10 @@ object SparkEntry {
     "t11_bm25_search"     -> (TextAnalysis.bm25Search _),
     "t12_multiquery_search" -> (TextAnalysis.bm25MultiSearch _),
     "t13_keyword_tfidf"   -> (TextAnalysis.keywords _),
+    // t11/t12 served through the persisted BM25 postings index (same
+    // oracles — the indexed path must reproduce the scan path exactly)
+    "t14_bm25_index"      -> (TextAnalysis.bm25SearchIndexed _),
+    "t15_batch_bm25_index" -> (TextAnalysis.bm25MultiSearchIndexed _),
     // training-data pipeline: deduplication
     "d01_dedup_exact"     -> (Dedup.exact _),
     "d02_minhash_lsh"     -> (Dedup.minhashLsh _),
@@ -102,6 +106,62 @@ object SparkEntry {
     "m02_media_decode" ->
       ((s, dir) => graft.multimodal.Multimodal.decodeSummary(s, dir)),
   )
+
+  /** t11/t14 oracle — BM25 (k1=1.2, b=0.75, Lucene idf form) over the
+    * t06 vocabulary, shared by the scan path and the persisted-index
+    * path (the index must reproduce the scan bit-for-bit). */
+  private val Bm25OracleSql =
+    """WITH t AS (
+      | SELECT doc_id, len(w) AS dl,
+      |  CAST(len(list_filter(w, x -> x = 'spark'))  AS DOUBLE) AS tf0,
+      |  CAST(len(list_filter(w, x -> x = 'window')) AS DOUBLE) AS tf1,
+      |  CAST(len(list_filter(w, x -> x = 'dup'))    AS DOUBLE) AS tf2
+      | FROM (SELECT doc_id, string_split(text,' ') AS w FROM documents)),
+      |s AS (
+      | SELECT CAST(count(*) AS DOUBLE) AS n, sum(dl) AS sumdl,
+      |  CAST(sum(CASE WHEN tf0>0 THEN 1 ELSE 0 END) AS DOUBLE) AS df0,
+      |  CAST(sum(CASE WHEN tf1>0 THEN 1 ELSE 0 END) AS DOUBLE) AS df1,
+      |  CAST(sum(CASE WHEN tf2>0 THEN 1 ELSE 0 END) AS DOUBLE) AS df2
+      | FROM t)
+      |SELECT doc_id,
+      | round(
+      |   ln(1.0 + (n - df0 + 0.5)/(df0 + 0.5))
+      |    * (tf0 * 2.2) / (tf0 + 1.2*(0.25 + 0.75*CAST(dl AS DOUBLE)/(CAST(sumdl AS DOUBLE)/n)))
+      | + ln(1.0 + (n - df1 + 0.5)/(df1 + 0.5))
+      |    * (tf1 * 2.2) / (tf1 + 1.2*(0.25 + 0.75*CAST(dl AS DOUBLE)/(CAST(sumdl AS DOUBLE)/n)))
+      | + ln(1.0 + (n - df2 + 0.5)/(df2 + 0.5))
+      |    * (tf2 * 2.2) / (tf2 + 1.2*(0.25 + 0.75*CAST(dl AS DOUBLE)/(CAST(sumdl AS DOUBLE)/n)))
+      | , 4) AS bm25
+      |FROM t, s
+      |WHERE tf0 + tf1 + tf2 > 0
+      |ORDER BY doc_id""".stripMargin
+
+  /** t12/t15 oracle — batch BM25, shared by scan and index paths. */
+  private val Bm25BatchOracleSql =
+    """WITH q(query_id, term) AS (VALUES
+      |  (1,'spark'),(1,'window'),(2,'dup'),(2,'spark'),(3,'window'),(3,'dup')),
+      |d AS (SELECT doc_id, string_split(text,' ') AS w FROM documents),
+      |base AS (SELECT doc_id, len(w) AS dl FROM d),
+      |s AS (SELECT CAST(count(*) AS DOUBLE) AS n, sum(dl) AS sumdl FROM base),
+      |toks AS (SELECT doc_id, unnest(w) AS term FROM d),
+      |tf AS (
+      | SELECT t.doc_id, t.term, CAST(count(*) AS DOUBLE) AS tf
+      | FROM toks t JOIN (SELECT DISTINCT term FROM q) qt USING (term)
+      | GROUP BY 1, 2),
+      |dft AS (SELECT term, CAST(count(*) AS DOUBLE) AS dft FROM tf GROUP BY 1),
+      |score AS (
+      | SELECT q.query_id, tf.doc_id,
+      |  sum(ln(1.0 + (n - dft + 0.5)/(dft + 0.5)) * (tf * 2.2)
+      |   / (tf + 1.2*(0.25 + 0.75*CAST(dl AS DOUBLE)/(CAST(sumdl AS DOUBLE)/n)))) AS sc
+      | FROM tf JOIN q USING (term) JOIN dft USING (term)
+      |   JOIN base USING (doc_id), s
+      | GROUP BY 1, 2)
+      |SELECT query_id, rank, doc_id, bm25 FROM (
+      | SELECT CAST(query_id AS BIGINT) AS query_id, doc_id, round(sc, 4) AS bm25,
+      |  CAST(row_number() OVER (PARTITION BY query_id ORDER BY sc DESC, doc_id) AS BIGINT) AS rank
+      | FROM score)
+      |WHERE rank <= 10
+      |ORDER BY query_id, rank""".stripMargin
 
   /** DuckDB-runnable equivalents (same parquet tables registered under
     * their bare names). Keys absent here get a rows-only check. */
@@ -403,61 +463,18 @@ object SparkEntry {
     // a BIGINT sum (order-independent), the 3-term score sum runs in
     // the same fixed order on both sides, and the only libm call is
     // ln() (≤1-ulp drift, invisible at round(·,4)).
-    "t11_bm25_search" ->
-      """WITH t AS (
-        | SELECT doc_id, len(w) AS dl,
-        |  CAST(len(list_filter(w, x -> x = 'spark'))  AS DOUBLE) AS tf0,
-        |  CAST(len(list_filter(w, x -> x = 'window')) AS DOUBLE) AS tf1,
-        |  CAST(len(list_filter(w, x -> x = 'dup'))    AS DOUBLE) AS tf2
-        | FROM (SELECT doc_id, string_split(text,' ') AS w FROM documents)),
-        |s AS (
-        | SELECT CAST(count(*) AS DOUBLE) AS n, sum(dl) AS sumdl,
-        |  CAST(sum(CASE WHEN tf0>0 THEN 1 ELSE 0 END) AS DOUBLE) AS df0,
-        |  CAST(sum(CASE WHEN tf1>0 THEN 1 ELSE 0 END) AS DOUBLE) AS df1,
-        |  CAST(sum(CASE WHEN tf2>0 THEN 1 ELSE 0 END) AS DOUBLE) AS df2
-        | FROM t)
-        |SELECT doc_id,
-        | round(
-        |   ln(1.0 + (n - df0 + 0.5)/(df0 + 0.5))
-        |    * (tf0 * 2.2) / (tf0 + 1.2*(0.25 + 0.75*CAST(dl AS DOUBLE)/(CAST(sumdl AS DOUBLE)/n)))
-        | + ln(1.0 + (n - df1 + 0.5)/(df1 + 0.5))
-        |    * (tf1 * 2.2) / (tf1 + 1.2*(0.25 + 0.75*CAST(dl AS DOUBLE)/(CAST(sumdl AS DOUBLE)/n)))
-        | + ln(1.0 + (n - df2 + 0.5)/(df2 + 0.5))
-        |    * (tf2 * 2.2) / (tf2 + 1.2*(0.25 + 0.75*CAST(dl AS DOUBLE)/(CAST(sumdl AS DOUBLE)/n)))
-        | , 4) AS bm25
-        |FROM t, s
-        |WHERE tf0 + tf1 + tf2 > 0
-        |ORDER BY doc_id""".stripMargin,
+    "t11_bm25_search" -> Bm25OracleSql,
+    // t14 is t11 through the persisted postings index — same oracle by
+    // construction (the indexed path must reproduce the scan path)
+    "t14_bm25_index" -> Bm25OracleSql,
+    // t15 is t12 through the index — same oracle
+    "t15_batch_bm25_index" -> Bm25BatchOracleSql,
     // batch BM25: queries as data, top-10 per query. Ranking compares
     // across engines because 2-term score sums are order-independent
     // (IEEE a+b commutes) and distinct (tf, dl, df) combinations
     // separate scores by far more than the ≤1-ulp ln() drift (the s01
     // cosine-rank precedent); ties break on doc_id in both engines.
-    "t12_multiquery_search" ->
-      """WITH q(query_id, term) AS (VALUES
-        |  (1,'spark'),(1,'window'),(2,'dup'),(2,'spark'),(3,'window'),(3,'dup')),
-        |d AS (SELECT doc_id, string_split(text,' ') AS w FROM documents),
-        |base AS (SELECT doc_id, len(w) AS dl FROM d),
-        |s AS (SELECT CAST(count(*) AS DOUBLE) AS n, sum(dl) AS sumdl FROM base),
-        |toks AS (SELECT doc_id, unnest(w) AS term FROM d),
-        |tf AS (
-        | SELECT t.doc_id, t.term, CAST(count(*) AS DOUBLE) AS tf
-        | FROM toks t JOIN (SELECT DISTINCT term FROM q) qt USING (term)
-        | GROUP BY 1, 2),
-        |dft AS (SELECT term, CAST(count(*) AS DOUBLE) AS dft FROM tf GROUP BY 1),
-        |score AS (
-        | SELECT q.query_id, tf.doc_id,
-        |  sum(ln(1.0 + (n - dft + 0.5)/(dft + 0.5)) * (tf * 2.2)
-        |   / (tf + 1.2*(0.25 + 0.75*CAST(dl AS DOUBLE)/(CAST(sumdl AS DOUBLE)/n)))) AS sc
-        | FROM tf JOIN q USING (term) JOIN dft USING (term)
-        |   JOIN base USING (doc_id), s
-        | GROUP BY 1, 2)
-        |SELECT query_id, rank, doc_id, bm25 FROM (
-        | SELECT CAST(query_id AS BIGINT) AS query_id, doc_id, round(sc, 4) AS bm25,
-        |  CAST(row_number() OVER (PARTITION BY query_id ORDER BY sc DESC, doc_id) AS BIGINT) AS rank
-        | FROM score)
-        |WHERE rank <= 10
-        |ORDER BY query_id, rank""".stripMargin,
+    "t12_multiquery_search" -> Bm25BatchOracleSql,
     // per-doc TF-IDF keywords: ties (equal tf and df) break on term;
     // distinct (tf, df) combinations separate scores far beyond ln()'s
     // 1-ulp engine drift (s01 rank-on-double precedent)

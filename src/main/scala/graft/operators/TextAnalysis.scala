@@ -367,6 +367,108 @@ object TextAnalysis {
     bm25MultiQuery(Tables.load(s, dir, "documents"), q, k = 10)
   }
 
+  /** BM25 over the persisted [[graft.index.Bm25Index]] — identical
+    * scores to [[bm25]] (same Catalyst expressions over the same
+    * exact-integer tf/dl/df/N, so the indexed driver binding shares the
+    * scan form's DuckDB oracle) with repeated-query cost bound by
+    * POSTING LISTS, not the corpus: the term filter pushes into the
+    * token-clustered postings scan, and the (n, Σdl, df…) statistics
+    * row broadcasts from the persisted stats tables. The scan form's
+    * `tf-sum > 0` filter is structural here — a doc enters the matched
+    * frame only through one of its query-term postings. */
+  def bm25FromIndex(s: SparkSession, path: String, terms: Seq[String]): DataFrame = {
+    require(terms.nonEmpty, "bm25 needs at least one query term")
+    require(terms == terms.distinct,
+      "duplicate query terms would double-count in the scan form; dedup first")
+    val idx = graft.index.Bm25Index
+    val base = idx.matchedTf(s, path, terms)
+    val statsRow = idx.statsRow(s, path, terms)
+    val tf = terms.indices.map(i => col(s"tf$i"))
+    val avgdl = col("sumdl").cast("double") / col("n")
+    val score = terms.indices.map { i =>
+      val idf = log(lit(1.0) + (col("n") - col(s"df$i") + 0.5) / (col(s"df$i") + 0.5))
+      val denom = tf(i) +
+        lit(Bm25K1) * (lit(1 - Bm25B) + lit(Bm25B) * col("dl").cast("double") / avgdl)
+      idf * (tf(i) * (Bm25K1 + 1)) / denom
+    }.reduce(_ + _)
+    base.crossJoin(broadcast(statsRow))
+      .select(col("id").as("doc_id"), round(score, 4).as("bm25"))
+  }
+
+  /** Batch BM25 over the persisted index — [[bm25MultiQuery]]'s serving
+    * form: per-(term, doc) tf and per-term df come from posting lists
+    * (term filter pushed to the token-clustered scan) instead of a
+    * corpus explode, so a repeated query batch costs O(matched
+    * postings). The query vocabulary is collected to the driver to
+    * drive scan pruning — bounded by the same fits-an-executor contract
+    * the scan form's broadcast already assumes. Scores and ranking are
+    * bit-identical to [[bm25MultiQuery]] (same contribution expression,
+    * same order-independent per-query sums, same tie-break). */
+  def bm25BatchFromIndex(s: SparkSession, path: String, queries: DataFrame,
+      k: Int): DataFrame = {
+    val idx = graft.index.Bm25Index
+    val terms = queries.select(col("term")).distinct()
+      .collect().map(_.getString(0)).toSeq
+    require(terms.nonEmpty && terms.size <= 100000,
+      s"query vocabulary (${terms.size}) must be non-empty and executor-sized")
+    val tfFrame = idx.postings(s, path)
+      .filter(col("token").isin(terms: _*))
+      .select(col("id").as("doc_id"), col("dl"),
+        col("token").as("term"), col("tf").cast("double").as("tf"))
+    val dft = idx.termStats(s, path)
+      .filter(col("token").isin(terms: _*))
+      .select(col("token").as("term"), col("df").cast("double").as("dft"))
+    val statsRow = idx.stats(s, path)
+      .select(col("n").cast("double").as("n"), col("sumdl"))
+    val avgdl = col("sumdl").cast("double") / col("n")
+    val contrib =
+      log(lit(1.0) + (col("n") - col("dft") + 0.5) / (col("dft") + 0.5)) *
+        (col("tf") * (Bm25K1 + 1)) /
+        (col("tf") +
+          lit(Bm25K1) * (lit(1 - Bm25B) + lit(Bm25B) * col("dl").cast("double") / avgdl))
+    val scored = tfFrame
+      .join(broadcast(dft), "term")
+      .crossJoin(broadcast(statsRow))
+      .join(broadcast(queries), "term")
+      .withColumn("c", contrib)
+      .groupBy(col("query_id"), col("doc_id"))
+      .agg(sum(col("c")).as("sc"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id")).orderBy(col("sc").desc, col("doc_id"))
+    scored
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("doc_id"),
+        round(col("sc"), 4).as("bm25"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  /** Content-addressed BM25 index for a dir's `documents` table, built
+    * once per corpus content and reused across queries (the d07/t07
+    * persisted-index precedent). */
+  private def bm25IndexFor(s: SparkSession, dir: String): String = {
+    val path = graft.index.IndexCache.pathFor(s, s"$dir/documents.parquet", "bm25")
+    graft.index.Bm25Index.ensure(Tables.load(s, dir, "documents"), path)
+    path
+  }
+
+  /** Driver binding (t14): t11's query served through the persisted
+    * index — same oracle, posting-list-bound repeated cost. */
+  def bm25SearchIndexed(s: SparkSession, dir: String): DataFrame =
+    bm25FromIndex(s, bm25IndexFor(s, dir), Seq("spark", "window", "dup"))
+      .orderBy(col("doc_id"))
+
+  /** Driver binding (t15): t12's query batch through the persisted
+    * index. */
+  def bm25MultiSearchIndexed(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val q = Seq(
+      (1L, "spark"), (1L, "window"),
+      (2L, "dup"), (2L, "spark"),
+      (3L, "window"), (3L, "dup")).toDF("query_id", "term")
+    bm25BatchFromIndex(s, bm25IndexFor(s, dir), q, k = 10)
+  }
+
   /** Per-document TF-IDF keyword extraction: the top-k terms of each
     * doc by tf·idf (idf = ln((N+1)/(df+1)), nonnegative, 0 for a term
     * in every doc) — the feature-extraction / dataset-card shape
