@@ -53,7 +53,8 @@ object ScalingBench {
     "d10_dedup_survivors", "d11_substring_dedup", "d12_joint_survivors",
     "d13_incremental_emb_neardup", "d13b_small_emb_delta",
     "s02_ann_lsh", "s03_ann_ivf", "t11_bm25_search",
-    "t12_multiquery_search", "t13_keyword_tfidf")
+    "t12_multiquery_search", "t13_keyword_tfidf",
+    "t14_bm25_index", "t15_batch_bm25_index")
 
   /** SPARK_GRAFT_SCALING_ONLY=a,b,c restricts the measured set — for
     * adding rows for NEW queries to an existing record without
@@ -94,6 +95,7 @@ object ScalingBench {
     "d11_substring_dedup", "d12_joint_survivors",
     "d13_incremental_emb_neardup", "d13b_small_emb_delta",
     "t11_bm25_search", "t12_multiquery_search", "t13_keyword_tfidf",
+    "t14_bm25_index", "t15_batch_bm25_index",
     "s02_ann_lsh", "s03_ann_ivf",
     "d05_embedding_neardup")
 
@@ -240,6 +242,40 @@ object ScalingBench {
           java.nio.file.Paths.get(s"$out/$t.parquet"),
           java.nio.file.StandardCopyOption.REPLACE_EXISTING)
       }
+    done.createNewFile()
+    ()
+  }
+
+  /** sf100 = one more decade of EVENTS ONLY (~100M rows): the b-suite's
+    * sf10 top decade measured FLAT (e_xtop −0.07…−0.03), i.e. fixed
+    * overhead still dominated at 10M rows — this decade exists to show
+    * where the scan starts to bind. Only `events` is synthesized (same
+    * timestamp-preserving copy transform, disjoint id namespaces);
+    * every other table is a symlink to its sf10 file so `registerAll`
+    * still resolves all views (the b-suite touches only events). */
+  private[graft] def ensureSf100Events(spark: SparkSession, sf10: String,
+      out: String, copies: Int = 10): Unit = {
+    val done = new java.io.File(out, "_DONE")
+    if (done.exists()) return
+    new java.io.File(out).mkdirs()
+    val ev = spark.read.parquet(s"$sf10/events.parquet")
+    (0 until copies).map { k =>
+      if (k == 0) ev
+      else ev.select(
+        (col("event_id") + lit(k * 100000000000L)).as("event_id"),
+        col("ts"),
+        (col("user_id") + lit(k * 100000000L)).as("user_id"),
+        col("event_type"), col("value"), col("props"))
+    }.reduce(_ unionByName _)
+      .repartition(128)
+      .write.mode("overwrite").parquet(s"$out/events.parquet")
+    graft.core.Tables.All.filterNot(_ == "events").foreach { t =>
+      val link = java.nio.file.Paths.get(s"$out/$t.parquet")
+      if (!java.nio.file.Files.exists(link,
+          java.nio.file.LinkOption.NOFOLLOW_LINKS))
+        java.nio.file.Files.createSymbolicLink(link,
+          java.nio.file.Paths.get(s"$sf10/$t.parquet"))
+    }
     done.createNewFile()
     ()
   }
@@ -408,12 +444,40 @@ object ScalingBench {
         }
     }
 
+    // the b-suite's extra decade: events-only sf100 (the sf10 top decade
+    // is flat — this answers where the scan starts to bind)
+    val bNames = Seq("b01_simple_count", "b02_hourly_distinct", "b03_count_distinct")
+    if (only(bNames)(identity).nonEmpty) {
+      val sf100Dir = sys.env.getOrElse("SPARK_GRAFT_SF100_DIR", "/tmp/graft_sf100")
+      ensureSf100Events(spark, sf10Dir, sf100Dir)
+      graft.core.Tables.registerAll(spark, sf100Dir)
+      only(bNames)(identity).foreach { name =>
+        def once(): (Double, String) = {
+          val r = attempt(spark, name, "100",
+            () => { query(name)(spark, sf100Dir).count(); () })
+          graft.core.Caching.releaseAll(spark)
+          r
+        }
+        val (ta, ea) = once()
+        val (tb, eb) = if (ta < 0) (ta, ea) else once()
+        val best = if (ta < 0 || tb < 0) math.max(ta, tb) else math.min(ta, tb)
+        times.getOrElseUpdate(name,
+          scala.collection.mutable.LinkedHashMap[String, Double]()).put("100", best)
+        if (best < 0)
+          errors.getOrElseUpdate(name,
+            scala.collection.mutable.LinkedHashMap[String, String]())
+            .put("100", if (ea != null) ea else eb)
+        System.err.println(f"[scaling] $name @ sf100: $best%.3f s")
+      }
+    }
+
     val json = times.map { case (name, m) =>
       def e(lo: String, hi: String): String =
         (for { a <- m.get(lo); b <- m.get(hi) if a > 0 && b > 0 }
           yield f"${math.log10(b / a)}%.2f").getOrElse("null")
       val ts = m.map { case (sf, t) => f""""sf$sf":$t%.3f""" }.mkString(",")
-      val xtop = if (m.contains("10")) s""","e_xtop":${e("1", "10")}""" else ""
+      val xxtop = if (m.contains("100")) s""","e_xxtop":${e("10", "100")}""" else ""
+      val xtop = (if (m.contains("10")) s""","e_xtop":${e("1", "10")}""" else "") + xxtop
       val errs = errors.get(name).map(es =>
         "," + es.map { case (sf, msg) => s""""err_sf$sf":"$msg"""" }.mkString(","))
         .getOrElse("")

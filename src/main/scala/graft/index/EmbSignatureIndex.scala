@@ -78,7 +78,7 @@ object EmbSignatureIndex {
       element_at(graft.functions.LshFunctions.lshSigs(
         s, col("v"), Dedup.ScreenSeed, Dedup.ScreenBits, 1), 1).as("ss"),
       posexplode(graft.functions.LshFunctions.lshSigs(
-        s, col("v"), 1L /* EmbSeed */, bits, Dedup.ProbeEmbTables))
+        s, col("v"), 1L /* EmbSeed */, bits, Dedup.adaptiveEmbTables(bits)))
         .as(Seq("tbl", "sig")))
   }
 

@@ -419,13 +419,41 @@ object Dedup {
     * in the r7 UN-probed 64-table family, the disclosed decay this
     * family exists to fix; pinned by the boundary-recall spec). True
     * near-dups (cosine ≥ 0.95, p ≥ 0.93) stay ≥ 0.999 through 26
-    * bits. Recall still decays toward the 26-bit cap (≈ 0.75 at
-    * ~2M vectors) — holding it constant would need tables ∝ p^−bits;
-    * the remaining decay is disclosed, not papered over. */
+    * bits. Past 19 bits the table count grows with depth
+    * ([[adaptiveEmbTables]] — the tables ∝ p^−bits mitigation the r8
+    * record disclosed as formula-only), holding family boundary
+    * recall ≈ 0.92 through the 26-bit cap instead of letting it decay
+    * to ≈ 0.75 at ~2M vectors. */
   private[graft] def adaptiveEmbBits(n: Long): Int = {
     val ceilLog2 = 64 - java.lang.Long.numberOfLeadingZeros(math.max(1L, n - 1))
     math.min(EmbBitsMax, math.max(EmbBitsFloor, ceilLog2 + 1))
   }
+
+  /** Signature-table count as a function of depth — the deep-regime
+    * recall mitigation. Per-table boundary collision at agreement p is
+    * c(b) = p^b + b·p^(b−1)(1−p) (the ≤1-bit multi-probe geometry),
+    * which decays ~p per extra bit; family recall 1−(1−c(b))^T holds
+    * constant only if T grows ∝ 1/c(b). Policy: T = 32 through 19
+    * bits (every config measured through the r8 ladder — 200k vectors
+    * = 19 bits — is unchanged), then T(b) = ⌈32·c(19)/c(b)⌉ capped at
+    * [[MaxProbeTables]]: ≈40 @ 20 bits, ≈57 @ 22 (the ~2M-vector
+    * regime), ≈122 @ 26 — model recall ≥ 0.91 at exactly τ=0.8 at
+    * every depth (spec-pinned; measured end-to-end by the deep-regime
+    * RecallProbe point in the scaling record). Probe volume per vector
+    * grows T·(b/2+1): 1.8× at 2M vectors, 5× at the 26-bit cap —
+    * linear-in-n candidate work at a growing constant, the disclosed
+    * price of flat recall. */
+  private[graft] val ProbeTablesBaseBits = 19
+  private[graft] val MaxProbeTables = 128
+  private[graft] def adaptiveEmbTables(bits: Int): Int =
+    if (bits <= ProbeTablesBaseBits) ProbeEmbTables
+    else {
+      val p = 1.0 - math.acos(ProductionEmbTau) / math.Pi
+      def c(b: Int): Double =
+        math.pow(p, b) + b * math.pow(p, b - 1) * (1 - p)
+      math.min(MaxProbeTables,
+        math.ceil(ProbeEmbTables * c(ProbeTablesBaseBits) / c(bits)).toInt)
+    }
 
   /** (vec_id, tbl, sig) — one row per signature table per vector, via
     * the codegen'd [[graft.functions.HyperplaneSigs]] kernel (one fused
@@ -497,6 +525,7 @@ object Dedup {
     * shuffle). */
   private[operators] def embCandidatesProbed(e: DataFrame, bits: Int): DataFrame = {
     val s = e.sparkSession
+    val tables = adaptiveEmbTables(bits)
     // materialized once (36 B/row with the rider): consumed by the
     // bucket census, the probe generator, and the join build side —
     // without the checkpoint the signature kernel would re-run per
@@ -506,7 +535,7 @@ object Dedup {
         element_at(graft.functions.LshFunctions.lshSigs(
           s, col("v"), ScreenSeed, ScreenBits, 1), 1).as("ss"),
         posexplode(graft.functions.LshFunctions.lshSigs(
-          s, col("v"), EmbSeed, bits, ProbeEmbTables)).as(Seq("tbl", "sig")))
+          s, col("v"), EmbSeed, bits, tables)).as(Seq("tbl", "sig")))
       .localCheckpoint(true)
     // bucket census via one slim groupBy instead of a window over every
     // base row: only the (rare) OVERSIZED keys flow back, broadcast —
@@ -539,7 +568,7 @@ object Dedup {
     // screen fires in the SAME codegen stage the join output lives in:
     // a killed pair costs one popcount, never a downstream row.
     probes
-      .join(bcastOrHashIf(36, n * ProbeEmbTables)(
+      .join(bcastOrHashIf(36, n * tables)(
         small.select(col("vec_id").as("pb"), col("ss").as("ssb"), col("tbl"), col("sig"))),
         Seq("tbl", "sig"))
       .filter(col("pa") =!= col("pb") &&
@@ -858,23 +887,8 @@ object Dedup {
   def incrementalNearDupMod(s: SparkSession, dir: String, mod: Int): DataFrame = {
     val docs = Tables.load(s, dir, "documents")
     val isDelta = col("doc_id") % mod === 0
-    val src = new org.apache.hadoop.fs.Path(s"$dir/documents.parquet")
-    val fs = src.getFileSystem(s.sparkContext.hadoopConfiguration)
-    val fingerprint =
-      if (!fs.exists(src)) "absent"
-      else {
-        val it = fs.listFiles(src, true)
-        val parts = scala.collection.mutable.ArrayBuffer[String]()
-        while (it.hasNext) {
-          val f = it.next()
-          parts += s"${f.getPath.getName}:${f.getLen}:${f.getModificationTime}"
-        }
-        parts.sorted.mkString("|")
-      }
-    val dirKey = java.security.MessageDigest.getInstance("SHA-256")
-      .digest(s"$dir|$fingerprint|mod=$mod".getBytes("UTF-8"))
-      .take(8).map(b => f"$b%02x").mkString
-    val path = s"${System.getProperty("java.io.tmpdir")}/graft-sigidx-$dirKey"
+    val path = graft.index.IndexCache.pathFor(
+      s, s"$dir/documents.parquet", s"sig-mod=$mod")
     if (!graft.index.SignatureIndex.ready(s, path))
       graft.index.SignatureIndex.build(docs.filter(!isDelta), path)
     incrementalPairs(docs.filter(isDelta), path)
@@ -954,7 +968,7 @@ object Dedup {
     val allBase = idx.sigs(s, indexPath).unionByName(dBase)
       .join(hotKeys, Seq("tbl", "sig"), "left_anti")
       .select(col("vec_id").as("pb"), col("ss").as("ssb"), col("tbl"), col("sig"))
-    val cand = bcastOrHashIf(28, nD * ProbeEmbTables * (bits + 1))(dProbes)
+    val cand = bcastOrHashIf(28, nD * adaptiveEmbTables(bits) * (bits + 1))(dProbes)
       .join(allBase, Seq("tbl", "sig"))
       .filter(col("pa") =!= col("pb") &&
         bit_count(col("ssa").bitwiseXOR(col("ssb"))) <= ScreenMaxDisagree)
@@ -1015,23 +1029,8 @@ object Dedup {
   def incrementalEmbNearDupMod(s: SparkSession, dir: String, mod: Int): DataFrame = {
     val emb = plantedDropCorpus(Tables.load(s, dir, "embeddings"))
     val isDelta = col("vec_id") % mod === 0
-    val src = new org.apache.hadoop.fs.Path(s"$dir/embeddings.parquet")
-    val fs = src.getFileSystem(s.sparkContext.hadoopConfiguration)
-    val fingerprint =
-      if (!fs.exists(src)) "absent"
-      else {
-        val it = fs.listFiles(src, true)
-        val parts = scala.collection.mutable.ArrayBuffer[String]()
-        while (it.hasNext) {
-          val f = it.next()
-          parts += s"${f.getPath.getName}:${f.getLen}:${f.getModificationTime}"
-        }
-        parts.sorted.mkString("|")
-      }
-    val dirKey = java.security.MessageDigest.getInstance("SHA-256")
-      .digest(s"$dir|$fingerprint|embmod=$mod".getBytes("UTF-8"))
-      .take(8).map(b => f"$b%02x").mkString
-    val path = s"${System.getProperty("java.io.tmpdir")}/graft-embidx-$dirKey"
+    val path = graft.index.IndexCache.pathFor(
+      s, s"$dir/embeddings.parquet", s"embmod=$mod")
     val corpus = emb.filter(!isDelta)
     val delta = emb.filter(isDelta)
     // depth policy: size the index for the corpus+delta total, so a

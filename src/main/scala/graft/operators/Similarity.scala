@@ -372,11 +372,17 @@ object Similarity {
     * can't catch drift; a recall field in BENCH/SCALING json can).
     * Both result sets are top-k per query (≤ NumQueries·K rows), so
     * the collect is bounded regardless of corpus size. */
-  def recallVsBrute(s: SparkSession, dir: String, approx: DataFrame): Double = {
+  def recallVsBrute(s: SparkSession, dir: String, approx: DataFrame): Double =
+    recallOf(annBrute(s, dir), approx)
+
+  /** Mean per-query recall of `approx` against an exact top-k frame —
+    * both are top-k per query (≤ queries·k rows), so the collect is
+    * bounded regardless of corpus size. */
+  def recallOf(exact0: DataFrame, approx: DataFrame): Double = {
     def sets(df: DataFrame): Map[Long, Set[Long]] = df.collect()
       .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id")))
       .groupBy(_._1).map { case (q, rs) => q -> rs.map(_._2).toSet }
-    val exact = sets(annBrute(s, dir))
+    val exact = sets(exact0)
     val got = sets(approx)
     if (exact.isEmpty) 0.0
     else exact.map { case (q, ex) =>
