@@ -267,7 +267,15 @@ object ScalingBench {
         (col("user_id") + lit(k * 100000000L)).as("user_id"),
         col("event_type"), col("value"), col("props"))
     }.reduce(_ unionByName _)
+      // ts-clustered within each file — the layout a real ingest
+      // produces (TableStore date-partitions + compaction cluster on
+      // time), and the property parquet row-group pruning needs: the
+      // first unsorted cut of this decade measured b01 2.66 s (e 1.31
+      // over sf10) because the random row placement forced a full
+      // 100M-row ts decode; sorted, the window filter prunes all but
+      // ~1 row group per file (numbers in SCALING.md)
       .repartition(128)
+      .sortWithinPartitions(col("ts"))
       .write.mode("overwrite").parquet(s"$out/events.parquet")
     graft.core.Tables.All.filterNot(_ == "events").foreach { t =>
       val link = java.nio.file.Paths.get(s"$out/$t.parquet")
