@@ -39,7 +39,9 @@ object ScalingBench {
     "d07b_small_delta" ->
       ((s, dir) => graft.operators.Dedup.incrementalNearDupMod(s, dir, 30)),
     "d13b_small_emb_delta" ->
-      ((s, dir) => graft.operators.Dedup.incrementalEmbNearDupMod(s, dir, 30)))
+      ((s, dir) => graft.operators.Dedup.incrementalEmbNearDupMod(s, dir, 30)),
+    "d14b_small_delta" ->
+      ((s, dir) => graft.operators.Dedup.incrementalClustersMod(s, dir, 30)))
 
   private def query(name: String): (SparkSession, String) => DataFrame =
     SparkEntry.queries.getOrElse(name, Extra(name))
@@ -52,9 +54,10 @@ object ScalingBench {
     "d07b_small_delta", "d08_dedup_clusters", "d09_emb_dedup_clusters",
     "d10_dedup_survivors", "d11_substring_dedup", "d12_joint_survivors",
     "d13_incremental_emb_neardup", "d13b_small_emb_delta",
+    "d14_incremental_clusters", "d14b_small_delta",
     "s02_ann_lsh", "s03_ann_ivf", "t11_bm25_search",
     "t12_multiquery_search", "t13_keyword_tfidf",
-    "t14_bm25_index", "t15_batch_bm25_index")
+    "t14_bm25_index", "t15_batch_bm25_index", "t16_sequence_packing")
 
   /** SPARK_GRAFT_SCALING_ONLY=a,b,c restricts the measured set — for
     * adding rows for NEW queries to an existing record without
@@ -94,8 +97,9 @@ object ScalingBench {
     "d08_dedup_clusters", "d09_emb_dedup_clusters", "d10_dedup_survivors",
     "d11_substring_dedup", "d12_joint_survivors",
     "d13_incremental_emb_neardup", "d13b_small_emb_delta",
+    "d14_incremental_clusters", "d14b_small_delta",
     "t11_bm25_search", "t12_multiquery_search", "t13_keyword_tfidf",
-    "t14_bm25_index", "t15_batch_bm25_index",
+    "t14_bm25_index", "t15_batch_bm25_index", "t16_sequence_packing",
     "s02_ann_lsh", "s03_ann_ivf",
     "d05_embedding_neardup")
 

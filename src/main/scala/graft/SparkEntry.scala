@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.operators.{Approx, Dedup, Relational, RelationalSql, Similarity, TextAnalysis}
+import graft.operators.{Approx, Dedup, Packing, Relational, RelationalSql, Similarity, TextAnalysis}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -91,6 +91,12 @@ object SparkEntry {
     "d11_substring_dedup" -> (Dedup.substringDedup _),
     "d12_joint_survivors" -> (Dedup.jointSurvivors _),
     "d13_incremental_emb_neardup" -> (Dedup.incrementalEmbNearDup _),
+    // d08's decision maintained incrementally: corpus clusters from a
+    // persisted index + one delta-sized contracted-CC merge
+    "d14_incremental_clusters" -> (Dedup.incrementalClusters _),
+    // training-data pipeline: sequence packing (corpus → fixed-budget
+    // training sequences)
+    "t16_sequence_packing" -> (Packing.sequencePacking _),
     // training-data pipeline: similarity search
     "s01_ann_brute"       -> (Similarity.annBrute _),
     "s02_ann_lsh"         -> (Similarity.annLsh _),
@@ -106,6 +112,33 @@ object SparkEntry {
     "m02_media_decode" ->
       ((s, dir) => graft.multimodal.Multimodal.decodeSummary(s, dir)),
   )
+
+  /** d08/d14 oracle — transitive closure of the exact jaccard≥0.8
+    * pair graph by recursive CTE, min reachable id per node. Shared
+    * by the full-recompute CC (d08) and the incremental
+    * index+merge path (d14): the incremental result must equal the
+    * full recompute bit-for-bit. */
+  private val CcClosureOracleSql =
+    """WITH RECURSIVE sh AS (
+      | SELECT doc_id,
+      |  list_distinct([w[i]||' '||w[i+1]||' '||w[i+2]
+      |                 for i in range(1, len(w)-1)]) AS sh
+      | FROM (SELECT doc_id, string_split(text,' ') AS w FROM documents)),
+      |pairs AS (
+      | SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+      | FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+      | WHERE len(list_intersect(a.sh,b.sh))
+      |  / CAST(len(a.sh)+len(b.sh)-len(list_intersect(a.sh,b.sh)) AS DOUBLE) >= 0.8),
+      |edges AS (
+      | SELECT doc_a AS u, doc_b AS v FROM pairs
+      | UNION
+      | SELECT doc_b AS u, doc_a AS v FROM pairs),
+      |reach AS (
+      | SELECT u, u AS r FROM (SELECT DISTINCT u FROM edges)
+      | UNION
+      | SELECT e.u, reach.r FROM edges e JOIN reach ON e.v = reach.u)
+      |SELECT u AS doc_id, min(r) AS cluster_id
+      |FROM reach GROUP BY u ORDER BY doc_id""".stripMargin
 
   /** t11/t14 oracle — BM25 (k1=1.2, b=0.75, Lucene idf form) over the
     * t06 vocabulary, shared by the scan path and the persisted-index
@@ -497,6 +530,25 @@ object SparkEntry {
         |SELECT doc_id, rank, term, round(s, 4) AS tfidf
         |FROM r WHERE rank <= 3
         |ORDER BY doc_id, rank""".stripMargin,
+    // GPT-style concat-and-split packing at budget 2048: a global
+    // prefix sum of t01's whitespace token counts in doc_id order;
+    // the Spark side computes it as a distributed two-phase prefix sum
+    // (the single-window spelling here is fine for DuckDB, wrong for a
+    // 1000-executor plan)
+    "t16_sequence_packing" ->
+      """WITH t AS (
+        | SELECT doc_id,
+        |  CAST(len(string_split(text,' ')) AS BIGINT) AS n_tokens
+        | FROM documents),
+        |c AS (
+        | SELECT doc_id, n_tokens,
+        |  COALESCE(sum(n_tokens) OVER (ORDER BY doc_id
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS start_off
+        | FROM t)
+        |SELECT doc_id, n_tokens, start_off,
+        | start_off // 2048 AS first_seq,
+        | (start_off + n_tokens - 1) // 2048 AS last_seq
+        |FROM c ORDER BY doc_id""".stripMargin,
     "d01_dedup_exact" ->
       """SELECT md5(lower(trim(text))) AS fp, min(doc_id) AS keep_id,
         | count(*) AS n_copies
@@ -580,27 +632,11 @@ object SparkEntry {
     // connected components over the exact pair graph — the oracle walks
     // the transitive closure with a recursive CTE and takes each node's
     // min reachable id; Spark side is log-round pointer-jump propagation
-    "d08_dedup_clusters" ->
-      """WITH RECURSIVE sh AS (
-        | SELECT doc_id,
-        |  list_distinct([w[i]||' '||w[i+1]||' '||w[i+2]
-        |                 for i in range(1, len(w)-1)]) AS sh
-        | FROM (SELECT doc_id, string_split(text,' ') AS w FROM documents)),
-        |pairs AS (
-        | SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
-        | FROM sh a JOIN sh b ON a.doc_id < b.doc_id
-        | WHERE len(list_intersect(a.sh,b.sh))
-        |  / CAST(len(a.sh)+len(b.sh)-len(list_intersect(a.sh,b.sh)) AS DOUBLE) >= 0.8),
-        |edges AS (
-        | SELECT doc_a AS u, doc_b AS v FROM pairs
-        | UNION
-        | SELECT doc_b AS u, doc_a AS v FROM pairs),
-        |reach AS (
-        | SELECT u, u AS r FROM (SELECT DISTINCT u FROM edges)
-        | UNION
-        | SELECT e.u, reach.r FROM edges e JOIN reach ON e.v = reach.u)
-        |SELECT u AS doc_id, min(r) AS cluster_id
-        |FROM reach GROUP BY u ORDER BY doc_id""".stripMargin,
+    "d08_dedup_clusters" -> CcClosureOracleSql,
+    // d14 is d08's decision maintained INCREMENTALLY (persisted corpus
+    // cluster frame + delta contracted-CC merge) — by contract it must
+    // equal the full recompute, so the oracle is d08's verbatim
+    "d14_incremental_clusters" -> CcClosureOracleSql,
     // d08's closure semantics over the EMBEDDING pair graph (planted
     // corpus mirrored from d06 — same CTE, same non-vacuity argument)
     "d09_emb_dedup_clusters" ->

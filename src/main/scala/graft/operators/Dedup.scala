@@ -1183,6 +1183,107 @@ object Dedup {
   def dedupClusters(s: SparkSession, dir: String): DataFrame =
     dedupClusters(Tables.load(s, dir, "documents"))
 
+  /** Incremental cluster maintenance (d14): fold a delta batch's
+    * near-dup pairs into a PERSISTED cluster frame
+    * ([[graft.index.ClusterIndex]]) without re-running connected
+    * components over the corpus pair graph — the decision-layer
+    * completion of the incremental story (d07 keeps pair FORMATION
+    * delta-sized for text, d13 for embeddings; this keeps the
+    * keep/drop DECISION delta-sized too).
+    *
+    * Contract: the result equals the full-recompute
+    * [[dedupClusters]] over corpus∪delta — same oracle (recursive-CTE
+    * closure over the full exact pair graph) as d08, reached via
+    * corpus-index CC + [[mergeClusters]] instead of a corpus-wide CC.
+    *
+    * Correctness of the contraction: every corpus cluster's label IS
+    * its member-min doc_id, so contracting each touched cluster to
+    * its label preserves both connectivity (cluster members are
+    * already mutually connected) and the min-label semantics (the
+    * component min over {labels ∪ delta ids} is the component min
+    * over all member docs). A delta pair bridging two corpus
+    * clusters becomes a label–label edge and merges them; a delta
+    * doc joining a cluster with a smaller id becomes the new min and
+    * relabels it — both covered by the spec's synthetic graphs. */
+  def incrementalClusters(s: SparkSession, dir: String): DataFrame =
+    incrementalClustersMod(s, dir, 3)
+
+  /** [[incrementalClusters]] with the corpus/delta split
+    * parameterized, mirroring [[incrementalNearDupMod]] (the driver
+    * binding uses mod=3, the ladder also measures mod=30). Reuses
+    * d07's persisted signature index for delta pair formation and
+    * persists the corpus-only cluster frame beside it. */
+  def incrementalClustersMod(s: SparkSession, dir: String, mod: Int): DataFrame = {
+    val docs = Tables.load(s, dir, "documents")
+    val isDelta = col("doc_id") % mod === 0
+    val sigPath = graft.index.IndexCache.pathFor(
+      s, s"$dir/documents.parquet", s"sig-mod=$mod")
+    if (!graft.index.SignatureIndex.ready(s, sigPath))
+      graft.index.SignatureIndex.build(docs.filter(!isDelta), sigPath)
+    val ccPath = graft.index.IndexCache.pathFor(
+      s, s"$dir/documents.parquet", s"cc-mod=$mod")
+    if (!graft.index.ClusterIndex.ready(s, ccPath))
+      graft.index.ClusterIndex.build(
+        clustersFromPairs(minhashLsh(docs.filter(!isDelta))
+          .select(col("doc_a"), col("doc_b"))), ccPath)
+    val deltaPairs = incrementalPairs(docs.filter(isDelta), sigPath)
+      .select(col("doc_a"), col("doc_b"))
+    mergeClusters(graft.index.ClusterIndex.load(s, ccPath), deltaPairs)
+  }
+
+  /** Fold `deltaPairs` into an existing `clusters` frame: contract
+    * each touched cluster to its label, run the (delta-sized) CC over
+    * the contracted graph, and expand the new labels back over the
+    * frame.
+    *
+    * Shuffle shape — the reason this is delta-proportional at any
+    * corpus size: the persisted cluster frame is scanned exactly
+    * twice and shuffled NEVER. The touched-label lookup semi-prunes
+    * it by a broadcast of the delta's endpoint ids; the contracted CC
+    * runs over ≤2·|deltaPairs| nodes; the relabel pass streams the
+    * frame through a broadcast join against the (delta-sized) remap.
+    * Every frame that shuffles is delta-sized by construction. */
+  def mergeClusters(clusters: DataFrame, deltaPairs: DataFrame): DataFrame = {
+    val ids = deltaPairs.select(col("doc_a").as("doc_id"))
+      .unionByName(deltaPairs.select(col("doc_b").as("doc_id")))
+      .distinct()
+    // endpoint → its current label; endpoints in no existing cluster
+    // (new delta docs, corpus docs with no prior pair) label themselves
+    val lab = ids.join(
+        clusters.join(broadcast(ids), Seq("doc_id"), "left_semi"),
+        Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("cluster_id"), col("doc_id")).as("lab"),
+        col("cluster_id").isNull.as("fresh"))
+      .localCheckpoint(true)
+    val la = lab.select(col("doc_id").as("doc_a"), col("lab").as("la"))
+    val lb = lab.select(col("doc_id").as("doc_b"), col("lab").as("lb"))
+    val contracted = deltaPairs.join(la, Seq("doc_a")).join(lb, Seq("doc_b"))
+      .filter(col("la") =!= col("lb"))
+      .select(least(col("la"), col("lb")).as("doc_a"),
+        greatest(col("la"), col("lb")).as("doc_b"))
+      .distinct()
+    // (node, newlab) over the contracted graph — delta-sized
+    val merged = clustersFromPairs(contracted)
+      .select(col("doc_id").as("node"), col("cluster_id").as("newlab"))
+      .localCheckpoint(true)
+    // label nodes relabel their whole cluster; fresh nodes (never in
+    // the frame — their own label) emit directly. An isolated fresh
+    // node (all its delta pairs stayed inside one existing cluster —
+    // impossible for genuinely-new ids, possible for a caller feeding
+    // arbitrary pairs) keeps its own id via the coalesce.
+    val relabeled = clusters
+      .join(broadcast(merged.withColumnRenamed("node", "cluster_id")),
+        Seq("cluster_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("newlab"), col("cluster_id")).as("cluster_id"))
+    val freshRows = lab.filter(col("fresh"))
+      .join(broadcast(merged), col("doc_id") === col("node"), "left")
+      .select(col("doc_id"),
+        coalesce(col("newlab"), col("doc_id")).as("cluster_id"))
+    relabeled.unionByName(freshRows).orderBy(col("doc_id"))
+  }
+
   /** Duplicate clusters over the EMBEDDING modality (d09): the same
     * pairs→components step as [[dedupClusters]], driven by the
     * production-τ cosine pair graph instead of the text one — the two
