@@ -568,7 +568,7 @@ object Dedup {
     // screen fires in the SAME codegen stage the join output lives in:
     // a killed pair costs one popcount, never a downstream row.
     probes
-      .join(bcastOrHashIf(36, n * tables)(
+      .join(bcastOrHashIf(36, n * tables, Seq("tbl", "sig"))(
         small.select(col("vec_id").as("pb"), col("ss").as("ssb"), col("tbl"), col("sig"))),
         Seq("tbl", "sig"))
       .filter(col("pa") =!= col("pb") &&
@@ -630,8 +630,31 @@ object Dedup {
     * (at the 200k-vector point: a 67M-row sort whose spill-merge
     * read-ahead buffers can OOM a small heap); hash-building the
     * bounded side streams the big side with no sort at all. */
-  private[graft] def bcastOrHashIf(rowBytes: Long, rows: Long)(df: DataFrame): DataFrame =
-    if (rows * rowBytes <= BroadcastBytes) broadcast(df) else df.hint("shuffle_hash")
+  /** Per-partition byte budget for a shuffled-hash BUILD side. A
+    * shuffled-hash build cannot spill while the map is built, so the
+    * per-task build is a hard memory bound: at the default 32 shuffle
+    * partitions a 4 GB side (2M vectors × 57 tables at the 22-bit
+    * regime) hands every task a ~128 MB build plus map overhead and
+    * dies with "not enough memory to build hash map" — the first
+    * deep-regime RecallProbe run found exactly this. Over-budget
+    * sides repartition BY THE JOIN KEYS to ⌈bytes/64 MB⌉ partitions
+    * (an explicit count AQE will not coalesce away); the probe side
+    * co-partitions to the same count, so build memory per task stays
+    * bounded at ANY corpus size — the property a 100 TB run needs. */
+  private val BuildPartitionBytes = 64L << 20
+  private[graft] def bcastOrHashIf(rowBytes: Long, rows: Long,
+      keys: Seq[String] = Nil)(df: DataFrame): DataFrame = {
+    val bytes = rows * rowBytes
+    if (bytes <= BroadcastBytes) broadcast(df)
+    else {
+      val spp = df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
+      val k = math.ceil(bytes.toDouble / BuildPartitionBytes).toInt
+      val sized =
+        if (keys.nonEmpty && k > spp) df.repartition(k, keys.map(col): _*)
+        else df
+      sized.hint("shuffle_hash")
+    }
+  }
 
   /** Cheap PRE-VERIFY screen sketch: norm-scaled prefix of the vector
     * plus the norm-scaled L2 mass of the remaining tail,
@@ -701,11 +724,13 @@ object Dedup {
     // count over materialized blocks, not a second scan of the source
     val n = e.count()
     val production = tau >= ProductionEmbTau
-    val skSide = bcastOrHashIf(160, n) _ // sketch: 16 scaled doubles + pt
-    val side = bcastOrHashIf(540, n) _   // full vector + norm
+    // sketch: 16 scaled doubles + pt; side: full vector + norm — keyed
+    // by the pair column each join probes on
+    val skSide = (k: String, df: DataFrame) => bcastOrHashIf(160, n, Seq(k))(df)
+    val side = (k: String, df: DataFrame) => bcastOrHashIf(540, n, Seq(k))(df)
     def verified(cand: DataFrame): DataFrame = cand
-      .join(side(e.select(col("vec_id").as("vec_a"), col("v").as("va"), col("norm").as("na"))), "vec_a")
-      .join(side(e.select(col("vec_id").as("vec_b"), col("v").as("vb"), col("norm").as("nb"))), "vec_b")
+      .join(side("vec_a", e.select(col("vec_id").as("vec_a"), col("v").as("va"), col("norm").as("na"))), "vec_a")
+      .join(side("vec_b", e.select(col("vec_id").as("vec_b"), col("v").as("vb"), col("norm").as("nb"))), "vec_b")
       .withColumn("cosine", VectorFunctions.dot(s, col("va"), col("vb")) / (col("na") * col("nb")))
       .filter(col("cosine") >= tau)
       .select(col("vec_a"), col("vec_b"), round(col("cosine"), 2).as("cosine"))
@@ -718,9 +743,9 @@ object Dedup {
         val sk = embSketch(e)
         verified(
           embCandidatesProbed(e, adaptiveEmbBits(n))
-            .join(skSide(sk.select(col("vec_id").as("vec_a"),
+            .join(skSide("vec_a", sk.select(col("vec_id").as("vec_a"),
               col("pv").as("pva"), col("pt").as("pta"))), "vec_a")
-            .join(skSide(sk.select(col("vec_id").as("vec_b"),
+            .join(skSide("vec_b", sk.select(col("vec_id").as("vec_b"),
               col("pv").as("pvb"), col("pt").as("ptb"))), "vec_b")
             .filter(VectorFunctions.dot(s, col("pva"), col("pvb"))
               + col("pta") * col("ptb") >= tau - 1e-9)
@@ -968,7 +993,8 @@ object Dedup {
     val allBase = idx.sigs(s, indexPath).unionByName(dBase)
       .join(hotKeys, Seq("tbl", "sig"), "left_anti")
       .select(col("vec_id").as("pb"), col("ss").as("ssb"), col("tbl"), col("sig"))
-    val cand = bcastOrHashIf(28, nD * adaptiveEmbTables(bits) * (bits + 1))(dProbes)
+    val cand = bcastOrHashIf(28, nD * adaptiveEmbTables(bits) * (bits + 1),
+        Seq("tbl", "sig"))(dProbes)
       .join(allBase, Seq("tbl", "sig"))
       .filter(col("pa") =!= col("pb") &&
         bit_count(col("ssa").bitwiseXOR(col("ssb"))) <= ScreenMaxDisagree)
