@@ -57,7 +57,8 @@ object ScalingBench {
     "d14_incremental_clusters", "d14b_small_delta",
     "s02_ann_lsh", "s03_ann_ivf", "t11_bm25_search",
     "t12_multiquery_search", "t13_keyword_tfidf",
-    "t14_bm25_index", "t15_batch_bm25_index", "t16_sequence_packing")
+    "t14_bm25_index", "t15_batch_bm25_index", "t16_sequence_packing",
+    "t17_domain_mixture", "t18_mixture_epochs")
 
   /** SPARK_GRAFT_SCALING_ONLY=a,b,c restricts the measured set — for
     * adding rows for NEW queries to an existing record without
@@ -100,6 +101,7 @@ object ScalingBench {
     "d14_incremental_clusters", "d14b_small_delta",
     "t11_bm25_search", "t12_multiquery_search", "t13_keyword_tfidf",
     "t14_bm25_index", "t15_batch_bm25_index", "t16_sequence_packing",
+    "t17_domain_mixture", "t18_mixture_epochs",
     "s02_ann_lsh", "s03_ann_ivf",
     "d05_embedding_neardup")
 

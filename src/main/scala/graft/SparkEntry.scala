@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.operators.{Approx, Dedup, Packing, Relational, RelationalSql, Similarity, TextAnalysis}
+import graft.operators.{Approx, Dedup, Mixture, Packing, Relational, RelationalSql, Similarity, TextAnalysis}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -97,6 +97,10 @@ object SparkEntry {
     // training-data pipeline: sequence packing (corpus → fixed-budget
     // training sequences)
     "t16_sequence_packing" -> (Packing.sequencePacking _),
+    // training-data pipeline: domain-weighted mixture (re-sample the
+    // corpus to a target per-source token mixture) + oversampling epochs
+    "t17_domain_mixture"  -> (Mixture.domainMixture _),
+    "t18_mixture_epochs"  -> (Mixture.mixtureEpochs _),
     // training-data pipeline: similarity search
     "s01_ann_brute"       -> (Similarity.annBrute _),
     "s02_ann_lsh"         -> (Similarity.annLsh _),
@@ -549,6 +553,53 @@ object SparkEntry {
         | start_off // 2048 AS first_seq,
         | (start_off + n_tokens - 1) // 2048 AS last_seq
         |FROM c ORDER BY doc_id""".stripMargin,
+    // t17/t18: allocations are pure integer arithmetic (//), weights the
+    // deterministic 1+(suffix%5), order the md5 shuffle key — every term
+    // bit-reproducible across engines (the PARTITION BY source window is
+    // the oracle spelling; the Spark plan runs the grouped two-phase
+    // prefix sum so no domain ever meets a single window partition)
+    "t17_domain_mixture" ->
+      """WITH t AS (
+        | SELECT doc_id, source,
+        |  CAST(len(string_split(text,' ')) AS BIGINT) AS n_tokens,
+        |  md5(CAST(doc_id AS VARCHAR)) AS k
+        | FROM documents),
+        |w AS (
+        | SELECT source, 1 + CAST(substring(source, 4) AS BIGINT) % 5 AS wt
+        | FROM (SELECT DISTINCT source FROM t)),
+        |g AS (
+        | SELECT (SELECT sum(n_tokens) FROM t) AS tot,
+        |        (SELECT sum(wt) FROM w) AS wsum),
+        |a AS (
+        | SELECT source, ((tot * 50) // 100) * wt // wsum AS alloc
+        | FROM w, g),
+        |c AS (
+        | SELECT doc_id, source, n_tokens,
+        |  COALESCE(sum(n_tokens) OVER (PARTITION BY source ORDER BY k
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |   AS tokens_before
+        | FROM t)
+        |SELECT c.source, c.doc_id, c.n_tokens, c.tokens_before
+        |FROM c JOIN a USING (source)
+        |WHERE c.tokens_before < a.alloc
+        |ORDER BY c.source, c.doc_id""".stripMargin,
+    "t18_mixture_epochs" ->
+      """WITH t AS (
+        | SELECT source,
+        |  CAST(len(string_split(text,' ')) AS BIGINT) AS n_tokens
+        | FROM documents),
+        |p AS (
+        | SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |  sum(n_tokens) AS src_tokens,
+        |  1 + CAST(substring(source, 4) AS BIGINT) % 5 AS wt
+        | FROM t GROUP BY source),
+        |g AS (
+        | SELECT sum(src_tokens) AS tot, sum(wt) AS wsum FROM p)
+        |SELECT source, n_docs, src_tokens, wt,
+        | ((tot * 150) // 100) * wt // wsum AS alloc,
+        | (((tot * 150) // 100) * wt // wsum + src_tokens - 1) // src_tokens
+        |  AS epochs
+        |FROM p, g ORDER BY source""".stripMargin,
     "d01_dedup_exact" ->
       """SELECT md5(lower(trim(text))) AS fp, min(doc_id) AS keep_id,
         | count(*) AS n_copies

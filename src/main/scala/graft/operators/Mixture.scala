@@ -1,0 +1,136 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables
+import graft.functions.TextFunctions._
+
+/** Domain-weighted corpus mixture — the training-data pipeline step
+  * that re-samples a multi-source corpus to a TARGET per-domain token
+  * mixture (The Pile assigns each of its 22 sources a sampling weight,
+  * Gao et al. arXiv:2101.00027 Table 1; LLaMA's pre-training table
+  * does the same per source, Touvron et al. arXiv:2302.13971 Table 1;
+  * DoReMi learns the weights but applies them the same way, Xie et al.
+  * NeurIPS'23).
+  *
+  * Semantics: the corpus is mixed down to `targetPct`% of its total
+  * token count, split across sources proportionally to integer weights
+  * `w(source)`. Within each source documents are taken in a
+  * deterministic shuffle order (md5 of doc_id — an unbiased sample
+  * reproducible across engines and runs) until the source's token
+  * allocation is filled; the document that crosses the boundary is
+  * kept (standard take-until-budget, so overshoot < one document).
+  * Sources whose allocation exceeds their natural token mass keep all
+  * their documents — the oversampling factor a trainer would apply as
+  * repeat epochs is exactly what [[mixtureEpochs]] reports (The Pile's
+  * "epochs" column).
+  *
+  * Scale shape: the core is a PER-SOURCE prefix sum of token counts in
+  * shuffle order. The naive window spelling (`PARTITION BY source`)
+  * puts an entire domain — possibly most of a 100 TB corpus — into one
+  * window partition. This is the grouped generalization of
+  * [[Packing.sequencePacking]]'s two-phase distributed prefix sum:
+  * range-partition the slim (source, key, n_tokens) frame by
+  * (source, key) so each task holds a contiguous key range of one or
+  * more sources, take per-(partition, source) running sums locally,
+  * prefix-sum the ≤ partitions×sources per-group totals on the driver
+  * side of a broadcast, and add the offsets back. Every corpus-sized
+  * frame streams; the only single-partition window runs over the tiny
+  * totals frame (bounded by configuration × domain count, not rows).
+  * Allocations are exact integer arithmetic (`DIV`), so the Spark plan
+  * and the SQL oracle agree bit-for-bit at any corpus size.
+  */
+object Mixture {
+
+  /** Mix down to this percentage of total corpus tokens by default. */
+  val DefaultTargetPct = 50L
+
+  /** Target for the epochs binding: 150% of corpus tokens — a token
+    * budget ABOVE the corpus's mass, the regime repeat-epochs exist for
+    * (The Pile trains >1 epoch over its smaller sources for exactly
+    * this reason). At 50% a near-uniform corpus never oversamples and
+    * every epoch count is trivially 1. */
+  val EpochsTargetPct = 150L
+
+  /** Deterministic integer weight per source for the driver binding:
+    * 1 + (numeric suffix of "srcN" mod 5) ∈ [1,5]. Real pipelines pass
+    * hand-chosen weights via the `weights` column parameter; the
+    * binding needs weights both engines derive identically from data. */
+  def suffixWeight(source: Column): Column =
+    lit(1L) + substring(source, 4, 18).cast("long") % 5L
+
+  /** Per-document mixture selection: (source, doc_id, n_tokens,
+    * tokens_before) for every document the target mixture keeps.
+    * `tokens_before` is the token mass of earlier-keyed documents of
+    * the same source; a document is kept iff tokens_before < alloc. */
+  def domainMixture(docs: DataFrame, weight: Column => Column = suffixWeight,
+      targetPct: Long = DefaultTargetPct): DataFrame = {
+    require(targetPct > 0, s"targetPct must be positive, got $targetPct")
+    val slim = docs.select(col("doc_id"), col("source"),
+      tokenCount(col("text")).as("n_tokens"),
+      md5(col("doc_id").cast("string")).as("k"))
+    // one tiny row per source; the global totals fold in by cross-joining
+    // the one-row frame (broadcast: never a corpus shuffle)
+    val perSrc = slim.groupBy(col("source"))
+      .agg(sum(col("n_tokens")).as("src_tokens"))
+      .withColumn("wt", weight(col("source")))
+    val totals = perSrc.agg(sum(col("src_tokens")).as("tot"),
+      sum(col("wt")).as("wsum"))
+    val alloc = perSrc.crossJoin(broadcast(totals))
+      .select(col("source"), col("src_tokens"), col("wt"),
+        expr(s"tot * ${targetPct}L DIV 100L * wt DIV wsum").as("alloc"))
+    // grouped two-phase prefix sum (see scaladoc): contiguous (source, k)
+    // ranges per task ⇒ pid order IS key order within each source
+    val ranged = slim.repartitionByRange(col("source"), col("k"))
+      .withColumn("pid", spark_partition_id())
+    val local = ranged.withColumn("lend",
+      sum(col("n_tokens")).over(Window.partitionBy(col("pid"), col("source"))
+        .orderBy(col("k"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val ptots = local.groupBy(col("pid"), col("source"))
+      .agg(max(col("lend")).as("ptot"))
+    val poffs = ptots.withColumn("poff",
+      coalesce(sum(col("ptot")).over(Window.partitionBy(col("source"))
+        .orderBy(col("pid"))
+        .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+    local
+      .join(broadcast(poffs.select(col("pid"), col("source"), col("poff"))),
+        Seq("pid", "source"))
+      .withColumn("tokens_before", col("poff") + col("lend") - col("n_tokens"))
+      .join(broadcast(alloc.select(col("source"), col("alloc"))), Seq("source"))
+      .where(col("tokens_before") < col("alloc"))
+      .select(col("source"), col("doc_id"), col("n_tokens"),
+        col("tokens_before"))
+      .orderBy(col("source"), col("doc_id"))
+  }
+
+  /** Per-source mixture summary: natural token mass, weight, token
+    * allocation, and the repeat-epoch factor (ceil(alloc/natural)) a
+    * trainer applies when the target mixture oversamples a source —
+    * The Pile's per-source "epochs" column (arXiv:2101.00027 Table 1). */
+  def mixtureEpochs(docs: DataFrame, weight: Column => Column = suffixWeight,
+      targetPct: Long = DefaultTargetPct): DataFrame = {
+    require(targetPct > 0, s"targetPct must be positive, got $targetPct")
+    val perSrc = docs
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(tokenCount(col("text"))).as("src_tokens"))
+      .withColumn("wt", weight(col("source")))
+    val totals = perSrc.agg(sum(col("src_tokens")).as("tot"),
+      sum(col("wt")).as("wsum"))
+    perSrc.crossJoin(broadcast(totals))
+      .select(col("source"), col("n_docs"), col("src_tokens"), col("wt"),
+        expr(s"tot * ${targetPct}L DIV 100L * wt DIV wsum").as("alloc"))
+      .withColumn("epochs",
+        expr("(alloc + src_tokens - 1L) DIV src_tokens"))
+      .orderBy(col("source"))
+  }
+
+  def domainMixture(s: SparkSession, dir: String): DataFrame =
+    domainMixture(Tables.load(s, dir, "documents"))
+
+  def mixtureEpochs(s: SparkSession, dir: String): DataFrame =
+    mixtureEpochs(Tables.load(s, dir, "documents"), targetPct = EpochsTargetPct)
+}
