@@ -144,7 +144,7 @@ object Dedup {
     * table. The shingle side is semi-pruned to the candidate doc ids
     * BEFORE the pair joins: un-pruned, a corpus-sized shingle table
     * either gets broadcast whole into the verify (measured ~1.5 GB ×2
-    * at the 5M-doc point — a non-plan for a real cluster) or shuffle-
+    * at the 500k-doc sf10 point — a non-plan for a real cluster) or shuffle-
     * joined twice; pruned, it is scanned once and only candidate rows
     * (collision-sized by LSH construction) enter any join. Pairs are
     * materialized because they feed both the prune and the verify, and
@@ -222,7 +222,7 @@ object Dedup {
     * DETERMINISTICALLY — the same exact-recall contract as the old
     * single-block keys. The difference is scale: single 8-bit blocks
     * give only 8×256 = 2048 buckets TOTAL, so bucket width grows ∝ n
-    * and the self-join is Θ(n²/256) — measured 63 s at 5M docs, pure
+    * and the self-join is Θ(n²/256) — measured 63 s at the 500k-doc sf10, pure
     * quadratic hidden by small test SFs. 56 tables × 24-bit keys give
     * ~10⁶× the key space: expected width O(1), candidate volume
     * O(n·tables), and the skew tail (identical-signature clusters)
@@ -1094,7 +1094,7 @@ object Dedup {
     * The first cut of this operator computed df as a separate groupBy
     * and joined it back — two corpus-wide shuffles of the same 16-byte
     * rows plus a checkpoint between them, and its measured top decade
-    * was e_xtop 1.14 (34 s at the 5M-doc point, storage-pressure-bound);
+    * was e_xtop 1.14 (34 s at the 500k-doc sf10 point, storage-pressure-bound);
     * the single-pass window shape is the same trade [[bucketPairs]]
     * already measured in its favor. A boilerplate window shared by k
     * docs is one window group of k rows — counted linearly, never

@@ -31,16 +31,22 @@ import graft.functions.TextFunctions._
   * shuffle order. The naive window spelling (`PARTITION BY source`)
   * puts an entire domain — possibly most of a 100 TB corpus — into one
   * window partition. This is the grouped generalization of
-  * [[Packing.sequencePacking]]'s two-phase distributed prefix sum:
-  * range-partition the slim (source, key, n_tokens) frame by
-  * (source, key) so each task holds a contiguous key range of one or
-  * more sources, take per-(partition, source) running sums locally,
-  * prefix-sum the ≤ partitions×sources per-group totals on the driver
-  * side of a broadcast, and add the offsets back. Every corpus-sized
-  * frame streams; the only single-partition window runs over the tiny
-  * totals frame (bounded by configuration × domain count, not rows).
-  * Allocations are exact integer arithmetic (`DIV`), so the Spark plan
-  * and the SQL oracle agree bit-for-bit at any corpus size.
+  * [[Packing.sequencePacking]]'s two-phase distributed prefix sum,
+  * with one crucial difference: the bucket id is a DETERMINISTIC
+  * function of the row (the first 3 hex chars of the md5 shuffle key,
+  * 4096 buckets — monotone in key order within a source), NOT
+  * `spark_partition_id()` over a range exchange. A range exchange
+  * samples its boundaries per physical subtree; when Catalyst prunes
+  * the two consumers differently the exchange is NOT reused, each copy
+  * samples independently, and past the sample-covers-everything corpus
+  * size the two branches assign DIFFERENT partition ids to the same
+  * row — measured at the 500k-doc sf10: ~24% of selected rows wrong. A pure
+  * column expression cannot disagree with itself, whatever the
+  * optimizer duplicates. Per-(source, bucket) running sums run locally
+  * after one hash exchange; the ≤ sources×4096 bucket totals prefix-sum
+  * in a single tiny window and broadcast back. Every corpus-sized frame
+  * streams. Allocations are exact integer arithmetic (`DIV`), so the
+  * Spark plan and the SQL oracle agree bit-for-bit at any corpus size.
   */
 object Mixture {
 
@@ -68,33 +74,35 @@ object Mixture {
   def domainMixture(docs: DataFrame, weight: Column => Column = suffixWeight,
       targetPct: Long = DefaultTargetPct): DataFrame = {
     require(targetPct > 0, s"targetPct must be positive, got $targetPct")
+    // pid: deterministic bucket from the shuffle key's hex prefix —
+    // monotone in k within a source, identical in every plan subtree
+    // (see scaladoc for why spark_partition_id over a range exchange
+    // is NOT safe here)
     val slim = docs.select(col("doc_id"), col("source"),
       tokenCount(col("text")).as("n_tokens"),
       md5(col("doc_id").cast("string")).as("k"))
+      .withColumn("pid", conv(substring(col("k"), 1, 3), 16, 10).cast("int"))
+    // bucket totals: one partial-agg exchange, ≤ sources×4096 rows out
+    val ptots = slim.groupBy(col("source"), col("pid"))
+      .agg(sum(col("n_tokens")).as("ptot"))
     // one tiny row per source; the global totals fold in by cross-joining
     // the one-row frame (broadcast: never a corpus shuffle)
-    val perSrc = slim.groupBy(col("source"))
-      .agg(sum(col("n_tokens")).as("src_tokens"))
+    val perSrc = ptots.groupBy(col("source"))
+      .agg(sum(col("ptot")).as("src_tokens"))
       .withColumn("wt", weight(col("source")))
     val totals = perSrc.agg(sum(col("src_tokens")).as("tot"),
       sum(col("wt")).as("wsum"))
     val alloc = perSrc.crossJoin(broadcast(totals))
       .select(col("source"), col("src_tokens"), col("wt"),
         expr(s"tot * ${targetPct}L DIV 100L * wt DIV wsum").as("alloc"))
-    // grouped two-phase prefix sum (see scaladoc): contiguous (source, k)
-    // ranges per task ⇒ pid order IS key order within each source
-    val ranged = slim.repartitionByRange(col("source"), col("k"))
-      .withColumn("pid", spark_partition_id())
-    val local = ranged.withColumn("lend",
-      sum(col("n_tokens")).over(Window.partitionBy(col("pid"), col("source"))
-        .orderBy(col("k"))
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-    val ptots = local.groupBy(col("pid"), col("source"))
-      .agg(max(col("lend")).as("ptot"))
     val poffs = ptots.withColumn("poff",
       coalesce(sum(col("ptot")).over(Window.partitionBy(col("source"))
         .orderBy(col("pid"))
         .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+    val local = slim.withColumn("lend",
+      sum(col("n_tokens")).over(Window.partitionBy(col("source"), col("pid"))
+        .orderBy(col("k"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
     local
       .join(broadcast(poffs.select(col("pid"), col("source"), col("poff"))),
         Seq("pid", "source"))

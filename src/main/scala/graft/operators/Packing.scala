@@ -22,22 +22,38 @@ import graft.functions.TextFunctions._
   * global-window scale bug). This implementation is the distributed
   * two-phase prefix sum instead:
   *
-  *  1. range-partition the slim (doc_id, n_tokens) frame by doc_id
-  *     (contiguous id ranges per partition, partition order = id
-  *     order) and take per-partition running sums;
-  *  2. aggregate ONE total row per partition (≤ shuffle-partitions
-  *     rows — the only single-partition window runs over THIS tiny
-  *     frame), prefix-sum those, and broadcast the per-partition
-  *     offsets back onto the local sums.
+  *  1. bucket the slim (doc_id, n_tokens) frame into 4096 contiguous
+  *     id ranges by PURE ARITHMETIC over the broadcast (min, max) id
+  *     bounds — `(doc_id - lo) DIV width` — and take per-bucket
+  *     running sums after one hash exchange;
+  *  2. aggregate ONE total row per bucket (≤4096 rows — the only
+  *     single-partition window runs over THIS tiny frame), prefix-sum
+  *     those, and broadcast the per-bucket offsets back onto the
+  *     local sums.
   *
-  * Work at 100 TB: one corpus scan for token counts, one slim range
-  * exchange (16 B/row), one tiny aggregate, one broadcast join —
-  * every corpus-sized frame streams; nothing corpus-sized ever meets
-  * a single-partition operator. Sequence ids are exact integer
-  * arithmetic (`DIV`), not float division — token offsets at the
-  * 100 TB scale (~10^13) exceed a double's 2^53 integer range only
-  * far past any real corpus, but DIV keeps the plan exact at any
-  * offset a long can hold. */
+  * The bucket id is deliberately NOT `spark_partition_id()` over a
+  * range exchange: a range exchange samples its boundaries per
+  * physical subtree, and when the optimizer prunes the local-sums and
+  * bucket-totals consumers differently the exchange is duplicated
+  * instead of reused — each copy then samples its own boundaries, and
+  * past the sample-covers-everything corpus size the two branches
+  * assign different partition ids to the same row (the sibling
+  * [[Mixture]] operator measured ~24% wrong rows at the 500k-doc sf10 before
+  * this construction replaced it; the original t16 shape was safe only
+  * because AQE happened to reuse its exchange). An arithmetic bucket
+  * cannot disagree with itself, whatever the plan duplicates. Bucket
+  * balance tracks doc_id density — exact for the dense row-id
+  * convention this corpus uses; a pathologically clustered id space
+  * would skew buckets (they spill, correctness unaffected).
+  *
+  * Work at 100 TB: one slim scan for the id bounds, one corpus scan
+  * for token counts, one slim hash exchange (16 B/row), one tiny
+  * aggregate, one broadcast join — every corpus-sized frame streams;
+  * nothing corpus-sized ever meets a single-partition operator.
+  * Sequence ids are exact integer arithmetic (`DIV`), not float
+  * division — token offsets at the 100 TB scale (~10^13) exceed a
+  * double's 2^53 integer range only far past any real corpus, but DIV
+  * keeps the plan exact at any offset a long can hold. */
 object Packing {
 
   /** Tokens per packed training sequence (a GPT-2-era 1024 /
@@ -54,19 +70,23 @@ object Packing {
   def sequencePacking(docs: DataFrame,
       budget: Long = DefaultBudget): DataFrame = {
     require(budget > 0, s"budget must be positive, got $budget")
-    val slim = docs
+    val counts = docs
       .select(col("doc_id"), tokenCount(col("text")).as("n_tokens"))
-      .repartitionByRange(col("doc_id"))
-    // pid is captured on the range-partitioned frame: partition p holds
-    // ids strictly below partition p+1's, so pid order IS doc_id order
-    val withPid = slim.withColumn("pid", spark_partition_id())
-    val local = withPid.withColumn("lend",
+    val bounds = counts.agg(min(col("doc_id")).as("lo"),
+      max(col("doc_id")).as("hi"))
+    // pid: deterministic contiguous-range bucket (see scaladoc — a pure
+    // function of doc_id, so every plan subtree agrees on it)
+    val slim = counts.crossJoin(broadcast(bounds))
+      .withColumn("pid",
+        expr("(doc_id - lo) DIV ((hi - lo) DIV 4096L + 1L)").cast("int"))
+      .select(col("doc_id"), col("n_tokens"), col("pid"))
+    val local = slim.withColumn("lend",
       sum(col("n_tokens")).over(Window.partitionBy(col("pid"))
         .orderBy(col("doc_id"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-    val ptots = local.groupBy(col("pid")).agg(max(col("lend")).as("ptot"))
-    // ≤ shuffle-partitions rows: the single-partition window is bounded
-    // by configuration, not by data
+    val ptots = slim.groupBy(col("pid")).agg(sum(col("n_tokens")).as("ptot"))
+    // ≤4096 rows: the single-partition window is bounded by the bucket
+    // constant, not by data
     val poffs = ptots.withColumn("poff",
       coalesce(sum(col("ptot")).over(Window.orderBy(col("pid"))
         .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))

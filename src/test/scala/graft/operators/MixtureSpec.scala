@@ -83,9 +83,13 @@ class MixtureSpec extends SparkSpec {
   test("no corpus-sized single-partition window in the plan") {
     val plan = Mixture.domainMixture(Tables.load(spark, Sf0001, "documents"))
       .queryExecution.executedPlan.toString
-    // the corpus window partitions by (pid, source); the only
+    // the corpus window partitions by (source, pid); the only
     // single-partition work is the tiny totals frame + presentation sort
-    assert(plan.contains("hashpartitioning(pid"))
+    assert(plan.contains("hashpartitioning(source"))
+    // the bucket id must be the deterministic hex-prefix expression,
+    // never spark_partition_id over a (per-subtree-sampled) range
+    // exchange — see the Mixture scaladoc for the measured failure
+    assert(!plan.contains("SPARK_PARTITION_ID"))
   }
 
   test("deterministic across runs") {

@@ -54,9 +54,14 @@ class PackingSpec extends SparkSpec {
     val plan = Packing.sequencePacking(docs, 2048L)
       .queryExecution.executedPlan.toString
     // the corpus window partitions by pid; the only SinglePartition
-    // exchanges feed the tiny per-partition-totals window and the
+    // exchanges feed the tiny per-bucket-totals window and the
     // final presentation sort — assert the corpus window is the
     // partitioned one
     assert(plan.contains("hashpartitioning(pid"))
+    // the bucket id must be the deterministic arithmetic bucket, never
+    // spark_partition_id over a range exchange (per-subtree boundary
+    // sampling — see the Packing scaladoc for the measured failure)
+    assert(!plan.contains("SPARK_PARTITION_ID"))
+    assert(!plan.contains("REPARTITION_BY_COL"))
   }
 }

@@ -41,7 +41,8 @@ def main():
     con = duckdb.connect()
     for p in glob.glob(f"{sf_dir}/*.parquet"):
         t = os.path.basename(p)[:-8]
-        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+        src = f"{p}/*.parquet" if os.path.isdir(p) else p
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{src}')")
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
     n_pass = n_fail = 0
     for name in sorted(oracle):
