@@ -387,24 +387,29 @@ object SparkEntry {
         |   (a,v) -> a+v) AS n_subwords,
         | CAST(length(text) AS BIGINT) AS n_chars_calc, n_chars
         |FROM documents ORDER BY doc_id""".stripMargin,
+    // Ratios and quality are exact rationals rounded half-up to 4
+    // decimals in INTEGER arithmetic on both engines (// here, DIV in
+    // Spark): float round(x, 4) of a rational sitting exactly on a
+    // decimal half (577/800 = 0.72125) is engine-dependent — the sf10
+    // DuckDB gate measured two such docs disagreeing.
     "t02_quality_scoring" ->
-      """SELECT doc_id,
-        | round(CASE WHEN len(string_split(text,' ')) = 0 THEN 0.0
-        |  ELSE len(list_filter(string_split(text,' '),
-        |        x -> x IN ('the','a','and','of','to','in','is')))
-        |       / CAST(len(string_split(text,' ')) AS DOUBLE) END, 4) AS stop_ratio,
-        | round(CASE WHEN length(text) = 0 THEN 0.0
-        |  ELSE (length(text) - length(regexp_replace(text, '[^a-z0-9 ]', '', 'g')))
-        |       / CAST(length(text) AS DOUBLE) END, 4) AS punct_ratio,
-        | round(least(1.0, len(string_split(text,' '))/100.0)*0.5
-        |  + (CASE WHEN len(string_split(text,' ')) = 0 THEN 0.0
-        |      ELSE len(list_filter(string_split(text,' '),
-        |            x -> x IN ('the','a','and','of','to','in','is')))
-        |           / CAST(len(string_split(text,' ')) AS DOUBLE) END)*0.25
-        |  + (1.0 - (CASE WHEN length(text) = 0 THEN 0.0
-        |      ELSE (length(text) - length(regexp_replace(text, '[^a-z0-9 ]', '', 'g')))
-        |           / CAST(length(text) AS DOUBLE) END))*0.25, 4) AS quality
-        |FROM documents ORDER BY doc_id""".stripMargin,
+      """WITH cnt AS (
+        | SELECT doc_id,
+        |  CAST(len(string_split(text,' ')) AS BIGINT) AS t0,
+        |  CAST(len(list_filter(string_split(text,' '),
+        |       x -> x IN ('the','a','and','of','to','in','is'))) AS BIGINT) AS s,
+        |  CAST(length(text) AS BIGINT) AS c0,
+        |  CAST(length(text)
+        |   - length(regexp_replace(text, '[^a-z0-9 ]', '', 'g')) AS BIGINT) AS p
+        | FROM documents),
+        |g AS (SELECT doc_id, s, p, greatest(t0, 1) AS t, greatest(c0, 1) AS c,
+        |  least(t0, 100) AS m FROM cnt)
+        |SELECT doc_id,
+        | ((20000*s + t) // (2*t)) / 10000.0 AS stop_ratio,
+        | ((20000*p + c) // (2*c)) / 10000.0 AS punct_ratio,
+        | ((2*(50*m*t*c + 2500*s*c + 2500*(c-p)*t) + t*c) // (2*t*c)) / 10000.0
+        |  AS quality
+        |FROM g ORDER BY doc_id""".stripMargin,
     "t03_lang_id" ->
       """SELECT lang,
         | CASE WHEN regexp_matches(text, '[一-龥]') THEN 'zh'
@@ -421,18 +426,23 @@ object SparkEntry {
         |   (acc,v) -> (acc*131+v) % 1000000007) AS fp_roll
         |FROM documents ORDER BY doc_id""".stripMargin,
     "t05_curation" ->
-      """WITH scored AS (
+      """WITH cnt AS (
         | SELECT doc_id, source, md5(lower(trim(text))) AS fp,
-        |  CAST(len(string_split(text,' ')) AS BIGINT) AS n_tokens,
-        |  round(least(1.0, len(string_split(text,' '))/100.0)*0.5
-        |   + (CASE WHEN len(string_split(text,' ')) = 0 THEN 0.0
-        |       ELSE len(list_filter(string_split(text,' '),
-        |             x -> x IN ('the','a','and','of','to','in','is')))
-        |            / CAST(len(string_split(text,' ')) AS DOUBLE) END)*0.25
-        |   + (1.0 - (CASE WHEN length(text) = 0 THEN 0.0
-        |       ELSE (length(text) - length(regexp_replace(text, '[^a-z0-9 ]', '', 'g')))
-        |            / CAST(length(text) AS DOUBLE) END))*0.25, 4) AS quality
+        |  CAST(len(string_split(text,' ')) AS BIGINT) AS t0,
+        |  CAST(len(list_filter(string_split(text,' '),
+        |       x -> x IN ('the','a','and','of','to','in','is'))) AS BIGINT) AS s,
+        |  CAST(length(text) AS BIGINT) AS c0,
+        |  CAST(length(text)
+        |   - length(regexp_replace(text, '[^a-z0-9 ]', '', 'g')) AS BIGINT) AS p
         | FROM documents),
+        |scored AS (
+        | SELECT doc_id, source, fp, t0 AS n_tokens,
+        |  -- integer-exact 4-decimal quality: see the t02 oracle note
+        |  ((2*(50*least(t0,100)*greatest(t0,1)*greatest(c0,1)
+        |      + 2500*s*greatest(c0,1) + 2500*(greatest(c0,1)-p)*greatest(t0,1))
+        |    + greatest(t0,1)*greatest(c0,1))
+        |   // (2*greatest(t0,1)*greatest(c0,1))) / 10000.0 AS quality
+        | FROM cnt),
         |kept AS (
         | SELECT *, min(doc_id) OVER (PARTITION BY fp) AS keep_id FROM scored)
         |SELECT source, count(*) AS n_docs,

@@ -31,29 +31,61 @@ object TextFunctions {
 
   private val StopWords: Seq[String] = Seq("the", "a", "and", "of", "to", "in", "is")
 
-  /** Fraction of tokens that are stopwords (0 when empty). */
-  def stopwordRatio(text: Column): Column = {
+  /** Round-half-up of 10000·num/den in pure integer arithmetic
+    * (num ≥ 0, den > 0). The ratio columns and the composite quality
+    * score are exact rationals; rounding their nearest DOUBLE to 4
+    * decimals is engine-dependent when the rational sits exactly ON a
+    * decimal half (577/800 = 0.72125: the sf10 DuckDB gate measured
+    * Spark and DuckDB landing on opposite sides for two such docs,
+    * invisible at the sf0.01 gate where no tie occurs). Integer DIV
+    * makes the 4-decimal value a pure function of the counts — the
+    * same discipline as the mixture/packing allocations — and one
+    * final /10000.0 is bit-identical in any engine. */
+  private def divHalfUp(num: Column, den: Column): Column =
+    call_function("div", lit(2L) * num + den, lit(2L) * den)
+
+  private def ratioE4(num: Column, den: Column): Column =
+    divHalfUp(lit(10000L) * num, den)
+
+  private def stopCounts(text: Column): (Column, Column) = {
     val toks = tokens(text)
     val stops = filter(toks, w => w.isin(StopWords.map(lit(_)): _*))
-    when(size(toks) === 0, lit(0.0))
-      .otherwise(size(stops).cast("double") / size(toks).cast("double"))
+    (size(stops).cast("long"), size(toks).cast("long"))
   }
 
-  /** Fraction of non [a-z0-9 space] characters. */
-  def punctRatio(text: Column): Column =
-    when(length(text) === 0, lit(0.0))
-      .otherwise(
-        (length(text) - length(regexp_replace(text, "[^a-z0-9 ]", ""))).cast("double")
-          / length(text).cast("double"))
+  private def punctCounts(text: Column): (Column, Column) =
+    ((length(text) - length(regexp_replace(text, "[^a-z0-9 ]", ""))).cast("long"),
+      length(text).cast("long"))
 
-  /** Composite quality score in [0,1]:
-    * 0.5·min(1, tokens/100) + 0.25·stopword presence + 0.25·(1-punct). */
-  def qualityScore(text: Column): Column =
-    round(
-      least(lit(1.0), tokenCount(text).cast("double") / 100.0) * 0.5
-        + stopwordRatio(text) * 0.25
-        + (lit(1.0) - punctRatio(text)) * 0.25,
-      4)
+  /** Fraction of tokens that are stopwords (0 when empty), rounded
+    * half-up to 4 decimals in exact integer arithmetic. */
+  def stopwordRatio4(text: Column): Column = {
+    val (s, t) = stopCounts(text)
+    (ratioE4(s, greatest(t, lit(1L))) / 10000.0).cast("double")
+  }
+
+  /** Fraction of non [a-z0-9 space] characters (0 when empty), rounded
+    * half-up to 4 decimals in exact integer arithmetic. */
+  def punctRatio4(text: Column): Column = {
+    val (p, c) = punctCounts(text)
+    (ratioE4(p, greatest(c, lit(1L))) / 10000.0).cast("double")
+  }
+
+  /** Composite quality score in [0,1], 4 decimals:
+    * 0.5·min(1, tokens/100) + 0.25·stopword ratio + 0.25·(1-punct).
+    * One exact rational over denominator t·c, rounded in integer
+    * arithmetic: 10000·q = 50·min(100,tok) + 2500·s/t + 2500·(c-p)/c.
+    * Magnitudes: numerator ≤ 50·100·t·c + 2500·(s·c + c·t) ≲ 10^11 at
+    * any realistic doc size — far inside long range. */
+  def qualityScore(text: Column): Column = {
+    val (s, t0) = stopCounts(text)
+    val (p, c0) = punctCounts(text)
+    val t = greatest(t0, lit(1L))
+    val c = greatest(c0, lit(1L))
+    val m = least(t0, lit(100L))
+    val num = lit(50L) * m * t * c + lit(2500L) * s * c + lit(2500L) * (c - p) * t
+    (divHalfUp(num, t * c) / lit(10000L).cast("double")).cast("double")
+  }
 
   /** Deterministic marker-based language guess (n-gram heuristic class;
     * reference has no lang-id — this is the training-pipeline addition).

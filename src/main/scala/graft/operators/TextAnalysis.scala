@@ -35,8 +35,8 @@ object TextAnalysis {
     docs
       .select(
         col("doc_id"),
-        round(stopwordRatio(col("text")), 4).as("stop_ratio"),
-        round(punctRatio(col("text")), 4).as("punct_ratio"),
+        stopwordRatio4(col("text")).as("stop_ratio"),
+        punctRatio4(col("text")).as("punct_ratio"),
         qualityScore(col("text")).as("quality"))
       .orderBy(col("doc_id"))
 
