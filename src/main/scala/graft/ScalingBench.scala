@@ -55,10 +55,10 @@ object ScalingBench {
     "d10_dedup_survivors", "d11_substring_dedup", "d12_joint_survivors",
     "d13_incremental_emb_neardup", "d13b_small_emb_delta",
     "d14_incremental_clusters", "d14b_small_delta",
-    "s02_ann_lsh", "s03_ann_ivf", "t11_bm25_search",
+    "s02_ann_lsh", "s03_ann_ivf", "s04_ann_ivfpq", "t11_bm25_search",
     "t12_multiquery_search", "t13_keyword_tfidf",
     "t14_bm25_index", "t15_batch_bm25_index", "t16_sequence_packing",
-    "t17_domain_mixture", "t18_mixture_epochs")
+    "t17_domain_mixture", "t18_mixture_epochs", "t19_token_chunks")
 
   /** SPARK_GRAFT_SCALING_ONLY=a,b,c restricts the measured set — for
     * adding rows for NEW queries to an existing record without
@@ -101,8 +101,8 @@ object ScalingBench {
     "d14_incremental_clusters", "d14b_small_delta",
     "t11_bm25_search", "t12_multiquery_search", "t13_keyword_tfidf",
     "t14_bm25_index", "t15_batch_bm25_index", "t16_sequence_packing",
-    "t17_domain_mixture", "t18_mixture_epochs",
-    "s02_ann_lsh", "s03_ann_ivf",
+    "t17_domain_mixture", "t18_mixture_epochs", "t19_token_chunks",
+    "s02_ann_lsh", "s03_ann_ivf", "s04_ann_ivfpq",
     "d05_embedding_neardup")
 
   private def MeasuredSf10 = only(MeasuredSf10All)(identity)
@@ -444,7 +444,8 @@ object ScalingBench {
       // ANN recall at this SF (untimed; vs the exact brute top-k) — so a
       // recall regression is visible in the record next to the timing
       Seq("s02_ann_lsh" -> ((d: String) => graft.operators.Similarity.annLsh(spark, d)),
-          "s03_ann_ivf" -> ((d: String) => graft.operators.Similarity.annIvf(spark, d)))
+          "s03_ann_ivf" -> ((d: String) => graft.operators.Similarity.annIvf(spark, d)),
+          "s04_ann_ivfpq" -> ((d: String) => graft.operators.Similarity.annIvfPq(spark, d)))
         .foreach { case (name, fn) =>
           if (times.get(name).exists(_.get(sf).exists(_ > 0)))
             try {

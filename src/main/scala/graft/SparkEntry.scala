@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.operators.{Approx, Dedup, Mixture, Packing, Relational, RelationalSql, Similarity, TextAnalysis}
+import graft.operators.{Approx, Chunking, Dedup, Mixture, Packing, Relational, RelationalSql, Similarity, TextAnalysis}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -101,10 +101,14 @@ object SparkEntry {
     // corpus to a target per-source token mixture) + oversampling epochs
     "t17_domain_mixture"  -> (Mixture.domainMixture _),
     "t18_mixture_epochs"  -> (Mixture.mixtureEpochs _),
+    // training-data pipeline: context-window chunking (docs -> fixed
+    // token windows with overlap)
+    "t19_token_chunks"    -> (Chunking.tokenChunks _),
     // training-data pipeline: similarity search
     "s01_ann_brute"       -> (Similarity.annBrute _),
     "s02_ann_lsh"         -> (Similarity.annLsh _),
     "s03_ann_ivf"         -> (Similarity.annIvf _),
+    "s04_ann_ivfpq"       -> (Similarity.annIvfPq _),
     // approximate/sketch operators (engine-specific estimates: rows-only)
     "a01_approx_distinct" -> (Approx.approxDistinct _),
     "a02_hll_merge"       -> (Approx.hllMerge _),
@@ -610,6 +614,22 @@ object SparkEntry {
         | (((tot * 150) // 100) * wt // wsum + src_tokens - 1) // src_tokens
         |  AS epochs
         |FROM p, g ORDER BY source""".stripMargin,
+    // t19: chunk counts/offsets are integer DIV on both engines; the
+    // window fingerprint is md5 over the identically-sliced token join
+    "t19_token_chunks" ->
+      """WITH t AS (SELECT doc_id, string_split(text,' ') AS w FROM documents),
+        |n AS (SELECT doc_id, w, CAST(len(w) AS BIGINT) AS n FROM t),
+        |c AS (SELECT doc_id, w, n,
+        |  CASE WHEN n <= 32 THEN 1
+        |   ELSE (n - 32 + 23) // 24 + 1 END AS nchunks FROM n),
+        |x AS (SELECT doc_id, w, n,
+        |  unnest(generate_series(0, nchunks - 1)) AS chunk_idx FROM c)
+        |SELECT doc_id, CAST(chunk_idx AS BIGINT) AS chunk_idx,
+        | CAST(chunk_idx * 24 AS BIGINT) AS start_tok,
+        | CAST(least(32, n - chunk_idx * 24) AS BIGINT) AS n_chunk_tokens,
+        | md5(array_to_string(w[chunk_idx*24 + 1 : chunk_idx*24 + 32], ' '))
+        |  AS chunk_md5
+        |FROM x ORDER BY doc_id, chunk_idx""".stripMargin,
     "d01_dedup_exact" ->
       """SELECT md5(lower(trim(text))) AS fp, min(doc_id) AS keep_id,
         | count(*) AS n_copies

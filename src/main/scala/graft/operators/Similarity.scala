@@ -248,6 +248,35 @@ object Similarity {
     cur
   }
 
+  /** Tiny (cell, cv, cn) centroid frame for broadcast joins. */
+  private def centFrame(s: SparkSession, cents: Array[Array[Double]]): DataFrame = {
+    import s.implicits._
+    cents.zipWithIndex
+      .map { case (c, i) => (i.toLong, c) }.toSeq
+      .toDF("cell", "cv")
+      .withColumn("cn", lit(1.0))
+      .select(col("cell"), col("cv").cast("array<double>").as("cv"), col("cn"))
+  }
+
+  /** Inverted file: nearest centroid per corpus vector — a broadcast of
+    * the tiny centroid set against the fact side, one codegen'd pass. */
+  private def ivfAssign(s: SparkSession, e: DataFrame, cent: DataFrame): DataFrame =
+    e.crossJoin(broadcast(cent))
+      .withColumn("sim", VectorFunctions.dot(s, col("v"), col("cv")) / (col("norm") * col("cn")))
+      .groupBy(col("vec_id"))
+      .agg(max_by(col("cell"), col("sim")).as("cell"))
+
+  /** Each query's `nProbe` nearest cells (query vectors ride along). */
+  private def ivfProbes(s: SparkSession, q: DataFrame, cent: DataFrame,
+      nProbe: Int): DataFrame = {
+    val wProbe = Window.partitionBy(col("query_id")).orderBy(col("csim").desc, col("cell"))
+    q.crossJoin(broadcast(cent))
+      .withColumn("csim", VectorFunctions.dot(s, col("qv"), col("cv")) / (col("qn") * col("cn")))
+      .withColumn("pr", row_number().over(wProbe))
+      .filter(col("pr") <= nProbe)
+      .select(col("query_id"), col("qv"), col("qn"), col("cell"))
+  }
+
   /** IVF-Flat ANN: vectors are assigned to the nearest of `Cells`
     * k-means centroids (inverted file); a query probes only its
     * `NProbe` nearest cells. Assignment is a broadcast of the tiny
@@ -257,33 +286,17 @@ object Similarity {
       excludeSelf: Boolean = true,
       cells: Int = 0, nProbe: Int = 0): DataFrame = {
     val s = corpus.sparkSession
-    import s.implicits._
     val e = withNorm(s, corpus)
     // each parameter independently: an explicit value (> 0) is honored,
     // only the missing one is sized — nProbe from the EFFECTIVE cell
     // count, cells from the corpus ([[ivfConfig]])
     val cCells = if (cells > 0) cells else ivfConfig(corpus.count())._1
     val cProbe = if (nProbe > 0) nProbe else probeFor(cCells)
-    val cent = kmeansCentroids(s, e, cCells).zipWithIndex
-      .map { case (c, i) => (i.toLong, c) }.toSeq
-      .toDF("cell", "cv")
-      .withColumn("cn", lit(1.0))
-      .select(col("cell"), col("cv").cast("array<double>").as("cv"), col("cn"))
-    // inverted file: nearest centroid per vector
-    val assign = e.crossJoin(broadcast(cent))
-      .withColumn("sim", VectorFunctions.dot(s, col("v"), col("cv")) / (col("norm") * col("cn")))
-      .groupBy(col("vec_id"))
-      .agg(max_by(col("cell"), col("sim")).as("cell"))
-    val indexed = e.join(assign, "vec_id")
-    // query probes its NProbe nearest cells
+    val cent = centFrame(s, kmeansCentroids(s, e, cCells))
+    val indexed = e.join(ivfAssign(s, e, cent), "vec_id")
     val q = withNorm(s, queries)
       .select(col("vec_id").as("query_id"), col("v").as("qv"), col("norm").as("qn"))
-    val wProbe = Window.partitionBy(col("query_id")).orderBy(col("csim").desc, col("cell"))
-    val probes = q.crossJoin(broadcast(cent))
-      .withColumn("csim", VectorFunctions.dot(s, col("qv"), col("cv")) / (col("qn") * col("cn")))
-      .withColumn("pr", row_number().over(wProbe))
-      .filter(col("pr") <= cProbe)
-      .select(col("query_id"), col("qv"), col("qn"), col("cell"))
+    val probes = ivfProbes(s, q, cent, cProbe)
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("vec_id"))
     indexed.join(broadcast(probes), Seq("cell"))
@@ -299,6 +312,181 @@ object Similarity {
   def annIvf(s: SparkSession, dir: String): DataFrame = {
     val all = Tables.load(s, dir, "embeddings")
     annIvf(all, all.filter(col("vec_id") < NumQueries), K)
+  }
+
+  /** Bounded unit-normalized hash-sample for PQ codebook training —
+    * the same TakeOrdered sample discipline as [[kmeansCentroids]]
+    * (≥16 points per centroid, ~2 MB at the (8, 256) config). */
+  private def pqSample(e: DataFrame): Array[Array[Double]] =
+    e.filter(col("norm") > 0)
+      .orderBy(xxhash64(col("vec_id")), col("vec_id"))
+      .limit(16 * graft.functions.PqKernel.Ks)
+      .select(col("v"), col("norm"))
+      .collect()
+      .map { r =>
+        val n = r.getDouble(1)
+        r.getSeq[Double](0).toArray.map(_ / n)
+      }
+
+  /** Deterministic plain-L2 k-means — the PQ-codebook sibling of the
+    * spherical [[kmeansCentroids]]: farthest-first (k-center) seeding,
+    * then [[KmIters]] Lloyd rounds with MEAN updates (subspace slices
+    * are not unit vectors, so no re-normalization). Chunked on the
+    * shared training pool; per-chunk partials merge in index order so
+    * accumulation stays deterministic. */
+  private def l2Kmeans(pts: Array[Array[Double]], k: Int): Array[Array[Double]] = {
+    def d2(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { val d = a(i) - b(i); s += d * d; i += 1 }
+      s
+    }
+    if (pts.isEmpty || pts(0).length == 0) return Array(Array.emptyDoubleArray)
+    val kk = math.min(k, pts.length)
+    val dim = pts(0).length
+    val cents = scala.collection.mutable.ArrayBuffer[Array[Double]](pts(0))
+    val bestD = pts.map(d2(_, pts(0)))
+    while (cents.size < kk) {
+      var pick = 0
+      var i = 1
+      while (i < pts.length) {
+        if (bestD(i) > bestD(pick)) pick = i
+        i += 1
+      }
+      val c = pts(pick)
+      cents += c
+      parChunks(pts.length) { (_, lo, hi) =>
+        var j = lo
+        while (j < hi) {
+          val d = d2(pts(j), c)
+          if (d < bestD(j)) bestD(j) = d
+          j += 1
+        }
+      }
+    }
+    var cur = cents.toArray
+    for (_ <- 0 until KmIters) {
+      val partials = new Array[(Array[Array[Double]], Array[Int])](ParChunkN)
+      parChunks(pts.length) { (t, lo, hi) =>
+        val sums = Array.fill(kk)(new Array[Double](dim))
+        val counts = new Array[Int](kk)
+        var si = lo
+        while (si < hi) {
+          val v = pts(si)
+          var bi = 0
+          var bd = d2(v, cur(0))
+          var c = 1
+          while (c < kk) {
+            val d = d2(v, cur(c))
+            if (d < bd) { bd = d; bi = c }
+            c += 1
+          }
+          counts(bi) += 1
+          var i = 0
+          while (i < dim) { sums(bi)(i) += v(i); i += 1 }
+          si += 1
+        }
+        partials(t) = (sums, counts)
+      }
+      val sums = Array.fill(kk)(new Array[Double](dim))
+      val counts = new Array[Int](kk)
+      partials.foreach {
+        case null => ()
+        case (ps, pc) =>
+          var c = 0
+          while (c < kk) {
+            counts(c) += pc(c)
+            var i = 0
+            while (i < dim) { sums(c)(i) += ps(c)(i); i += 1 }
+            c += 1
+          }
+      }
+      cur = cur.zipWithIndex.map { case (old, c) =>
+        if (counts(c) == 0) old else sums(c).map(_ / counts(c))
+      }
+    }
+    cur
+  }
+
+  /** PQ codebooks over the corpus sample: per subspace, L2 k-means on
+    * the unit-vector slices (see [[graft.functions.PqKernel]] for the
+    * subspace geometry). */
+  private[operators] def pqCodebooks(s: SparkSession, e: DataFrame): Array[Array[Array[Double]]] = {
+    import graft.functions.PqKernel
+    val sample = pqSample(e)
+    require(sample.nonEmpty, "no non-zero vectors to train PQ codebooks on")
+    val dim = sample(0).length
+    val w = PqKernel.width(dim)
+    Array.tabulate(PqKernel.M) { m =>
+      val lo = m * w
+      val hi = math.min(lo + w, dim)
+      if (lo >= hi) Array(Array.emptyDoubleArray)
+      else l2Kmeans(sample.map(v => java.util.Arrays.copyOfRange(v, lo, hi)),
+        PqKernel.Ks)
+    }
+  }
+
+  /** ADC shortlist depth per query, ×k. Calibration at sf0.01 (500
+    * vectors, k=10): factor 4 → recall 0.96, 10 → 1.0; the exact
+    * re-rank makes the factor a pure recall/IO knob (results are true
+    * cosines for whatever the shortlist surfaces). */
+  private val RerankFactor = 10
+
+  /** IVF-PQ ANN — the memory-bound 100 TB path (Jégou et al., TPAMI
+    * 2011). The probe-join input is an 8-BYTE packed code per vector
+    * ([[graft.functions.PqKernel]]: 8 subspaces × 256 centroids packed
+    * into one long), not the raw ~512-byte vector — the candidate
+    * scan's byte volume drops ~64×, approximate scoring is 8
+    * byte-indexed lookups against a per-query ADC table, and raw
+    * vectors are touched ONLY to exactly re-rank each query's
+    * [[RerankFactor]]·k ADC survivors (two bounded broadcasts: the
+    * shortlist ids against the corpus, the query vectors against the
+    * survivors). At cluster scale the codes frame is the thing a
+    * serving tier would pin in memory: n×16 B instead of n×(8+4·dim) B. */
+  def annIvfPq(corpus: DataFrame, queries: DataFrame, k: Int,
+      excludeSelf: Boolean = true,
+      cells: Int = 0, nProbe: Int = 0, rerank: Int = 0): DataFrame = {
+    val s = corpus.sparkSession
+    import graft.functions.PqFunctions
+    val e = withNorm(s, corpus).localCheckpoint(true) // train + encode + re-rank reuse
+    val cCells = if (cells > 0) cells else ivfConfig(corpus.count())._1
+    val cProbe = if (nProbe > 0) nProbe else probeFor(cCells)
+    val cRerank = if (rerank > 0) rerank else RerankFactor * k
+    val cent = centFrame(s, kmeansCentroids(s, e, cCells))
+    val cb = pqCodebooks(s, e)
+    // the slim code frame: the ONLY corpus-sized input to the probe join
+    val codes = e.join(ivfAssign(s, e, cent), "vec_id")
+      .select(col("vec_id"), col("cell"),
+        PqFunctions.pqEncode(s, col("v"), cb).as("codes"))
+    val q = withNorm(s, queries)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"), col("norm").as("qn"))
+    // the 16 KB ADC table broadcasts ONCE per query, not per probed cell
+    val probes = ivfProbes(s, q, cent, cProbe).select(col("query_id"), col("cell"))
+    val luts = q.select(col("query_id"), PqFunctions.pqLut(s, col("qv"), cb).as("lut"))
+    val wAdc = Window.partitionBy(col("query_id")).orderBy(col("adc").desc, col("vec_id"))
+    val shortlist = codes.join(broadcast(probes), Seq("cell"))
+      .filter(if (excludeSelf) col("vec_id") =!= col("query_id") else lit(true))
+      .join(broadcast(luts), Seq("query_id"))
+      .withColumn("adc", PqFunctions.pqAdc(s, col("codes"), col("lut")))
+      .withColumn("ar", row_number().over(wAdc))
+      .filter(col("ar") <= cRerank)
+      .select(col("query_id"), col("vec_id"))
+    // exact re-rank of the bounded shortlist: the corpus streams once
+    // more and keeps only ≤ queries·rerank ids — never a corpus shuffle
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("vec_id"))
+    e.join(broadcast(shortlist), "vec_id")
+      .join(broadcast(q), "query_id")
+      .withColumn("cosine", VectorFunctions.dot(s, col("v"), col("qv")) / (col("norm") * col("qn")))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("vec_id").as("neighbor_id"),
+        round(col("cosine"), 2).as("cosine"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  def annIvfPq(s: SparkSession, dir: String): DataFrame = {
+    val all = Tables.load(s, dir, "embeddings")
+    annIvfPq(all, all.filter(col("vec_id") < NumQueries), K)
   }
 
   /** Independent signature tables for query-ANN: recall comes from the
