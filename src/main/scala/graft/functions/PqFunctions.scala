@@ -86,6 +86,50 @@ object PqKernel {
     codes
   }
 
+  /** Pack the nearest-centroid code of each subspace of the RESIDUAL
+    * v/‖v‖ − c into one long — the IVFADC form (Jégou et al. §IV):
+    * residuals of a fine cell partition have a fraction of the unit
+    * sphere's spread, so the same 8×256 codebook quantizes them far
+    * more accurately than raw vectors (measured on the synthesized
+    * corpus: mean |cosine−ADC| 0.055 raw → the residual form restores
+    * deep-corpus recall). `c` must be the vector's assigned cell
+    * centroid; the exact dot(q, c) term is added back at scoring time. */
+  def encodeRes(v: ArrayData, c: ArrayData, cb: Array[Array[Array[Double]]]): Long = {
+    val dim = v.numElements()
+    val w = width(dim)
+    var n2 = 0.0
+    var i = 0
+    while (i < dim) { val x = v.getDouble(i); n2 += x * x; i += 1 }
+    val inv = if (n2 > 0) 1.0 / math.sqrt(n2) else 1.0
+    val cLen = c.numElements()
+    var codes = 0L
+    var s = 0
+    while (s < M) {
+      val lo = s * w
+      val hi = math.min(lo + w, dim)
+      val cents = cb(s)
+      var best = 0
+      var bestD = Double.MaxValue
+      var cc = 0
+      while (cc < cents.length) {
+        val cent = cents(cc)
+        var d2 = 0.0
+        var j = lo
+        while (j < hi) {
+          val cj = if (j < cLen) c.getDouble(j) else 0.0
+          val diff = v.getDouble(j) * inv - cj - cent(j - lo)
+          d2 += diff * diff
+          j += 1
+        }
+        if (d2 < bestD) { bestD = d2; best = cc }
+        cc += 1
+      }
+      codes |= (best.toLong & 0xffL) << (8 * s)
+      s += 1
+    }
+    codes
+  }
+
   /** ADC score: Σ_s lut[s·Ks + byte_s(codes)] — m byte-indexed adds. */
   def adc(codes: Long, lut: ArrayData): Double = {
     var score = 0.0
@@ -155,6 +199,35 @@ case class PqEncode(child: Expression, cb: Array[Array[Array[Double]]])
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
+/** (`array<double>` vector, `array<double>` cell centroid) → packed
+  * 8-byte residual PQ code (see [[PqKernel.encodeRes]]). */
+case class PqEncodeRes(left: Expression, right: Expression,
+    cb: Array[Array[Array[Double]]]) extends BinaryExpression {
+
+  require(cb.length == PqKernel.M, s"codebook must have ${PqKernel.M} subspaces")
+
+  override def checkInputDataTypes(): TypeCheckResult = (left.dataType, right.dataType) match {
+    case (ArrayType(DoubleType, _), ArrayType(DoubleType, _)) =>
+      TypeCheckResult.TypeCheckSuccess
+    case (l, r) => TypeCheckResult.TypeCheckFailure(
+      s"graft_pq_encode_res expects (array<double>, array<double>), got ($l, $r)")
+  }
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_pq_encode_res"
+
+  override def nullSafeEval(v: Any, c: Any): Any =
+    PqKernel.encodeRes(v.asInstanceOf[ArrayData], c.asInstanceOf[ArrayData], cb)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cbRef = ctx.addReferenceObj("pqCodebook", cb, "double[][][]")
+    nullSafeCodeGen(ctx, ev, (v, c) =>
+      s"${ev.value} = graft.functions.PqKernel.encodeRes($v, $c, $cbRef);")
+  }
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
 /** `array<double>` query vector → ADC lookup table (`array<double>` of
   * M·Ks) for [[PqAdc]] — evaluated once per QUERY row. */
 case class PqLut(child: Expression, cb: Array[Array[Array[Double]]])
@@ -219,6 +292,14 @@ object PqFunctions {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_pq_encode", exprs => PqEncode(exprs.head, cb), "built-in")
     call_function("graft_pq_encode", v)
+  }
+
+  /** Packed 8-byte residual PQ code of (vector, cell centroid). */
+  def pqEncodeRes(spark: SparkSession, v: Column, c: Column,
+      cb: Array[Array[Array[Double]]]): Column = {
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_pq_encode_res", exprs => PqEncodeRes(exprs(0), exprs(1), cb), "built-in")
+    call_function("graft_pq_encode_res", v, c)
   }
 
   /** Per-query ADC lookup table column (M·Ks doubles). */

@@ -274,7 +274,9 @@ object Similarity {
       .withColumn("csim", VectorFunctions.dot(s, col("qv"), col("cv")) / (col("qn") * col("cn")))
       .withColumn("pr", row_number().over(wProbe))
       .filter(col("pr") <= nProbe)
-      .select(col("query_id"), col("qv"), col("qn"), col("cell"))
+      // csim = dot(q/‖q‖, cell centroid): the exact coarse term the
+      // IVFADC scorer adds back to the residual ADC
+      .select(col("query_id"), col("qv"), col("qn"), col("cell"), col("csim"))
   }
 
   /** IVF-Flat ANN: vectors are assigned to the nearest of `Cells`
@@ -407,28 +409,68 @@ object Similarity {
     cur
   }
 
-  /** PQ codebooks over the corpus sample: per subspace, L2 k-means on
-    * the unit-vector slices (see [[graft.functions.PqKernel]] for the
-    * subspace geometry). */
-  private[operators] def pqCodebooks(s: SparkSession, e: DataFrame): Array[Array[Array[Double]]] = {
+  /** Residual PQ codebooks (IVFADC): each sample unit vector is
+    * assigned driver-side to its nearest cell centroid, and per
+    * subspace an L2 k-means runs on the RESIDUAL slices u − c. The
+    * raw-vector form (pass `cents = Array(zeros)`) measured mean
+    * |cosine−ADC| ≈ 0.055 on the synthesized corpus — enough noise to
+    * bury cosine-0.8 neighbors under tens of thousands of candidates
+    * (recall 0.26 at 200k vectors); residual spread is a fraction of
+    * the sphere's, which is the whole point of the IVFADC coupling. */
+  private[operators] def pqCodebooks(s: SparkSession, e: DataFrame,
+      cents: Array[Array[Double]]): Array[Array[Array[Double]]] = {
     import graft.functions.PqKernel
     val sample = pqSample(e)
     require(sample.nonEmpty, "no non-zero vectors to train PQ codebooks on")
     val dim = sample(0).length
+    val residuals = new Array[Array[Double]](sample.length)
+    parChunks(sample.length) { (_, lo, hi) =>
+      var i = lo
+      while (i < hi) {
+        val u = sample(i)
+        var bi = 0
+        var bd = Double.MinValue
+        var c = 0
+        while (c < cents.length) {
+          val cv = cents(c)
+          var d = 0.0
+          var j = 0
+          while (j < dim && j < cv.length) { d += u(j) * cv(j); j += 1 }
+          if (d > bd) { bd = d; bi = c }
+          c += 1
+        }
+        val cv = cents(bi)
+        residuals(i) = Array.tabulate(dim)(j =>
+          u(j) - (if (j < cv.length) cv(j) else 0.0))
+        i += 1
+      }
+    }
     val w = PqKernel.width(dim)
     Array.tabulate(PqKernel.M) { m =>
       val lo = m * w
       val hi = math.min(lo + w, dim)
       if (lo >= hi) Array(Array.emptyDoubleArray)
-      else l2Kmeans(sample.map(v => java.util.Arrays.copyOfRange(v, lo, hi)),
+      else l2Kmeans(residuals.map(v => java.util.Arrays.copyOfRange(v, lo, hi)),
         PqKernel.Ks)
     }
   }
 
-  /** ADC shortlist depth per query, ×k. Calibration at sf0.01 (500
-    * vectors, k=10): factor 4 → recall 0.96, 10 → 1.0; the exact
-    * re-rank makes the factor a pure recall/IO knob (results are true
-    * cosines for whatever the shortlist surfaces). */
+  /** ADC shortlist floor per query, ×k. The DEFAULT depth is
+    * max(10·k, 5·√n): on a corpus with real neighbor structure the
+    * floor is plenty (recall 1.0 at the 500-vector gate corpus with
+    * factor 10), but the synthesized ladder corpus is ISOTROPIC — its
+    * true top-10 sit at cosine 0.40–0.47 with 250–320 candidates
+    * within 0.10, so compressed-domain ranking must resolve ~0.001
+    * gaps and the shortlist has to out-depth the near-tie count.
+    * Depth sweeps put the needed R at ≈200 @ 2k vectors, ≈800 @ 20k,
+    * ≈2000 @ 200k (recall 0.82/0.84/0.88) — √n growth, which 5·√n
+    * tracks at every measured point while staying a vanishing corpus
+    * fraction (158k at 10⁹ vectors, vs 10M for a fixed-fraction
+    * rule). The exact re-rank makes depth a pure recall/IO knob —
+    * results are true cosines for whatever the shortlist surfaces —
+    * and `rerank` overrides the default for serving configs that
+    * know their corpus geometry (fixed 10·k is right for semantic
+    * corpora with real neighbor gaps). */
   private val RerankFactor = 10
 
   /** IVF-PQ ANN — the memory-bound 100 TB path (Jégou et al., TPAMI
@@ -440,7 +482,11 @@ object Similarity {
     * vectors are touched ONLY to exactly re-rank each query's
     * [[RerankFactor]]·k ADC survivors (two bounded broadcasts: the
     * shortlist ids against the corpus, the query vectors against the
-    * survivors). At cluster scale the codes frame is the thing a
+    * survivors). Codes quantize the RESIDUAL u − cellCentroid and the
+    * scorer adds back the exact coarse term dot(q, centroid) — the
+    * IVFADC coupling, which is what holds recall at depth (raw-vector
+    * codes measured 0.26 recall at 200k synthesized vectors; see
+    * [[pqCodebooks]]). At cluster scale the codes frame is the thing a
     * serving tier would pin in memory: n×16 B instead of n×(8+4·dim) B. */
   def annIvfPq(corpus: DataFrame, queries: DataFrame, k: Int,
       excludeSelf: Boolean = true,
@@ -448,25 +494,34 @@ object Similarity {
     val s = corpus.sparkSession
     import graft.functions.PqFunctions
     val e = withNorm(s, corpus).localCheckpoint(true) // train + encode + re-rank reuse
-    val cCells = if (cells > 0) cells else ivfConfig(corpus.count())._1
+    val n = corpus.count()
+    val cCells = if (cells > 0) cells else ivfConfig(n)._1
     val cProbe = if (nProbe > 0) nProbe else probeFor(cCells)
-    val cRerank = if (rerank > 0) rerank else RerankFactor * k
-    val cent = centFrame(s, kmeansCentroids(s, e, cCells))
-    val cb = pqCodebooks(s, e)
+    val cRerank = if (rerank > 0) rerank
+      else math.max(RerankFactor * k,
+        5 * math.ceil(math.sqrt(math.max(1L, n).toDouble)).toInt)
+    val cents = kmeansCentroids(s, e, cCells)
+    val cent = centFrame(s, cents)
+    // codebooks quantize the RESIDUAL u − cellCentroid (IVFADC); the
+    // exact coarse term dot(q, centroid) is the probe's csim
+    val cb = pqCodebooks(s, e, cents)
     // the slim code frame: the ONLY corpus-sized input to the probe join
     val codes = e.join(ivfAssign(s, e, cent), "vec_id")
+      .join(broadcast(cent.select(col("cell"), col("cv"))), "cell")
       .select(col("vec_id"), col("cell"),
-        PqFunctions.pqEncode(s, col("v"), cb).as("codes"))
+        PqFunctions.pqEncodeRes(s, col("v"), col("cv"), cb).as("codes"))
     val q = withNorm(s, queries)
       .select(col("vec_id").as("query_id"), col("v").as("qv"), col("norm").as("qn"))
     // the 16 KB ADC table broadcasts ONCE per query, not per probed cell
-    val probes = ivfProbes(s, q, cent, cProbe).select(col("query_id"), col("cell"))
+    val probes = ivfProbes(s, q, cent, cProbe)
+      .select(col("query_id"), col("cell"), col("csim"))
     val luts = q.select(col("query_id"), PqFunctions.pqLut(s, col("qv"), cb).as("lut"))
     val wAdc = Window.partitionBy(col("query_id")).orderBy(col("adc").desc, col("vec_id"))
     val shortlist = codes.join(broadcast(probes), Seq("cell"))
       .filter(if (excludeSelf) col("vec_id") =!= col("query_id") else lit(true))
       .join(broadcast(luts), Seq("query_id"))
-      .withColumn("adc", PqFunctions.pqAdc(s, col("codes"), col("lut")))
+      .withColumn("adc",
+        col("csim") + PqFunctions.pqAdc(s, col("codes"), col("lut")))
       .withColumn("ar", row_number().over(wAdc))
       .filter(col("ar") <= cRerank)
       .select(col("query_id"), col("vec_id"))

@@ -48,7 +48,9 @@ class PqSpec extends SparkSpec {
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
     val e = vecs.withColumn("norm",
       graft.functions.VectorFunctions.norm(spark, col("v")))
-    val cb = Similarity.pqCodebooks(spark, e)
+    // zero centroid => residual == unit vector: exercises the same
+    // kernels the query path uses, without the IVF coupling
+    val cb = Similarity.pqCodebooks(spark, e, Array(Array.emptyDoubleArray))
     val rows = e.collect().map { r =>
       val v = r.getSeq[Double](1).toArray
       val n = r.getDouble(2)
@@ -82,7 +84,7 @@ class PqSpec extends SparkSpec {
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
     val e = vecs.withColumn("norm",
       graft.functions.VectorFunctions.norm(spark, col("v")))
-    val cb = Similarity.pqCodebooks(spark, e)
+    val cb = Similarity.pqCodebooks(spark, e, Array(Array.emptyDoubleArray))
     val viaPlan = vecs
       .select(col("vec_id"), PqFunctions.pqEncode(spark, col("v"), cb).as("codes"))
       .orderBy("vec_id").collect().map(r => (r.getLong(0), r.getLong(1)))
