@@ -94,29 +94,32 @@ object PqKernel {
     * corpus: mean |cosine−ADC| 0.055 raw → the residual form restores
     * deep-corpus recall). `c` must be the vector's assigned cell
     * centroid; the exact dot(q, c) term is added back at scoring time. */
-  def encodeRes(v: ArrayData, c: ArrayData, cb: Array[Array[Array[Double]]]): Long = {
+  def encodeRes(v: ArrayData, cell: Long, cents: Array[Array[Double]],
+      cb: Array[Array[Array[Double]]]): Long = {
     val dim = v.numElements()
     val w = width(dim)
     var n2 = 0.0
     var i = 0
     while (i < dim) { val x = v.getDouble(i); n2 += x * x; i += 1 }
     val inv = if (n2 > 0) 1.0 / math.sqrt(n2) else 1.0
-    val cLen = c.numElements()
+    val c: Array[Double] =
+      if (cell >= 0 && cell < cents.length) cents(cell.toInt)
+      else Array.emptyDoubleArray
     var codes = 0L
     var s = 0
     while (s < M) {
       val lo = s * w
       val hi = math.min(lo + w, dim)
-      val cents = cb(s)
+      val subCents = cb(s)
       var best = 0
       var bestD = Double.MaxValue
       var cc = 0
-      while (cc < cents.length) {
-        val cent = cents(cc)
+      while (cc < subCents.length) {
+        val cent = subCents(cc)
         var d2 = 0.0
         var j = lo
         while (j < hi) {
-          val cj = if (j < cLen) c.getDouble(j) else 0.0
+          val cj = if (j < c.length) c(j) else 0.0
           val diff = v.getDouble(j) * inv - cj - cent(j - lo)
           d2 += diff * diff
           j += 1
@@ -199,29 +202,34 @@ case class PqEncode(child: Expression, cb: Array[Array[Array[Double]]])
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
-/** (`array<double>` vector, `array<double>` cell centroid) → packed
-  * 8-byte residual PQ code (see [[PqKernel.encodeRes]]). */
+/** (`array<double>` vector, cell id) → packed 8-byte residual PQ code
+  * against the referenced centroid matrix (see [[PqKernel.encodeRes]]).
+  * Pairs with [[graft.functions.NearestCentroid]]: assignment and
+  * encoding are two projections over the corpus row — no join attaches
+  * the centroid. */
 case class PqEncodeRes(left: Expression, right: Expression,
-    cb: Array[Array[Array[Double]]]) extends BinaryExpression {
+    cents: Array[Array[Double]], cb: Array[Array[Array[Double]]])
+    extends BinaryExpression {
 
   require(cb.length == PqKernel.M, s"codebook must have ${PqKernel.M} subspaces")
 
   override def checkInputDataTypes(): TypeCheckResult = (left.dataType, right.dataType) match {
-    case (ArrayType(DoubleType, _), ArrayType(DoubleType, _)) =>
+    case (ArrayType(DoubleType, _), LongType) =>
       TypeCheckResult.TypeCheckSuccess
     case (l, r) => TypeCheckResult.TypeCheckFailure(
-      s"graft_pq_encode_res expects (array<double>, array<double>), got ($l, $r)")
+      s"graft_pq_encode_res expects (array<double>, long), got ($l, $r)")
   }
   override def dataType: DataType = LongType
   override def prettyName: String = "graft_pq_encode_res"
 
-  override def nullSafeEval(v: Any, c: Any): Any =
-    PqKernel.encodeRes(v.asInstanceOf[ArrayData], c.asInstanceOf[ArrayData], cb)
+  override def nullSafeEval(v: Any, cell: Any): Any =
+    PqKernel.encodeRes(v.asInstanceOf[ArrayData], cell.asInstanceOf[Long], cents, cb)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val centsRef = ctx.addReferenceObj("ivfCentroids", cents, "double[][]")
     val cbRef = ctx.addReferenceObj("pqCodebook", cb, "double[][][]")
-    nullSafeCodeGen(ctx, ev, (v, c) =>
-      s"${ev.value} = graft.functions.PqKernel.encodeRes($v, $c, $cbRef);")
+    nullSafeCodeGen(ctx, ev, (v, cell) =>
+      s"${ev.value} = graft.functions.PqKernel.encodeRes($v, $cell, $centsRef, $cbRef);")
   }
 
   override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
@@ -294,12 +302,13 @@ object PqFunctions {
     call_function("graft_pq_encode", v)
   }
 
-  /** Packed 8-byte residual PQ code of (vector, cell centroid). */
-  def pqEncodeRes(spark: SparkSession, v: Column, c: Column,
-      cb: Array[Array[Array[Double]]]): Column = {
+  /** Packed 8-byte residual PQ code of (vector, cell id). */
+  def pqEncodeRes(spark: SparkSession, v: Column, cell: Column,
+      cents: Array[Array[Double]], cb: Array[Array[Array[Double]]]): Column = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "graft_pq_encode_res", exprs => PqEncodeRes(exprs(0), exprs(1), cb), "built-in")
-    call_function("graft_pq_encode_res", v, c)
+      "graft_pq_encode_res",
+      exprs => PqEncodeRes(exprs(0), exprs(1), cents, cb), "built-in")
+    call_function("graft_pq_encode_res", v, cell)
   }
 
   /** Per-query ADC lookup table column (M·Ks doubles). */

@@ -64,12 +64,79 @@ case class DotProduct(left: Expression, right: Expression)
     copy(left = l, right = r)
 }
 
+/** Shared row-kernel for [[NearestCentroid]] — one static entry point
+  * for interpreted eval and codegen. */
+object VectorKernel {
+
+  /** Index of the max-dot centroid (ties → lowest index; the zero
+    * vector lands in cell 0). Over unit centroids, argmax dot equals
+    * argmax cosine for any nonzero vector — no normalization needed. */
+  def nearestCentroid(v: ArrayData, cents: Array[Array[Double]]): Long = {
+    val n = v.numElements()
+    var best = 0
+    var bd = Double.MinValue
+    var c = 0
+    while (c < cents.length) {
+      val cv = cents(c)
+      var d = 0.0
+      var i = 0
+      while (i < n && i < cv.length) { d += v.getDouble(i) * cv(i); i += 1 }
+      if (d > bd) { bd = d; best = c }
+      c += 1
+    }
+    best.toLong
+  }
+}
+
+/** `array<double>` vector → index of its nearest centroid (max dot) in
+  * the reference-object centroid matrix.
+  *
+  * This replaces the crossJoin(centroids) → `max_by` groupBy spelling
+  * of IVF assignment, which materialized n×cells intermediate rows
+  * (205M at the 200k-vector sf10 with 1024 cells) through a partial
+  * aggregate and then needed a corpus-sized JOIN to attach the cell
+  * back to the vector row. As a projection the assignment is computed
+  * where the row lives — no aggregate, no join, no shuffle of the
+  * corpus anywhere in the IVF build. */
+case class NearestCentroid(child: Expression, cents: Array[Array[Double]])
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  require(cents.nonEmpty, "need at least one centroid")
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"graft_nearest_cell expects array<double>, got $t")
+  }
+  override def dataType: DataType = org.apache.spark.sql.types.LongType
+  override def prettyName: String = "graft_nearest_cell"
+
+  override def nullSafeEval(a: Any): Any =
+    VectorKernel.nearestCentroid(a.asInstanceOf[ArrayData], cents)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("ivfCentroids", cents, "double[][]")
+    nullSafeCodeGen(ctx, ev, v =>
+      s"${ev.value} = graft.functions.VectorKernel.nearestCentroid($v, $ref);")
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 object VectorFunctions {
 
   /** Register the vector functions in this session (idempotent). */
   def register(spark: SparkSession): Unit =
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_dot", exprs => DotProduct(exprs(0), exprs(1)), "built-in")
+
+  /** Nearest-centroid cell id of an array<double> vector column. */
+  def nearestCell(spark: SparkSession, v: Column,
+      cents: Array[Array[Double]]): Column = {
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_nearest_cell", exprs => NearestCentroid(exprs.head, cents), "built-in")
+    call_function("graft_nearest_cell", v)
+  }
 
   /** dot(a, b) over array<double> columns — codegen'd primitive loop. */
   def dot(spark: SparkSession, a: Column, b: Column): Column = {

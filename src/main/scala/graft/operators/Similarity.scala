@@ -258,14 +258,6 @@ object Similarity {
       .select(col("cell"), col("cv").cast("array<double>").as("cv"), col("cn"))
   }
 
-  /** Inverted file: nearest centroid per corpus vector — a broadcast of
-    * the tiny centroid set against the fact side, one codegen'd pass. */
-  private def ivfAssign(s: SparkSession, e: DataFrame, cent: DataFrame): DataFrame =
-    e.crossJoin(broadcast(cent))
-      .withColumn("sim", VectorFunctions.dot(s, col("v"), col("cv")) / (col("norm") * col("cn")))
-      .groupBy(col("vec_id"))
-      .agg(max_by(col("cell"), col("sim")).as("cell"))
-
   /** Each query's `nProbe` nearest cells (query vectors ride along). */
   private def ivfProbes(s: SparkSession, q: DataFrame, cent: DataFrame,
       nProbe: Int): DataFrame = {
@@ -294,8 +286,12 @@ object Similarity {
     // count, cells from the corpus ([[ivfConfig]])
     val cCells = if (cells > 0) cells else ivfConfig(corpus.count())._1
     val cProbe = if (nProbe > 0) nProbe else probeFor(cCells)
-    val cent = centFrame(s, kmeansCentroids(s, e, cCells))
-    val indexed = e.join(ivfAssign(s, e, cent), "vec_id")
+    val cents = kmeansCentroids(s, e, cCells)
+    val cent = centFrame(s, cents)
+    // inverted file as a PROJECTION (no crossJoin->max_by aggregate, no
+    // corpus-sized attach join): see [[graft.functions.NearestCentroid]]
+    val indexed = e.withColumn("cell",
+      VectorFunctions.nearestCell(s, col("v"), cents))
     val q = withNorm(s, queries)
       .select(col("vec_id").as("query_id"), col("v").as("qv"), col("norm").as("qn"))
     val probes = ivfProbes(s, q, cent, cProbe)
@@ -505,11 +501,13 @@ object Similarity {
     // codebooks quantize the RESIDUAL u − cellCentroid (IVFADC); the
     // exact coarse term dot(q, centroid) is the probe's csim
     val cb = pqCodebooks(s, e, cents)
-    // the slim code frame: the ONLY corpus-sized input to the probe join
-    val codes = e.join(ivfAssign(s, e, cent), "vec_id")
-      .join(broadcast(cent.select(col("cell"), col("cv"))), "cell")
+    // the slim code frame: the ONLY corpus-sized input to the probe
+    // join. Assignment and residual encoding are two PROJECTIONS over
+    // the corpus row — no aggregate, no join, no shuffle in the build
+    val codes = e
+      .withColumn("cell", VectorFunctions.nearestCell(s, col("v"), cents))
       .select(col("vec_id"), col("cell"),
-        PqFunctions.pqEncodeRes(s, col("v"), col("cv"), cb).as("codes"))
+        PqFunctions.pqEncodeRes(s, col("v"), col("cell"), cents, cb).as("codes"))
     val q = withNorm(s, queries)
       .select(col("vec_id").as("query_id"), col("v").as("qv"), col("norm").as("qn"))
     // the 16 KB ADC table broadcasts ONCE per query, not per probed cell
