@@ -66,7 +66,8 @@ object Bench {
     val recalls = Seq(
       "s02_ann_lsh" -> (() => graft.operators.Similarity.annLsh(spark, sfDir)),
       "s03_ann_ivf" -> (() => graft.operators.Similarity.annIvf(spark, sfDir)),
-      "s04_ann_ivfpq" -> (() => graft.operators.Similarity.annIvfPq(spark, sfDir)))
+      "s04_ann_ivfpq" -> (() => graft.operators.Similarity.annIvfPq(spark, sfDir)),
+      "s05_ann_pq_index" -> (() => graft.operators.Similarity.annIvfPqIndexed(spark, sfDir)))
       .flatMap { case (name, mk) =>
         val r = try Some(graft.operators.Similarity.recallVsBrute(spark, sfDir, mk()))
         catch { case e: Throwable =>

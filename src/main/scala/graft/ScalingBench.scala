@@ -55,7 +55,8 @@ object ScalingBench {
     "d10_dedup_survivors", "d11_substring_dedup", "d12_joint_survivors",
     "d13_incremental_emb_neardup", "d13b_small_emb_delta",
     "d14_incremental_clusters", "d14b_small_delta",
-    "s02_ann_lsh", "s03_ann_ivf", "s04_ann_ivfpq", "t11_bm25_search",
+    "s02_ann_lsh", "s03_ann_ivf", "s04_ann_ivfpq", "s05_ann_pq_index",
+    "t11_bm25_search",
     "t12_multiquery_search", "t13_keyword_tfidf",
     "t14_bm25_index", "t15_batch_bm25_index", "t16_sequence_packing",
     "t17_domain_mixture", "t18_mixture_epochs", "t19_token_chunks")
@@ -102,7 +103,7 @@ object ScalingBench {
     "t11_bm25_search", "t12_multiquery_search", "t13_keyword_tfidf",
     "t14_bm25_index", "t15_batch_bm25_index", "t16_sequence_packing",
     "t17_domain_mixture", "t18_mixture_epochs", "t19_token_chunks",
-    "s02_ann_lsh", "s03_ann_ivf", "s04_ann_ivfpq",
+    "s02_ann_lsh", "s03_ann_ivf", "s04_ann_ivfpq", "s05_ann_pq_index",
     "d05_embedding_neardup")
 
   private def MeasuredSf10 = only(MeasuredSf10All)(identity)
@@ -445,7 +446,8 @@ object ScalingBench {
       // recall regression is visible in the record next to the timing
       Seq("s02_ann_lsh" -> ((d: String) => graft.operators.Similarity.annLsh(spark, d)),
           "s03_ann_ivf" -> ((d: String) => graft.operators.Similarity.annIvf(spark, d)),
-          "s04_ann_ivfpq" -> ((d: String) => graft.operators.Similarity.annIvfPq(spark, d)))
+          "s04_ann_ivfpq" -> ((d: String) => graft.operators.Similarity.annIvfPq(spark, d)),
+          "s05_ann_pq_index" -> ((d: String) => graft.operators.Similarity.annIvfPqIndexed(spark, d)))
         .foreach { case (name, fn) =>
           if (times.get(name).exists(_.get(sf).exists(_ > 0)))
             try {

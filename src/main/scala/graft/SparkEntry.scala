@@ -109,6 +109,9 @@ object SparkEntry {
     "s02_ann_lsh"         -> (Similarity.annLsh _),
     "s03_ann_ivf"         -> (Similarity.annIvf _),
     "s04_ann_ivfpq"       -> (Similarity.annIvfPq _),
+    // s04 served from the persisted cell-partitioned PQ index (same
+    // plan tail - the indexed path reproduces the batch path)
+    "s05_ann_pq_index"    -> (Similarity.annIvfPqIndexed _),
     // approximate/sketch operators (engine-specific estimates: rows-only)
     "a01_approx_distinct" -> (Approx.approxDistinct _),
     "a02_hll_merge"       -> (Approx.hllMerge _),

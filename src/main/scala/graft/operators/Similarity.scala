@@ -28,7 +28,7 @@ object Similarity {
 
   import graft.functions.VectorFunctions
 
-  private def withNorm(s: SparkSession, df: DataFrame): DataFrame =
+  private[graft] def withNorm(s: SparkSession, df: DataFrame): DataFrame =
     df.select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
       .withColumn("norm", VectorFunctions.norm(s, col("v")))
 
@@ -98,12 +98,12 @@ object Similarity {
     * parallelized across cores ([[parChunks]]); at cluster scale the
     * cap is a config and assignment stays distributed either way. */
   private val MaxCells = 1024
-  private def ivfConfig(n: Long): (Int, Int) = {
+  private[graft] def ivfConfig(n: Long): (Int, Int) = {
     val cells = math.min(MaxCells,
       math.max(Cells, 4 * math.ceil(math.sqrt(math.max(1L, n).toDouble)).toInt))
     (cells, probeFor(cells))
   }
-  private def probeFor(cells: Int): Int = math.max(NProbe, cells * 3 / 8)
+  private[graft] def probeFor(cells: Int): Int = math.max(NProbe, cells * 3 / 8)
 
   /** Fixed chunk-count for the driver-side training loops. */
   private val ParChunkN =
@@ -146,7 +146,7 @@ object Similarity {
     * (deterministic 2-approx k-center seeding — no RNG anywhere), then
     * `KmIters` Lloyd rounds with cosine assignment and re-normalized
     * mean centroids. Returns unit-norm centroids. */
-  private def kmeansCentroids(s: SparkSession, e: DataFrame,
+  private[graft] def kmeansCentroids(s: SparkSession, e: DataFrame,
       cells: Int = Cells): Array[Array[Double]] = {
     // ≥16 sample points per centroid keeps Lloyd stable as cells grow
     // while bounding driver-side training (10 iters × sample × cells
@@ -413,7 +413,7 @@ object Similarity {
     * bury cosine-0.8 neighbors under tens of thousands of candidates
     * (recall 0.26 at 200k vectors); residual spread is a fraction of
     * the sphere's, which is the whole point of the IVFADC coupling. */
-  private[operators] def pqCodebooks(s: SparkSession, e: DataFrame,
+  private[graft] def pqCodebooks(s: SparkSession, e: DataFrame,
       cents: Array[Array[Double]]): Array[Array[Array[Double]]] = {
     import graft.functions.PqKernel
     val sample = pqSample(e)
@@ -467,7 +467,7 @@ object Similarity {
     * and `rerank` overrides the default for serving configs that
     * know their corpus geometry (fixed 10·k is right for semantic
     * corpora with real neighbor gaps). */
-  private val RerankFactor = 10
+  private[graft] val RerankFactor = 10
 
   /** IVF-PQ ANN — the memory-bound 100 TB path (Jégou et al., TPAMI
     * 2011). The probe-join input is an 8-BYTE packed code per vector
@@ -493,11 +493,8 @@ object Similarity {
     val n = corpus.count()
     val cCells = if (cells > 0) cells else ivfConfig(n)._1
     val cProbe = if (nProbe > 0) nProbe else probeFor(cCells)
-    val cRerank = if (rerank > 0) rerank
-      else math.max(RerankFactor * k,
-        5 * math.ceil(math.sqrt(math.max(1L, n).toDouble)).toInt)
+    val cRerank = if (rerank > 0) rerank else defaultRerank(k, n)
     val cents = kmeansCentroids(s, e, cCells)
-    val cent = centFrame(s, cents)
     // codebooks quantize the RESIDUAL u − cellCentroid (IVFADC); the
     // exact coarse term dot(q, centroid) is the probe's csim
     val cb = pqCodebooks(s, e, cents)
@@ -508,10 +505,31 @@ object Similarity {
       .withColumn("cell", VectorFunctions.nearestCell(s, col("v"), cents))
       .select(col("vec_id"), col("cell"),
         PqFunctions.pqEncodeRes(s, col("v"), col("cell"), cents, cb).as("codes"))
+    pqSearch(codes, e, queries, k, cents, cb, cProbe, cRerank, excludeSelf)
+  }
+
+  /** Default ADC shortlist depth — see [[RerankFactor]]. */
+  private[graft] def defaultRerank(k: Int, n: Long): Int =
+    math.max(RerankFactor * k,
+      5 * math.ceil(math.sqrt(math.max(1L, n).toDouble)).toInt)
+
+  /** The IVF-PQ query tail, shared verbatim by the batch path
+    * ([[annIvfPq]]) and the persisted index
+    * ([[graft.index.PqIndex.query]]) — same plan over whatever codes /
+    * vecs frames the caller supplies, so the indexed path reproduces
+    * the batch path by construction. `vecs` carries (vec_id, v, norm)
+    * and is touched only for the bounded re-rank. */
+  private[graft] def pqSearch(codes: DataFrame, vecs: DataFrame,
+      queries: DataFrame, k: Int, cents: Array[Array[Double]],
+      cb: Array[Array[Array[Double]]], nProbe: Int, rerank: Int,
+      excludeSelf: Boolean): DataFrame = {
+    val s = codes.sparkSession
+    import graft.functions.PqFunctions
+    val cent = centFrame(s, cents)
     val q = withNorm(s, queries)
       .select(col("vec_id").as("query_id"), col("v").as("qv"), col("norm").as("qn"))
     // the 16 KB ADC table broadcasts ONCE per query, not per probed cell
-    val probes = ivfProbes(s, q, cent, cProbe)
+    val probes = ivfProbes(s, q, cent, nProbe)
       .select(col("query_id"), col("cell"), col("csim"))
     val luts = q.select(col("query_id"), PqFunctions.pqLut(s, col("qv"), cb).as("lut"))
     val wAdc = Window.partitionBy(col("query_id")).orderBy(col("adc").desc, col("vec_id"))
@@ -521,13 +539,13 @@ object Similarity {
       .withColumn("adc",
         col("csim") + PqFunctions.pqAdc(s, col("codes"), col("lut")))
       .withColumn("ar", row_number().over(wAdc))
-      .filter(col("ar") <= cRerank)
+      .filter(col("ar") <= rerank)
       .select(col("query_id"), col("vec_id"))
-    // exact re-rank of the bounded shortlist: the corpus streams once
-    // more and keeps only ≤ queries·rerank ids — never a corpus shuffle
+    // exact re-rank of the bounded shortlist: the vector frame streams
+    // once and keeps only ≤ queries·rerank ids — never a corpus shuffle
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("vec_id"))
-    e.join(broadcast(shortlist), "vec_id")
+    vecs.join(broadcast(shortlist), "vec_id")
       .join(broadcast(q), "query_id")
       .withColumn("cosine", VectorFunctions.dot(s, col("v"), col("qv")) / (col("norm") * col("qn")))
       .withColumn("rank", row_number().over(w).cast("long"))
@@ -540,6 +558,18 @@ object Similarity {
   def annIvfPq(s: SparkSession, dir: String): DataFrame = {
     val all = Tables.load(s, dir, "embeddings")
     annIvfPq(all, all.filter(col("vec_id") < NumQueries), K)
+  }
+
+  /** s05: the persisted-index serving path — first call per corpus
+    * builds [[graft.index.PqIndex]] under a content-fingerprint-keyed
+    * cache path (amortized across queries like t14's postings index);
+    * every call after that touches the 16 B/vector codes (cell
+    * partitions pruned by the probe set) plus bounded vector fetches. */
+  def annIvfPqIndexed(s: SparkSession, dir: String): DataFrame = {
+    val all = Tables.load(s, dir, "embeddings")
+    val path = graft.index.IndexCache.pathFor(s, s"$dir/embeddings.parquet", "pqidx")
+    graft.index.PqIndex.ensure(all, path, all.count())
+    graft.index.PqIndex.query(s, path, all.filter(col("vec_id") < NumQueries), K)
   }
 
   /** Independent signature tables for query-ANN: recall comes from the
