@@ -18,7 +18,11 @@ object SpillProbe {
 
   private val Probed = Seq("d02_minhash_lsh", "d03_simhash",
     "d04_ngram_jaccard", "d06_embedding_neardup_prod", "s02_ann_lsh",
-    "q06_window", "d11_substring_dedup", "t12_multiquery_search")
+    "q06_window", "d11_substring_dedup", "t12_multiquery_search",
+    // round-9 additions: the prefix-sum family's window streams, the
+    // chunk explode, and the PQ family's ADC shortlist + index build
+    "t16_sequence_packing", "t17_domain_mixture", "t19_token_chunks",
+    "s04_ann_ivfpq", "s05_ann_pq_index")
 
   def main(args: Array[String]): Unit = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
