@@ -643,13 +643,13 @@ object SparkEntry {
         |  list_distinct([w[i]||' '||w[i+1]||' '||w[i+2]
         |                 for i in range(1, len(w)-1)]) AS sh
         | FROM (SELECT doc_id, string_split(text,' ') AS w FROM documents))
-        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-        | round(len(list_intersect(a.sh,b.sh))
-        |  / CAST(len(a.sh)+len(b.sh)-len(list_intersect(a.sh,b.sh)) AS DOUBLE), 4)
-        |  AS jaccard
-        |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
-        |WHERE len(list_intersect(a.sh,b.sh))
-        |  / CAST(len(a.sh)+len(b.sh)-len(list_intersect(a.sh,b.sh)) AS DOUBLE) >= 0.8
+        |SELECT doc_a, doc_b, ((20000*i + u) // (2*u)) / 10000.0 AS jaccard
+        |FROM (
+        | SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |  CAST(len(list_intersect(a.sh,b.sh)) AS BIGINT) AS i,
+        |  CAST(len(a.sh)+len(b.sh)-len(list_intersect(a.sh,b.sh)) AS BIGINT) AS u
+        | FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
+        |WHERE i / CAST(u AS DOUBLE) >= 0.8
         |ORDER BY doc_a, doc_b""".stripMargin,
     "d04_ngram_jaccard" ->
       """WITH sh AS (
@@ -657,13 +657,13 @@ object SparkEntry {
         |  list_distinct([w[i]||' '||w[i+1]||' '||w[i+2]
         |                 for i in range(1, len(w)-1)]) AS sh
         | FROM (SELECT doc_id, string_split(text,' ') AS w FROM documents))
-        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-        | round(len(list_intersect(a.sh,b.sh))
-        |  / CAST(len(a.sh)+len(b.sh)-len(list_intersect(a.sh,b.sh)) AS DOUBLE), 4)
-        |  AS jaccard
-        |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
-        |WHERE len(list_intersect(a.sh,b.sh))
-        |  / CAST(len(a.sh)+len(b.sh)-len(list_intersect(a.sh,b.sh)) AS DOUBLE) >= 0.8
+        |SELECT doc_a, doc_b, ((20000*i + u) // (2*u)) / 10000.0 AS jaccard
+        |FROM (
+        | SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |  CAST(len(list_intersect(a.sh,b.sh)) AS BIGINT) AS i,
+        |  CAST(len(a.sh)+len(b.sh)-len(list_intersect(a.sh,b.sh)) AS BIGINT) AS u
+        | FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
+        |WHERE i / CAST(u AS DOUBLE) >= 0.8
         |ORDER BY doc_a, doc_b""".stripMargin,
     "d05_embedding_neardup" ->
       """SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
@@ -704,14 +704,14 @@ object SparkEntry {
         |  list_distinct([w[i]||' '||w[i+1]||' '||w[i+2]
         |                 for i in range(1, len(w)-1)]) AS sh
         | FROM (SELECT doc_id, string_split(text,' ') AS w FROM documents))
-        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-        | round(len(list_intersect(a.sh,b.sh))
-        |  / CAST(len(a.sh)+len(b.sh)-len(list_intersect(a.sh,b.sh)) AS DOUBLE), 4)
-        |  AS jaccard
-        |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
-        |WHERE (a.doc_id % 3 = 0 OR b.doc_id % 3 = 0)
-        |  AND len(list_intersect(a.sh,b.sh))
-        |  / CAST(len(a.sh)+len(b.sh)-len(list_intersect(a.sh,b.sh)) AS DOUBLE) >= 0.8
+        |SELECT doc_a, doc_b, ((20000*i + u) // (2*u)) / 10000.0 AS jaccard
+        |FROM (
+        | SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |  CAST(len(list_intersect(a.sh,b.sh)) AS BIGINT) AS i,
+        |  CAST(len(a.sh)+len(b.sh)-len(list_intersect(a.sh,b.sh)) AS BIGINT) AS u
+        | FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        | WHERE a.doc_id % 3 = 0 OR b.doc_id % 3 = 0)
+        |WHERE i / CAST(u AS DOUBLE) >= 0.8
         |ORDER BY doc_a, doc_b""".stripMargin,
     // connected components over the exact pair graph — the oracle walks
     // the transitive closure with a recursive CTE and takes each node's
@@ -785,8 +785,9 @@ object SparkEntry {
         |dfh AS (SELECT h, count(*) AS dfh FROM inv GROUP BY h)
         |SELECT doc_id, count(*) AS n_windows,
         | CAST(sum(CASE WHEN dfh >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_windows,
-        | round(CAST(sum(CASE WHEN dfh >= 2 THEN 1 ELSE 0 END) AS DOUBLE)
-        |       / CAST(count(*) AS DOUBLE), 4) AS dup_ratio
+        | ((20000*CAST(sum(CASE WHEN dfh >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+        |   + CAST(count(*) AS BIGINT))
+        |  // (2*CAST(count(*) AS BIGINT))) / 10000.0 AS dup_ratio
         |FROM inv JOIN dfh USING (h)
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     // cross-modal survivors: the d10 text closure AND the embedding

@@ -47,6 +47,13 @@ object TextFunctions {
   private def ratioE4(num: Column, den: Column): Column =
     divHalfUp(lit(10000L) * num, den)
 
+  /** Exact 4-decimal ratio num/den (num ≥ 0, den > 0): integer
+    * half-up rounding, then one exact /10000.0 — the engine-agnostic
+    * spelling every rounded integer-rational display column uses
+    * (quality ratios, jaccard, dup-window ratios). */
+  def ratio4(num: Column, den: Column): Column =
+    (ratioE4(num, den) / 10000.0).cast("double")
+
   private def stopCounts(text: Column): (Column, Column) = {
     val toks = tokens(text)
     val stops = filter(toks, w => w.isin(StopWords.map(lit(_)): _*))
@@ -61,14 +68,14 @@ object TextFunctions {
     * half-up to 4 decimals in exact integer arithmetic. */
   def stopwordRatio4(text: Column): Column = {
     val (s, t) = stopCounts(text)
-    (ratioE4(s, greatest(t, lit(1L))) / 10000.0).cast("double")
+    ratio4(s, greatest(t, lit(1L)))
   }
 
   /** Fraction of non [a-z0-9 space] characters (0 when empty), rounded
     * half-up to 4 decimals in exact integer arithmetic. */
   def punctRatio4(text: Column): Column = {
     val (p, c) = punctCounts(text)
-    (ratioE4(p, greatest(c, lit(1L))) / 10000.0).cast("double")
+    ratio4(p, greatest(c, lit(1L)))
   }
 
   /** Composite quality score in [0,1], 4 decimals:

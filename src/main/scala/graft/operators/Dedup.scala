@@ -159,12 +159,20 @@ object Dedup {
     pairs
       .join(candSh.select(col("doc_id").as("doc_a"), col("hs").as("sh_a")), "doc_a")
       .join(candSh.select(col("doc_id").as("doc_b"), col("hs").as("sh_b")), "doc_b")
-      .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))).cast("double"))
-      // filter on the RAW jaccard (matches the oracle), round only on output
+      .withColumn("interI", size(array_intersect(col("sh_a"), col("sh_b"))).cast("long"))
+      .withColumn("unionI",
+        (size(col("sh_a")) + size(col("sh_b"))).cast("long") - col("interI"))
+      // filter on the RAW double jaccard (same IEEE division as the
+      // oracle's WHERE — threshold compares are tie-safe because both
+      // engines divide the same integers); the DISPLAYED 4-decimal
+      // value is integer-rounded like every rational display column
+      // (a jaccard such as 5/32 = 0.15625 sits exactly on a decimal
+      // half, where float round(x, 4) is engine-dependent)
       .withColumn("jaccard_raw",
-        col("inter") / (size(col("sh_a")) + size(col("sh_b")) - col("inter")))
+        col("interI").cast("double") / col("unionI").cast("double"))
       .filter(col("jaccard_raw") >= JaccardThreshold)
-      .select(col("doc_a"), col("doc_b"), round(col("jaccard_raw"), 4).as("jaccard"))
+      .select(col("doc_a"), col("doc_b"),
+        graft.functions.TextFunctions.ratio4(col("interI"), col("unionI")).as("jaccard"))
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
@@ -1115,7 +1123,7 @@ object Dedup {
       .agg(count(lit(1)).as("n_windows"),
         sum(when(col("dfh") >= 2, 1L).otherwise(0L)).as("n_dup_windows"))
       .withColumn("dup_ratio",
-        round(col("n_dup_windows") / col("n_windows").cast("double"), 4))
+        graft.functions.TextFunctions.ratio4(col("n_dup_windows"), col("n_windows")))
       .orderBy(col("doc_id"))
   }
 
