@@ -508,8 +508,10 @@ object SparkEntry {
         |  len(list_distinct([w[i]||' '||w[i+1]||' '||w[i+2]
         |                     for i in range(1, len(w)-1)])) AS n_distinct
         | FROM (SELECT doc_id, string_split(text,' ') AS w FROM documents))
-        |SELECT doc_id, n_grams, n_distinct,
-        | round(CAST(1 AS DOUBLE) - CAST(n_distinct AS DOUBLE)/CAST(n_grams AS DOUBLE), 4)
+        |SELECT doc_id, CAST(n_grams AS BIGINT) AS n_grams,
+        | CAST(n_distinct AS BIGINT) AS n_distinct,
+        | ((20000*(CAST(n_grams AS BIGINT) - CAST(n_distinct AS BIGINT))
+        |   + CAST(n_grams AS BIGINT)) // (2*CAST(n_grams AS BIGINT))) / 10000.0
         |  AS rep_ratio
         |FROM g WHERE n_grams > 0 ORDER BY doc_id""".stripMargin,
     // BM25 (k1=1.2, b=0.75, Lucene idf form) over the t06 vocabulary.

@@ -220,8 +220,10 @@ object TextAnalysis {
           .cast("long").as("n_distinct"))
       .filter(col("n_grams") > 0)
       .select(col("doc_id"), col("n_grams"), col("n_distinct"),
-        round(lit(1.0) - col("n_distinct").cast("double") / col("n_grams").cast("double"), 4)
-          .as("rep_ratio"))
+        // integer-exact 4-decimal ratio: 1 - d/g = (g-d)/g, same tie-safe
+        // spelling as the quality/jaccard display columns
+        graft.functions.TextFunctions.ratio4(
+          col("n_grams") - col("n_distinct"), col("n_grams")).as("rep_ratio"))
       .orderBy(col("doc_id"))
 
   def repetition(s: SparkSession, dir: String): DataFrame =
