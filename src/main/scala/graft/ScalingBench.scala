@@ -295,6 +295,41 @@ object ScalingBench {
     ()
   }
 
+  /** sf100 for DOCUMENTS (~5M rows): one more decade for the linear
+    * document family whose sf10 exponents are flat (d01/d11/t16/t17/
+    * t19 and the indexed BM25 path) — same per-copy token bijection as
+    * [[ensureSf1]] so exact-duplicate structure grows linearly instead
+    * of every doc gaining 9 verbatim twins; every other table symlinks
+    * to sf10 (these queries touch only documents). */
+  private[graft] def ensureSf100Docs(spark: SparkSession, sf10: String,
+      out: String, copies: Int = 10): Unit = {
+    val done = new java.io.File(out, "_DONE")
+    if (done.exists()) return
+    new java.io.File(out).mkdirs()
+    val docs = spark.read.parquet(s"$sf10/documents.parquet")
+    (0 until copies).map { k =>
+      if (k == 0) docs
+      else docs.select(
+        (col("doc_id") + lit(k * 1000000000L)).as("doc_id"),
+        array_join(transform(split(col("text"), " "),
+          x => concat(lit("w"), pmod(xxhash64(x, lit(k + 41)), lit(1000000L)))),
+          " ").as("text"),
+        col("lang"), col("source"), col("n_chars"))
+    }.reduce(_ unionByName _)
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .repartition(128)
+      .write.mode("overwrite").parquet(s"$out/documents.parquet")
+    graft.core.Tables.All.filterNot(_ == "documents").foreach { t =>
+      val link = java.nio.file.Paths.get(s"$out/$t.parquet")
+      if (!java.nio.file.Files.exists(link,
+          java.nio.file.LinkOption.NOFOLLOW_LINKS))
+        java.nio.file.Files.createSymbolicLink(link,
+          java.nio.file.Paths.get(s"$sf10/$t.parquet"))
+    }
+    done.createNewFile()
+    ()
+  }
+
   /** Per-attempt wall-clock budget. A query that exceeds it is killed
     * via job-group cancellation and recorded as a TIMEOUT — evidence,
     * not a bare -1 (the round-6 record conflated a real blow-up, a
@@ -485,6 +520,35 @@ object ScalingBench {
             scala.collection.mutable.LinkedHashMap[String, String]())
             .put("100", if (ea != null) ea else eb)
         System.err.println(f"[scaling] $name @ sf100: $best%.3f s")
+      }
+    }
+
+    // the document family's extra decade: docs-only sf100 (~5M rows)
+    // for the queries whose sf10 exponents are flat
+    val docNames = Seq("d01_dedup_exact", "d11_substring_dedup",
+      "t14_bm25_index", "t16_sequence_packing", "t17_domain_mixture",
+      "t19_token_chunks")
+    if (only(docNames)(identity).nonEmpty) {
+      val sf100dDir = sys.env.getOrElse("SPARK_GRAFT_SF100D_DIR", "/tmp/graft_sf100d")
+      ensureSf100Docs(spark, sf10Dir, sf100dDir)
+      graft.core.Tables.registerAll(spark, sf100dDir)
+      only(docNames)(identity).foreach { name =>
+        def once(): (Double, String) = {
+          val r = attempt(spark, name, "100",
+            () => { query(name)(spark, sf100dDir).count(); () })
+          graft.core.Caching.releaseAll(spark)
+          r
+        }
+        val (ta, ea) = once()
+        val (tb, eb) = if (ta < 0) (ta, ea) else once()
+        val best = if (ta < 0 || tb < 0) math.max(ta, tb) else math.min(ta, tb)
+        times.getOrElseUpdate(name,
+          scala.collection.mutable.LinkedHashMap[String, Double]()).put("100", best)
+        if (best < 0)
+          errors.getOrElseUpdate(name,
+            scala.collection.mutable.LinkedHashMap[String, String]())
+            .put("100", if (ea != null) ea else eb)
+        System.err.println(f"[scaling] $name @ sf100d: $best%.3f s")
       }
     }
 
