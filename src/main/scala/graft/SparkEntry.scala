@@ -104,6 +104,9 @@ object SparkEntry {
     // training-data pipeline: context-window chunking (docs -> fixed
     // token windows with overlap)
     "t19_token_chunks"    -> (Chunking.tokenChunks _),
+    // t09 served through a distributed-built bloom prune (same oracle —
+    // the exact join removes the bloom's false positives)
+    "t20_bloom_decontamination" -> (TextAnalysis.decontaminateBloom _),
     // training-data pipeline: similarity search
     "s01_ann_brute"       -> (Similarity.annBrute _),
     "s02_ann_lsh"         -> (Similarity.annLsh _),
@@ -150,6 +153,23 @@ object SparkEntry {
       | SELECT e.u, reach.r FROM edges e JOIN reach ON e.v = reach.u)
       |SELECT u AS doc_id, min(r) AS cluster_id
       |FROM reach GROUP BY u ORDER BY doc_id""".stripMargin
+
+  /** t09/t20 oracle — training docs sharing any word 5-gram with the
+    * benchmark set (every 23rd doc). Shared by the hash-join path (t09)
+    * and the bloom-pruned path (t20): the bloom is a prune, never a
+    * decision, so both must produce identical rows. */
+  private val DecontamOracleSql =
+    """WITH sh AS (
+      | SELECT doc_id,
+      |  list_distinct([w[i]||' '||w[i+1]||' '||w[i+2]||' '||w[i+3]||' '||w[i+4]
+      |                 for i in range(1, len(w)-3)]) AS sh
+      | FROM (SELECT doc_id, string_split(text,' ') AS w FROM documents)),
+      |bench AS (SELECT DISTINCT unnest(sh) AS h FROM sh WHERE doc_id % 23 = 0),
+      |tr AS (SELECT doc_id, unnest(sh) AS h FROM sh WHERE doc_id % 23 <> 0)
+      |SELECT tr.doc_id, count(*) AS n_shared
+      |FROM tr JOIN bench USING (h)
+      |GROUP BY tr.doc_id
+      |ORDER BY doc_id""".stripMargin
 
   /** t11/t14 oracle — BM25 (k1=1.2, b=0.75, Lucene idf form) over the
     * t06 vocabulary, shared by the scan path and the persisted-index
@@ -490,18 +510,10 @@ object SparkEntry {
         |   regexp_replace(aug, '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}', '<EMAIL>', 'g'),
         |   '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g')) AS redacted_fp
         |FROM aug ORDER BY doc_id""".stripMargin,
-    "t09_decontamination" ->
-      """WITH sh AS (
-        | SELECT doc_id,
-        |  list_distinct([w[i]||' '||w[i+1]||' '||w[i+2]||' '||w[i+3]||' '||w[i+4]
-        |                 for i in range(1, len(w)-3)]) AS sh
-        | FROM (SELECT doc_id, string_split(text,' ') AS w FROM documents)),
-        |bench AS (SELECT DISTINCT unnest(sh) AS h FROM sh WHERE doc_id % 23 = 0),
-        |tr AS (SELECT doc_id, unnest(sh) AS h FROM sh WHERE doc_id % 23 <> 0)
-        |SELECT tr.doc_id, count(*) AS n_shared
-        |FROM tr JOIN bench USING (h)
-        |GROUP BY tr.doc_id
-        |ORDER BY doc_id""".stripMargin,
+    "t09_decontamination" -> DecontamOracleSql,
+    // t20 is t09 through the distributed bloom prune — same oracle by
+    // construction (the exact join removes the bloom's false positives)
+    "t20_bloom_decontamination" -> DecontamOracleSql,
     "t10_repetition" ->
       """WITH g AS (
         | SELECT doc_id, greatest(len(w)-2, 0) AS n_grams,

@@ -46,5 +46,32 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("graft_shingles"),
       new ExpressionInfo(classOf[graft.functions.HashedShingles].getName, "graft_shingles"),
       LshFunctions.shinglesFromExprs _))
+    // Spark ships a distributed bloom build + codegen'd membership probe
+    // (the machinery behind its own runtime row-level filters) but keeps
+    // both internal-only. Exposing them under graft names gives the
+    // decontamination family a scan-local prune whose BUILD is a normal
+    // partial→final aggregate — no driver-side item loop like
+    // DataFrameStatFunctions.bloomFilter's collect-and-insert path.
+    e.injectFunction((
+      FunctionIdentifier("graft_bloom_agg"),
+      new ExpressionInfo(
+        classOf[org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate].getName,
+        "graft_bloom_agg"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        require(exprs.length == 3,
+          s"graft_bloom_agg expects (xxhash64 value, est items, num bits), got ${exprs.length}")
+        new org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate(
+          exprs(0), exprs(1), exprs(2))
+      }))
+    e.injectFunction((
+      FunctionIdentifier("graft_might_contain"),
+      new ExpressionInfo(
+        classOf[org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain].getName,
+        "graft_might_contain"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        require(exprs.length == 2,
+          s"graft_might_contain expects (bloom bytes, xxhash64 value), got ${exprs.length}")
+        org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(exprs(0), exprs(1))
+      }))
   }
 }

@@ -206,6 +206,50 @@ object TextAnalysis {
       docs.filter(col("doc_id") % 23 === 0))
   }
 
+  /** Bloom-accelerated decontamination — same contract as
+    * [[decontaminate]] (and the same oracle: the final join is exact),
+    * but shaped for the corpus size where even the hash-distinct'd
+    * benchmark shingle set is too heavy to hash-join every corpus
+    * shingle against: the benchmark set is distilled into a Bloom
+    * filter built by a DISTRIBUTED partial→final aggregate
+    * (`graft_bloom_agg`, ~10 bits/item ⇒ <1% false positives), whose
+    * bytes ship to executors once as a literal; corpus shingles are
+    * pruned by the codegen'd `graft_might_contain` probe INSIDE the
+    * scan stage, so the only corpus-side rows that reach the exchange
+    * are true matches plus <1% false positives — which the exact join
+    * then removes. At 100 TB this turns the join's corpus-side shuffle
+    * from all-shingles into matched-shingles; the bloom itself is
+    * eval-set-sized (n·10 bits: 100M benchmark shingles ≈ 125 MB —
+    * raise `spark.sql.optimizer.runtime.bloomFilter.maxNumBits` past
+    * its 8 MB default accordingly, as the probe-side task would for
+    * Spark's own runtime filters). */
+  def decontaminateBloom(trainDocs: DataFrame, benchmarkDocs: DataFrame): DataFrame = {
+    def sh(df: DataFrame) = df.select(col("doc_id"),
+      graft.functions.LshFunctions.hashedShingles(
+        df.sparkSession, tokens(col("text")), 5).as("hs"))
+    val bench = sh(benchmarkDocs).select(explode(col("hs")).as("h")).distinct()
+    // both actions here are eval-set-sized, never corpus-sized
+    val n = math.max(bench.count(), 1L)
+    val bloomBytes = bench
+      .select(call_function("graft_bloom_agg",
+        xxhash64(col("h")), lit(n), lit(math.max(64L, n * 10L))).as("bf"))
+      .head.getAs[Array[Byte]](0)
+    val train = sh(trainDocs).select(col("doc_id"), explode(col("hs")).as("h"))
+    val pruned =
+      if (bloomBytes == null) train.limit(0) // empty benchmark ⇒ nothing contaminated
+      else train.filter(
+        call_function("graft_might_contain", lit(bloomBytes), xxhash64(col("h"))))
+    pruned.join(bench, Seq("h"))
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_shared"))
+      .orderBy(col("doc_id"))
+  }
+
+  def decontaminateBloom(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(s, dir, "documents")
+    decontaminateBloom(docs.filter(col("doc_id") % 23 =!= 0),
+      docs.filter(col("doc_id") % 23 === 0))
+  }
+
   /** Intra-document repetition score: 1 − distinct/total word 3-grams —
     * the boilerplate/looping-text gate every curation pipeline runs.
     * One scan, pure expressions (the fused shingle kernel provides the

@@ -82,6 +82,45 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("t20 bloom prune sits on the corpus scan stage, result ≡ t09 exactly") {
+    val bloom = graft.operators.TextAnalysis.decontaminateBloom(spark, Sf0001)
+    bloom.collect() // force AQE final plan
+    // the codegen'd membership probe must gate corpus shingles BEFORE
+    // any exchange: only matches + <1% false positives may shuffle.
+    // Find the train-side bloom Filter (its output carries doc_id; the
+    // bench side's inferred copy does not) and require its subtree to
+    // be exchange-free — i.e. the probe runs inside the scan stage.
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    def flatten(p: SparkPlan): Seq[SparkPlan] = p +: (p match {
+      case a: AdaptiveSparkPlanExec => flatten(a.executedPlan)
+      case q: QueryStageExec => flatten(q.plan)
+      case other => other.children.flatMap(flatten)
+    })
+    val nodes = flatten(bloom.queryExecution.executedPlan)
+    val bloomFilters = nodes.collect {
+      case f: org.apache.spark.sql.execution.FilterExec
+          if f.condition.toString.contains("might_contain") &&
+            f.output.exists(_.name == "doc_id") => f
+    }
+    assert(bloomFilters.nonEmpty, "no corpus-side bloom probe in the plan")
+    assert(bloomFilters.forall(f => flatten(f.child).forall {
+      case _: org.apache.spark.sql.execution.exchange.Exchange => false
+      case _: QueryStageExec => false
+      case _ => true
+    }), "an exchange sits below the bloom probe — prune is not scan-local")
+    // the bloom is a prune, never a decision: rows must equal the exact
+    // hash-join path bit-for-bit (shared oracle in SparkEntry)
+    val exact = graft.operators.TextAnalysis.decontaminate(spark, Sf0001)
+    assert(bloom.collect().toSeq == exact.collect().toSeq,
+      "bloom-pruned result diverged from the exact path")
+    // empty benchmark set: nothing contaminated, no NPE on the null bloom
+    val docs = graft.core.Tables.load(spark, Sf0001, "documents")
+    val none = graft.operators.TextAnalysis.decontaminateBloom(
+      docs, docs.filter("doc_id < 0"))
+    assert(none.count() == 0)
+  }
+
   test("d10 survivors: corpus anti-joins against a BROADCAST drop set, columns pruned") {
     val plan = executedPlan(graft.operators.Dedup.dedupSurvivors(spark, Sf0001))
     // the non-survivor side is small (cluster members only) → broadcast
