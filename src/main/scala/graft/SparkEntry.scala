@@ -125,6 +125,11 @@ object SparkEntry {
     // containers; video stays stub — no JDK video codec (rows-only)
     "m02_media_decode" ->
       ((s, dir) => graft.multimodal.Multimodal.decodeSummary(s, dir)),
+    // perceptual image dedup: real PNG decode → 64-bit dHash → the d03
+    // block-LSH geometry (rows-only: no DuckDB image codec; the spec
+    // pins set-equality vs the brute hamming≤5 pair set)
+    "m03_image_neardup" ->
+      ((s, dir) => graft.multimodal.Multimodal.imageNeardup(s, dir)),
   )
 
   /** d08/d14 oracle — transitive closure of the exact jaccard≥0.8

@@ -77,6 +77,55 @@ object MediaCodecs {
     }
   }
 
+  /** 64-bit perceptual difference hash (dHash) of an encoded image:
+    * decode, area-average luma to a 9×8 grid (integer block boundaries —
+    * deterministic, no resampling-kernel drift), then one bit per
+    * horizontally adjacent cell pair (left < right). Near-duplicate
+    * images (re-encodes, small edits, minor brightness shifts) land
+    * within a few bits; unrelated images differ in ~32. None when the
+    * bytes don't decode. */
+  def dHash64(bytes: Array[Byte]): Option[Long] = {
+    if (bytes == null || bytes.isEmpty) return None
+    val img = ImageIO.read(new ByteArrayInputStream(bytes))
+    if (img == null) None
+    else {
+      val (w, h) = (img.getWidth, img.getHeight)
+      if (w < 9 || h < 8) return None
+      val grid = Array.ofDim[Double](8, 9)
+      var gy = 0
+      while (gy < 8) {
+        val y0 = gy * h / 8; val y1 = (gy + 1) * h / 8
+        var gx = 0
+        while (gx < 9) {
+          val x0 = gx * w / 9; val x1 = (gx + 1) * w / 9
+          var sum = 0L
+          var y = y0
+          while (y < y1) {
+            var x = x0
+            while (x < x1) {
+              val rgb = img.getRGB(x, y)
+              sum += (((rgb >> 16) & 0xFF) * 299 + ((rgb >> 8) & 0xFF) * 587 +
+                (rgb & 0xFF) * 114) / 1000
+              x += 1
+            }
+            y += 1
+          }
+          grid(gy)(gx) = sum.toDouble / ((y1 - y0) * (x1 - x0))
+          gx += 1
+        }
+        gy += 1
+      }
+      var sig = 0L
+      var i = 0
+      while (i < 64) {
+        val (gy, gx) = (i / 8, i % 8)
+        if (grid(gy)(gx) < grid(gy)(gx + 1)) sig |= 1L << i
+        i += 1
+      }
+      Some(sig)
+    }
+  }
+
   /** Decode a WAV/AIFF/AU container to PCM stats: sample rate, channels,
     * frame count, duration, RMS and peak of the normalized signal
     * (16-bit PCM; 8-bit falls back to byte-domain). None for bytes the

@@ -202,6 +202,108 @@ object Multimodal {
       .orderBy(col("modality"))
   }
 
+  /** splitmix64 — the deterministic hash behind the synthetic image
+    * corpus (public-domain mixing constants). */
+  private def mix64(z0: Long): Long = {
+    var z = z0 + 0x9E3779B97F4A7C15L
+    z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+    z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+    z ^ (z >>> 31)
+  }
+
+  /** Render one REAL 32×32 PNG for the perceptual-dedup corpus:
+    * ids share an 8×8-cell base pattern per family of 4 (doc_id / 4);
+    * member k of a family shifts k hash-picked 4×4 patches by ±96 luma,
+    * so same-family images spread across the hamming radius (0–6 bits
+    * measured — the far tail correctly exceeds it) while distinct
+    * families differ in ~half of their 64 gradient bits. */
+  private[multimodal] def renderFamilyPng(id: Long): Array[Byte] = {
+    val family = id >>> 2
+    val member = (id & 3).toInt
+    val img = new java.awt.image.BufferedImage(32, 32,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var cy = 0
+    while (cy < 8) {
+      var cx = 0
+      while (cx < 8) {
+        val v = (mix64(family * 64 + cy * 8 + cx) & 0xFF).toInt
+        var dy = 0
+        while (dy < 4) {
+          var dx = 0
+          while (dx < 4) {
+            img.setRGB(cx * 4 + dx, cy * 4 + dy, (v << 16) | (v << 8) | v)
+            dx += 1
+          }
+          dy += 1
+        }
+        cx += 1
+      }
+      cy += 1
+    }
+    var k = 0
+    while (k < member) {
+      val h = mix64(family * 1021 + 7919L * (k + 1))
+      val px = ((h & 0xFF) % 29).toInt // 4×4 patch origin in [0,28]
+      val py = (((h >>> 8) & 0xFF) % 29).toInt
+      val delta = if (((h >>> 16) & 1) == 0) 96 else -96
+      var dy = 0
+      while (dy < 4) {
+        var dx = 0
+        while (dx < 4) {
+          val old = img.getRGB(px + dx, py + dy) & 0xFF
+          val v = math.min(255, math.max(0, old + delta))
+          img.setRGB(px + dx, py + dy, (v << 16) | (v << 8) | v)
+          dx += 1
+        }
+        dy += 1
+      }
+      k += 1
+    }
+    val out = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", out)
+    out.toByteArray
+  }
+
+  /** Deterministic image corpus for the perceptual-dedup path — one
+    * real PNG per documents row ([[renderFamilyPng]]). */
+  def syntheticImageCorpus(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id")).as[Long].mapPartitions { it =>
+      javax.imageio.ImageIO.setUseCache(false) // per-partition codec setup
+      it.map(id => (id, renderFamilyPng(id)))
+    }.toDF("media_id", "content")
+  }
+
+  /** Image near-duplicate pairs (m03): decode every image with the REAL
+    * JDK codec, take its 64-bit perceptual dHash
+    * ([[MediaCodecs.dHash64]]), and feed the signatures through the
+    * SAME combinatorial block-LSH + exact-hamming verify as the text
+    * SimHash family ([[graft.operators.Dedup.hamming64Pairs]]) — the
+    * bucketed-not-all-pairs property carries over unchanged: candidate
+    * volume O(n·56), recall deterministic to hamming 5, undecodable
+    * cells drop to null rows instead of failing the partition. The
+    * decode+hash pass is embarrassingly parallel partition work; the
+    * pair machinery never sees image bytes, only (id, 8-byte sig). */
+  def imageNeardup(images: DataFrame): DataFrame = {
+    val spark = images.sparkSession
+    import spark.implicits._
+    val sigs = images.select(col("media_id"), col("content"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        javax.imageio.ImageIO.setUseCache(false)
+        it.flatMap { case (id, png) => MediaCodecs.dHash64(png).map((id, _)) }
+      }
+      .toDF("doc_id", "dhash")
+    graft.operators.Dedup.hamming64Pairs(sigs, "dhash", maxHamming = 5)
+      .withColumnsRenamed(Map("doc_a" -> "media_a", "doc_b" -> "media_b"))
+      .orderBy(col("media_a"), col("media_b"))
+  }
+
+  def imageNeardup(spark: SparkSession, dir: String): DataFrame =
+    imageNeardup(syntheticImageCorpus(
+      graft.core.Tables.load(spark, dir, "documents")))
+
   /** Aggregate extracted features per modality (deterministic output for
     * the driver's rows-only check). */
   def featureSummary(spark: SparkSession, dir: String): DataFrame = {

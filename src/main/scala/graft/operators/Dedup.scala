@@ -250,22 +250,36 @@ object Dedup {
       .select(col("doc_id"),
         graft.functions.LshFunctions.simhashSig(
           s, tokens(col("text"))).as("simhash"))
-      .localCheckpoint(true) // the bucket frame fans out 4 ways in bucketPairs
+    hamming64Pairs(sigs, "simhash", MaxHamming)
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  /** Generic 64-bit-signature hamming near-dup: the d03 bucket geometry
+    * over ANY (doc_id, 64-bit signature) frame — text SimHash (d03) and
+    * image dHash (m03) share it. `sigs` must carry `doc_id` and
+    * `sigCol`; `maxHamming` must stay ≤ 7 for the 3-of-8 block keys'
+    * deterministic-recall pigeonhole to hold. Returns
+    * (doc_a, doc_b, hamming), unsorted. */
+  private[graft] def hamming64Pairs(sigFrame: DataFrame, sigCol: String,
+      maxHamming: Int): DataFrame = {
+    require(maxHamming <= SimBlocks - 1,
+      s"3-of-8 block keys guarantee recall only to hamming ${SimBlocks - 1}")
+    val sigs = sigFrame.localCheckpoint(true) // fans out 4 ways in bucketPairs
     val bitsPerBlock = 64 / SimBlocks
     val mask = (1L << bitsPerBlock) - 1
     val blk = (0 until SimBlocks).map(b =>
-      shiftright(col("simhash"), b * bitsPerBlock).bitwiseAND(mask))
+      shiftright(col(sigCol), b * bitsPerBlock).bitwiseAND(mask))
     val combos = for {
       i <- 0 until SimBlocks; j <- i + 1 until SimBlocks; k <- j + 1 until SimBlocks
     } yield blk(i) + shiftleft(blk(j), bitsPerBlock) + shiftleft(blk(k), 2 * bitsPerBlock)
-    val buckets = sigs.select(col("doc_id"), col("simhash"),
+    val buckets = sigs.select(col("doc_id"), col(sigCol),
       posexplode(array(combos: _*)).as(Seq("tbl", "bv")))
-    bucketPairs(buckets, Seq("tbl", "bv"), dedupe = false, rider = Some("simhash"))
+    bucketPairs(buckets, Seq("tbl", "bv"), dedupe = false, rider = Some(sigCol))
       .select(col("doc_a"), col("doc_b"),
-        bit_count(col("simhash_a").bitwiseXOR(col("simhash_b"))).cast("long").as("hamming"))
-      .filter(col("hamming") <= MaxHamming)
+        bit_count(col(s"${sigCol}_a").bitwiseXOR(col(s"${sigCol}_b")))
+          .cast("long").as("hamming"))
+      .filter(col("hamming") <= maxHamming)
       .distinct()
-      .orderBy(col("doc_a"), col("doc_b"))
   }
 
   def simhash(s: SparkSession, dir: String): DataFrame =

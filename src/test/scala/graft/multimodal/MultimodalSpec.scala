@@ -133,4 +133,43 @@ class MultimodalSpec extends SparkSpec {
     assert(sum.map(_.getAs[Long]("n")).sum ==
       graft.core.Tables.load(spark, Sf0001, "documents").count())
   }
+
+  test("dHash64: deterministic, shift-sensitive, refuses undecodable bytes") {
+    val a = MediaCodecs.dHash64(pngBytes(32, 32))
+    assert(a.isDefined && a == MediaCodecs.dHash64(pngBytes(32, 32)))
+    // the gradient image's dHash is all-ones per row interior: every
+    // right cell is brighter — a structural property, not a magic value
+    assert(MediaCodecs.dHash64("not a png".getBytes).isEmpty)
+    assert(MediaCodecs.dHash64(Array.emptyByteArray).isEmpty)
+    // a re-encode of the same pixels hashes identically (PNG lossless)
+    val re = MediaCodecs.resizeImage(pngBytes(32, 32), 32, 32).get
+    assert(MediaCodecs.dHash64(re) == a)
+  }
+
+  test("m03 image near-dup ≡ brute hamming≤5 over the dHash frame (set equality)") {
+    import org.apache.spark.sql.functions._
+    val docs = graft.core.Tables.load(spark, Sf0001, "documents")
+    val corpus = Multimodal.syntheticImageCorpus(docs)
+    val got = Multimodal.imageNeardup(corpus)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // brute ground truth: all-pairs hamming over the same signatures
+    val spark2 = spark
+    import spark2.implicits._
+    val sigs = corpus.as[(Long, Array[Byte])]
+      .flatMap { case (id, png) => MediaCodecs.dHash64(png).map((id, _)) }
+      .toDF("id", "h").localCheckpoint(true)
+    val brute = sigs.as("a").join(sigs.as("b"), col("a.id") < col("b.id"))
+      .select(col("a.id"), col("b.id"),
+        bit_count(col("a.h").bitwiseXOR(col("b.h"))).cast("long").as("d"))
+      .filter(col("d") <= 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == brute, s"LSH path diverged from brute: ${got.size} vs ${brute.size}")
+    // the planted families make the check non-vacuous: most of the 125
+    // families' 6 pairs land inside the radius, spread over >1 distance
+    assert(got.size > 500, s"suspiciously few planted pairs found: ${got.size}")
+    assert(got.map(_._3).size > 1, "all pairs at one distance — perturbation inert")
+    // cross-family collisions are ~impossible (2⁻⁶⁴-scale): every pair
+    // found must be a planted same-family pair
+    assert(got.forall { case (a, b, _) => (a >> 2) == (b >> 2) })
+  }
 }
