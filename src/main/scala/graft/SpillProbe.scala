@@ -22,7 +22,11 @@ object SpillProbe {
     // round-9 additions: the prefix-sum family's window streams, the
     // chunk explode, and the PQ family's ADC shortlist + index build
     "t16_sequence_packing", "t17_domain_mixture", "t19_token_chunks",
-    "s04_ann_ivfpq", "s05_ann_pq_index")
+    "s04_ann_ivfpq", "s05_ann_pq_index",
+    // round-9 continuation: the bloom-pruned join and the media-dedup
+    // signature streams (the decode side holds one image/clip at a
+    // time; the pair side is the d03 geometry under a new signature)
+    "t20_bloom_decontamination", "m03_image_neardup", "m04_audio_neardup")
 
   def main(args: Array[String]): Unit = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
