@@ -343,17 +343,36 @@ object Dedup {
     * passes ~hundreds to verify, not 82k). The positional PPJoin bound
     * prunes only ~25% of single-hit pairs at this corpus's shingle
     * collision rate, so it does not change the balance.) */
-  private[operators] def ngramCandidates(sh: DataFrame, dfCap: Int): DataFrame = {
+  private[graft] def ngramCandidates(sh: DataFrame, dfCap: Int): DataFrame = {
     val inv = sh.select(col("doc_id"), size(col("hs")).as("n_sh"),
       explode(col("hs")).as("h"))
+    // hot and hotPerDoc are each consumed by multiple joins below; the
+    // printed plan carries their corpus-sized input agg once per
+    // consumer, and only runtime stage reuse deduplicates it. The
+    // eager checkpoint makes the once-ness structural instead of an
+    // optimizer courtesy (measured cost-neutral at sf10 — reuse was in
+    // fact kicking in — but a plan-shape regression here would triple
+    // a full corpus pass silently). Both frames are small by
+    // construction: hot is the stop-shingle vocabulary, hotPerDoc is
+    // 16 B per doc that carries one.
     val hot = inv.groupBy(col("h")).agg(count(lit(1)).as("df"))
       .filter(col("df") > dfCap)
       .select(col("h"))
+      .localCheckpoint(true)
     val capped = inv.join(broadcast(hot), Seq("h"), "left_anti")
     val hotPerDoc = inv.join(broadcast(hot), Seq("h"), "left_semi")
       .groupBy(col("doc_id")).agg(count(lit(1)).as("n_hot"))
+      .localCheckpoint(true)
+    // The inverted-index self-join must NOT sort-merge: both sides are
+    // the corpus-sized (doc, shingle) stream, and the two 20M-row sorts
+    // were the candidates phase's dominant cost at sf10 (measured
+    // 20.3 → 11.6 s with a hash build). The build side is sized through
+    // the shared per-partition byte budget, same contract as the
+    // embedding family's verify joins.
+    val invRows = sh.select(sum(size(col("hs")))).head.getLong(0)
     val pairHits = capped.select(col("doc_id").as("doc_a"), col("n_sh").as("na"), col("h"))
-      .join(capped.select(col("doc_id").as("doc_b"), col("n_sh").as("nb"), col("h")), "h")
+      .join(bcastOrHashIf(28, invRows, Seq("h"))(
+        capped.select(col("doc_id").as("doc_b"), col("n_sh").as("nb"), col("h"))), "h")
       .filter(col("doc_a") < col("doc_b") &&
         least(col("na"), col("nb")) * 10 >= greatest(col("na"), col("nb")) * 8)
       .groupBy(col("doc_a"), col("doc_b"), col("na"), col("nb"))
