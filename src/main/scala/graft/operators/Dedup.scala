@@ -104,19 +104,26 @@ object Dedup {
     * explode replaces the window sort with TWO sort-merge-join sorts
     * and an ObjectHashAggregate — 2-4× slower on every caller at
     * sf0.1. The single window pass stays.) */
-  private def bucketPairs(buckets: DataFrame, keyCols: Seq[String],
+  private[graft] def bucketPairs(buckets: DataFrame, keyCols: Seq[String],
       cap: Int = MaxBucket, dedupe: Boolean = true,
       rider: Option[String] = None): DataFrame = {
     val key = keyCols.map(col)
     val carried = "doc_id" +: rider.toSeq // per-doc columns emitted per side
     def asSide(suffix: String) = carried.map(c => col(c).as(s"${c}_$suffix"))
     val outNames = carried.map(_ + "_a") ++ carried.map(_ + "_b")
-    // Each consuming branch recomputes the slim bucket window from the
+    // The a/b join sides each recompute the slim bucket window from the
     // (checkpointed) signature frame rather than materializing it once:
-    // measured at sf10 (280M bucket rows), eagerly checkpointing the
-    // windowed frame costs 2-3× the whole query — the recompute is a
-    // cheap codegen'd explode + fused window, while the checkpoint
-    // serializes the full wide stream to storage.
+    // eagerly checkpointing the windowed stream was measured 2-3× worse
+    // (rounds 8 AND 9 — it serializes the full width), and replacing
+    // the window with a hash-agg of over-cap keys + raw-side hash join
+    // was ALSO measured worse for the rider-carrying d03 family (18 →
+    // 25 s at sf10: the window's exchange amortizes the join's shuffle
+    // and pre-sorts its inputs, which a hash build of the raw stream
+    // forfeits). What DID survive measurement: the over-cap rows are
+    // checkpointed once (tiny by construction — only skew buckets) so
+    // the chain and star branches share one window pass instead of
+    // recomputing two, and an empty over stream — the common corpus —
+    // skips both branches' jobs entirely. 4 window passes → 3.
     val w = org.apache.spark.sql.expressions.Window.partitionBy(key: _*)
     val sized = buckets
       .withColumn("bucket_n", count(lit(1)).over(w))
@@ -125,19 +132,21 @@ object Dedup {
     val b = small.select(asSide("b") ++ key: _*)
     val allPairs = a.join(b, keyCols).filter(col("doc_id_a") < col("doc_id_b"))
       .select(outNames.map(col): _*)
-    val over = sized.filter(col("bucket_n") > cap)
-    val wOrd = w.orderBy(col("doc_id"))
-    val chained = carried
-      .foldLeft(over) { (df, c) => df.withColumn(s"${c}_b", lead(col(c), 1).over(wOrd)) }
-      .filter(col("doc_id_b").isNotNull)
-      .select(asSide("a") ++ carried.map(c => col(s"${c}_b")): _*)
-    val starred = over
-      .withColumn("mn", min(struct(carried.map(col): _*)).over(w))
-      .filter(col("doc_id") =!= col("mn.doc_id"))
-      .select(carried.map(c => col(s"mn.$c").as(s"${c}_a")) ++ asSide("b"): _*)
-    val pairs = allPairs.unionByName(chained).unionByName(starred)
-      .withColumnsRenamed(Map("doc_id_a" -> "doc_a", "doc_id_b" -> "doc_b"))
-    if (dedupe) pairs.distinct() else pairs
+    val over = sized.filter(col("bucket_n") > cap).localCheckpoint(true)
+    val pairs = if (over.isEmpty) allPairs else {
+      val wOrd = w.orderBy(col("doc_id"))
+      val chained = carried
+        .foldLeft(over) { (df, c) => df.withColumn(s"${c}_b", lead(col(c), 1).over(wOrd)) }
+        .filter(col("doc_id_b").isNotNull)
+        .select(asSide("a") ++ carried.map(c => col(s"${c}_b")): _*)
+      val starred = over
+        .withColumn("mn", min(struct(carried.map(col): _*)).over(w))
+        .filter(col("doc_id") =!= col("mn.doc_id"))
+        .select(carried.map(c => col(s"mn.$c").as(s"${c}_a")) ++ asSide("b"): _*)
+      allPairs.unionByName(chained).unionByName(starred)
+    }
+    val renamed = pairs.withColumnsRenamed(Map("doc_id_a" -> "doc_a", "doc_id_b" -> "doc_b"))
+    if (dedupe) renamed.distinct() else renamed
   }
 
   /** Exact-jaccard verification of candidate pairs against the shingle

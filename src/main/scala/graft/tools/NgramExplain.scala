@@ -4,6 +4,9 @@ import org.apache.spark.sql.functions._
 import graft.core.Tables
 import graft.operators.Dedup
 
+/** Phase profile of the d02/d04 candidate machinery at a given SF dir —
+  * the split that attributes sf10 cost to kernel vs window vs join vs
+  * verify (the evidence behind the round-9 join-strategy fixes). */
 object NgramExplain {
   def main(args: Array[String]): Unit = {
     val dir = args.headOption.getOrElse("/tmp/graft_sf10")
@@ -17,26 +20,17 @@ object NgramExplain {
       println(f"[phase] $label: ${(System.nanoTime() - t0) / 1e9}%.1f s")
       r
     }
-    val sh = Dedup.hashedShingleSets(Tables.load(spark, dir, "documents"))
+    val sh = time("shingle checkpoint")(
+      Dedup.hashedShingleSets(Tables.load(spark, dir, "documents")))
     println(s"docs=${sh.count()}")
-    val inv = sh.select(col("doc_id"), size(col("hs")).as("n_sh"),
-      explode(col("hs")).as("h"))
-    time("inv pass (explode+count)")(println(inv.count()))
-    val hot = time("hot agg") {
-      val h = inv.groupBy(col("h")).agg(count(lit(1)).as("df"))
-        .filter(col("df") > 64).select(col("h")).localCheckpoint(true)
-      println(h.count()); h
+    val bands = time("minhash band signatures") {
+      val b = Dedup.bandedSignatures(sh)
+      println(b.count()); b
     }
-    val capped = inv.join(broadcast(hot), Seq("h"), "left_anti")
-    time("self-join + pair agg") {
-      val p = capped.select(col("doc_id").as("doc_a"), col("n_sh").as("na"), col("h"))
-        .join(capped.select(col("doc_id").as("doc_b"), col("n_sh").as("nb"), col("h")).hint("SHUFFLE_HASH"), "h")
-        .filter(col("doc_a") < col("doc_b") &&
-          least(col("na"), col("nb")) * 10 >= greatest(col("na"), col("nb")) * 8)
-        .groupBy(col("doc_a"), col("doc_b"), col("na"), col("nb"))
-        .agg(count(lit(1)).as("inter_c"))
-      println(p.count())
+    time("bucketPairs (window + self-join)") {
+      println(Dedup.bucketPairs(bands, Seq("band", "bh")).count())
     }
+    time("full d02")(println(Dedup.minhashLsh(Tables.load(spark, dir, "documents")).count()))
     spark.stop()
   }
 }
