@@ -60,7 +60,8 @@ object ScalingBench {
     "t12_multiquery_search", "t13_keyword_tfidf",
     "t14_bm25_index", "t15_batch_bm25_index", "t16_sequence_packing",
     "t17_domain_mixture", "t18_mixture_epochs", "t19_token_chunks",
-    "t20_bloom_decontamination", "m03_image_neardup", "m04_audio_neardup")
+    "t20_bloom_decontamination", "t21_vocab_coverage", "t22_oov_ratio",
+    "m03_image_neardup", "m04_audio_neardup")
 
   /** SPARK_GRAFT_SCALING_ONLY=a,b,c restricts the measured set — for
     * adding rows for NEW queries to an existing record without
@@ -105,7 +106,8 @@ object ScalingBench {
     "t14_bm25_index", "t15_batch_bm25_index", "t16_sequence_packing",
     "t17_domain_mixture", "t18_mixture_epochs", "t19_token_chunks",
     "s02_ann_lsh", "s03_ann_ivf", "s04_ann_ivfpq", "s05_ann_pq_index",
-    "t20_bloom_decontamination", "m03_image_neardup", "m04_audio_neardup",
+    "t20_bloom_decontamination", "t21_vocab_coverage", "t22_oov_ratio",
+    "m03_image_neardup", "m04_audio_neardup",
     "d05_embedding_neardup")
 
   private def MeasuredSf10 = only(MeasuredSf10All)(identity)

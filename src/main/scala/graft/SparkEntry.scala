@@ -107,6 +107,10 @@ object SparkEntry {
     // t09 served through a distributed-built bloom prune (same oracle —
     // the exact join removes the bloom's false positives)
     "t20_bloom_decontamination" -> (TextAnalysis.decontaminateBloom _),
+    // training-data pipeline: tokenizer-vocabulary coverage + the
+    // corpus-relative OOV quality gate derived from it
+    "t21_vocab_coverage"  -> (TextAnalysis.vocabulary _),
+    "t22_oov_ratio"       -> (TextAnalysis.oovRatio _),
     // training-data pipeline: similarity search
     "s01_ann_brute"       -> (Similarity.annBrute _),
     "s02_ann_lsh"         -> (Similarity.annLsh _),
@@ -523,6 +527,49 @@ object SparkEntry {
     // t20 is t09 through the distributed bloom prune — same oracle by
     // construction (the exact join removes the bloom's false positives)
     "t20_bloom_decontamination" -> DecontamOracleSql,
+    // t21: counts exact integers, equal-count ties order on term,
+    // coverage the exact integer-rational E4 rounding — every column
+    // bit-reproducible across engines. DuckDB sum() over BIGINT widens
+    // to HUGEINT; the rounding arithmetic stays integral either way.
+    "t21_vocab_coverage" ->
+      """WITH occ AS (
+        | SELECT unnest(string_split(text,' ')) AS term FROM documents),
+        |tot AS (SELECT CAST(count(*) AS BIGINT) AS total_occ FROM occ),
+        |g AS (
+        | SELECT term, CAST(count(*) AS BIGINT) AS n_occ FROM occ GROUP BY 1),
+        |r AS (
+        | SELECT term, n_occ,
+        |  CAST(row_number() OVER (ORDER BY n_occ DESC, term) AS BIGINT) AS rank,
+        |  CAST(sum(n_occ) OVER (ORDER BY n_occ DESC, term
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_occ
+        | FROM g)
+        |SELECT rank, term, n_occ,
+        | ((20000*cum_occ + total_occ) // (2*total_occ)) / 10000.0 AS cum_coverage
+        |FROM r, tot WHERE rank <= 100 ORDER BY rank""".stripMargin,
+    // t22: the vocab is the same top-24 (count desc, term) prefix on
+    // both engines (24 < the corpus's 31-term vocabulary, so the OOV
+    // tail is non-degenerate at every SF); the ratio and the keep gate
+    // are pure integer arithmetic (cross-multiplied E4 threshold, not
+    // a float compare)
+    "t22_oov_ratio" ->
+      """WITH occ AS (
+        | SELECT unnest(string_split(text,' ')) AS term FROM documents),
+        |v AS (
+        | SELECT term FROM (
+        |  SELECT term, count(*) AS n_occ FROM occ GROUP BY 1)
+        | ORDER BY n_occ DESC, term LIMIT 24),
+        |inv AS (
+        | SELECT doc_id, unnest(string_split(text,' ')) AS term FROM documents),
+        |o AS (
+        | SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+        |  CAST(sum(CASE WHEN term IN (SELECT term FROM v) THEN 0 ELSE 1 END)
+        |   AS BIGINT) AS n_oov
+        | FROM inv GROUP BY 1)
+        |SELECT doc_id, n_tokens, n_oov,
+        | ((20000*n_oov + greatest(n_tokens,1)) // (2*greatest(n_tokens,1)))
+        |  / 10000.0 AS oov_ratio,
+        | 10000*n_oov <= 3500*greatest(n_tokens,1) AS keep
+        |FROM o ORDER BY doc_id""".stripMargin,
     "t10_repetition" ->
       """WITH g AS (
         | SELECT doc_id, greatest(len(w)-2, 0) AS n_grams,

@@ -563,4 +563,79 @@ object TextAnalysis {
 
   def fingerprints(s: SparkSession, dir: String): DataFrame =
     fingerprints(Tables.load(s, dir, "documents"))
+
+  /** Tokenizer-vocabulary coverage table (t21): the top-`k` corpus
+    * terms by occurrence count with each prefix's cumulative share of
+    * ALL token occurrences — the truncation-analysis table a tokenizer
+    * build reads ("how much of the corpus does a V-entry vocab cover").
+    *
+    * Scale shape: one explode→hash-agg over the corpus (map-side
+    * combine; the only corpus-sized exchange), a TakeOrdered top-k of
+    * the vocabulary-sized count table, and a single-partition window
+    * over the ≤k survivors — bounded by construction, never the corpus
+    * (the same bounded-frame precedent as the centroid tables). The
+    * total-occurrence count rides the same scan as a one-row broadcast.
+    *
+    * Determinism: counts are exact integers; equal-count ties order on
+    * term; coverage is the exact integer-rational [[TextFunctions.ratio4]]. */
+  def vocabulary(docs: DataFrame, k: Int = 100): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("n_occ").desc, col("term"))
+    val occ = docs.select(explode(tokens(col("text"))).as("term"))
+    val tot = occ.agg(count(lit(1)).as("total_occ"))
+    occ.groupBy(col("term")).agg(count(lit(1)).as("n_occ"))
+      .orderBy(col("n_occ").desc, col("term")).limit(k)
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .withColumn("cum_occ", sum(col("n_occ")).over(w))
+      .crossJoin(broadcast(tot))
+      .select(col("rank"), col("term"), col("n_occ"),
+        ratio4(col("cum_occ"), col("total_occ")).as("cum_coverage"))
+      .orderBy(col("rank"))
+  }
+
+  def vocabulary(s: SparkSession, dir: String): DataFrame =
+    vocabulary(Tables.load(s, dir, "documents"))
+
+  /** Terms a fixed-size tokenizer vocabulary keeps: top `v` by corpus
+    * occurrence count, ties on term. Driver-materialized — bounded by
+    * `v` (≤ tens of thousands for any real tokenizer), the same
+    * bounded-collect class as the k-means training sample. */
+  private[graft] def vocabTerms(docs: DataFrame, v: Int): Seq[String] =
+    docs.select(explode(tokens(col("text"))).as("term"))
+      .groupBy(col("term")).agg(count(lit(1)).as("n_occ"))
+      .orderBy(col("n_occ").desc, col("term")).limit(v)
+      .select(col("term")).collect().map(_.getString(0)).toSeq
+
+  /** Out-of-vocabulary quality ratio (t22): per-document fraction of
+    * token occurrences falling outside the top-`v` corpus vocabulary —
+    * the CCNet-style corpus-relative quality filter (a doc whose mass
+    * is OOV under the corpus's own tokenizer vocab is boilerplate,
+    * another language, or noise). `keep` applies the retention gate at
+    * `maxOovE4` (an exact E4 integer threshold, not a float compare).
+    *
+    * Scale shape: the vocab build is one explode→hash-agg + top-v
+    * (vocabulary-sized); scoring is then a PURE MAP — the ≤v terms
+    * compile into a codegen'd set-membership filter over each row's
+    * token array, so the corpus is scanned once with NO join and no
+    * shuffle except the presentation sort. At 100 TB the vocab table
+    * is the only thing that moves. */
+  def oovRatio(docs: DataFrame, v: Int = 24,
+      maxOovE4: Long = 3500L): DataFrame = {
+    val vocab = vocabTerms(docs, v)
+    val toks = tokens(col("text"))
+    val oov = filter(toks, t => !t.isin(vocab.map(lit(_)): _*))
+    docs
+      .select(col("doc_id"),
+        size(toks).cast("long").as("n_tokens"),
+        size(oov).cast("long").as("n_oov"))
+      .withColumn("oov_ratio",
+        ratio4(col("n_oov"), greatest(col("n_tokens"), lit(1L))))
+      .withColumn("keep",
+        (lit(10000L) * col("n_oov") <=
+          lit(maxOovE4) * greatest(col("n_tokens"), lit(1L))).cast("boolean"))
+      .orderBy(col("doc_id"))
+  }
+
+  def oovRatio(s: SparkSession, dir: String): DataFrame =
+    oovRatio(Tables.load(s, dir, "documents"))
 }
