@@ -695,18 +695,30 @@ object Dedup {
     * regime) hands every task a ~128 MB build plus map overhead and
     * dies with "not enough memory to build hash map" — the first
     * deep-regime RecallProbe run found exactly this. Over-budget
-    * sides repartition BY THE JOIN KEYS to ⌈bytes/64 MB⌉ partitions
+    * sides repartition BY THE JOIN KEYS to ⌈bytes/budget⌉ partitions
     * (an explicit count AQE will not coalesce away); the probe side
     * co-partitions to the same count, so build memory per task stays
-    * bounded at ANY corpus size — the property a 100 TB run needs. */
-  private val BuildPartitionBytes = 64L << 20
+    * bounded at ANY corpus size — the property a 100 TB run needs.
+    *
+    * The budget must leave headroom for every CONCURRENTLY building
+    * task: the first 5M-doc probe of d04 sized builds to a 64 MB
+    * budget and died ("Can't acquire 67108864 bytes ... got 40810577")
+    * because 32 parallel 64 MB acquisitions plus the probe-side read
+    * buffers oversubscribed the execution pool. 16 MB × 32 tasks
+    * = 512 MB of concurrent build memory — comfortable under any
+    * executor sizing this engine targets — at the cost of more,
+    * smaller tasks (which a cluster absorbs by scheduling).
+    * `spark.graft.join.buildPartitionBytes` overrides. */
+  private def buildPartitionBytes(s: SparkSession): Long =
+    s.conf.getOption("spark.graft.join.buildPartitionBytes")
+      .map(_.toLong).getOrElse(16L << 20)
   private[graft] def bcastOrHashIf(rowBytes: Long, rows: Long,
       keys: Seq[String] = Nil)(df: DataFrame): DataFrame = {
     val bytes = rows * rowBytes
     if (bytes <= BroadcastBytes) broadcast(df)
     else {
       val spp = df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
-      val k = math.ceil(bytes.toDouble / BuildPartitionBytes).toInt
+      val k = math.ceil(bytes.toDouble / buildPartitionBytes(df.sparkSession)).toInt
       val sized =
         if (keys.nonEmpty && k > spp) df.repartition(k, keys.map(col): _*)
         else df
