@@ -212,7 +212,14 @@ object Dedup {
 
   def minhashLsh(docs: DataFrame): DataFrame = {
     val hashed = hashedShingleSets(docs)
-    jaccardVerified(hashed, bucketPairs(bandedSignatures(hashed), Seq("band", "bh")))
+    // Key the bucket join on bh ALONE: each band hash is already seeded
+    // with its band index (xxhash64(bnd, m₂ᵦ, m₂ᵦ₊₁) above), so (band,
+    // bh) and (bh) induce the same buckets up to 2⁻⁶⁴ cross-band
+    // collisions — the collision class hashedShingles already accepts.
+    // Column pruning then drops `band` before the exchange: the window
+    // and self-join streams narrow 20 → 16 B/row and the key compare
+    // halves (the d03 table-fusion precedent, one level simpler).
+    jaccardVerified(hashed, bucketPairs(bandedSignatures(hashed), Seq("bh")))
   }
 
   def minhashLsh(s: SparkSession, dir: String): DataFrame =
