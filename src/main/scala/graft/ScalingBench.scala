@@ -41,7 +41,14 @@ object ScalingBench {
     "d13b_small_emb_delta" ->
       ((s, dir) => graft.operators.Dedup.incrementalEmbNearDupMod(s, dir, 30)),
     "d14b_small_delta" ->
-      ((s, dir) => graft.operators.Dedup.incrementalClustersMod(s, dir, 30)))
+      ((s, dir) => graft.operators.Dedup.incrementalClustersMod(s, dir, 30)),
+    // streaming micro-batch scoring: half the d07/d13 delta scored with
+    // the other half already committed in the pending log (frozen-index
+    // contract — see StreamingNearDup/StreamingEmbNearDup.benchScore)
+    "sn01_stream_text_score" ->
+      ((s, dir) => graft.streaming.StreamingNearDup.benchScore(s, dir)),
+    "sn02_stream_emb_score" ->
+      ((s, dir) => graft.streaming.StreamingEmbNearDup.benchScore(s, dir)))
 
   private def query(name: String): (SparkSession, String) => DataFrame =
     SparkEntry.queries.getOrElse(name, Extra(name))
@@ -61,7 +68,8 @@ object ScalingBench {
     "t14_bm25_index", "t15_batch_bm25_index", "t16_sequence_packing",
     "t17_domain_mixture", "t18_mixture_epochs", "t19_token_chunks",
     "t20_bloom_decontamination", "t21_vocab_coverage", "t22_oov_ratio",
-    "m03_image_neardup", "m04_audio_neardup")
+    "m03_image_neardup", "m04_audio_neardup",
+    "sn01_stream_text_score", "sn02_stream_emb_score")
 
   /** SPARK_GRAFT_SCALING_ONLY=a,b,c restricts the measured set — for
     * adding rows for NEW queries to an existing record without
@@ -108,6 +116,7 @@ object ScalingBench {
     "s02_ann_lsh", "s03_ann_ivf", "s04_ann_ivfpq", "s05_ann_pq_index",
     "t20_bloom_decontamination", "t21_vocab_coverage", "t22_oov_ratio",
     "m03_image_neardup", "m04_audio_neardup",
+    "sn01_stream_text_score", "sn02_stream_emb_score",
     "d05_embedding_neardup")
 
   private def MeasuredSf10 = only(MeasuredSf10All)(identity)

@@ -127,16 +127,29 @@ object EmbSignatureIndex {
     * method appends at the index's recorded depth. */
   def append(deltaEmb: DataFrame, path: String): Unit = {
     val s = deltaEmb.sparkSession
+    val (bits, _) = meta(s, path)
+    val e = Dedup.embNormed(deltaEmb)
+    val sg = signatureRows(e, bits).localCheckpoint(true)
+    appendFrames(s, sg, e.select(col("vec_id"), col("v"), col("norm")),
+      Dedup.embSketch(e), path)
+  }
+
+  /** [[append]] with the delta's signature/vector/sketch frames
+    * already computed — the streaming compactor folds its pending log
+    * in without re-signing ([[graft.streaming.StreamingEmbNearDup]]).
+    * The frames must be at the index's recorded depth (the pending
+    * log is — its batches were scored at that depth); depth drift on
+    * growth remains [[ensure]]'s job between streams. Same crash
+    * contract as [[append]]. */
+  private[graft] def appendFrames(s: SparkSession, sg: DataFrame,
+      vv: DataFrame, sk: DataFrame, path: String): Unit = {
     val (bits, n0) = meta(s, path)
     fs(s, path).delete(marker(path), false)
-    val e = Dedup.embNormed(deltaEmb)
-    val nD = e.count()
-    val sg = signatureRows(e, bits).localCheckpoint(true)
+    val nD = vv.count()
     sg.sortWithinPartitions(col("sig"))
       .write.mode("append").parquet(s"$path/sigs")
-    e.select(col("vec_id"), col("v"), col("norm"))
-      .write.mode("append").parquet(s"$path/vecs")
-    Dedup.embSketch(e).write.mode("append").parquet(s"$path/sketches")
+    vv.write.mode("append").parquet(s"$path/vecs")
+    sk.write.mode("append").parquet(s"$path/sketches")
     val dc = sg.groupBy(col("tbl"), col("sig"))
       .agg(count(lit(1)).as("dn"), min(col("vec_id")).as("dmin"))
     val merged = counts(s, path)

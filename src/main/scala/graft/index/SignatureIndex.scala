@@ -85,10 +85,20 @@ object SignatureIndex {
     * drop. (Single-writer per index path, as documented above; a
     * concurrent reader mid-append sees not-ready, not wrong.) */
   def append(deltaDocs: DataFrame, path: String): Unit = {
-    val s = deltaDocs.sparkSession
-    fs(s, path).delete(marker(path), false)
     val sh = Dedup.hashedShingleSets(deltaDocs)
     val b = Dedup.bandedSignatures(sh).localCheckpoint(true)
+    appendFrames(deltaDocs.sparkSession, b, sh, path)
+  }
+
+  /** [[append]] with the delta's bands/shingles already computed —
+    * the streaming compactor folds its pending log in without
+    * re-shingling ([[graft.streaming.StreamingNearDup.compact]]).
+    * `b` must be materialized or cheap to rescan: it is consumed
+    * twice (bands append + counts recount). Same crash contract as
+    * [[append]]. */
+  private[graft] def appendFrames(s: SparkSession, b: DataFrame,
+      sh: DataFrame, path: String): Unit = {
+    fs(s, path).delete(marker(path), false)
     b.sortWithinPartitions(col("bh"))
       .write.mode("append").parquet(s"$path/bands")
     sh.write.mode("append").parquet(s"$path/shingles")

@@ -924,7 +924,22 @@ object Dedup {
     // the whole delta from raw text a second time.
     val deltaSh = hashedShingleSets(deltaDocs).localCheckpoint(true)
     val deltaBands = bandedSignatures(deltaSh).localCheckpoint(true)
+    incrementalPairsFrames(deltaSh, deltaBands,
+      idx.bands(s, indexPath), idx.shingles(s, indexPath),
+      idx.counts(s, indexPath))
+  }
 
+  /** Frame-level core of [[incrementalPairs]] — the corpus side arrives
+    * as (bands, shingles, counts) frames instead of an index path, so a
+    * caller can union extra corpus-side state onto the persisted index
+    * (the streaming scorer unions its committed-but-uncompacted batch
+    * log, [[graft.streaming.StreamingNearDup]]). `corpusCounts` may
+    * carry more than one row per (band, bh) — e.g. index counts plus a
+    * pending-log recount — they are merged after the delta-key
+    * semi-prune, where the frame is delta-sized by construction. */
+  private[graft] def incrementalPairsFrames(deltaSh: DataFrame,
+      deltaBands: DataFrame, corpusBands: DataFrame,
+      corpusShingles: DataFrame, corpusCounts: DataFrame): DataFrame = {
     val deltaCounts = deltaBands.groupBy(col("band"), col("bh"))
       .agg(count(lit(1)).as("dn"), min(col("doc_id")).as("dmin"))
     // Spark cannot build the STREAM (delta) side of a right-outer
@@ -932,9 +947,11 @@ object Dedup {
     // shuffle the full corpus counts table — semi-prune it down to the
     // delta-touched buckets first (broadcast of delta keys), then the
     // outer merge's build side is delta-sized by construction.
-    val touchedCounts = idx.counts(s, indexPath)
+    val touchedCounts = corpusCounts
       .join(broadcast(deltaCounts.select(col("band"), col("bh"))),
         Seq("band", "bh"), "left_semi")
+      .groupBy(col("band"), col("bh"))
+      .agg(sum(col("n")).as("n"), min(col("min_doc")).as("min_doc"))
     val hotB = touchedCounts
       .join(deltaCounts, Seq("band", "bh"), "right_outer")
       .filter(coalesce(col("n"), lit(0L)) + col("dn") > MaxBucket)
@@ -944,7 +961,7 @@ object Dedup {
 
     val hotKeys = broadcast(hotB.select(col("band"), col("bh")))
     val dNorm = deltaBands.join(hotKeys, Seq("band", "bh"), "left_anti")
-    val allNorm = idx.bands(s, indexPath).unionByName(deltaBands)
+    val allNorm = corpusBands.unionByName(deltaBands)
       .join(hotKeys, Seq("band", "bh"), "left_anti")
     val cand = dNorm.select(col("doc_id").as("da"), col("band"), col("bh"))
       .join(allNorm.select(col("doc_id").as("ob"), col("band"), col("bh")),
@@ -960,7 +977,7 @@ object Dedup {
     // the step that keeps the verify delta-sized at any corpus size —
     // happens inside [[jaccardVerified]], shared with the batch paths.
     val pairs = cand.unionByName(hotPairs).distinct()
-    jaccardVerified(idx.shingles(s, indexPath).unionByName(deltaSh), pairs)
+    jaccardVerified(corpusShingles.unionByName(deltaSh), pairs)
   }
 
   /** d07 driver binding: corpus = `doc_id % 3 != 0` (indexed once per
@@ -1036,22 +1053,43 @@ object Dedup {
     * index's recorded depth. */
   def incrementalEmbPairs(deltaEmb: DataFrame, indexPath: String,
       tau: Double = ProductionEmbTau): DataFrame = {
-    import graft.functions.VectorFunctions
     val s = deltaEmb.sparkSession
     val idx = graft.index.EmbSignatureIndex
     val bits = idx.meta(s, indexPath)._1
     val e = embNormed(deltaEmb)
-    val nD = e.count()
     val dBase = idx.signatureRows(e, bits).localCheckpoint(true)
+    incrementalEmbPairsFrames(e, dBase, bits,
+      idx.sigs(s, indexPath), idx.vecs(s, indexPath),
+      idx.sketches(s, indexPath), idx.counts(s, indexPath), tau)
+  }
+
+  /** Frame-level core of [[incrementalEmbPairs]] — the corpus side
+    * arrives as (sigs, vecs, sketches, counts) frames so a caller can
+    * union extra corpus-side state onto the persisted index (the
+    * streaming scorer's pending-batch log,
+    * [[graft.streaming.StreamingEmbNearDup]]). `corpusCounts` may
+    * carry more than one row per (tbl, sig) — merged after the
+    * delta-key semi-prune, where the frame is delta-sized. `dBase`
+    * must be the delta's [[graft.index.EmbSignatureIndex.signatureRows]]
+    * at the SAME depth as the corpus signatures. */
+  private[graft] def incrementalEmbPairsFrames(e: DataFrame,
+      dBase: DataFrame, bits: Int, corpusSigs: DataFrame,
+      corpusVecs: DataFrame, corpusSketches: DataFrame,
+      corpusCounts: DataFrame, tau: Double): DataFrame = {
+    import graft.functions.VectorFunctions
+    val s = e.sparkSession
+    val nD = e.count()
 
     // hot-bucket ledger: corpus counts pruned to delta-touched keys
     // (broadcast of delta keys), then right-outer merged with the
     // delta's own counts — corpus ledger scanned once, never shuffled
     val dCounts = dBase.groupBy(col("tbl"), col("sig"))
       .agg(count(lit(1)).as("dn"), min(col("vec_id")).as("dmin"))
-    val touched = idx.counts(s, indexPath)
+    val touched = corpusCounts
       .join(broadcast(dCounts.select(col("tbl"), col("sig"))),
         Seq("tbl", "sig"), "left_semi")
+      .groupBy(col("tbl"), col("sig"))
+      .agg(sum(col("n")).as("n"), min(col("min_vec")).as("min_vec"))
     val hotB = touched
       .join(dCounts, Seq("tbl", "sig"), "right_outer")
       .filter(coalesce(col("n"), lit(0L)) + col("dn") > ProdMaxBucket)
@@ -1067,7 +1105,7 @@ object Dedup {
     val dProbes = dBase.join(hotKeys, Seq("tbl", "sig"), "left_anti")
       .select(col("vec_id").as("pa"), col("ss").as("ssa"), col("tbl"),
         explode(concat(array(col("sig")), flips)).as("sig"))
-    val allBase = idx.sigs(s, indexPath).unionByName(dBase)
+    val allBase = corpusSigs.unionByName(dBase)
       .join(hotKeys, Seq("tbl", "sig"), "left_anti")
       .select(col("vec_id").as("pb"), col("ss").as("ssb"), col("tbl"), col("sig"))
     val cand = bcastOrHashIf(28, nD * adaptiveEmbTables(bits) * (bits + 1),
@@ -1090,7 +1128,7 @@ object Dedup {
     val candIds = pairs.select(col("vec_a").as("vec_id"))
       .unionByName(pairs.select(col("vec_b").as("vec_id"))).distinct()
     val candIdsB = bcastIf(16, 2 * nP)(candIds)
-    val sk = idx.sketches(s, indexPath).unionByName(embSketch(e))
+    val sk = corpusSketches.unionByName(embSketch(e))
       .join(candIdsB, Seq("vec_id"), "left_semi")
     val screened = pairs
       .join(sk.select(col("vec_id").as("vec_a"), col("pv").as("pva"), col("pt").as("pta")), "vec_a")
@@ -1099,7 +1137,7 @@ object Dedup {
         + col("pta") * col("ptb") >= tau - 1e-9)
       .select(col("vec_a"), col("vec_b"))
       .distinct()
-    val vv = idx.vecs(s, indexPath)
+    val vv = corpusVecs
       .unionByName(e.select(col("vec_id"), col("v"), col("norm")))
       .join(candIdsB, Seq("vec_id"), "left_semi")
     screened

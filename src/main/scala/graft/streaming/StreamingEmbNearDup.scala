@@ -1,0 +1,176 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+import org.apache.spark.sql.types.{DoubleType, LongType, StructField, StructType}
+
+import graft.index.EmbSignatureIndex
+import graft.operators.Dedup
+
+/** Continuous near-dup scoring for the VECTOR modality: Structured
+  * Streaming over an embedding source, scored per micro-batch against
+  * the persisted LSH signature index
+  * ([[graft.index.EmbSignatureIndex]]) — the streaming form of the
+  * d13 daily-ingest story, and [[StreamingNearDup]]'s twin (same
+  * [[BatchLog]] exactly-once protocol, same frozen-index contract):
+  *
+  *  - batch N emits every production-τ pair (d, x) with d in batch N
+  *    and x in (index corpus ∪ batches 1..N) — the union over batches
+  *    is [[Dedup.incrementalEmbPairs]]' semantics applied per batch,
+  *    cross-batch pairs surfacing at the later side's batch.
+  *  - the index is never mutated by the stream; committed batches'
+  *    signatures/vectors/sketches accumulate in the pending log until
+  *    [[compact]] folds them in via the batch
+  *    [[EmbSignatureIndex.appendFrames]].
+  *
+  * Depth drift: every batch signs at the index's RECORDED depth (so
+  * the pending log is depth-homogeneous and compactable), and
+  * [[compact]] appends at that depth. Growing the corpus past the
+  * depth's regime is the batch side's job between streams:
+  * [[EmbSignatureIndex.ensure]] after a compact (empty log) rebuilds
+  * at the deeper signature — the same at-most-once-per-doubling
+  * policy the d13 path documents. */
+object StreamingEmbNearDup {
+
+  private val PendingTables = Seq("sigs", "vecs", "sketches")
+
+  private def log(s: SparkSession, outDir: String) =
+    new BatchLog(s, outDir, PendingTables)
+
+  private def streamId(checkpoint: String): String = {
+    val d = java.security.MessageDigest.getInstance("SHA-256")
+      .digest(checkpoint.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    "s" + d.take(8).map(b => f"$b%02x").mkString
+  }
+
+  /** All pairs the stream has committed so far. */
+  def pairs(s: SparkSession, outDir: String): DataFrame =
+    log(s, outDir).pairs(StructType(Seq(
+      StructField("vec_a", LongType), StructField("vec_b", LongType),
+      StructField("cosine", DoubleType))))
+
+  /** The scoring plan for one batch: delta signatures at the index's
+    * recorded depth, scored against (index ∪ pending log minus
+    * `excludePrefix`). Returns the scored pairs plus the delta's
+    * sigs/vecs/sketches (the commit path persists them as the batch's
+    * pending state). */
+  private def scorePlan(batch: DataFrame, indexPath: String, lg: BatchLog,
+      excludePrefix: String, tau: Double)
+      : (DataFrame, DataFrame, DataFrame, DataFrame) = {
+    val s = batch.sparkSession
+    val bits = EmbSignatureIndex.meta(s, indexPath)._1
+    val e = Dedup.embNormed(batch.select(col("vec_id"), col("embedding")))
+    val dBase = EmbSignatureIndex.signatureRows(e, bits).localCheckpoint(true)
+    val vv = e.select(col("vec_id"), col("v"), col("norm"))
+    val sk = Dedup.embSketch(e)
+
+    val pending = lg.pendingPrefixes.filterNot(_ == excludePrefix)
+    val idxSigs = EmbSignatureIndex.sigs(s, indexPath)
+    val idxVecs = EmbSignatureIndex.vecs(s, indexPath)
+    val idxSk = EmbSignatureIndex.sketches(s, indexPath)
+    val idxCounts = EmbSignatureIndex.counts(s, indexPath)
+    val (cSigs, cVecs, cSk, cCounts) =
+      if (pending.isEmpty) (idxSigs, idxVecs, idxSk, idxCounts)
+      else {
+        val pSigs = lg.readPending("sigs", pending)
+        val pc = pSigs.groupBy(col("tbl"), col("sig"))
+          .agg(count(lit(1)).as("n"), min(col("vec_id")).as("min_vec"))
+        (idxSigs.unionByName(pSigs),
+          idxVecs.unionByName(lg.readPending("vecs", pending)),
+          idxSk.unionByName(lg.readPending("sketches", pending)),
+          idxCounts.unionByName(pc))
+      }
+    (Dedup.incrementalEmbPairsFrames(
+      e, dBase, bits, cSigs, cVecs, cSk, cCounts, tau), dBase, vv, sk)
+  }
+
+  /** Score one micro-batch and commit its outputs. Exposed for the
+    * replay-idempotence spec; the stream calls it from foreachBatch. */
+  private[streaming] def processBatch(batch: DataFrame, sid: String,
+      batchId: Long, indexPath: String, outDir: String,
+      tau: Double = Dedup.ProductionEmbTau): Unit = {
+    val s = batch.sparkSession
+    val lg = log(s, outDir)
+    val prefix = s"$sid-b$batchId"
+    if (lg.isCommitted(prefix)) return
+    lg.finishCompaction()
+    val (scored, dBase, vv, sk) = scorePlan(batch, indexPath, lg, prefix, tau)
+    scored.write.mode("overwrite").parquet(lg.pairsPath(prefix))
+    dBase.write.mode("overwrite").parquet(lg.pendingPath("sigs", prefix))
+    vv.write.mode("overwrite").parquet(lg.pendingPath("vecs", prefix))
+    sk.write.mode("overwrite").parquet(lg.pendingPath("sketches", prefix))
+    lg.commit(prefix)
+  }
+
+  /** Scaling-ladder binding (sn02): one streaming micro-batch of
+    * vectors — half the d13 delta — scored with the other half already
+    * in the pending log. Reuses d13's content-keyed corpus index; the
+    * first attempt pays the index build + batch-0 commit, the second
+    * measures the warm per-batch cost (the d07/d13 best-of-2
+    * precedent). */
+  def benchScore(s: SparkSession, dir: String): DataFrame = {
+    val emb = Dedup.plantedDropCorpus(
+      graft.core.Tables.load(s, dir, "embeddings"))
+    val isDelta = col("vec_id") % 3 === 0
+    val idxPath = graft.index.IndexCache.pathFor(
+      s, s"$dir/embeddings.parquet", "embmod=3")
+    EmbSignatureIndex.ensure(emb.filter(!isDelta), idxPath, emb.count())
+    val logDir = graft.index.IndexCache.pathFor(
+      s, s"$dir/embeddings.parquet", "semb-log")
+    val lg = log(s, logDir)
+    val delta = emb.filter(isDelta)
+    if (!lg.isCommitted("bench-b0"))
+      processBatch(delta.filter(pmod(col("vec_id"), lit(2)) === 0),
+        "bench", 0L, idxPath, logDir)
+    scorePlan(delta.filter(pmod(col("vec_id"), lit(2)) =!= 0),
+      idxPath, lg, "", Dedup.ProductionEmbTau)._1
+  }
+
+  /** Start the scorer on a newline-JSON embedding source (canonical
+    * vec_id/embedding fields, like the embeddings table). */
+  def start(
+      spark: SparkSession,
+      sourceDir: String,
+      schema: StructType,
+      indexPath: String,
+      outDir: String,
+      checkpoint: String,
+      tau: Double = Dedup.ProductionEmbTau,
+      trigger: Trigger = Trigger.AvailableNow(),
+      options: Map[String, String] = Map.empty): StreamingQuery = {
+    require(EmbSignatureIndex.ready(spark, indexPath),
+      s"embedding signature index at $indexPath is not ready — build it first")
+    val sid = streamId(checkpoint)
+    spark.readStream
+      .schema(schema)
+      .options(options)
+      .json(sourceDir)
+      .writeStream
+      .queryName("emb-neardup-score")
+      .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty)
+          processBatch(batch, sid, batchId, indexPath, outDir, tau)
+        ()
+      }
+      .start()
+  }
+
+  /** Fold the pending log into the index — [[StreamingNearDup.compact]]'s
+    * twin: intent → [[EmbSignatureIndex.appendFrames]] at the recorded
+    * depth → delete pending dirs → drop intent. */
+  def compact(s: SparkSession, outDir: String, indexPath: String): Unit = {
+    val lg = log(s, outDir)
+    lg.finishCompaction()
+    val pending = lg.pendingPrefixes
+    if (pending.isEmpty) return
+    lg.beginCompaction(pending)
+    EmbSignatureIndex.appendFrames(s,
+      lg.readPending("sigs", pending),
+      lg.readPending("vecs", pending),
+      lg.readPending("sketches", pending), indexPath)
+    lg.finishCompaction()
+  }
+}

@@ -1,0 +1,114 @@
+package graft.streaming
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+
+import graft.SparkSpec
+import graft.operators.Dedup
+
+class StreamingNearDupSpec extends SparkSpec {
+
+  private val docSchema = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("text", StringType)))
+
+  /** sf0.001 docs split: corpus = id%3!=0 (indexed), stream = id%3==0
+    * played as JSON files. Returns (docs, corpus, delta). */
+  private def corpusSplit() = {
+    val docs = graft.core.Tables.load(spark, Sf0001, "documents")
+      .select(col("doc_id"), col("text"))
+    (docs, docs.filter(col("doc_id") % 3 =!= 0), docs.filter(col("doc_id") % 3 === 0))
+  }
+
+  private def writeJsonFile(dir: String, name: String,
+      rows: Seq[(Long, String)]): Unit = {
+    def esc(s: String) = s.flatMap {
+      case '"' => "\\\""
+      case '\\' => "\\\\"
+      case '\n' => "\\n"
+      case c => c.toString
+    }
+    val lines = rows.map { case (id, t) => s"""{"doc_id":$id,"text":"${esc(t)}"}""" }
+    Files.writeString(Paths.get(dir, name), lines.mkString("\n"))
+  }
+
+  private def pairSet(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+    df.collect().map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))).toSet
+
+  test("micro-batch union equals the batch pair set minus corpus-internal pairs") {
+    val (docs, corpus, delta) = corpusSplit()
+    val idxPath = tmpDir("snd-idx")
+    graft.index.SignatureIndex.build(corpus, idxPath)
+
+    // two micro-batches: delta split by parity, one source file each —
+    // maxFilesPerTrigger=1 forces file-per-batch under AvailableNow
+    val src = tmpDir("snd-src")
+    val deltaRows = delta.collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("text"))).toSeq
+    val (b1, b2) = deltaRows.partition(_._1 % 2 == 0)
+    writeJsonFile(src, "a-batch1.json", b1)
+    writeJsonFile(src, "b-batch2.json", b2)
+
+    val outDir = tmpDir("snd-out")
+    val q = StreamingNearDup.start(spark, src, docSchema, idxPath, outDir,
+      tmpDir("snd-ckpt"), options = Map("maxFilesPerTrigger" -> "1"))
+    q.awaitTermination(120000)
+
+    val streamed = pairSet(StreamingNearDup.pairs(spark, outDir))
+    val full = pairSet(Dedup.minhashLsh(docs))
+    val expected = full.filter { case (a, b) => a % 3 == 0 || b % 3 == 0 }
+    assert(streamed == expected,
+      s"missed=${(expected -- streamed).take(5)} extra=${(streamed -- expected).take(5)}")
+    // cross-batch pairs exist (both sides post-corpus, different
+    // batches) — otherwise the pending-log union is untested
+    val crossBatch = expected.filter { case (a, b) =>
+      a % 3 == 0 && b % 3 == 0 && (a % 2) != (b % 2) }
+    assert(crossBatch.nonEmpty, "no cross-batch pair — pending log untested")
+    assert((full -- expected).nonEmpty, "every pair touches the stream — vacuous")
+  }
+
+  test("replayed micro-batch is a no-op; compact folds the log into the index") {
+    val (_, corpus, delta) = corpusSplit()
+    val idxPath = tmpDir("snd-c-idx")
+    graft.index.SignatureIndex.build(corpus, idxPath)
+    val outDir = tmpDir("snd-c-out")
+
+    val deltaRows = delta.collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("text"))).toSeq
+    val (b1, b2) = deltaRows.partition(_._1 % 2 == 0)
+    import spark.implicits._
+    val b1df = b1.toDF("doc_id", "text")
+    val b2df = b2.toDF("doc_id", "text")
+
+    StreamingNearDup.processBatch(b1df, "sid0", 0L, idxPath, outDir)
+    val afterB1 = pairSet(StreamingNearDup.pairs(spark, outDir))
+    // replay (crash between marker and checkpoint commit): no-op
+    StreamingNearDup.processBatch(b1df, "sid0", 0L, idxPath, outDir)
+    assert(pairSet(StreamingNearDup.pairs(spark, outDir)) == afterB1)
+
+    // compact batch 1 into the index, then score batch 2 with an
+    // EMPTY pending log — pairs must still see batch-1 docs as corpus
+    StreamingNearDup.compact(spark, outDir, idxPath)
+    assert(graft.index.SignatureIndex.ready(spark, idxPath))
+    StreamingNearDup.processBatch(b2df, "sid0", 1L, idxPath, outDir)
+    val streamed = pairSet(StreamingNearDup.pairs(spark, outDir))
+    val incrB1 = pairSet(Dedup.incrementalPairs(
+      b1df, { // reference: fresh index over the same corpus
+        val p = tmpDir("snd-ref1"); graft.index.SignatureIndex.build(corpus, p); p
+      }))
+    val incrB2 = pairSet(Dedup.incrementalPairs(
+      b2df, {
+        val p = tmpDir("snd-ref2")
+        graft.index.SignatureIndex.build(corpus.unionByName(b1df), p); p
+      }))
+    assert(streamed == (incrB1 ++ incrB2),
+      s"missed=${((incrB1 ++ incrB2) -- streamed).take(5)} " +
+        s"extra=${(streamed -- (incrB1 ++ incrB2)).take(5)}")
+    // compact is idempotent with an empty log
+    StreamingNearDup.compact(spark, outDir, idxPath)
+    StreamingNearDup.compact(spark, outDir, idxPath)
+    assert(pairSet(StreamingNearDup.pairs(spark, outDir)) == streamed)
+  }
+}
