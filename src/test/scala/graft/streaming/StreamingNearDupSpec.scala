@@ -69,6 +69,24 @@ class StreamingNearDupSpec extends SparkSpec {
     assert((full -- expected).nonEmpty, "every pair touches the stream — vacuous")
   }
 
+  test("scoring plan: candidate and verify joins broadcast the delta side") {
+    // benchScore = one batch scored with another already pending — the
+    // shape the ladder measures. The delta probes must BROADCAST into
+    // the candidate join (corpus∪pending bands stream, never shuffle),
+    // and the verify's shingle prune must be a broadcast semi-join.
+    val df = StreamingNearDup.benchScore(spark, Sf0001)
+    df.collect() // force the final AQE plan
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"delta side not broadcast in:\n${plan.take(4000)}")
+    assert(plan.contains("LeftSemi"),
+      s"shingle prune missing in:\n${plan.take(4000)}")
+    // no sort-merge join anywhere: the candidate stream must never be
+    // sorted (the round-8 OOM lesson — broadcast or shuffled-hash only)
+    assert(!plan.contains("SortMergeJoin"),
+      s"sort-merge join crept into the scoring plan:\n${plan.take(4000)}")
+  }
+
   test("replayed micro-batch is a no-op; compact folds the log into the index") {
     val (_, corpus, delta) = corpusSplit()
     val idxPath = tmpDir("snd-c-idx")
