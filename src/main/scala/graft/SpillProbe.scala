@@ -16,7 +16,19 @@ import graft.core.GraftSession
   * PLANS.md's scale-evidence section. */
 object SpillProbe {
 
-  private val Probed = Seq("d02_minhash_lsh", "d03_simhash",
+  /** SPARK_GRAFT_SPILL_ONLY=a,b,c restricts the probed set — for
+    * adding rows for new queries without re-measuring the committed
+    * ones (the ScalingBench ONLY precedent; output is a printed line,
+    * so no record-merge is needed). */
+  private def probed: Seq[String] =
+    sys.env.get("SPARK_GRAFT_SPILL_ONLY") match {
+      case Some(list) =>
+        val keep = list.split(',').map(_.trim).toSet
+        ProbedAll.filter(keep)
+      case None => ProbedAll
+    }
+
+  private val ProbedAll = Seq("d02_minhash_lsh", "d03_simhash",
     "d04_ngram_jaccard", "d06_embedding_neardup_prod", "s02_ann_lsh",
     "q06_window", "d11_substring_dedup", "t12_multiquery_search",
     // round-9 additions: the prefix-sum family's window streams, the
@@ -26,16 +38,24 @@ object SpillProbe {
     // round-9 continuation: the bloom-pruned join and the media-dedup
     // signature streams (the decode side holds one image/clip at a
     // time; the pair side is the d03 geometry under a new signature)
-    "t20_bloom_decontamination", "m03_image_neardup", "m04_audio_neardup")
+    "t20_bloom_decontamination", "m03_image_neardup", "m04_audio_neardup",
+    // the incremental emb path and its streaming micro-batch form
+    // (index + pending-log union)
+    "d13_incremental_emb_neardup",
+    "sn01_stream_text_score", "sn02_stream_emb_score")
 
   def main(args: Array[String]): Unit = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
     val frac = sys.env.getOrElse("SPARK_GRAFT_MEM_FRACTION", "0.05")
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val spark: SparkSession = GraftSession
+    val b0 = GraftSession
       .builder("graft-spill", cpus)
       .master(s"local[$cpus]")
       .config("spark.memory.fraction", frac)
+    // optional override of the shuffled-hash build budget, so the probe
+    // can test the build-sizing response to starvation directly
+    val spark: SparkSession = sys.env.get("SPARK_GRAFT_BUILD_PARTITION_BYTES")
+      .fold(b0)(v => b0.config("spark.graft.join.buildPartitionBytes", v))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
@@ -51,11 +71,15 @@ object SpillProbe {
     }
     spark.sparkContext.addSparkListener(listener)
 
-    val results = Probed.map { name =>
+    val results = probed.map { name =>
       mem.set(0); disk.set(0)
       val t0 = System.nanoTime()
       val outcome =
-        try { SparkEntry.queries(name)(spark, sfDir).count(); "ok" }
+        try {
+          SparkEntry.queries.getOrElse(name, ScalingBench.Extra(name))(
+            spark, sfDir).count()
+          "ok"
+        }
         catch { case e: Throwable =>
           System.err.println(s"[spill] $name failed: ${e.getMessage}"); "fail" }
       val sec = (System.nanoTime() - t0) / 1e9

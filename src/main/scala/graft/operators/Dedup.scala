@@ -715,10 +715,36 @@ object Dedup {
     * = 512 MB of concurrent build memory — comfortable under any
     * executor sizing this engine targets — at the cost of more,
     * smaller tasks (which a cluster absorbs by scheduling).
-    * `spark.graft.join.buildPartitionBytes` overrides. */
+    * `spark.graft.join.buildPartitionBytes` overrides.
+    *
+    * The fixed budget is additionally capped by the ACTUAL execution
+    * pool (heap × spark.memory.fraction): Spark guarantees an active
+    * task only pool/(2·slots), the hash map costs ~2× the estimated
+    * row bytes (UnsafeRow padding + key entries), and the build shares
+    * the slot with probe-side read buffers and key-skew overshoot — so
+    * the budget degrades to pool/(16·slots), floor 1 MB. Found (and
+    * the divisor calibrated) by the round-9 SpillProbe: d13/sn02 at
+    * fraction 0.05 (≈107 MB pool, 8 slots) died with "not enough
+    * memory to build hash map"; pool/8 builds (1.7 MB estimated ≈
+    * 3.5 MB actual against a 6.7 MB share) STILL died, pool/16
+    * completes — degrade, never OOM. At the default measurement sizing
+    * (8 GB heap, fraction 0.6, 32 slots) the cap is 9.4 MB, which
+    * re-partitions only builds past ~300 MB (the k>spp guard):
+    * affected committed rows (d04, d13 family) were re-laddered.
+    * An EXPLICIT `spark.graft.join.buildPartitionBytes` wins outright —
+    * it is the cluster-tuning knob for operators who know their
+    * executor sizing (local mode uses the driver JVM as the pool
+    * proxy; cluster executors may out-size it). */
   private def buildPartitionBytes(s: SparkSession): Long =
-    s.conf.getOption("spark.graft.join.buildPartitionBytes")
-      .map(_.toLong).getOrElse(16L << 20)
+    s.conf.getOption("spark.graft.join.buildPartitionBytes") match {
+      case Some(v) => v.toLong // the explicit cluster knob wins outright
+      case None =>
+        val frac = s.conf.getOption("spark.memory.fraction")
+          .map(_.toDouble).getOrElse(0.6)
+        val pool = (Runtime.getRuntime.maxMemory() * frac).toLong
+        val slots = math.max(1, s.sparkContext.defaultParallelism)
+        math.max(1L << 20, math.min(16L << 20, pool / (16L * slots)))
+    }
   private[graft] def bcastOrHashIf(rowBytes: Long, rows: Long,
       keys: Seq[String] = Nil)(df: DataFrame): DataFrame = {
     val bytes = rows * rowBytes

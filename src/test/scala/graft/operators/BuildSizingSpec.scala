@@ -6,13 +6,18 @@ import graft.SparkSpec
 /** Pins the shuffled-hash build-side sizing ([[Dedup.bcastOrHashIf]]):
   * a shuffled-hash build cannot spill, so an over-budget side must
   * repartition BY THE JOIN KEYS to enough partitions that every
-  * per-task build fits [[Dedup]]'s per-partition budget (16 MB default,
-  * `spark.graft.join.buildPartitionBytes` to override) — the first
-  * deep-regime RecallProbe run (2M vectors, 22-bit/57-table regime,
-  * ~4 GB signature side over 32 partitions) died with "not enough
-  * memory to build hash map" without the sizing, and the first 5M-doc
-  * d04 probe died the same way under a 64 MB budget whose 32
-  * concurrent builds oversubscribed the execution pool. */
+  * per-task build fits [[Dedup]]'s per-partition budget — 16 MB
+  * default, capped by the actual execution pool at pool/(16·slots)
+  * (the starved-pool response SpillProbe exercises; in this test
+  * session the pool cap sits above 16 MB so the tests pin the 16 MB
+  * branch), `spark.graft.join.buildPartitionBytes` overrides both.
+  * The first deep-regime RecallProbe run (2M vectors, 22-bit/57-table
+  * regime, ~4 GB signature side over 32 partitions) died with "not
+  * enough memory to build hash map" without the sizing; the first
+  * 5M-doc d04 probe died the same way under a 64 MB budget whose 32
+  * concurrent builds oversubscribed the execution pool; and the
+  * round-9 starved probe of d13/sn02 died under a 16 MB budget
+  * against a ~107 MB pool — each failure tightened this policy. */
 class BuildSizingSpec extends SparkSpec {
 
   test("over-budget side sizes its exchange to the build budget") {
