@@ -68,6 +68,7 @@ object ScalingBench {
     "t14_bm25_index", "t15_batch_bm25_index", "t16_sequence_packing",
     "t17_domain_mixture", "t18_mixture_epochs", "t19_token_chunks",
     "t20_bloom_decontamination", "t21_vocab_coverage", "t22_oov_ratio",
+    "t23_contamination_ratio",
     "m03_image_neardup", "m04_audio_neardup",
     "sn01_stream_text_score", "sn02_stream_emb_score")
 
@@ -115,6 +116,7 @@ object ScalingBench {
     "t17_domain_mixture", "t18_mixture_epochs", "t19_token_chunks",
     "s02_ann_lsh", "s03_ann_ivf", "s04_ann_ivfpq", "s05_ann_pq_index",
     "t20_bloom_decontamination", "t21_vocab_coverage", "t22_oov_ratio",
+    "t23_contamination_ratio",
     "m03_image_neardup", "m04_audio_neardup",
     "sn01_stream_text_score", "sn02_stream_emb_score",
     "d05_embedding_neardup")

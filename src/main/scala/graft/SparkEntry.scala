@@ -107,6 +107,8 @@ object SparkEntry {
     // t09 served through a distributed-built bloom prune (same oracle —
     // the exact join removes the bloom's false positives)
     "t20_bloom_decontamination" -> (TextAnalysis.decontaminateBloom _),
+    // graded decontamination: per-doc overlap fraction + threshold gate
+    "t23_contamination_ratio" -> (TextAnalysis.contaminationRatio _),
     // training-data pipeline: tokenizer-vocabulary coverage + the
     // corpus-relative OOV quality gate derived from it
     "t21_vocab_coverage"  -> (TextAnalysis.vocabulary _),
@@ -527,6 +529,25 @@ object SparkEntry {
     // t20 is t09 through the distributed bloom prune — same oracle by
     // construction (the exact join removes the bloom's false positives)
     "t20_bloom_decontamination" -> DecontamOracleSql,
+    // t23: t09's join plus an exact integer denominator/threshold —
+    // overlap uses the shared E4 half-up rounding, the verdict the
+    // integer form of ratio ≥ 0.2 (bit-reproducible across engines)
+    "t23_contamination_ratio" ->
+      """WITH sh AS (
+        | SELECT doc_id,
+        |  list_distinct([w[i]||' '||w[i+1]||' '||w[i+2]||' '||w[i+3]||' '||w[i+4]
+        |                 for i in range(1, len(w)-3)]) AS sh
+        | FROM (SELECT doc_id, string_split(text,' ') AS w FROM documents)),
+        |bench AS (SELECT DISTINCT unnest(sh) AS h FROM sh WHERE doc_id % 23 = 0),
+        |tr AS (SELECT doc_id, CAST(len(sh) AS BIGINT) AS n_total, unnest(sh) AS h
+        |       FROM sh WHERE doc_id % 23 <> 0)
+        |SELECT tr.doc_id, count(*) AS n_shared, n_total,
+        | ((20000*count(*) + n_total) // (2*n_total)) / 10000.0 AS overlap,
+        | CAST(CASE WHEN count(*)*5 >= n_total THEN 1 ELSE 0 END AS BIGINT)
+        |   AS contaminated
+        |FROM tr JOIN bench USING (h)
+        |GROUP BY tr.doc_id, tr.n_total
+        |ORDER BY doc_id""".stripMargin,
     // t21: counts exact integers, equal-count ties order on term,
     // coverage the exact integer-rational E4 rounding — every column
     // bit-reproducible across engines. DuckDB sum() over BIGINT widens

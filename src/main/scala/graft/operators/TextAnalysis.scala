@@ -250,6 +250,44 @@ object TextAnalysis {
       docs.filter(col("doc_id") % 23 === 0))
   }
 
+  /** Graded decontamination — [[decontaminate]]'s per-doc overlap
+    * FRACTION plus a threshold verdict, the way the large-model
+    * training reports actually gate (a doc is contaminated when the
+    * share of its distinct 5-grams found in the eval set crosses a
+    * threshold, not when one shingle matches — GPT-3 appendix C /
+    * PaLM-style n-gram overlap). Same plan shape as t09: the
+    * benchmark shingle set AQE-broadcasts when eval-suite-sized, the
+    * corpus streams one hash-probe pass, and the only additions are
+    * the per-doc distinct-shingle denominator (free — the fused
+    * shingle kernel already returns the distinct set) and two pure
+    * projections. Threshold compare is integer-exact
+    * (n_shared·5 ≥ n_total ⟺ ratio ≥ 0.2) so the verdict is
+    * bit-reproducible across engines. */
+  def contaminationRatio(trainDocs: DataFrame,
+      benchmarkDocs: DataFrame): DataFrame = {
+    def sh(df: DataFrame) = df.select(col("doc_id"),
+      graft.functions.LshFunctions.hashedShingles(
+        df.sparkSession, tokens(col("text")), 5).as("hs"))
+    val bench = sh(benchmarkDocs).select(explode(col("hs")).as("h")).distinct()
+    val train = sh(trainDocs).select(col("doc_id"),
+      size(col("hs")).cast("long").as("n_total"), explode(col("hs")).as("h"))
+    train.join(bench, Seq("h"))
+      .groupBy(col("doc_id"), col("n_total"))
+      .agg(count(lit(1)).as("n_shared"))
+      .select(col("doc_id"), col("n_shared"), col("n_total"),
+        graft.functions.TextFunctions.ratio4(
+          col("n_shared"), col("n_total")).as("overlap"),
+        when(col("n_shared") * 5 >= col("n_total"), 1L).otherwise(0L)
+          .as("contaminated"))
+      .orderBy(col("doc_id"))
+  }
+
+  def contaminationRatio(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(s, dir, "documents")
+    contaminationRatio(docs.filter(col("doc_id") % 23 =!= 0),
+      docs.filter(col("doc_id") % 23 === 0))
+  }
+
   /** Intra-document repetition score: 1 − distinct/total word 3-grams —
     * the boilerplate/looping-text gate every curation pipeline runs.
     * One scan, pure expressions (the fused shingle kernel provides the
