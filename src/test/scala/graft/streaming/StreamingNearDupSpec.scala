@@ -69,6 +69,47 @@ class StreamingNearDupSpec extends SparkSpec {
     assert((full -- expected).nonEmpty, "every pair touches the stream — vacuous")
   }
 
+  test("torn compaction (append landed, deletes did not) is recovered") {
+    val (_, corpus, delta) = corpusSplit()
+    val idxPath = tmpDir("snd-t-idx")
+    graft.index.SignatureIndex.build(corpus, idxPath)
+    val outDir = tmpDir("snd-t-out")
+    val deltaRows = delta.collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("text"))).toSeq
+    val (b1, b2) = deltaRows.partition(_._1 % 2 == 0)
+    import spark.implicits._
+    val b1df = b1.toDF("doc_id", "text")
+    val b2df = b2.toDF("doc_id", "text")
+
+    StreamingNearDup.processBatch(b1df, "sid0", 0L, idxPath, outDir)
+    val afterB1 = pairSet(StreamingNearDup.pairs(spark, outDir))
+
+    // simulate the crash window inside compact: the index append has
+    // LANDED but the pending-dir deletes (and intent removal) have not
+    val lg = new BatchLog(spark, outDir, Seq("bands", "shingles"))
+    graft.index.SignatureIndex.appendFrames(spark,
+      lg.readPending("bands", Seq("sid0-b0")),
+      lg.readPending("shingles", Seq("sid0-b0")), idxPath)
+    lg.beginCompaction(Seq("sid0-b0"))
+
+    // the next batch must finish the recovery FIRST — otherwise batch-1
+    // docs ride the corpus side twice (index AND stale pending log),
+    // double-counting bucket widths in the hot-bucket ledger
+    StreamingNearDup.processBatch(b2df, "sid0", 1L, idxPath, outDir)
+    assert(lg.pendingPrefixes == Seq("sid0-b1"),
+      s"stale pending survived recovery: ${lg.pendingPrefixes}")
+
+    val streamed = pairSet(StreamingNearDup.pairs(spark, outDir))
+    val incrB2 = pairSet(Dedup.incrementalPairs(
+      b2df, { // reference: fresh index over corpus ∪ batch1
+        val p = tmpDir("snd-t-ref")
+        graft.index.SignatureIndex.build(corpus.unionByName(b1df), p); p
+      }))
+    assert(streamed == (afterB1 ++ incrB2),
+      s"missed=${((afterB1 ++ incrB2) -- streamed).take(5)} " +
+        s"extra=${(streamed -- (afterB1 ++ incrB2)).take(5)}")
+  }
+
   test("scoring plan: candidate and verify joins broadcast the delta side") {
     // benchScore = one batch scored with another already pending — the
     // shape the ladder measures. The delta probes must BROADCAST into
