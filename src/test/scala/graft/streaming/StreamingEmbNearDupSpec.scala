@@ -67,6 +67,17 @@ class StreamingEmbNearDupSpec extends SparkSpec {
     assert(crossBatch.count() > 0, "no cross-batch pair — pending log untested")
   }
 
+  test("scoring plan: no sort-merge join may enter the batch score") {
+    // same pin as the text scorer: broadcast-or-shuffled-hash only —
+    // a sort of the candidate stream is the round-8 OOM mode
+    val df = StreamingEmbNearDup.benchScore(spark, Sf0001)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), s"no broadcast in:\n${plan.take(3000)}")
+    assert(!plan.contains("SortMergeJoin"),
+      s"sort-merge join crept into the emb scoring plan:\n${plan.take(3000)}")
+  }
+
   test("replay is a no-op; compact folds the log and scoring continues") {
     val (emb, corpus, b1, b2) = split()
     val idxPath = tmpDir("semb-c-idx")
