@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.operators.{Approx, Chunking, Dedup, Mixture, Packing, Relational, RelationalSql, Similarity, TextAnalysis}
+import graft.operators.{Approx, Chunking, Dedup, Mixture, Packing, Relational, RelationalSql, SemanticDedup, Sharding, Similarity, TextAnalysis, TrainingCorpus}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -94,6 +94,10 @@ object SparkEntry {
     // d08's decision maintained incrementally: corpus clusters from a
     // persisted index + one delta-sized contracted-CC merge
     "d14_incremental_clusters" -> (Dedup.incrementalClusters _),
+    // SemDeDup: k-means-cell-scoped semantic redundancy pruning, keep
+    // lowest-centroid-similarity member (rows-only: no DuckDB k-means;
+    // the spec pins planted-duplicate recovery + one-survivor policy)
+    "d15_semantic_dedup"  -> (SemanticDedup.semanticDedup _),
     // training-data pipeline: sequence packing (corpus → fixed-budget
     // training sequences)
     "t16_sequence_packing" -> (Packing.sequencePacking _),
@@ -113,6 +117,12 @@ object SparkEntry {
     // corpus-relative OOV quality gate derived from it
     "t21_vocab_coverage"  -> (TextAnalysis.vocabulary _),
     "t22_oov_ratio"       -> (TextAnalysis.oovRatio _),
+    // training-data pipeline: deterministic seeded shuffle + round-robin
+    // shard assignment (the corpus → data-loader export step)
+    "t24_shard_export"    -> (Sharding.shardExport _),
+    // the composed pipeline as ONE oracle-exact query: exact dedup →
+    // quality gate → decontamination → mixture → packing
+    "p01_training_corpus" -> (TrainingCorpus.assemble _),
     // training-data pipeline: similarity search
     "s01_ann_brute"       -> (Similarity.annBrute _),
     "s02_ann_lsh"         -> (Similarity.annLsh _),
@@ -661,6 +671,81 @@ object SparkEntry {
         | start_off // 2048 AS first_seq,
         | (start_off + n_tokens - 1) // 2048 AS last_seq
         |FROM c ORDER BY doc_id""".stripMargin,
+    "t24_shard_export" ->
+      """WITH t AS (
+        | SELECT doc_id,
+        |  CAST(len(string_split(text,' ')) AS BIGINT) AS n_tokens,
+        |  md5(CAST(doc_id AS VARCHAR) || ':42') AS k
+        | FROM documents),
+        |r AS (
+        | SELECT doc_id, n_tokens,
+        |  row_number() OVER (ORDER BY k, doc_id) AS rn
+        | FROM t)
+        |SELECT (rn - 1) % 16 AS shard, (rn - 1) // 16 AS pos,
+        | doc_id, n_tokens
+        |FROM r ORDER BY shard, pos""".stripMargin,
+    "p01_training_corpus" ->
+      """WITH cnt AS (
+        | SELECT doc_id, source, md5(lower(trim(text))) AS fp,
+        |  CAST(len(string_split(text,' ')) AS BIGINT) AS t0,
+        |  CAST(len(list_filter(string_split(text,' '),
+        |       x -> x IN ('the','a','and','of','to','in','is'))) AS BIGINT) AS s,
+        |  CAST(length(text) AS BIGINT) AS c0,
+        |  CAST(length(text)
+        |   - length(regexp_replace(text, '[^a-z0-9 ]', '', 'g')) AS BIGINT) AS p
+        | FROM documents WHERE doc_id % 23 <> 0),
+        |scored AS (
+        | SELECT doc_id, source, fp, t0 AS n_tokens,
+        |  ((2*(50*least(t0,100)*greatest(t0,1)*greatest(c0,1)
+        |      + 2500*s*greatest(c0,1) + 2500*(greatest(c0,1)-p)*greatest(t0,1))
+        |    + greatest(t0,1)*greatest(c0,1))
+        |   // (2*greatest(t0,1)*greatest(c0,1))) / 10000.0 AS quality
+        | FROM cnt),
+        |kept AS (
+        | SELECT doc_id, source, n_tokens FROM (
+        |  SELECT *, min(doc_id) OVER (PARTITION BY fp) AS keep_id FROM scored)
+        | WHERE doc_id = keep_id AND quality >= 0.5
+        |  AND n_tokens BETWEEN 20 AND 400),
+        |shx AS (
+        | SELECT doc_id,
+        |  list_distinct([w[i]||' '||w[i+1]||' '||w[i+2]||' '||w[i+3]||' '||w[i+4]
+        |                 for i in range(1, len(w)-3)]) AS sh
+        | FROM (SELECT doc_id, string_split(text,' ') AS w FROM documents)),
+        |bench AS (SELECT DISTINCT unnest(sh) AS h FROM shx WHERE doc_id % 23 = 0),
+        |contam AS (
+        | SELECT DISTINCT t.doc_id
+        | FROM (SELECT doc_id, unnest(sh) AS h FROM shx WHERE doc_id % 23 <> 0) t
+        | JOIN bench USING (h)),
+        |clean AS (
+        | SELECT * FROM kept
+        | WHERE doc_id NOT IN (SELECT doc_id FROM contam)),
+        |mw AS (
+        | SELECT source, 1 + CAST(substring(source, 4) AS BIGINT) % 5 AS wt
+        | FROM (SELECT DISTINCT source FROM clean)),
+        |mg AS (SELECT (SELECT sum(n_tokens) FROM clean) AS tot,
+        |              (SELECT sum(wt) FROM mw) AS wsum),
+        |ma AS (SELECT source, ((tot * 50) // 100) * wt // wsum AS alloc
+        |       FROM mw, mg),
+        |mc AS (
+        | SELECT doc_id, source, n_tokens,
+        |  COALESCE(sum(n_tokens) OVER (PARTITION BY source
+        |   ORDER BY md5(CAST(doc_id AS VARCHAR))
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |   AS tokens_before
+        | FROM clean),
+        |sel AS (
+        | SELECT mc.doc_id, mc.source, mc.n_tokens
+        | FROM mc JOIN ma USING (source)
+        | WHERE mc.tokens_before < ma.alloc),
+        |pc AS (
+        | SELECT doc_id, source, n_tokens,
+        |  COALESCE(sum(n_tokens) OVER (ORDER BY doc_id
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS start_off
+        | FROM sel)
+        |SELECT doc_id, source, n_tokens, start_off,
+        | start_off // 2048 AS first_seq,
+        | (start_off + n_tokens - 1) // 2048 AS last_seq
+        |FROM pc ORDER BY doc_id""".stripMargin,
     // t17/t18: allocations are pure integer arithmetic (//), weights the
     // deterministic 1+(suffix%5), order the md5 shuffle key — every term
     // bit-reproducible across engines (the PARTITION BY source window is

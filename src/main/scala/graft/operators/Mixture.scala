@@ -72,14 +72,26 @@ object Mixture {
     * `tokens_before` is the token mass of earlier-keyed documents of
     * the same source; a document is kept iff tokens_before < alloc. */
   def domainMixture(docs: DataFrame, weight: Column => Column = suffixWeight,
+      targetPct: Long = DefaultTargetPct): DataFrame =
+    domainMixtureCounts(
+      docs.select(col("doc_id"), col("source"),
+        tokenCount(col("text")).as("n_tokens")),
+      weight, targetPct)
+      .orderBy(col("source"), col("doc_id"))
+
+  /** [[domainMixture]] over a pre-tokenized slim frame
+    * (doc_id, source, n_tokens) — the composition entry point
+    * ([[TrainingCorpus]] feeds gated survivors through here without
+    * re-scanning text). */
+  def domainMixtureCounts(counts: DataFrame,
+      weight: Column => Column = suffixWeight,
       targetPct: Long = DefaultTargetPct): DataFrame = {
     require(targetPct > 0, s"targetPct must be positive, got $targetPct")
     // pid: deterministic bucket from the shuffle key's hex prefix —
     // monotone in k within a source, identical in every plan subtree
     // (see scaladoc for why spark_partition_id over a range exchange
     // is NOT safe here)
-    val slim = docs.select(col("doc_id"), col("source"),
-      tokenCount(col("text")).as("n_tokens"),
+    val slim = counts.select(col("doc_id"), col("source"), col("n_tokens"),
       md5(col("doc_id").cast("string")).as("k"))
       .withColumn("pid", conv(substring(col("k"), 1, 3), 16, 10).cast("int"))
     // bucket totals: one partial-agg exchange, ≤ sources×4096 rows out
@@ -109,9 +121,11 @@ object Mixture {
       .withColumn("tokens_before", col("poff") + col("lend") - col("n_tokens"))
       .join(broadcast(alloc.select(col("source"), col("alloc"))), Seq("source"))
       .where(col("tokens_before") < col("alloc"))
+      // unordered: the public [[domainMixture]] sorts; composition
+      // callers ([[TrainingCorpus]]) feed the next stage's exchange
+      // directly and must not pay a dead range-exchange+sort here
       .select(col("source"), col("doc_id"), col("n_tokens"),
         col("tokens_before"))
-      .orderBy(col("source"), col("doc_id"))
   }
 
   /** Per-source mixture summary: natural token mass, weight, token

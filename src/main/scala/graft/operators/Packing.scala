@@ -68,10 +68,17 @@ object Packing {
     * cut). Token counts are the t01 whitespace semantics, so the
     * oracle shares t01's `string_split` form. */
   def sequencePacking(docs: DataFrame,
-      budget: Long = DefaultBudget): DataFrame = {
+      budget: Long = DefaultBudget): DataFrame =
+    packCounts(
+      docs.select(col("doc_id"), tokenCount(col("text")).as("n_tokens")),
+      budget)
+
+  /** [[sequencePacking]] over a pre-tokenized (doc_id, n_tokens) frame
+    * — the composition entry point ([[TrainingCorpus]] packs its
+    * mixture-selected survivors without re-scanning text). */
+  def packCounts(counts: DataFrame, budget: Long = DefaultBudget): DataFrame = {
     require(budget > 0, s"budget must be positive, got $budget")
-    val counts = docs
-      .select(col("doc_id"), tokenCount(col("text")).as("n_tokens"))
+    val carried = counts.columns.toSeq // extra columns ride through
     val bounds = counts.agg(min(col("doc_id")).as("lo"),
       max(col("doc_id")).as("hi"))
     // pid: deterministic contiguous-range bucket (see scaladoc — a pure
@@ -79,7 +86,7 @@ object Packing {
     val slim = counts.crossJoin(broadcast(bounds))
       .withColumn("pid",
         expr("(doc_id - lo) DIV ((hi - lo) DIV 4096L + 1L)").cast("int"))
-      .select(col("doc_id"), col("n_tokens"), col("pid"))
+      .select(col("pid") +: carried.map(col): _*)
     val local = slim.withColumn("lend",
       sum(col("n_tokens")).over(Window.partitionBy(col("pid"))
         .orderBy(col("doc_id"))
@@ -91,11 +98,11 @@ object Packing {
       coalesce(sum(col("ptot")).over(Window.orderBy(col("pid"))
         .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
     local.join(broadcast(poffs.select(col("pid"), col("poff"))), Seq("pid"))
-      .select(col("doc_id"), col("n_tokens"),
-        (col("poff") + col("lend") - col("n_tokens")).as("start_off"))
+      .withColumn("start_off", col("poff") + col("lend") - col("n_tokens"))
       .withColumn("first_seq", expr(s"start_off DIV ${budget}L"))
       .withColumn("last_seq",
         expr(s"(start_off + n_tokens - 1) DIV ${budget}L"))
+      .select((carried ++ Seq("start_off", "first_seq", "last_seq")).map(col): _*)
       .orderBy(col("doc_id"))
   }
 

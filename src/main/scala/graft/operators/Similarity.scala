@@ -249,7 +249,7 @@ object Similarity {
   }
 
   /** Tiny (cell, cv, cn) centroid frame for broadcast joins. */
-  private def centFrame(s: SparkSession, cents: Array[Array[Double]]): DataFrame = {
+  private[graft] def centFrame(s: SparkSession, cents: Array[Array[Double]]): DataFrame = {
     import s.implicits._
     cents.zipWithIndex
       .map { case (c, i) => (i.toLong, c) }.toSeq
