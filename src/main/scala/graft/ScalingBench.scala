@@ -62,13 +62,14 @@ object ScalingBench {
     "d10_dedup_survivors", "d11_substring_dedup", "d12_joint_survivors",
     "d13_incremental_emb_neardup", "d13b_small_emb_delta",
     "d14_incremental_clusters", "d14b_small_delta",
+    "d15_semantic_dedup",
     "s02_ann_lsh", "s03_ann_ivf", "s04_ann_ivfpq", "s05_ann_pq_index",
     "t11_bm25_search",
     "t12_multiquery_search", "t13_keyword_tfidf",
     "t14_bm25_index", "t15_batch_bm25_index", "t16_sequence_packing",
     "t17_domain_mixture", "t18_mixture_epochs", "t19_token_chunks",
     "t20_bloom_decontamination", "t21_vocab_coverage", "t22_oov_ratio",
-    "t23_contamination_ratio",
+    "t23_contamination_ratio", "t24_shard_export", "p01_training_corpus",
     "m03_image_neardup", "m04_audio_neardup",
     "sn01_stream_text_score", "sn02_stream_emb_score")
 
@@ -111,12 +112,13 @@ object ScalingBench {
     "d11_substring_dedup", "d12_joint_survivors",
     "d13_incremental_emb_neardup", "d13b_small_emb_delta",
     "d14_incremental_clusters", "d14b_small_delta",
+    "d15_semantic_dedup",
     "t11_bm25_search", "t12_multiquery_search", "t13_keyword_tfidf",
     "t14_bm25_index", "t15_batch_bm25_index", "t16_sequence_packing",
     "t17_domain_mixture", "t18_mixture_epochs", "t19_token_chunks",
     "s02_ann_lsh", "s03_ann_ivf", "s04_ann_ivfpq", "s05_ann_pq_index",
     "t20_bloom_decontamination", "t21_vocab_coverage", "t22_oov_ratio",
-    "t23_contamination_ratio",
+    "t23_contamination_ratio", "t24_shard_export", "p01_training_corpus",
     "m03_image_neardup", "m04_audio_neardup",
     "sn01_stream_text_score", "sn02_stream_emb_score",
     "d05_embedding_neardup")

@@ -60,8 +60,18 @@ object TextFunctions {
     (size(stops).cast("long"), size(toks).cast("long"))
   }
 
+  /** Chars OUTSIDE [a-z0-9 ] and total chars. Counted by `translate`
+    * DELETING the keep-set (extra match chars with no replacement are
+    * removed — a single codegen char-map pass) rather than
+    * `regexp_replace("[^a-z0-9 ]", "")`: semantically identical on any
+    * input (both count exactly the chars not in the 37-char set), but
+    * the regex spelling measured 29 s for 478k sf10 docs (~60 µs/doc
+    * of Matcher + StringBuffer churn) vs sub-second for translate —
+    * it was the single hottest expression in the corpus-assembly scan.
+    * The DuckDB oracles keep the regexp spelling; values are equal. */
   private def punctCounts(text: Column): (Column, Column) =
-    ((length(text) - length(regexp_replace(text, "[^a-z0-9 ]", ""))).cast("long"),
+    (length(translate(text, "abcdefghijklmnopqrstuvwxyz0123456789 ", ""))
+      .cast("long"),
       length(text).cast("long"))
 
   /** Fraction of tokens that are stopwords (0 when empty), rounded

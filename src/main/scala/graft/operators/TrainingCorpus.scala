@@ -43,17 +43,23 @@ object TrainingCorpus {
   val MinTokens = 20L
   val MaxTokens = 400L
 
-  /** Assemble the packed training corpus from a documents frame and a
-    * held-out benchmark frame (contamination reference). */
-  def assemble(trainDocs: DataFrame, benchmarkDocs: DataFrame,
-      targetPct: Long = Mixture.DefaultTargetPct,
-      budget: Long = Packing.DefaultBudget): DataFrame = {
+  /** The gated, deduplicated, decontaminated survivor pool as a slim
+    * (doc_id, source, n_tokens) frame. The gate survivors are
+    * materialized at their fan-out; the decontamination stage stays
+    * un-materialized here (the plan spec pins the survivor-pruned
+    * explode on THIS frame; [[assemble]] cuts it with an eager
+    * checkpoint before the multi-pass mixture/packing stages). */
+  private[graft] def cleanPool(trainDocs: DataFrame,
+      benchmarkDocs: DataFrame): DataFrame = {
     // one scored scan: fingerprint + token count + integer-exact quality
     val scored = trainDocs.select(
       col("doc_id"), col("source"),
       md5Fingerprint(col("text")).as("fp"),
       tokenCount(col("text")).as("n_tokens"),
       qualityScore(col("text")).as("quality"))
+    // materialized at the fan-out: kept feeds BOTH the survivor
+    // semi-join (decontamination prune) and the final anti-join —
+    // without the cut the scored scan and fingerprint window run twice
     val kept = scored
       .withColumn("keep_id",
         min(col("doc_id")).over(Window.partitionBy(col("fp"))))
@@ -61,6 +67,7 @@ object TrainingCorpus {
         col("quality") >= MinQuality &&
         col("n_tokens").between(MinTokens, MaxTokens))
       .select(col("doc_id"), col("source"), col("n_tokens"))
+      .localCheckpoint(true)
     // decontamination: shingle-explode ONLY the gate survivors (the
     // semi-join prune runs before the expensive 5-gram explode), then
     // the t09 hash join against the benchmark shingle set
@@ -68,10 +75,27 @@ object TrainingCorpus {
       kept.select(col("doc_id")), Seq("doc_id"), "left_semi")
     val contaminated = TextAnalysis.decontaminate(survivorText, benchmarkDocs)
       .select(col("doc_id"))
-    val clean = kept.join(contaminated, Seq("doc_id"), "left_anti")
+    kept.join(contaminated, Seq("doc_id"), "left_anti")
+  }
+
+  /** Assemble the packed training corpus from a documents frame and a
+    * held-out benchmark frame (contamination reference). */
+  def assemble(trainDocs: DataFrame, benchmarkDocs: DataFrame,
+      targetPct: Long = Mixture.DefaultTargetPct,
+      budget: Long = Packing.DefaultBudget): DataFrame = {
+    // materialize the slim survivor frame ONCE (eager localCheckpoint,
+    // the DedupPipeline precedent): mixture and packing each make
+    // several passes over their input (bucket totals + local windows +
+    // bucket offsets), and without the cut every pass would re-run the
+    // scored scan, the fingerprint window, AND the decontamination
+    // explode — measured 71 s at sf10 unmaterialized vs ~12 s with
+    // the two cuts (SCALING.md). The frames are 3–4 slim columns; at cluster scale
+    // the equivalent is a durable-checkpoint/table write between stages
+    val clean = cleanPool(trainDocs, benchmarkDocs).localCheckpoint(true)
     // mixture + packing over slim count frames — no text re-scan
     val selected = Mixture.domainMixtureCounts(clean, targetPct = targetPct)
       .select(col("doc_id"), col("source"), col("n_tokens"))
+      .localCheckpoint(true)
     Packing.packCounts(selected, budget)
   }
 

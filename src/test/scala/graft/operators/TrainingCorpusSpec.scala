@@ -100,7 +100,14 @@ class TrainingCorpusSpec extends SparkSpec {
     val plan = df.queryExecution.executedPlan.toString
     assert(!plan.contains("SPARK_PARTITION_ID"))
     // the decontamination branch joins the survivor id set before the
-    // 5-gram explode: a LeftSemi against doc_id must appear
-    assert(plan.contains("LeftSemi"))
+    // 5-gram explode: a LeftSemi against doc_id must appear in the
+    // survivor-pool stage (assemble's eager checkpoint cuts that stage
+    // out of the final frame's plan, so pin it on the un-cut form)
+    val docs = Tables.load(spark, Sf001, "documents")
+    val poolPlan = TrainingCorpus.cleanPool(
+      docs.filter(col("doc_id") % 23 =!= 0),
+      docs.filter(col("doc_id") % 23 === 0))
+      .queryExecution.executedPlan.toString
+    assert(poolPlan.contains("LeftSemi"))
   }
 }
