@@ -42,6 +42,9 @@ object ScalingBench {
       ((s, dir) => graft.operators.Dedup.incrementalEmbNearDupMod(s, dir, 30)),
     "d14b_small_delta" ->
       ((s, dir) => graft.operators.Dedup.incrementalClustersMod(s, dir, 30)),
+    "p02b_small_corpus_delta" ->
+      ((s, dir) =>
+        graft.operators.TrainingCorpus.incrementalAssembleMod(s, dir, 30)),
     // streaming micro-batch scoring: half the d07/d13 delta scored with
     // the other half already committed in the pending log (frozen-index
     // contract — see StreamingNearDup/StreamingEmbNearDup.benchScore)
@@ -70,6 +73,7 @@ object ScalingBench {
     "t17_domain_mixture", "t18_mixture_epochs", "t19_token_chunks",
     "t20_bloom_decontamination", "t21_vocab_coverage", "t22_oov_ratio",
     "t23_contamination_ratio", "t24_shard_export", "p01_training_corpus",
+    "p02_incremental_corpus", "p02b_small_corpus_delta",
     "m03_image_neardup", "m04_audio_neardup",
     "sn01_stream_text_score", "sn02_stream_emb_score")
 
@@ -119,6 +123,7 @@ object ScalingBench {
     "s02_ann_lsh", "s03_ann_ivf", "s04_ann_ivfpq", "s05_ann_pq_index",
     "t20_bloom_decontamination", "t21_vocab_coverage", "t22_oov_ratio",
     "t23_contamination_ratio", "t24_shard_export", "p01_training_corpus",
+    "p02_incremental_corpus", "p02b_small_corpus_delta",
     "m03_image_neardup", "m04_audio_neardup",
     "sn01_stream_text_score", "sn02_stream_emb_score",
     "d05_embedding_neardup")

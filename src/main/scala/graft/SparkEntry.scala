@@ -123,6 +123,10 @@ object SparkEntry {
     // the composed pipeline as ONE oracle-exact query: exact dedup →
     // quality gate → decontamination → mixture → packing
     "p01_training_corpus" -> (TrainingCorpus.assemble _),
+    // p01 maintained INCREMENTALLY against a persisted pool index
+    // (delta-proportional text cost) — by contract it must equal the
+    // full recompute, so the oracle is p01's verbatim (d14 precedent)
+    "p02_incremental_corpus" -> (TrainingCorpus.incrementalAssemble _),
     // training-data pipeline: similarity search
     "s01_ann_brute"       -> (Similarity.annBrute _),
     "s02_ann_lsh"         -> (Similarity.annLsh _),
@@ -178,6 +182,73 @@ object SparkEntry {
       | SELECT e.u, reach.r FROM edges e JOIN reach ON e.v = reach.u)
       |SELECT u AS doc_id, min(r) AS cluster_id
       |FROM reach GROUP BY u ORDER BY doc_id""".stripMargin
+
+  /** p01/p02 oracle — the five-stage corpus assembly end to end.
+    * Shared by the full build (p01) and the incremental
+    * index+delta path (p02): the incremental manifest must equal
+    * the full recompute bit-for-bit (the d08/d14 precedent). */
+  private val TrainingCorpusOracleSql =
+    """WITH cnt AS (
+        | SELECT doc_id, source, md5(lower(trim(text))) AS fp,
+        |  CAST(len(string_split(text,' ')) AS BIGINT) AS t0,
+        |  CAST(len(list_filter(string_split(text,' '),
+        |       x -> x IN ('the','a','and','of','to','in','is'))) AS BIGINT) AS s,
+        |  CAST(length(text) AS BIGINT) AS c0,
+        |  CAST(length(text)
+        |   - length(regexp_replace(text, '[^a-z0-9 ]', '', 'g')) AS BIGINT) AS p
+        | FROM documents WHERE doc_id % 23 <> 0),
+        |scored AS (
+        | SELECT doc_id, source, fp, t0 AS n_tokens,
+        |  ((2*(50*least(t0,100)*greatest(t0,1)*greatest(c0,1)
+        |      + 2500*s*greatest(c0,1) + 2500*(greatest(c0,1)-p)*greatest(t0,1))
+        |    + greatest(t0,1)*greatest(c0,1))
+        |   // (2*greatest(t0,1)*greatest(c0,1))) / 10000.0 AS quality
+        | FROM cnt),
+        |kept AS (
+        | SELECT doc_id, source, n_tokens FROM (
+        |  SELECT *, min(doc_id) OVER (PARTITION BY fp) AS keep_id FROM scored)
+        | WHERE doc_id = keep_id AND quality >= 0.5
+        |  AND n_tokens BETWEEN 20 AND 400),
+        |shx AS (
+        | SELECT doc_id,
+        |  list_distinct([w[i]||' '||w[i+1]||' '||w[i+2]||' '||w[i+3]||' '||w[i+4]
+        |                 for i in range(1, len(w)-3)]) AS sh
+        | FROM (SELECT doc_id, string_split(text,' ') AS w FROM documents)),
+        |bench AS (SELECT DISTINCT unnest(sh) AS h FROM shx WHERE doc_id % 23 = 0),
+        |contam AS (
+        | SELECT DISTINCT t.doc_id
+        | FROM (SELECT doc_id, unnest(sh) AS h FROM shx WHERE doc_id % 23 <> 0) t
+        | JOIN bench USING (h)),
+        |clean AS (
+        | SELECT * FROM kept
+        | WHERE doc_id NOT IN (SELECT doc_id FROM contam)),
+        |mw AS (
+        | SELECT source, 1 + CAST(substring(source, 4) AS BIGINT) % 5 AS wt
+        | FROM (SELECT DISTINCT source FROM clean)),
+        |mg AS (SELECT (SELECT sum(n_tokens) FROM clean) AS tot,
+        |              (SELECT sum(wt) FROM mw) AS wsum),
+        |ma AS (SELECT source, ((tot * 50) // 100) * wt // wsum AS alloc
+        |       FROM mw, mg),
+        |mc AS (
+        | SELECT doc_id, source, n_tokens,
+        |  COALESCE(sum(n_tokens) OVER (PARTITION BY source
+        |   ORDER BY md5(CAST(doc_id AS VARCHAR))
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |   AS tokens_before
+        | FROM clean),
+        |sel AS (
+        | SELECT mc.doc_id, mc.source, mc.n_tokens
+        | FROM mc JOIN ma USING (source)
+        | WHERE mc.tokens_before < ma.alloc),
+        |pc AS (
+        | SELECT doc_id, source, n_tokens,
+        |  COALESCE(sum(n_tokens) OVER (ORDER BY doc_id
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS start_off
+        | FROM sel)
+        |SELECT doc_id, source, n_tokens, start_off,
+        | start_off // 2048 AS first_seq,
+        | (start_off + n_tokens - 1) // 2048 AS last_seq
+        |FROM pc ORDER BY doc_id""".stripMargin
 
   /** t09/t20 oracle — training docs sharing any word 5-gram with the
     * benchmark set (every 23rd doc). Shared by the hash-join path (t09)
@@ -684,68 +755,9 @@ object SparkEntry {
         |SELECT (rn - 1) % 16 AS shard, (rn - 1) // 16 AS pos,
         | doc_id, n_tokens
         |FROM r ORDER BY shard, pos""".stripMargin,
-    "p01_training_corpus" ->
-      """WITH cnt AS (
-        | SELECT doc_id, source, md5(lower(trim(text))) AS fp,
-        |  CAST(len(string_split(text,' ')) AS BIGINT) AS t0,
-        |  CAST(len(list_filter(string_split(text,' '),
-        |       x -> x IN ('the','a','and','of','to','in','is'))) AS BIGINT) AS s,
-        |  CAST(length(text) AS BIGINT) AS c0,
-        |  CAST(length(text)
-        |   - length(regexp_replace(text, '[^a-z0-9 ]', '', 'g')) AS BIGINT) AS p
-        | FROM documents WHERE doc_id % 23 <> 0),
-        |scored AS (
-        | SELECT doc_id, source, fp, t0 AS n_tokens,
-        |  ((2*(50*least(t0,100)*greatest(t0,1)*greatest(c0,1)
-        |      + 2500*s*greatest(c0,1) + 2500*(greatest(c0,1)-p)*greatest(t0,1))
-        |    + greatest(t0,1)*greatest(c0,1))
-        |   // (2*greatest(t0,1)*greatest(c0,1))) / 10000.0 AS quality
-        | FROM cnt),
-        |kept AS (
-        | SELECT doc_id, source, n_tokens FROM (
-        |  SELECT *, min(doc_id) OVER (PARTITION BY fp) AS keep_id FROM scored)
-        | WHERE doc_id = keep_id AND quality >= 0.5
-        |  AND n_tokens BETWEEN 20 AND 400),
-        |shx AS (
-        | SELECT doc_id,
-        |  list_distinct([w[i]||' '||w[i+1]||' '||w[i+2]||' '||w[i+3]||' '||w[i+4]
-        |                 for i in range(1, len(w)-3)]) AS sh
-        | FROM (SELECT doc_id, string_split(text,' ') AS w FROM documents)),
-        |bench AS (SELECT DISTINCT unnest(sh) AS h FROM shx WHERE doc_id % 23 = 0),
-        |contam AS (
-        | SELECT DISTINCT t.doc_id
-        | FROM (SELECT doc_id, unnest(sh) AS h FROM shx WHERE doc_id % 23 <> 0) t
-        | JOIN bench USING (h)),
-        |clean AS (
-        | SELECT * FROM kept
-        | WHERE doc_id NOT IN (SELECT doc_id FROM contam)),
-        |mw AS (
-        | SELECT source, 1 + CAST(substring(source, 4) AS BIGINT) % 5 AS wt
-        | FROM (SELECT DISTINCT source FROM clean)),
-        |mg AS (SELECT (SELECT sum(n_tokens) FROM clean) AS tot,
-        |              (SELECT sum(wt) FROM mw) AS wsum),
-        |ma AS (SELECT source, ((tot * 50) // 100) * wt // wsum AS alloc
-        |       FROM mw, mg),
-        |mc AS (
-        | SELECT doc_id, source, n_tokens,
-        |  COALESCE(sum(n_tokens) OVER (PARTITION BY source
-        |   ORDER BY md5(CAST(doc_id AS VARCHAR))
-        |   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
-        |   AS tokens_before
-        | FROM clean),
-        |sel AS (
-        | SELECT mc.doc_id, mc.source, mc.n_tokens
-        | FROM mc JOIN ma USING (source)
-        | WHERE mc.tokens_before < ma.alloc),
-        |pc AS (
-        | SELECT doc_id, source, n_tokens,
-        |  COALESCE(sum(n_tokens) OVER (ORDER BY doc_id
-        |   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS start_off
-        | FROM sel)
-        |SELECT doc_id, source, n_tokens, start_off,
-        | start_off // 2048 AS first_seq,
-        | (start_off + n_tokens - 1) // 2048 AS last_seq
-        |FROM pc ORDER BY doc_id""".stripMargin,
+    "p01_training_corpus" -> TrainingCorpusOracleSql,
+    // p02 = p01 computed incrementally; equal output by contract
+    "p02_incremental_corpus" -> TrainingCorpusOracleSql,
     // t17/t18: allocations are pure integer arithmetic (//), weights the
     // deterministic 1+(suffix%5), order the md5 shuffle key — every term
     // bit-reproducible across engines (the PARTITION BY source window is

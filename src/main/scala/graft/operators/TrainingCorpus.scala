@@ -43,30 +43,53 @@ object TrainingCorpus {
   val MinTokens = 20L
   val MaxTokens = 400L
 
+  /** One scored scan of a documents frame: fingerprint + token count +
+    * integer-exact quality — the only pass that touches text in the
+    * gate/dedup stages (shared by the full build and the delta path). */
+  private[graft] def scoredScan(docs: DataFrame): DataFrame =
+    docs.select(
+      col("doc_id"), col("source"),
+      md5Fingerprint(col("text")).as("fp"),
+      tokenCount(col("text")).as("n_tokens"),
+      qualityScore(col("text")).as("quality"))
+
+  /** The t05 quality/length gate over a scored row. */
+  private[graft] def gateCond =
+    col("quality") >= MinQuality &&
+      col("n_tokens").between(MinTokens, MaxTokens)
+
+  /** The benchmark split's distinct hashed 5-gram shingles — exactly
+    * the right side of [[TextAnalysis.decontaminate]]'s join (same
+    * shingle spelling, so an incremental delta decontaminated against
+    * the persisted set matches the full recompute bit-for-bit). */
+  private[graft] def benchShingleSet(benchmarkDocs: DataFrame): DataFrame =
+    benchmarkDocs.select(
+      graft.functions.LshFunctions.hashedShingles(
+        benchmarkDocs.sparkSession, tokens(col("text")), 5).as("hs"))
+      .select(explode(col("hs")).as("h")).distinct()
+
   /** The gated, deduplicated, decontaminated survivor pool as a slim
     * (doc_id, source, n_tokens) frame. The gate survivors are
     * materialized at their fan-out; the decontamination stage stays
     * un-materialized here (the plan spec pins the survivor-pruned
     * explode on THIS frame; [[assemble]] cuts it with an eager
-    * checkpoint before the multi-pass mixture/packing stages). */
+    * checkpoint before the multi-pass mixture/packing stages).
+    * `keepFp` rides the fingerprint through to the output — the
+    * persisted-pool build needs it for incremental retraction
+    * ([[graft.index.CorpusPoolIndex]]). */
   private[graft] def cleanPool(trainDocs: DataFrame,
-      benchmarkDocs: DataFrame): DataFrame = {
-    // one scored scan: fingerprint + token count + integer-exact quality
-    val scored = trainDocs.select(
-      col("doc_id"), col("source"),
-      md5Fingerprint(col("text")).as("fp"),
-      tokenCount(col("text")).as("n_tokens"),
-      qualityScore(col("text")).as("quality"))
+      benchmarkDocs: DataFrame, keepFp: Boolean = false): DataFrame = {
+    val scored = scoredScan(trainDocs)
+    val outCols = Seq(col("doc_id"), col("source"), col("n_tokens")) ++
+      (if (keepFp) Seq(col("fp")) else Nil)
     // materialized at the fan-out: kept feeds BOTH the survivor
     // semi-join (decontamination prune) and the final anti-join —
     // without the cut the scored scan and fingerprint window run twice
     val kept = scored
       .withColumn("keep_id",
         min(col("doc_id")).over(Window.partitionBy(col("fp"))))
-      .filter(col("doc_id") === col("keep_id") &&
-        col("quality") >= MinQuality &&
-        col("n_tokens").between(MinTokens, MaxTokens))
-      .select(col("doc_id"), col("source"), col("n_tokens"))
+      .filter(col("doc_id") === col("keep_id") && gateCond)
+      .select(outCols: _*)
       .localCheckpoint(true)
     // decontamination: shingle-explode ONLY the gate survivors (the
     // semi-join prune runs before the expensive 5-gram explode), then
@@ -92,12 +115,99 @@ object TrainingCorpus {
     // the two cuts (SCALING.md). The frames are 3–4 slim columns; at cluster scale
     // the equivalent is a durable-checkpoint/table write between stages
     val clean = cleanPool(trainDocs, benchmarkDocs).localCheckpoint(true)
-    // mixture + packing over slim count frames — no text re-scan
+    mixAndPack(clean, targetPct, budget)
+  }
+
+  /** Mixture + packing over a materialized slim survivor frame — no
+    * text re-scan (shared by the full and incremental assembly; the
+    * caller materializes `clean` because both stages make several
+    * passes over it). */
+  private[graft] def mixAndPack(clean: DataFrame, targetPct: Long,
+      budget: Long): DataFrame = {
     val selected = Mixture.domainMixtureCounts(clean, targetPct = targetPct)
       .select(col("doc_id"), col("source"), col("n_tokens"))
       .localCheckpoint(true)
     Packing.packCounts(selected, budget)
   }
+
+  /** The survivor pool AFTER a delta batch, computed incrementally
+    * against a persisted [[graft.index.CorpusPoolIndex]] — equal, row
+    * for row, to `cleanPool(corpus ∪ delta, benchmark)`, with text
+    * work proportional to the DELTA:
+    *
+    *  - the delta is scored once (the only text scan);
+    *  - exact dedup applies the combined min-id keep rule: the delta's
+    *    per-fingerprint mins broadcast onto the persisted `fps/` table
+    *    (corpus side streams once, never shuffled) to fetch corpus
+    *    mins for ONLY the delta's fingerprints; a delta doc survives
+    *    iff it is the combined min. A POOL doc out-min'd by a delta
+    *    arrival is retracted by the same broadcast — the recompute's
+    *    window re-picks keepers, the incremental path un-picks them;
+    *  - decontamination explodes only the delta's surviving docs and
+    *    joins the persisted benchmark shingle set.
+    *
+    * Mixture and packing are NOT incremental — their allocations and
+    * offsets are global functions of the updated pool — but they run
+    * on this slim count frame ([[mixAndPack]]), so the corpus-
+    * proportional part of an ingest batch touches ~16 bytes per corpus
+    * doc, not its text. That split (text delta-proportional, slim
+    * frames corpus-proportional) is the 100 TB design point. */
+  def incrementalPool(deltaDocs: DataFrame, indexPath: String): DataFrame = {
+    val s = deltaDocs.sparkSession
+    val pool = graft.index.CorpusPoolIndex.pool(s, indexPath)
+    val fps = graft.index.CorpusPoolIndex.fps(s, indexPath)
+    val benchSh = graft.index.CorpusPoolIndex.benchShingles(s, indexPath)
+    val scored = scoredScan(deltaDocs).localCheckpoint(true)
+    // per-fingerprint min WITHIN the delta (delta-sized window)
+    val dminned = scored.withColumn("dmin",
+      min(col("doc_id")).over(Window.partitionBy(col("fp"))))
+    val deltaFps = dminned.select(col("fp"), col("dmin")).distinct()
+      .localCheckpoint(true)
+    val nDeltaFps = deltaFps.count()
+    // corpus mins for ONLY the delta's fingerprints: the corpus fps
+    // table streams against the broadcast delta fp set (an over-budget
+    // delta degrades to a hash join — never a corpus broadcast)
+    val cmins = fps
+      .join(Dedup.bcastIf(40, nDeltaFps)(deltaFps.select(col("fp"))),
+        Seq("fp"))
+      .select(col("fp"), col("keep_id").as("cmin"))
+    // delta keepers under the COMBINED min-id rule, then the gates
+    val kept = dminned
+      .join(Dedup.bcastIf(48, nDeltaFps)(cmins), Seq("fp"), "left_outer")
+      .filter(col("doc_id") === col("dmin") &&
+        (col("cmin").isNull || col("dmin") < col("cmin")) && gateCond)
+      .select(col("doc_id"), col("source"), col("n_tokens"))
+      .localCheckpoint(true)
+    // decontaminate ONLY the delta survivors against the persisted
+    // benchmark shingle set (same semi-join-before-explode prune as
+    // the full build)
+    val survivorText = deltaDocs.join(
+      kept.select(col("doc_id")), Seq("doc_id"), "left_semi")
+    val deltaSh = survivorText.select(col("doc_id"),
+      explode(graft.functions.LshFunctions.hashedShingles(
+        s, tokens(col("text")), 5)).as("h"))
+    val contaminated = deltaSh.join(benchSh, Seq("h"), "left_semi")
+      .select(col("doc_id")).distinct()
+    val additions = kept.join(contaminated, Seq("doc_id"), "left_anti")
+    // retract pool docs whose fingerprint now has a smaller-id delta
+    // arrival; the pool streams once against the broadcast fp-min set
+    val surviving = pool
+      .join(Dedup.bcastIf(48, nDeltaFps)(deltaFps), Seq("fp"), "left_outer")
+      .filter(col("dmin").isNull || col("dmin") > col("doc_id"))
+    surviving.select(col("doc_id"), col("source"), col("n_tokens"))
+      .union(additions)
+  }
+
+  /** Incremental corpus assembly: [[incrementalPool]] then the global
+    * mixture/packing stages over the updated slim pool. By contract
+    * the output EQUALS `assemble(corpus ∪ delta, benchmark)` — same
+    * manifest, delta-proportional text cost — so the driver binding
+    * shares p01's oracle verbatim (the d14 precedent). */
+  def incrementalAssemble(deltaDocs: DataFrame, indexPath: String,
+      targetPct: Long = Mixture.DefaultTargetPct,
+      budget: Long = Packing.DefaultBudget): DataFrame =
+    mixAndPack(incrementalPool(deltaDocs, indexPath).localCheckpoint(true),
+      targetPct, budget)
 
   /** Driver binding: benchmark split = every 23rd doc (the t09/t20/t23
     * convention), the rest the training candidate pool. */
@@ -105,5 +215,28 @@ object TrainingCorpus {
     val docs = Tables.load(s, dir, "documents")
     assemble(docs.filter(col("doc_id") % 23 =!= 0),
       docs.filter(col("doc_id") % 23 === 0))
+  }
+
+  /** Driver binding for the incremental assembly: within p01's train
+    * split, the delta is every `mod`-th doc and the rest is the
+    * indexed corpus (the d07/d13 convention: mod=3 binds a full third
+    * as the delta — an upper bound on any real batch; the ladder also
+    * measures mod=30, the realistic daily-ingest shape). Result must
+    * equal p01's full assembly over the whole train split. */
+  def incrementalAssemble(s: SparkSession, dir: String): DataFrame =
+    incrementalAssembleMod(s, dir, 3)
+
+  def incrementalAssembleMod(s: SparkSession, dir: String,
+      mod: Int): DataFrame = {
+    val docs = Tables.load(s, dir, "documents")
+    val train = docs.filter(col("doc_id") % 23 =!= 0)
+    val bench = docs.filter(col("doc_id") % 23 === 0)
+    val isDelta = col("doc_id") % mod === 0
+    val path = graft.index.IndexCache.pathFor(
+      s, s"$dir/documents.parquet", s"pool-mod=$mod")
+    if (!graft.index.CorpusPoolIndex.ready(s, path))
+      graft.index.CorpusPoolIndex.build(
+        train.filter(!isDelta), bench, path)
+    incrementalAssemble(train.filter(isDelta), path)
   }
 }

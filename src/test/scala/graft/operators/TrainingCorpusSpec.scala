@@ -110,4 +110,39 @@ class TrainingCorpusSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(poolPlan.contains("LeftSemi"))
   }
+
+  test("incremental assembly equals the full recompute (p02 = p01)") {
+    val inc = TrainingCorpus.incrementalAssembleMod(spark, Sf001, 3).collect()
+    assert(inc.length === manifest.length)
+    inc.zip(manifest).foreach { case (a, b) =>
+      assert(a.toSeq === b.toSeq)
+    }
+  }
+
+  test("a smaller-id delta duplicate retracts the indexed pool keeper") {
+    val docs = Tables.load(spark, Sf001, "documents")
+      .select(col("doc_id"), col("source"), col("text"))
+    val train = docs.filter(col("doc_id") % 23 =!= 0)
+    val bench = docs.filter(col("doc_id") % 23 === 0)
+    // a doc known to survive every gate: any manifest member
+    val k = manifest.head.getLong(0)
+    val kRow = train.filter(col("doc_id") === k).collect().head
+    // the delta: an exact text duplicate with a SMALLER id — the full
+    // recompute's fp window would make IT the keeper and drop doc k
+    import spark.implicits._
+    val delta = Seq((-5L, kRow.getString(1), kRow.getString(2)))
+      .toDF("doc_id", "source", "text")
+    val path = s"${System.getProperty("java.io.tmpdir")}/graft-poolidx-spec-${System.nanoTime()}"
+    graft.index.CorpusPoolIndex.build(train, bench, path)
+    val incPool = TrainingCorpus.incrementalPool(delta, path)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    // retraction happened: the delta doc replaced the old keeper
+    assert(incPool.exists(_._1 === -5L))
+    assert(!incPool.exists(_._1 === k))
+    // and the incremental pool equals the full recompute over
+    // corpus ∪ delta, row for row
+    val full = TrainingCorpus.cleanPool(train.unionByName(delta), bench)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    assert(incPool === full)
+  }
 }
