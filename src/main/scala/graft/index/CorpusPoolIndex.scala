@@ -69,4 +69,40 @@ object CorpusPoolIndex {
     val out = fs(s, path).create(marker(path), true)
     out.close()
   }
+
+  /** Ingest a delta batch: advance the persisted state so the NEXT
+    * batch sees corpus ∪ delta — the [[SignatureIndex.append]]
+    * analogue for the assembly pipeline. The pool becomes
+    * [[graft.operators.TrainingCorpus.incrementalPoolFp]]'s output
+    * (delta-proportional text work; additions and retractions
+    * applied); `fps/` merges the delta's per-fingerprint mins.
+    *
+    * Both rewrites are SLIM-frame-proportional, not text-proportional
+    * — at 100 TB the fps table is ~40 bytes per corpus doc, the same
+    * cost class as SignatureIndex's counts re-merge. Both frames
+    * materialize eagerly BEFORE the overwrite (Spark cannot overwrite
+    * a path its plan still reads).
+    *
+    * Crash consistency: the two writes are not atomic together, so
+    * the READY marker drops first and re-creates only after both
+    * land — a torn ingest leaves `ready() == false` and the next
+    * builder rebuilds (the SignatureIndex.append contract).
+    * Single-writer per index path. */
+  def ingest(deltaDocs: DataFrame, path: String): Unit = {
+    val s = deltaDocs.sparkSession
+    val newPool = TrainingCorpus.incrementalPoolFp(deltaDocs, path)
+      .localCheckpoint(true)
+    val mergedFps = fps(s, path)
+      .join(TrainingCorpus.deltaFpMins(deltaDocs), Seq("fp"), "full_outer")
+      .select(col("fp"),
+        // least skips nulls: absent-on-either-side fps keep the
+        // present side's min
+        least(col("keep_id"), col("dmin")).as("keep_id"))
+      .localCheckpoint(true)
+    fs(s, path).delete(marker(path), false)
+    newPool.write.mode("overwrite").parquet(s"$path/pool")
+    mergedFps.write.mode("overwrite").parquet(s"$path/fps")
+    val out = fs(s, path).create(marker(path), true)
+    out.close()
+  }
 }

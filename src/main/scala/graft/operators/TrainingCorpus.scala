@@ -152,7 +152,16 @@ object TrainingCorpus {
     * proportional part of an ingest batch touches ~16 bytes per corpus
     * doc, not its text. That split (text delta-proportional, slim
     * frames corpus-proportional) is the 100 TB design point. */
-  def incrementalPool(deltaDocs: DataFrame, indexPath: String): DataFrame = {
+  def incrementalPool(deltaDocs: DataFrame, indexPath: String): DataFrame =
+    incrementalPoolFp(deltaDocs, indexPath)
+      .select(col("doc_id"), col("source"), col("n_tokens"))
+
+  /** [[incrementalPool]] with the fingerprint retained — what
+    * [[graft.index.CorpusPoolIndex.ingest]] persists as the next
+    * pool version (the fp column is the retraction key for the
+    * batch after this one). */
+  private[graft] def incrementalPoolFp(deltaDocs: DataFrame,
+      indexPath: String): DataFrame = {
     val s = deltaDocs.sparkSession
     val pool = graft.index.CorpusPoolIndex.pool(s, indexPath)
     val fps = graft.index.CorpusPoolIndex.fps(s, indexPath)
@@ -176,7 +185,7 @@ object TrainingCorpus {
       .join(Dedup.bcastIf(48, nDeltaFps)(cmins), Seq("fp"), "left_outer")
       .filter(col("doc_id") === col("dmin") &&
         (col("cmin").isNull || col("dmin") < col("cmin")) && gateCond)
-      .select(col("doc_id"), col("source"), col("n_tokens"))
+      .select(col("doc_id"), col("source"), col("n_tokens"), col("fp"))
       .localCheckpoint(true)
     // decontaminate ONLY the delta survivors against the persisted
     // benchmark shingle set (same semi-join-before-explode prune as
@@ -194,9 +203,16 @@ object TrainingCorpus {
     val surviving = pool
       .join(Dedup.bcastIf(48, nDeltaFps)(deltaFps), Seq("fp"), "left_outer")
       .filter(col("dmin").isNull || col("dmin") > col("doc_id"))
-    surviving.select(col("doc_id"), col("source"), col("n_tokens"))
+    surviving.select(col("doc_id"), col("source"), col("n_tokens"), col("fp"))
       .union(additions)
   }
+
+  /** The delta's per-fingerprint min-id frame (fp, dmin) — the merge
+    * input [[graft.index.CorpusPoolIndex.ingest]] folds into the
+    * persisted `fps/` table. */
+  private[graft] def deltaFpMins(deltaDocs: DataFrame): DataFrame =
+    scoredScan(deltaDocs)
+      .groupBy(col("fp")).agg(min(col("doc_id")).as("dmin"))
 
   /** Incremental corpus assembly: [[incrementalPool]] then the global
     * mixture/packing stages over the updated slim pool. By contract

@@ -145,4 +145,25 @@ class TrainingCorpusSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
     assert(incPool === full)
   }
+
+  test("multi-batch ingest advances the index: batch 2 sees corpus ∪ batch 1") {
+    val docs = Tables.load(spark, Sf001, "documents")
+      .select(col("doc_id"), col("source"), col("text"))
+    val train = docs.filter(col("doc_id") % 23 =!= 0)
+    val bench = docs.filter(col("doc_id") % 23 === 0)
+    val corpus = train.filter(col("doc_id") % 3 =!= 0)
+    val d1 = train.filter(col("doc_id") % 3 === 0 && col("doc_id") % 2 === 0)
+    val d2 = train.filter(col("doc_id") % 3 === 0 && col("doc_id") % 2 =!= 0)
+    val path = s"${System.getProperty("java.io.tmpdir")}/graft-poolidx-spec-${System.nanoTime()}"
+    graft.index.CorpusPoolIndex.build(corpus, bench, path)
+    graft.index.CorpusPoolIndex.ingest(d1, path)
+    assert(graft.index.CorpusPoolIndex.ready(spark, path))
+    // after the ingest, batch 2's incremental pool must equal the full
+    // recompute over the whole train split
+    val incPool = TrainingCorpus.incrementalPool(d2, path)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    val full = TrainingCorpus.cleanPool(train, bench)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    assert(incPool === full)
+  }
 }
