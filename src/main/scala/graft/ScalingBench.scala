@@ -51,7 +51,9 @@ object ScalingBench {
     "sn01_stream_text_score" ->
       ((s, dir) => graft.streaming.StreamingNearDup.benchScore(s, dir)),
     "sn02_stream_emb_score" ->
-      ((s, dir) => graft.streaming.StreamingEmbNearDup.benchScore(s, dir)))
+      ((s, dir) => graft.streaming.StreamingEmbNearDup.benchScore(s, dir)),
+    "sn03_stream_pool_batch" ->
+      ((s, dir) => graft.streaming.StreamingCorpusPool.benchScore(s, dir)))
 
   private def query(name: String): (SparkSession, String) => DataFrame =
     SparkEntry.queries.getOrElse(name, Extra(name))
@@ -75,7 +77,8 @@ object ScalingBench {
     "t23_contamination_ratio", "t24_shard_export", "p01_training_corpus",
     "p02_incremental_corpus", "p02b_small_corpus_delta",
     "m03_image_neardup", "m04_audio_neardup",
-    "sn01_stream_text_score", "sn02_stream_emb_score")
+    "sn01_stream_text_score", "sn02_stream_emb_score",
+    "sn03_stream_pool_batch")
 
   /** SPARK_GRAFT_SCALING_ONLY=a,b,c restricts the measured set — for
     * adding rows for NEW queries to an existing record without
@@ -126,6 +129,7 @@ object ScalingBench {
     "p02_incremental_corpus", "p02b_small_corpus_delta",
     "m03_image_neardup", "m04_audio_neardup",
     "sn01_stream_text_score", "sn02_stream_emb_score",
+    "sn03_stream_pool_batch",
     "d05_embedding_neardup")
 
   private def MeasuredSf10 = only(MeasuredSf10All)(identity)

@@ -91,17 +91,29 @@ object CorpusPoolIndex {
   def ingest(deltaDocs: DataFrame, path: String): Unit = {
     val s = deltaDocs.sparkSession
     val newPool = TrainingCorpus.incrementalPoolFp(deltaDocs, path)
-      .localCheckpoint(true)
     val mergedFps = fps(s, path)
       .join(TrainingCorpus.deltaFpMins(deltaDocs), Seq("fp"), "full_outer")
       .select(col("fp"),
         // least skips nulls: absent-on-either-side fps keep the
         // present side's min
         least(col("keep_id"), col("dmin")).as("keep_id"))
-      .localCheckpoint(true)
+    writeVersion(s, newPool, mergedFps, path)
+  }
+
+  /** Advance the pool + fps frames in place (benchsh untouched). Both
+    * inputs may READ the current index, so they materialize eagerly
+    * before the overwrite; the READY marker drops first and re-creates
+    * only after both rewrites land (torn advance ⇒ not-ready ⇒
+    * rebuild — the [[SignatureIndex.append]] contract). Shared by
+    * [[ingest]] and the streaming compactor
+    * ([[graft.streaming.StreamingCorpusPool.compact]]). */
+  private[graft] def writeVersion(s: SparkSession, newPool: DataFrame,
+      newFps: DataFrame, path: String): Unit = {
+    val p = newPool.localCheckpoint(true)
+    val f0 = newFps.localCheckpoint(true)
     fs(s, path).delete(marker(path), false)
-    newPool.write.mode("overwrite").parquet(s"$path/pool")
-    mergedFps.write.mode("overwrite").parquet(s"$path/fps")
+    p.write.mode("overwrite").parquet(s"$path/pool")
+    f0.write.mode("overwrite").parquet(s"$path/fps")
     val out = fs(s, path).create(marker(path), true)
     out.close()
   }

@@ -166,6 +166,27 @@ object TrainingCorpus {
     val pool = graft.index.CorpusPoolIndex.pool(s, indexPath)
     val fps = graft.index.CorpusPoolIndex.fps(s, indexPath)
     val benchSh = graft.index.CorpusPoolIndex.benchShingles(s, indexPath)
+    val (additions, deltaFps, nDeltaFps) =
+      deltaSurvivorsFp(deltaDocs, fps, benchSh)
+    // retract pool docs whose fingerprint now has a smaller-id delta
+    // arrival; the pool streams once against the broadcast fp-min set
+    val surviving = pool
+      .join(Dedup.bcastIf(48, nDeltaFps)(deltaFps), Seq("fp"), "left_outer")
+      .filter(col("dmin").isNull || col("dmin") > col("doc_id"))
+    surviving.select(col("doc_id"), col("source"), col("n_tokens"), col("fp"))
+      .union(additions)
+  }
+
+  /** The delta's accepted pool additions against an EXTERNAL min-id
+    * table — the shared core of [[incrementalPoolFp]] and the
+    * streaming pool maintainer ([[graft.streaming.StreamingCorpusPool]]
+    * passes index fps ∪ pending batch mins). Returns (additions with
+    * fp, the delta's pre-gate (fp, dmin) frame, its row count).
+    * `extFps` may hold several rows per fingerprint (index + pending
+    * batches); the min is taken after the delta-sized prune. */
+  private[graft] def deltaSurvivorsFp(deltaDocs: DataFrame,
+      extFps: DataFrame, benchSh: DataFrame): (DataFrame, DataFrame, Long) = {
+    val s = deltaDocs.sparkSession
     val scored = scoredScan(deltaDocs).localCheckpoint(true)
     // per-fingerprint min WITHIN the delta (delta-sized window)
     val dminned = scored.withColumn("dmin",
@@ -173,13 +194,14 @@ object TrainingCorpus {
     val deltaFps = dminned.select(col("fp"), col("dmin")).distinct()
       .localCheckpoint(true)
     val nDeltaFps = deltaFps.count()
-    // corpus mins for ONLY the delta's fingerprints: the corpus fps
+    // external mins for ONLY the delta's fingerprints: the corpus fps
     // table streams against the broadcast delta fp set (an over-budget
-    // delta degrades to a hash join — never a corpus broadcast)
-    val cmins = fps
+    // delta degrades to a hash join — never a corpus broadcast); the
+    // post-prune aggregate is delta-fp-sized
+    val cmins = extFps
       .join(Dedup.bcastIf(40, nDeltaFps)(deltaFps.select(col("fp"))),
         Seq("fp"))
-      .select(col("fp"), col("keep_id").as("cmin"))
+      .groupBy(col("fp")).agg(min(col("keep_id")).as("cmin"))
     // delta keepers under the COMBINED min-id rule, then the gates
     val kept = dminned
       .join(Dedup.bcastIf(48, nDeltaFps)(cmins), Seq("fp"), "left_outer")
@@ -197,19 +219,14 @@ object TrainingCorpus {
         s, tokens(col("text")), 5)).as("h"))
     val contaminated = deltaSh.join(benchSh, Seq("h"), "left_semi")
       .select(col("doc_id")).distinct()
-    val additions = kept.join(contaminated, Seq("doc_id"), "left_anti")
-    // retract pool docs whose fingerprint now has a smaller-id delta
-    // arrival; the pool streams once against the broadcast fp-min set
-    val surviving = pool
-      .join(Dedup.bcastIf(48, nDeltaFps)(deltaFps), Seq("fp"), "left_outer")
-      .filter(col("dmin").isNull || col("dmin") > col("doc_id"))
-    surviving.select(col("doc_id"), col("source"), col("n_tokens"), col("fp"))
-      .union(additions)
+    (kept.join(contaminated, Seq("doc_id"), "left_anti"), deltaFps, nDeltaFps)
   }
 
   /** The delta's per-fingerprint min-id frame (fp, dmin) — the merge
     * input [[graft.index.CorpusPoolIndex.ingest]] folds into the
-    * persisted `fps/` table. */
+    * persisted `fps/` table. PRE-GATE mins: a low-quality delta doc
+    * still out-mins later duplicates, as the recompute's window
+    * (which runs before the gates) would. */
   private[graft] def deltaFpMins(deltaDocs: DataFrame): DataFrame =
     scoredScan(deltaDocs)
       .groupBy(col("fp")).agg(min(col("doc_id")).as("dmin"))
