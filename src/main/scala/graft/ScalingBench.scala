@@ -76,6 +76,7 @@ object ScalingBench {
     "t20_bloom_decontamination", "t21_vocab_coverage", "t22_oov_ratio",
     "t23_contamination_ratio", "t24_shard_export", "p01_training_corpus",
     "p02_incremental_corpus", "p02b_small_corpus_delta",
+    "p03_fuzzy_corpus",
     "m03_image_neardup", "m04_audio_neardup",
     "sn01_stream_text_score", "sn02_stream_emb_score",
     "sn03_stream_pool_batch")
@@ -127,6 +128,7 @@ object ScalingBench {
     "t20_bloom_decontamination", "t21_vocab_coverage", "t22_oov_ratio",
     "t23_contamination_ratio", "t24_shard_export", "p01_training_corpus",
     "p02_incremental_corpus", "p02b_small_corpus_delta",
+    "p03_fuzzy_corpus",
     "m03_image_neardup", "m04_audio_neardup",
     "sn01_stream_text_score", "sn02_stream_emb_score",
     "sn03_stream_pool_batch",

@@ -127,6 +127,11 @@ object SparkEntry {
     // (delta-proportional text cost) — by contract it must equal the
     // full recompute, so the oracle is p01's verbatim (d14 precedent)
     "p02_incremental_corpus" -> (TrainingCorpus.incrementalAssemble _),
+    // p01 with a minhash-LSH NEAR-dup stage between the gates and
+    // decontamination — the published-corpus pipeline shape (GPT-3
+    // fuzzy dedup); oracle composes the d10 recursive-CTE closure
+    // into p01's WITH-chain
+    "p03_fuzzy_corpus"    -> (TrainingCorpus.assembleFuzzy _),
     // training-data pipeline: similarity search
     "s01_ann_brute"       -> (Similarity.annBrute _),
     "s02_ann_lsh"         -> (Similarity.annLsh _),
@@ -221,6 +226,98 @@ object SparkEntry {
         | JOIN bench USING (h)),
         |clean AS (
         | SELECT * FROM kept
+        | WHERE doc_id NOT IN (SELECT doc_id FROM contam)),
+        |mw AS (
+        | SELECT source, 1 + CAST(substring(source, 4) AS BIGINT) % 5 AS wt
+        | FROM (SELECT DISTINCT source FROM clean)),
+        |mg AS (SELECT (SELECT sum(n_tokens) FROM clean) AS tot,
+        |              (SELECT sum(wt) FROM mw) AS wsum),
+        |ma AS (SELECT source, ((tot * 50) // 100) * wt // wsum AS alloc
+        |       FROM mw, mg),
+        |mc AS (
+        | SELECT doc_id, source, n_tokens,
+        |  COALESCE(sum(n_tokens) OVER (PARTITION BY source
+        |   ORDER BY md5(CAST(doc_id AS VARCHAR))
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |   AS tokens_before
+        | FROM clean),
+        |sel AS (
+        | SELECT mc.doc_id, mc.source, mc.n_tokens
+        | FROM mc JOIN ma USING (source)
+        | WHERE mc.tokens_before < ma.alloc),
+        |pc AS (
+        | SELECT doc_id, source, n_tokens,
+        |  COALESCE(sum(n_tokens) OVER (ORDER BY doc_id
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS start_off
+        | FROM sel)
+        |SELECT doc_id, source, n_tokens, start_off,
+        | start_off // 2048 AS first_seq,
+        | (start_off + n_tokens - 1) // 2048 AS last_seq
+        |FROM pc ORDER BY doc_id""".stripMargin
+
+  /** p03 oracle — p01's five-stage chain with the d10 near-dup
+    * closure spliced between the gates and decontamination: the
+    * recursive CTE walks the transitive closure of the exact
+    * jaccard≥0.8 pair graph over GATE-SURVIVING docs and drops every
+    * non-min component member before the decontamination filter. */
+  private val FuzzyCorpusOracleSql =
+    """WITH RECURSIVE cnt AS (
+        | SELECT doc_id, source, md5(lower(trim(text))) AS fp,
+        |  CAST(len(string_split(text,' ')) AS BIGINT) AS t0,
+        |  CAST(len(list_filter(string_split(text,' '),
+        |       x -> x IN ('the','a','and','of','to','in','is'))) AS BIGINT) AS s,
+        |  CAST(length(text) AS BIGINT) AS c0,
+        |  CAST(length(text)
+        |   - length(regexp_replace(text, '[^a-z0-9 ]', '', 'g')) AS BIGINT) AS p
+        | FROM documents WHERE doc_id % 23 <> 0),
+        |scored AS (
+        | SELECT doc_id, source, fp, t0 AS n_tokens,
+        |  ((2*(50*least(t0,100)*greatest(t0,1)*greatest(c0,1)
+        |      + 2500*s*greatest(c0,1) + 2500*(greatest(c0,1)-p)*greatest(t0,1))
+        |    + greatest(t0,1)*greatest(c0,1))
+        |   // (2*greatest(t0,1)*greatest(c0,1))) / 10000.0 AS quality
+        | FROM cnt),
+        |kept AS (
+        | SELECT doc_id, source, n_tokens FROM (
+        |  SELECT *, min(doc_id) OVER (PARTITION BY fp) AS keep_id FROM scored)
+        | WHERE doc_id = keep_id AND quality >= 0.5
+        |  AND n_tokens BETWEEN 20 AND 400),
+        |fsh AS (
+        | SELECT doc_id,
+        |  list_distinct([w[i]||' '||w[i+1]||' '||w[i+2]
+        |                 for i in range(1, len(w)-1)]) AS sh
+        | FROM (SELECT doc_id, string_split(text,' ') AS w FROM documents
+        |       WHERE doc_id IN (SELECT doc_id FROM kept))),
+        |fpairs AS (
+        | SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+        | FROM fsh a JOIN fsh b ON a.doc_id < b.doc_id
+        | WHERE len(list_intersect(a.sh,b.sh))
+        |  / CAST(len(a.sh)+len(b.sh)-len(list_intersect(a.sh,b.sh)) AS DOUBLE) >= 0.8),
+        |fedges AS (
+        | SELECT doc_a AS u, doc_b AS v FROM fpairs
+        | UNION
+        | SELECT doc_b AS u, doc_a AS v FROM fpairs),
+        |freach AS (
+        | SELECT u, u AS r FROM (SELECT DISTINCT u FROM fedges)
+        | UNION
+        | SELECT e.u, freach.r FROM fedges e JOIN freach ON e.v = freach.u),
+        |fdropped AS (
+        | SELECT u AS doc_id FROM freach GROUP BY u HAVING min(r) <> u),
+        |fuzzy AS (
+        | SELECT * FROM kept
+        | WHERE doc_id NOT IN (SELECT doc_id FROM fdropped)),
+        |shx AS (
+        | SELECT doc_id,
+        |  list_distinct([w[i]||' '||w[i+1]||' '||w[i+2]||' '||w[i+3]||' '||w[i+4]
+        |                 for i in range(1, len(w)-3)]) AS sh
+        | FROM (SELECT doc_id, string_split(text,' ') AS w FROM documents)),
+        |bench AS (SELECT DISTINCT unnest(sh) AS h FROM shx WHERE doc_id % 23 = 0),
+        |contam AS (
+        | SELECT DISTINCT t.doc_id
+        | FROM (SELECT doc_id, unnest(sh) AS h FROM shx WHERE doc_id % 23 <> 0) t
+        | JOIN bench USING (h)),
+        |clean AS (
+        | SELECT * FROM fuzzy
         | WHERE doc_id NOT IN (SELECT doc_id FROM contam)),
         |mw AS (
         | SELECT source, 1 + CAST(substring(source, 4) AS BIGINT) % 5 AS wt
@@ -758,6 +855,7 @@ object SparkEntry {
     "p01_training_corpus" -> TrainingCorpusOracleSql,
     // p02 = p01 computed incrementally; equal output by contract
     "p02_incremental_corpus" -> TrainingCorpusOracleSql,
+    "p03_fuzzy_corpus" -> FuzzyCorpusOracleSql,
     // t17/t18: allocations are pure integer arithmetic (//), weights the
     // deterministic 1+(suffix%5), order the md5 shuffle key — every term
     // bit-reproducible across engines (the PARTITION BY source window is

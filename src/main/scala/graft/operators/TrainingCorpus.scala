@@ -130,6 +130,70 @@ object TrainingCorpus {
     Packing.packCounts(selected, budget)
   }
 
+  /** Corpus assembly with FUZZY near-dedup (p03) — [[assemble]] with a
+    * minhash-LSH near-duplicate stage between the gates and the
+    * decontamination pass, the pipeline shape the published corpora
+    * actually use (GPT-3's fuzzy dedup, Brown et al. NeurIPS'20 §2.2;
+    * RefinedWeb, Penedo et al. 2023):
+    *
+    *   scored scan → exact-fp dedup + quality/length gate
+    *               → NEAR-dup closure (jaccard ≥ 0.8 over 3-gram
+    *                 shingles, [[Dedup.minhashLsh]] pairs → connected
+    *                 components) — drop every non-min cluster member
+    *               → 5-gram decontamination
+    *               → mixture → packing
+    *
+    * Stage order is the cost order: the near-dup pass (shingle,
+    * sign, bucket — the expensive text scan) runs on GATE SURVIVORS
+    * only (semi-join prune first, the same discipline as the
+    * decontamination explode), and the closure's drop set is
+    * decision-sized, so the fuzzy stage adds one survivor-pruned LSH
+    * pass + one anti-join to p01's plan. Exact duplicates are caught
+    * by the cheap fp hash BEFORE the LSH pass, so the pair graph only
+    * carries genuine near-misses. Fully oracle-expressible: the d10
+    * recursive-CTE closure composed into p01's WITH-chain. */
+  def assembleFuzzy(trainDocs: DataFrame, benchmarkDocs: DataFrame,
+      targetPct: Long = Mixture.DefaultTargetPct,
+      budget: Long = Packing.DefaultBudget): DataFrame =
+    mixAndPack(fuzzyCleanPool(trainDocs, benchmarkDocs)
+      .localCheckpoint(true), targetPct, budget)
+
+  /** The gated → near-dedup'd → decontaminated survivor pool of the
+    * fuzzy assembly, as a slim (doc_id, source, n_tokens) frame (the
+    * caller materializes it — the mixture/packing stages make several
+    * passes, the [[assemble]]/[[cleanPool]] split). */
+  private[graft] def fuzzyCleanPool(trainDocs: DataFrame,
+      benchmarkDocs: DataFrame): DataFrame = {
+    val scored = scoredScan(trainDocs)
+    val kept = scored
+      .withColumn("keep_id",
+        min(col("doc_id")).over(Window.partitionBy(col("fp"))))
+      .filter(col("doc_id") === col("keep_id") && gateCond)
+      .select(col("doc_id"), col("source"), col("n_tokens"))
+      .localCheckpoint(true)
+    // near-dup closure over the gated pool only — the LSH shingle
+    // pass is the expensive scan, so it runs over gate survivors
+    val keptText = trainDocs.join(
+      kept.select(col("doc_id")), Seq("doc_id"), "left_semi")
+    val dropped = DedupPipeline.text(keptText).textDropIds
+    val fuzzy = kept.join(dropped, Seq("doc_id"), "left_anti")
+      .localCheckpoint(true)
+    // decontaminate only the fuzzy survivors (semi-join before explode)
+    val survivorText = trainDocs.join(
+      fuzzy.select(col("doc_id")), Seq("doc_id"), "left_semi")
+    val contaminated = TextAnalysis.decontaminate(survivorText, benchmarkDocs)
+      .select(col("doc_id"))
+    fuzzy.join(contaminated, Seq("doc_id"), "left_anti")
+  }
+
+  /** Driver binding for the fuzzy assembly (same split convention as
+    * [[assemble]]). */
+  def assembleFuzzy(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(s, dir, "documents")
+    assembleFuzzy(docs.filter(col("doc_id") % 23 =!= 0),
+      docs.filter(col("doc_id") % 23 === 0))
+  }
+
   /** The survivor pool AFTER a delta batch, computed incrementally
     * against a persisted [[graft.index.CorpusPoolIndex]] — equal, row
     * for row, to `cleanPool(corpus ∪ delta, benchmark)`, with text

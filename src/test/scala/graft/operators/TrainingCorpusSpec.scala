@@ -146,6 +146,55 @@ class TrainingCorpusSpec extends SparkSpec {
     assert(incPool === full)
   }
 
+  test("fuzzy assembly drops gate-surviving near-duplicates the exact stage misses") {
+    val docs = Tables.load(spark, Sf001, "documents")
+      .select(col("doc_id"), col("source"), col("text"))
+    val train = docs.filter(col("doc_id") % 23 =!= 0)
+    val bench = docs.filter(col("doc_id") % 23 === 0)
+    // plant a NEAR-duplicate of a known pool survivor: replace the last
+    // token — the md5 fingerprint changes (exact stage blind) but only
+    // one 3-gram shingle differs per side, so jaccard ≥ (n−3)/(n−1) ≥
+    // 0.8 for the ≥20-token docs the gate keeps; larger id ⇒ the plant
+    // is its component's non-min member and must be the one dropped
+    val k = manifest.head.getLong(0)
+    val kRow = train.filter(col("doc_id") === k).collect().head
+    val words = kRow.getString(2).split(' ')
+    val nearText = (words.dropRight(1) :+ "zzzneardupzzz").mkString(" ")
+    import spark.implicits._
+    val plant = Seq((900000L + k, kRow.getString(1), nearText))
+      .toDF("doc_id", "source", "text")
+    val planted = train.unionByName(plant)
+    val exactPool = TrainingCorpus.cleanPool(planted, bench)
+      .collect().map(_.getLong(0)).toSet
+    val fuzzyPool = TrainingCorpus.fuzzyCleanPool(planted, bench)
+      .collect().map(_.getLong(0)).toSet
+    // the exact stage keeps the plant (distinct fingerprint, passes
+    // gates); the fuzzy closure drops it as its cluster's non-min
+    assert(exactPool.contains(900000L + k))
+    assert(!fuzzyPool.contains(900000L + k))
+    assert(fuzzyPool.contains(k))
+    // and the fuzzy pool is exactly the exact pool minus the closure's
+    // non-min members over the gated survivors
+    assert(fuzzyPool.subsetOf(exactPool))
+  }
+
+  test("fuzzy assembly manifest packing is gapless; LSH pass is survivor-pruned") {
+    val fm = TrainingCorpus.assembleFuzzy(spark, Sf001).collect()
+    assert(fm.nonEmpty)
+    var off = 0L
+    fm.foreach { r =>
+      assert(r.getLong(3) === off); off += r.getLong(2)
+    }
+    // the near-dup stage shingles only gate survivors: the pool plan
+    // carries the LeftSemi prune ahead of the shingle explode
+    val docs = Tables.load(spark, Sf001, "documents")
+    val poolPlan = TrainingCorpus.fuzzyCleanPool(
+      docs.filter(col("doc_id") % 23 =!= 0),
+      docs.filter(col("doc_id") % 23 === 0))
+      .queryExecution.executedPlan.toString
+    assert(poolPlan.contains("LeftSemi"))
+  }
+
   test("multi-batch ingest advances the index: batch 2 sees corpus ∪ batch 1") {
     val docs = Tables.load(spark, Sf001, "documents")
       .select(col("doc_id"), col("source"), col("text"))
