@@ -74,7 +74,8 @@ object ScalingBench {
     "t14_bm25_index", "t15_batch_bm25_index", "t16_sequence_packing",
     "t17_domain_mixture", "t18_mixture_epochs", "t19_token_chunks",
     "t20_bloom_decontamination", "t21_vocab_coverage", "t22_oov_ratio",
-    "t23_contamination_ratio", "t24_shard_export", "p01_training_corpus",
+    "t23_contamination_ratio", "t24_shard_export", "t25_lm_perplexity",
+    "p01_training_corpus",
     "p02_incremental_corpus", "p02b_small_corpus_delta",
     "p03_fuzzy_corpus",
     "m03_image_neardup", "m04_audio_neardup",
@@ -126,7 +127,8 @@ object ScalingBench {
     "t17_domain_mixture", "t18_mixture_epochs", "t19_token_chunks",
     "s02_ann_lsh", "s03_ann_ivf", "s04_ann_ivfpq", "s05_ann_pq_index",
     "t20_bloom_decontamination", "t21_vocab_coverage", "t22_oov_ratio",
-    "t23_contamination_ratio", "t24_shard_export", "p01_training_corpus",
+    "t23_contamination_ratio", "t24_shard_export", "t25_lm_perplexity",
+    "p01_training_corpus",
     "p02_incremental_corpus", "p02b_small_corpus_delta",
     "p03_fuzzy_corpus",
     "m03_image_neardup", "m04_audio_neardup",

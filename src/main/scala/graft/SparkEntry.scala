@@ -120,6 +120,10 @@ object SparkEntry {
     // training-data pipeline: deterministic seeded shuffle + round-robin
     // shard assignment (the corpus → data-loader export step)
     "t24_shard_export"    -> (Sharding.shardExport _),
+    // CCNet-style LM-perplexity quality scoring: bigram LM with
+    // add-one smoothing trained on the clean benchmark split, training
+    // docs scored by per-token negative log-likelihood
+    "t25_lm_perplexity"   -> (TextAnalysis.lmPerplexity _),
     // the composed pipeline as ONE oracle-exact query: exact dedup →
     // quality gate → decontamination → mixture → packing
     "p01_training_corpus" -> (TrainingCorpus.assemble _),
@@ -852,6 +856,30 @@ object SparkEntry {
         |SELECT (rn - 1) % 16 AS shard, (rn - 1) // 16 AS pos,
         | doc_id, n_tokens
         |FROM r ORDER BY shard, pos""".stripMargin,
+    // t25: ln/exp float terms → round(…,4) on both sides (the BM25
+    // convention); counts + V are exact integers so the smoothed
+    // probabilities agree to ulps across engines
+    "t25_lm_perplexity" ->
+      """WITH d AS (SELECT doc_id, string_split(text,' ') AS w FROM documents),
+        |uni AS (
+        | SELECT tok, CAST(count(*) AS BIGINT) AS cu
+        | FROM (SELECT unnest(w) AS tok FROM d WHERE doc_id % 23 = 0)
+        | GROUP BY tok),
+        |v AS (SELECT CAST(count(*) AS DOUBLE) AS vsz FROM uni),
+        |bi AS (
+        | SELECT bg, CAST(count(*) AS BIGINT) AS cb
+        | FROM (SELECT unnest([w[i]||' '||w[i+1] for i in range(1, len(w))]) AS bg
+        |       FROM d WHERE doc_id % 23 = 0)
+        | GROUP BY bg),
+        |tb AS (
+        | SELECT doc_id, bg, string_split(bg, ' ')[1] AS w1
+        | FROM (SELECT doc_id, unnest([w[i]||' '||w[i+1] for i in range(1, len(w))]) AS bg
+        |       FROM d WHERE doc_id % 23 <> 0 AND len(w) >= 2))
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+        | round(-sum(ln((COALESCE(cb, 0) + 1.0) / (COALESCE(cu, 0) + vsz)))
+        |   / count(*), 4) AS nll
+        |FROM tb LEFT JOIN bi USING (bg) LEFT JOIN uni ON tb.w1 = uni.tok, v
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "p01_training_corpus" -> TrainingCorpusOracleSql,
     // p02 = p01 computed incrementally; equal output by contract
     "p02_incremental_corpus" -> TrainingCorpusOracleSql,

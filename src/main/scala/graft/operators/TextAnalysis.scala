@@ -676,4 +676,68 @@ object TextAnalysis {
 
   def oovRatio(s: SparkSession, dir: String): DataFrame =
     oovRatio(Tables.load(s, dir, "documents"))
+
+  /** Language-model perplexity scoring (t25) — the CCNet-style quality
+    * filter (Wenzek et al., LREC 2020; the GPT-3 pipeline's quality
+    * classifier plays the same role): train a bigram LM with add-one
+    * smoothing on the CLEAN reference split (the benchmark docs, the
+    * t09 convention — CCNet trains its LM on Wikipedia), then score
+    * every training doc by its per-token negative log-likelihood.
+    * High NLL = far from the clean-language distribution = candidate
+    * for dropping.
+    *
+    *   P(w2|w1) = (C(w1 w2) + 1) / (C(w1) + V)
+    *   nll(doc) = −(Σ over the doc's bigrams ln P) / n_bigrams
+    *
+    * with C(·) the reference split's bigram/unigram occurrence counts
+    * and V its vocabulary size. Output: (doc_id, n_bigrams, nll)
+    * rounded to 4 dp (the BM25 float-compare convention).
+    *
+    * Scale shape: the bigram expansion is a codegen
+    * `transform(sequence(...))` over the token array (no UDF); the LM
+    * tables are one explode→hash-agg each over the REFERENCE split
+    * (reference-sized, not corpus-sized); scoring joins each training
+    * bigram against the two count tables — vocabulary-keyed hash
+    * joins AQE can broadcast when the reference is small — and
+    * aggregates per doc. Three linear shuffles, no self-join, nothing
+    * quadratic: the t13 TF-IDF family's shape. */
+  def lmPerplexity(trainDocs: DataFrame, referenceDocs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.Column
+    val toks = tokens(col("text"))
+    // bigram strings "w1 w2" via a codegen slide over the token array
+    def bigrams(t: Column): Column =
+      transform(sequence(lit(0), size(t) - 2),
+        i => concat_ws(" ", element_at(t, i + 1), element_at(t, i + 2)))
+    val refToks = referenceDocs.select(explode(toks).as("tok"))
+    // materialized: V (a scalar action) and the scoring join both
+    // consume it — without the cut the reference split tokenizes twice
+    val uni = refToks.groupBy(col("tok")).agg(count(lit(1)).as("cu"))
+      .localCheckpoint(true)
+    val vocabSize = uni.count().toDouble
+    val bi = referenceDocs
+      .select(explode(bigrams(toks)).as("bg"))
+      .groupBy(col("bg")).agg(count(lit(1)).as("cb"))
+    val trainBi = trainDocs
+      .filter(size(toks) >= 2)
+      .select(col("doc_id"), explode(bigrams(toks)).as("bg"))
+      .withColumn("w1", split(col("bg"), " ").getItem(0))
+    val logp = log(
+      (coalesce(col("cb"), lit(0L)) + lit(1.0)) /
+        (coalesce(col("cu"), lit(0L)) + lit(vocabSize)))
+    trainBi
+      .join(bi, Seq("bg"), "left_outer")
+      .join(uni, trainBi("w1") === uni("tok"), "left_outer")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        round(-sum(logp) / count(lit(1)), 4).as("nll"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Driver binding: reference split = every 23rd doc (the t09/p01
+    * convention), training candidates the rest. */
+  def lmPerplexity(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(s, dir, "documents")
+    lmPerplexity(docs.filter(col("doc_id") % 23 =!= 0),
+      docs.filter(col("doc_id") % 23 === 0))
+  }
 }

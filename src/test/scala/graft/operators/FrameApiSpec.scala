@@ -106,6 +106,29 @@ class FrameApiSpec extends SparkSpec {
     }
   }
 
+  test("LM perplexity scores in-distribution text below gibberish") {
+    // reference split: natural-ish english bigrams
+    val ref = docsDf(
+      1L -> "the cat sat on the mat and the dog sat on the rug",
+      2L -> "the dog ran to the cat and sat on the mat again",
+      3L -> "a cat and a dog sat on a mat near the door")
+    val train = docsDf(
+      10L -> "the cat sat on the mat",            // every bigram seen in ref
+      11L -> "zqx vbn plk mno qwe rty")           // nothing seen
+    val r = TextAnalysis.lmPerplexity(train, ref).collect()
+      .map(x => x.getLong(0) -> (x.getLong(1), x.getDouble(2))).toMap
+    assert(r(10L)._1 == 5 && r(11L)._1 == 5) // 6 tokens → 5 bigrams each
+    assert(r(10L)._2 < r(11L)._2,
+      s"in-distribution text must score lower nll: $r")
+    // the unseen-everything doc scores exactly the smoothing floor:
+    // every bigram gets ln(1/V)
+    val vocab = ref.select(explode(split(col("text"), " "))).distinct().count()
+    assert(math.abs(r(11L)._2 - math.log(vocab.toDouble)) < 5e-5)
+    // a doc with <2 tokens has no bigrams and is absent, not NaN
+    val short = TextAnalysis.lmPerplexity(docsDf(20L -> "solo"), ref).collect()
+    assert(short.isEmpty)
+  }
+
   test("substring dedup coverage counts shared 8-token windows only") {
     val span = "one two three four five six seven eight nine ten"
     val docs = docsDf(
