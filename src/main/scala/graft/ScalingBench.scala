@@ -558,7 +558,7 @@ object ScalingBench {
     val docNames = Seq("d01_dedup_exact", "d11_substring_dedup",
       "t14_bm25_index", "t16_sequence_packing", "t17_domain_mixture",
       "t19_token_chunks", "p01_training_corpus", "p02_incremental_corpus",
-      "p03_fuzzy_corpus")
+      "p03_fuzzy_corpus", "t25_lm_perplexity")
     if (only(docNames)(identity).nonEmpty) {
       val sf100dDir = sys.env.getOrElse("SPARK_GRAFT_SF100D_DIR", "/tmp/graft_sf100d")
       ensureSf100Docs(spark, sf10Dir, sf100dDir)
