@@ -42,7 +42,10 @@ object SpillProbe {
     // the incremental emb path and its streaming micro-batch form
     // (index + pending-log union)
     "d13_incremental_emb_neardup",
-    "sn01_stream_text_score", "sn02_stream_emb_score")
+    "sn01_stream_text_score", "sn02_stream_emb_score",
+    // the fuzzy assembly's gated-LSH + CC stack and the LM scorer's
+    // bigram join under pressure
+    "p03_fuzzy_corpus", "t25_lm_perplexity")
 
   def main(args: Array[String]): Unit = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
