@@ -101,7 +101,29 @@ object Bench {
       } finally { graft.core.Caching.releaseAll(spark); () }
     }
     val total = results.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"recall":$rs,$pipelineJson,"sf":"$sfDir"}""")
+    // Full-precision, full-name record → file (the driver keeps only the
+    // last ~2000 chars of stdout, which truncated the r09/r10 JSON line
+    // to an unparseable tail — "parsed": null). The detail lands in the
+    // repo where the round commit picks it up; stdout gets it too for
+    // the human log.
+    val detail = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"recall":$rs,$pipelineJson,"sf":"$sfDir"}"""
+    try java.nio.file.Files.writeString(
+      java.nio.file.Paths.get("BENCH_DETAIL.json"), detail + "\n")
+    catch { case e: Throwable =>
+      System.err.println(s"[bench] detail write failed: ${e.getMessage}") }
+    // Compact ONE JSON line on stdout for the driver's tail parser
+    // (the detail line stays off stdout so the tail holds exactly one
+    // complete object): per-query seconds
+    // at 3 decimals under the unambiguous short id (q01/d02/t16/... —
+    // the prefix before the first '_', unique across the suite; full
+    // names are in BENCH_DETAIL.json).
+    val qsShort = results
+      .map { case (k, v) => f""""${k.split('_').head}":$v%.3f""" }
+      .mkString("{", ",", "}")
+    val rsShort = recalls
+      .map { case (k, v) => f""""${k.split('_').head}":$v%.3f""" }
+      .mkString("{", ",", "}")
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qsShort,"recall":$rsShort,$pipelineJson,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -254,9 +254,10 @@ object SparkEntry {
         |  COALESCE(sum(n_tokens) OVER (ORDER BY doc_id
         |   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS start_off
         | FROM sel)
-        |SELECT doc_id, source, n_tokens, start_off,
-        | start_off // 2048 AS first_seq,
-        | (start_off + n_tokens - 1) // 2048 AS last_seq
+        |SELECT doc_id, source, n_tokens,
+        | CAST(start_off AS BIGINT) AS start_off,
+        | CAST(start_off // 2048 AS BIGINT) AS first_seq,
+        | CAST((start_off + n_tokens - 1) // 2048 AS BIGINT) AS last_seq
         |FROM pc ORDER BY doc_id""".stripMargin
 
   /** p03 oracle — p01's five-stage chain with the d10 near-dup
@@ -346,9 +347,10 @@ object SparkEntry {
         |  COALESCE(sum(n_tokens) OVER (ORDER BY doc_id
         |   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS start_off
         | FROM sel)
-        |SELECT doc_id, source, n_tokens, start_off,
-        | start_off // 2048 AS first_seq,
-        | (start_off + n_tokens - 1) // 2048 AS last_seq
+        |SELECT doc_id, source, n_tokens,
+        | CAST(start_off AS BIGINT) AS start_off,
+        | CAST(start_off // 2048 AS BIGINT) AS first_seq,
+        | CAST((start_off + n_tokens - 1) // 2048 AS BIGINT) AS last_seq
         |FROM pc ORDER BY doc_id""".stripMargin
 
   /** t09/t20 oracle — training docs sharing any word 5-gram with the
@@ -839,9 +841,10 @@ object SparkEntry {
         |  COALESCE(sum(n_tokens) OVER (ORDER BY doc_id
         |   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS start_off
         | FROM t)
-        |SELECT doc_id, n_tokens, start_off,
-        | start_off // 2048 AS first_seq,
-        | (start_off + n_tokens - 1) // 2048 AS last_seq
+        |SELECT doc_id, n_tokens,
+        | CAST(start_off AS BIGINT) AS start_off,
+        | CAST(start_off // 2048 AS BIGINT) AS first_seq,
+        | CAST((start_off + n_tokens - 1) // 2048 AS BIGINT) AS last_seq
         |FROM c ORDER BY doc_id""".stripMargin,
     "t24_shard_export" ->
       """WITH t AS (
@@ -910,7 +913,8 @@ object SparkEntry {
         |   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
         |   AS tokens_before
         | FROM t)
-        |SELECT c.source, c.doc_id, c.n_tokens, c.tokens_before
+        |SELECT c.source, c.doc_id, c.n_tokens,
+        | CAST(c.tokens_before AS BIGINT) AS tokens_before
         |FROM c JOIN a USING (source)
         |WHERE c.tokens_before < a.alloc
         |ORDER BY c.source, c.doc_id""".stripMargin,
@@ -926,10 +930,10 @@ object SparkEntry {
         | FROM t GROUP BY source),
         |g AS (
         | SELECT sum(src_tokens) AS tot, sum(wt) AS wsum FROM p)
-        |SELECT source, n_docs, src_tokens, wt,
-        | ((tot * 150) // 100) * wt // wsum AS alloc,
-        | (((tot * 150) // 100) * wt // wsum + src_tokens - 1) // src_tokens
-        |  AS epochs
+        |SELECT source, n_docs, CAST(src_tokens AS BIGINT) AS src_tokens, wt,
+        | CAST(((tot * 150) // 100) * wt // wsum AS BIGINT) AS alloc,
+        | CAST((((tot * 150) // 100) * wt // wsum + src_tokens - 1) // src_tokens
+        |  AS BIGINT) AS epochs
         |FROM p, g ORDER BY source""".stripMargin,
     // t19: chunk counts/offsets are integer DIV on both engines; the
     // window fingerprint is md5 over the identically-sliced token join
