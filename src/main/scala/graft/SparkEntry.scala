@@ -136,6 +136,13 @@ object SparkEntry {
     // fuzzy dedup); oracle composes the d10 recursive-CTE closure
     // into p01's WITH-chain
     "p03_fuzzy_corpus"    -> (TrainingCorpus.assembleFuzzy _),
+    // p03 maintained INCREMENTALLY against a persisted fuzzy pool
+    // index (gated pool + LSH signature index + near-dup edge graph +
+    // cluster frame): delta-proportional signing/probing, affected-
+    // component-only CC maintenance, exact-dup retraction honored —
+    // by contract equals the full fuzzy recompute, so the oracle is
+    // p03's verbatim (the p02/d14 precedent)
+    "p04_incremental_fuzzy" -> (TrainingCorpus.incrementalAssembleFuzzy _),
     // training-data pipeline: similarity search
     "s01_ann_brute"       -> (Similarity.annBrute _),
     "s02_ann_lsh"         -> (Similarity.annLsh _),
@@ -887,6 +894,8 @@ object SparkEntry {
     // p02 = p01 computed incrementally; equal output by contract
     "p02_incremental_corpus" -> TrainingCorpusOracleSql,
     "p03_fuzzy_corpus" -> FuzzyCorpusOracleSql,
+    // p04 = p03 computed incrementally; equal output by contract
+    "p04_incremental_fuzzy" -> FuzzyCorpusOracleSql,
     // t17/t18: allocations are pure integer arithmetic (//), weights the
     // deterministic 1+(suffix%5), order the md5 shuffle key — every term
     // bit-reproducible across engines (the PARTITION BY source window is

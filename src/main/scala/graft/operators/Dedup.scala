@@ -1299,7 +1299,7 @@ object Dedup {
     * checkpoint to that durable directory — the cluster-scale option:
     * localCheckpoint blocks die with an executor, and a lost block
     * kills the whole iterative job at depth. */
-  private[operators] def clustersFromPairs(pairs: DataFrame): DataFrame = {
+  private[graft] def clustersFromPairs(pairs: DataFrame): DataFrame = {
     val s = pairs.sparkSession
     val ccDir = s.conf.getOption("spark.graft.cc.checkpointDir")
     ccDir.foreach { d =>

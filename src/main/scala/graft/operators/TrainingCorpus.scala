@@ -164,11 +164,7 @@ object TrainingCorpus {
     * passes, the [[assemble]]/[[cleanPool]] split). */
   private[graft] def fuzzyCleanPool(trainDocs: DataFrame,
       benchmarkDocs: DataFrame): DataFrame = {
-    val scored = scoredScan(trainDocs)
-    val kept = scored
-      .withColumn("keep_id",
-        min(col("doc_id")).over(Window.partitionBy(col("fp"))))
-      .filter(col("doc_id") === col("keep_id") && gateCond)
+    val kept = gatedKeepers(trainDocs)
       .select(col("doc_id"), col("source"), col("n_tokens"))
       .localCheckpoint(true)
     // near-dup closure over the gated pool only — the LSH shingle
@@ -250,6 +246,25 @@ object TrainingCorpus {
     * batches); the min is taken after the delta-sized prune. */
   private[graft] def deltaSurvivorsFp(deltaDocs: DataFrame,
       extFps: DataFrame, benchSh: DataFrame): (DataFrame, DataFrame, Long) = {
+    val (kept, contaminated, deltaFps, nDeltaFps) =
+      deltaGatedFp(deltaDocs, extFps, benchSh)
+    (kept.join(contaminated, Seq("doc_id"), "left_anti"), deltaFps, nDeltaFps)
+  }
+
+  /** The stages of [[deltaSurvivorsFp]] EXPOSED SEPARATELY — gate
+    * survivors and the contaminated-id set, pre-composition. The fuzzy
+    * incremental path ([[incrementalFuzzyFrames]]) needs them apart:
+    * its near-dup stage runs over gate survivors (contaminated or
+    * not — contamination never affects the pair graph, which is formed
+    * over gate survivors in [[fuzzyCleanPool]]), while the
+    * contamination flag rides the persisted gated frame so a later
+    * retraction can promote a new cluster keeper without re-exploding
+    * corpus text. Returns (kept gate survivors with fp — materialized,
+    * contaminated delta ids, the delta's pre-gate (fp, dmin) frame,
+    * its row count). */
+  private[graft] def deltaGatedFp(deltaDocs: DataFrame,
+      extFps: DataFrame, benchSh: DataFrame)
+      : (DataFrame, DataFrame, DataFrame, Long) = {
     val s = deltaDocs.sparkSession
     val scored = scoredScan(deltaDocs).localCheckpoint(true)
     // per-fingerprint min WITHIN the delta (delta-sized window)
@@ -283,7 +298,7 @@ object TrainingCorpus {
         s, tokens(col("text")), 5)).as("h"))
     val contaminated = deltaSh.join(benchSh, Seq("h"), "left_semi")
       .select(col("doc_id")).distinct()
-    (kept.join(contaminated, Seq("doc_id"), "left_anti"), deltaFps, nDeltaFps)
+    (kept, contaminated, deltaFps, nDeltaFps)
   }
 
   /** The delta's per-fingerprint min-id frame (fp, dmin) — the merge
@@ -305,6 +320,188 @@ object TrainingCorpus {
       budget: Long = Packing.DefaultBudget): DataFrame =
     mixAndPack(incrementalPool(deltaDocs, indexPath).localCheckpoint(true),
       targetPct, budget)
+
+  /** Gate-survivor keepers of a documents frame with the fingerprint
+    * retained: exact-dedup min-id keepers that pass the quality/length
+    * gates — the population the fuzzy pair graph is formed over
+    * ([[fuzzyCleanPool]]'s `kept`, shared with the persisted-index
+    * build [[graft.index.FuzzyPoolIndex.build]]). */
+  private[graft] def gatedKeepers(docs: DataFrame): DataFrame =
+    scoredScan(docs)
+      .withColumn("keep_id",
+        min(col("doc_id")).over(Window.partitionBy(col("fp"))))
+      .filter(col("doc_id") === col("keep_id") && gateCond)
+      .select(col("doc_id"), col("source"), col("n_tokens"), col("fp"))
+
+  /** The advanced fuzzy-assembly state after a delta batch — what
+    * [[graft.index.FuzzyPoolIndex.ingest]] persists and what
+    * [[incrementalFuzzyPool]] derives the pool from. `deltaBands` /
+    * `deltaShingles` are the delta survivors' LSH state (materialized),
+    * handed to the signature-index append so ingest never re-signs. */
+  private[graft] final case class FuzzyState(gated: DataFrame,
+      pairs: DataFrame, clusters: DataFrame, retired: DataFrame,
+      deltaBands: DataFrame, deltaShingles: DataFrame)
+
+  /** Advance the fuzzy-assembly frames by one delta batch against a
+    * persisted [[graft.index.FuzzyPoolIndex]] — equal, decision for
+    * decision, to rebuilding from corpus ∪ delta, with text work
+    * proportional to the DELTA:
+    *
+    *  - the delta is scored once, LSH-signed once (gate survivors
+    *    only), and 5-gram-exploded once (contamination flags);
+    *  - exact-dedup additions and RETRACTIONS follow
+    *    [[incrementalPoolFp]]'s combined-min rule: a delta arrival
+    *    out-minning a gated corpus keeper removes it from the gated
+    *    pool — and therefore from the pair GRAPH, where removing a cut
+    *    vertex can SPLIT a component. That is why the index persists
+    *    edges: the closure is maintained by recomputing connected
+    *    components over the AFFECTED components only (those containing
+    *    a retracted node or a new pair's endpoint), leaving every
+    *    untouched component's rows as they are;
+    *  - delta pair formation probes the persisted signature index
+    *    ([[Dedup.incrementalPairsFrames]] — corpus scanned, never
+    *    shuffled), then drops pairs whose corpus endpoint is a
+    *    tombstone (`retired/` — signatures are append-only, so a
+    *    retired doc still collides in the band table).
+    *
+    * Shuffle shape: the gated/pairs/clusters frames stream against
+    * BROADCASTS of delta-sized id/label sets ([[Dedup.bcastIf]] — an
+    * oversized delta degrades to a hash join, never an OOM); the only
+    * CC rerun is over affected-component edges, bounded by the delta's
+    * touch set. Capped-bucket disclosure carries over from d07: a
+    * probe into an over-cap bucket links to the bucket min, and a
+    * RETIRED bucket min severs that approximate link — mega-bucket
+    * connectivity under churn is maintained on compaction (rebuild),
+    * exactly the regime the batch path already documents. */
+  private[graft] def incrementalFuzzyFrames(deltaDocs: DataFrame,
+      indexPath: String): FuzzyState = {
+    val s = deltaDocs.sparkSession
+    val idx = graft.index.FuzzyPoolIndex
+    val fps = idx.fps(s, indexPath)
+    val benchSh = idx.benchShingles(s, indexPath)
+    val gated = idx.gated(s, indexPath)
+    val pairs = idx.pairs(s, indexPath)
+    val clusters = idx.clusters(s, indexPath)
+    val retired = idx.retired(s, indexPath)
+
+    // delta gate survivors (combined-min rule) + their contamination
+    val (kept, contamIds, deltaFps, nDeltaFps) =
+      deltaGatedFp(deltaDocs, fps, benchSh)
+    val keptFlag = kept
+      .join(contamIds.withColumn("contam", lit(true)), Seq("doc_id"), "left")
+      .select(col("doc_id"), col("source"), col("n_tokens"), col("fp"),
+        coalesce(col("contam"), lit(false)).as("contam"))
+      .localCheckpoint(true)
+
+    // retractions: gated corpus keepers out-minned by a delta arrival
+    // (the gated frame streams once against the broadcast fp-min set)
+    val r = gated
+      .join(Dedup.bcastIf(48, nDeltaFps)(deltaFps), Seq("fp"))
+      .filter(col("dmin") < col("doc_id"))
+      .select(col("doc_id"))
+      .localCheckpoint(true)
+    val nR = r.count()
+
+    // delta pair formation against the persisted signature index,
+    // minus pairs touching a tombstoned (retired ∪ newly-retracted) doc
+    val deltaKeptText = deltaDocs
+      .join(keptFlag.select(col("doc_id")), Seq("doc_id"), "left_semi")
+    val deltaSh = Dedup.hashedShingleSets(deltaKeptText) // materialized inside
+    val deltaBands = Dedup.bandedSignatures(deltaSh).localCheckpoint(true)
+    val sp = idx.sigPath(indexPath)
+    val dead = retired.unionByName(r).distinct().localCheckpoint(true)
+    val nDead = dead.count()
+    def notDead(df: DataFrame, side: String): DataFrame =
+      df.join(Dedup.bcastIf(8, nDead)(
+        dead.withColumnRenamed("doc_id", side)), Seq(side), "left_anti")
+    val newPairs = notDead(notDead(
+      Dedup.incrementalPairsFrames(deltaSh, deltaBands,
+          graft.index.SignatureIndex.bands(s, sp),
+          graft.index.SignatureIndex.shingles(s, sp),
+          graft.index.SignatureIndex.counts(s, sp))
+        .select(col("doc_a"), col("doc_b")), "doc_a"), "doc_b")
+      .localCheckpoint(true)
+
+    // affected components: those holding a retracted node or a new
+    // pair's endpoint — the only components whose labels can change
+    val touched = r
+      .unionByName(newPairs.select(col("doc_a").as("doc_id")))
+      .unionByName(newPairs.select(col("doc_b").as("doc_id")))
+      .distinct().localCheckpoint(true)
+    val nTouched = touched.count()
+    val affLabels = clusters
+      .join(Dedup.bcastIf(16, nTouched)(touched), Seq("doc_id"), "left_semi")
+      .select(col("cluster_id")).distinct().localCheckpoint(true)
+    val nLabels = affLabels.count()
+    val affNodes = clusters
+      .join(Dedup.bcastIf(16, nLabels)(affLabels), Seq("cluster_id"), "left_semi")
+      .select(col("doc_id")).localCheckpoint(true)
+    val nAff = affNodes.count()
+    // every current edge of an affected component (both endpoints share
+    // the component, so the doc_a side decides membership), minus edges
+    // to retracted nodes, plus the delta's new pairs
+    val keptEdges = notDead(notDead(pairs, "doc_a"), "doc_b")
+    val subEdges = keptEdges
+      .join(Dedup.bcastIf(16, nAff)(
+        affNodes.withColumnRenamed("doc_id", "doc_a")), Seq("doc_a"), "left_semi")
+      .unionByName(newPairs)
+    val newCC = Dedup.clustersFromPairs(
+      subEdges.select(col("doc_a"), col("doc_b"))).localCheckpoint(true)
+    val clustersNew = clusters
+      .join(Dedup.bcastIf(16, nLabels)(affLabels), Seq("cluster_id"), "left_anti")
+      .unionByName(newCC)
+    val pairsNew = keptEdges.unionByName(newPairs)
+    val gatedNew = gated
+      .join(Dedup.bcastIf(8, nR)(r), Seq("doc_id"), "left_anti")
+      .unionByName(keptFlag)
+    FuzzyState(gatedNew, pairsNew, clustersNew, dead, deltaBands, deltaSh)
+  }
+
+  /** The fuzzy survivor pool AFTER a delta batch, computed
+    * incrementally — equal, row for row, to
+    * `fuzzyCleanPool(corpus ∪ delta, benchmark)`: gate survivors, minus
+    * non-min near-dup cluster members, minus contaminated docs. */
+  def incrementalFuzzyPool(deltaDocs: DataFrame,
+      indexPath: String): DataFrame = {
+    val st = incrementalFuzzyFrames(deltaDocs, indexPath)
+    val dropIds = st.clusters
+      .filter(col("doc_id") =!= col("cluster_id")).select(col("doc_id"))
+    st.gated.filter(!col("contam"))
+      .join(dropIds, Seq("doc_id"), "left_anti")
+      .select(col("doc_id"), col("source"), col("n_tokens"))
+  }
+
+  /** Incremental FUZZY corpus assembly: [[incrementalFuzzyPool]] then
+    * the global mixture/packing stages. By contract the output EQUALS
+    * `assembleFuzzy(corpus ∪ delta, benchmark)` — so the driver
+    * binding shares p03's oracle verbatim (the p02 precedent). */
+  def incrementalAssembleFuzzy(deltaDocs: DataFrame, indexPath: String,
+      targetPct: Long = Mixture.DefaultTargetPct,
+      budget: Long = Packing.DefaultBudget): DataFrame =
+    mixAndPack(incrementalFuzzyPool(deltaDocs, indexPath)
+      .localCheckpoint(true), targetPct, budget)
+
+  /** Driver binding for the incremental fuzzy assembly (p04): within
+    * p03's train split, delta = every `mod`-th doc, the rest the
+    * indexed corpus (the p02/d07 convention; mod=3 binds a full third
+    * as the delta — an upper bound on any real batch). Result must
+    * equal p03's full fuzzy assembly over the whole train split. */
+  def incrementalAssembleFuzzy(s: SparkSession, dir: String): DataFrame =
+    incrementalAssembleFuzzyMod(s, dir, 3)
+
+  def incrementalAssembleFuzzyMod(s: SparkSession, dir: String,
+      mod: Int): DataFrame = {
+    val docs = Tables.load(s, dir, "documents")
+    val train = docs.filter(col("doc_id") % 23 =!= 0)
+    val bench = docs.filter(col("doc_id") % 23 === 0)
+    val isDelta = col("doc_id") % mod === 0
+    val path = graft.index.IndexCache.pathFor(
+      s, s"$dir/documents.parquet", s"fuzzypool-mod=$mod")
+    if (!graft.index.FuzzyPoolIndex.ready(s, path))
+      graft.index.FuzzyPoolIndex.build(
+        train.filter(!isDelta), bench, path)
+    incrementalAssembleFuzzy(train.filter(isDelta), path)
+  }
 
   /** Driver binding: benchmark split = every 23rd doc (the t09/t20/t23
     * convention), the rest the training candidate pool. */
