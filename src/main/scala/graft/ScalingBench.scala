@@ -45,6 +45,9 @@ object ScalingBench {
     "p02b_small_corpus_delta" ->
       ((s, dir) =>
         graft.operators.TrainingCorpus.incrementalAssembleMod(s, dir, 30)),
+    "p04b_small_fuzzy_delta" ->
+      ((s, dir) =>
+        graft.operators.TrainingCorpus.incrementalAssembleFuzzyMod(s, dir, 30)),
     // streaming micro-batch scoring: half the d07/d13 delta scored with
     // the other half already committed in the pending log (frozen-index
     // contract — see StreamingNearDup/StreamingEmbNearDup.benchScore)
@@ -78,7 +81,8 @@ object ScalingBench {
     "p01_training_corpus",
     "p02_incremental_corpus", "p02b_small_corpus_delta",
     "p03_fuzzy_corpus",
-    "m03_image_neardup", "m04_audio_neardup",
+    "p04_incremental_fuzzy", "p04b_small_fuzzy_delta",
+    "m03_image_neardup", "m04_audio_neardup", "m05_joint_media_survivors",
     "sn01_stream_text_score", "sn02_stream_emb_score",
     "sn03_stream_pool_batch")
 
@@ -131,7 +135,8 @@ object ScalingBench {
     "p01_training_corpus",
     "p02_incremental_corpus", "p02b_small_corpus_delta",
     "p03_fuzzy_corpus",
-    "m03_image_neardup", "m04_audio_neardup",
+    "p04_incremental_fuzzy", "p04b_small_fuzzy_delta",
+    "m03_image_neardup", "m04_audio_neardup", "m05_joint_media_survivors",
     "sn01_stream_text_score", "sn02_stream_emb_score",
     "sn03_stream_pool_batch",
     "d05_embedding_neardup")
@@ -554,11 +559,16 @@ object ScalingBench {
     }
 
     // the document family's extra decade: docs-only sf100 (~5M rows)
-    // for the queries whose sf10 exponents are flat
-    val docNames = Seq("d01_dedup_exact", "d11_substring_dedup",
+    // for the queries whose sf10 exponents are flat — including the
+    // rows whose 5M-doc probes previously lived only in prose (d02,
+    // d03, d08, sn01), promoted here so the record is machine-readable
+    // end to end
+    val docNames = Seq("d01_dedup_exact", "d02_minhash_lsh",
+      "d03_simhash", "d08_dedup_clusters", "d11_substring_dedup",
       "t14_bm25_index", "t16_sequence_packing", "t17_domain_mixture",
       "t19_token_chunks", "p01_training_corpus", "p02_incremental_corpus",
-      "p03_fuzzy_corpus", "t25_lm_perplexity")
+      "p03_fuzzy_corpus", "p04_incremental_fuzzy", "p04b_small_fuzzy_delta",
+      "t25_lm_perplexity", "sn01_stream_text_score")
     if (only(docNames)(identity).nonEmpty) {
       val sf100dDir = sys.env.getOrElse("SPARK_GRAFT_SF100D_DIR", "/tmp/graft_sf100d")
       ensureSf100Docs(spark, sf10Dir, sf100dDir)

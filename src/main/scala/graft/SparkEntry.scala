@@ -170,6 +170,13 @@ object SparkEntry {
     // same block-LSH geometry (rows-only; spec pins brute set-equality)
     "m04_audio_neardup" ->
       ((s, dir) => graft.multimodal.Multimodal.audioNeardup(s, dir)),
+    // joint media survivors: the d12 decision join over the m03+m04
+    // cluster frames. Oracle-checkable (unlike m03/m04's raw pair
+    // frames): the planted family chains make the perceptual closure
+    // equal the doc_id/4 family partition in both modalities, so the
+    // survivor set is the per-family min id
+    "m05_joint_media_survivors" ->
+      ((s, dir) => graft.multimodal.Multimodal.jointMediaSurvivors(s, dir)),
   )
 
   /** d08/d14 oracle — transitive closure of the exact jaccard≥0.8
@@ -964,6 +971,17 @@ object SparkEntry {
       """SELECT md5(lower(trim(text))) AS fp, min(doc_id) AS keep_id,
         | count(*) AS n_copies
         |FROM documents GROUP BY 1 ORDER BY keep_id""".stripMargin,
+    // m05: the perceptual pair closure equals the doc_id/4 family
+    // partition in both media modalities (consecutive family members
+    // differ by one planted patch/window — inside the hamming-5 verify
+    // radius and the combination-LSH's deterministic recall; distinct
+    // families sit ~32 bits apart), so joint survivors = family mins
+    "m05_joint_media_survivors" ->
+      """SELECT doc_id, n_chars FROM (
+        | SELECT doc_id, n_chars,
+        |  min(doc_id) OVER (PARTITION BY doc_id // 4) AS fam_min
+        | FROM documents)
+        |WHERE doc_id = fam_min ORDER BY doc_id""".stripMargin,
     "d02_minhash_lsh" ->
       """WITH sh AS (
         | SELECT doc_id,

@@ -31,4 +31,23 @@ object Caching {
     rdds.values.foreach(_.unpersist(blocking = false))
     rdds.size
   }
+
+  /** Ids of the currently tracked persistent RDDs — snapshot around a
+    * scoped computation, then [[releaseBetween]] to drop exactly the
+    * blocks it pinned. `Dataset.unpersist` cannot do this for
+    * localCheckpointed frames (they live in the RDD tracker, not the
+    * plan-level cache manager), and [[releaseAll]] mid-query would
+    * truncate frames the caller still needs. */
+  def snapshot(spark: SparkSession): Set[Int] =
+    spark.sparkContext.getPersistentRDDs.keySet.toSet
+
+  /** Unpersist the persistent RDDs created between two [[snapshot]]s
+    * (non-blocking); anything outside the window is left pinned. */
+  def releaseBetween(spark: SparkSession, before: Set[Int],
+      after: Set[Int]): Int = {
+    val dead = after -- before
+    val rdds = spark.sparkContext.getPersistentRDDs
+    dead.foreach(id => rdds.get(id).foreach(_.unpersist(blocking = false)))
+    dead.size
+  }
 }

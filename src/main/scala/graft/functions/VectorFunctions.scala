@@ -86,6 +86,29 @@ object VectorKernel {
     }
     best.toLong
   }
+
+  /** Index of the max-dot centroid within the slice
+    * `cents[lo, lo+len)` (ties → lowest index), returned as a GLOBAL
+    * index — the two-level assignment kernel: a row's level-2 cell is
+    * the best sub-centroid of its level-1 cell's slice of the flat
+    * sub-centroid matrix. */
+  def nearestInSlice(v: ArrayData, cents: Array[Array[Double]],
+      lo: Int, len: Int): Long = {
+    val n = v.numElements()
+    val hi = math.min(cents.length, lo + len)
+    var best = lo
+    var bd = Double.MinValue
+    var c = lo
+    while (c < hi) {
+      val cv = cents(c)
+      var d = 0.0
+      var i = 0
+      while (i < n && i < cv.length) { d += v.getDouble(i) * cv(i); i += 1 }
+      if (d > bd) { bd = d; best = c }
+      c += 1
+    }
+    best.toLong
+  }
 }
 
 /** `array<double>` vector → index of its nearest centroid (max dot) in
@@ -123,6 +146,43 @@ case class NearestCentroid(child: Expression, cents: Array[Array[Double]])
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
+/** Two-level IVF assignment: (vector, level-1 cell) → global sub-cell
+  * id over a FLAT sub-centroid matrix whose row `c·subPerCell + j` is
+  * sub-centroid j of level-1 cell c. Same projection-not-join shape as
+  * [[NearestCentroid]] — the deep-cell growth ([[graft.operators
+  * .SemanticDedup]] past the coarse cap) costs one more codegen'd
+  * argmax over `subPerCell` rows, never a per-row join against a
+  * sub-centroid table. */
+case class NearestSubCentroid(left: Expression, right: Expression,
+    cents: Array[Array[Double]], subPerCell: Int)
+    extends BinaryExpression {
+
+  require(cents.nonEmpty && subPerCell > 0, "need sub-centroids")
+
+  override def checkInputDataTypes(): TypeCheckResult = (left.dataType, right.dataType) match {
+    case (ArrayType(DoubleType, _), org.apache.spark.sql.types.LongType) =>
+      TypeCheckResult.TypeCheckSuccess
+    case (l, r) => TypeCheckResult.TypeCheckFailure(
+      s"graft_nearest_subcell expects (array<double>, bigint), got ($l, $r)")
+  }
+  override def dataType: DataType = org.apache.spark.sql.types.LongType
+  override def prettyName: String = "graft_nearest_subcell"
+
+  override def nullSafeEval(v: Any, cell: Any): Any =
+    VectorKernel.nearestInSlice(v.asInstanceOf[ArrayData], cents,
+      (cell.asInstanceOf[Long] * subPerCell).toInt, subPerCell)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("subCentroids", cents, "double[][]")
+    nullSafeCodeGen(ctx, ev, (v, cell) =>
+      s"${ev.value} = graft.functions.VectorKernel.nearestInSlice(" +
+        s"$v, $ref, (int)($cell * $subPerCell), $subPerCell);")
+  }
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
 object VectorFunctions {
 
   /** Register the vector functions in this session (idempotent). */
@@ -136,6 +196,18 @@ object VectorFunctions {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_nearest_cell", exprs => NearestCentroid(exprs.head, cents), "built-in")
     call_function("graft_nearest_cell", v)
+  }
+
+  /** Two-level assignment: global sub-cell id of `v` among the
+    * `subPerCell` sub-centroids of its level-1 `cell` in the flat
+    * matrix (row `c·subPerCell + j` = sub-centroid j of cell c). */
+  def nearestSubCell(spark: SparkSession, v: Column, cell: Column,
+      subCents: Array[Array[Double]], subPerCell: Int): Column = {
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_nearest_subcell",
+      exprs => NearestSubCentroid(exprs(0), exprs(1), subCents, subPerCell),
+      "built-in")
+    call_function("graft_nearest_subcell", v, cell)
   }
 
   /** dot(a, b) over array<double> columns — codegen'd primitive loop. */

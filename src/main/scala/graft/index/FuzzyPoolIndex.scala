@@ -83,8 +83,16 @@ object FuzzyPoolIndex {
   /** Full build from the corpus and benchmark frames (canonical
     * `doc_id`/`source`/`text` columns). One scored scan feeds the
     * fingerprint table and the gated pool; the gate-survivor text is
-    * signed once (feeding both the signature index and the batch pair
-    * graph) and 5-gram-exploded once (the contamination flag). */
+    * LSH-signed once, with the hashed-shingle frame SHARED between the
+    * signature index and the batch pair graph, and 5-gram-exploded
+    * once (the contamination flag).
+    *
+    * Memory shape (the sf100 OOM lesson): corpus TEXT is never
+    * checkpointed — the semi-joined `keptText` stays lazy, so each of
+    * its two consumers re-scans source parquet instead of pinning
+    * gigabytes of block-manager text; the one corpus-sized pinned
+    * frame is the compact hashed-shingle set (spillable), and it is
+    * explicitly released once the pair graph lands. */
   def build(corpusDocs: DataFrame, benchmarkDocs: DataFrame,
       path: String): Unit = {
     val s = corpusDocs.sparkSession
@@ -94,10 +102,15 @@ object FuzzyPoolIndex {
     val kept = TrainingCorpus.gatedKeepers(corpusDocs).localCheckpoint(true)
     val keptText = corpusDocs
       .join(kept.select(col("doc_id")), Seq("doc_id"), "left_semi")
-      .localCheckpoint(true)
-    SignatureIndex.build(keptText, sigPath(path))
-    val prs = Dedup.minhashLsh(keptText)
+    val preSh = graft.core.Caching.snapshot(s)
+    val sh = Dedup.hashedShingleSets(keptText)
+    val postSh = graft.core.Caching.snapshot(s)
+    SignatureIndex.buildFrames(sh, sigPath(path))
+    val prs = Dedup.minhashLshFrames(sh)
       .select(col("doc_a"), col("doc_b")).localCheckpoint(true)
+    // the shingle blocks are dead once the pair graph lands — release
+    // them before the decontamination scan raises the next peak
+    graft.core.Caching.releaseBetween(s, preSh, postSh)
     prs.write.mode("overwrite").parquet(s"$path/pairs")
     Dedup.clustersFromPairs(prs)
       .write.mode("overwrite").parquet(s"$path/clusters")

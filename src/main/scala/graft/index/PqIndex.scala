@@ -53,6 +53,17 @@ object PqIndex {
     (r.getInt(0), r.getLong(1))
   }
 
+  /** Corpus size at quantizer-TRAIN time (`n0`): the staleness
+    * denominator [[ensure]]'s re-train policy divides by. Indexes
+    * written before the column existed read `n0 = n` (their quantizers
+    * were trained on exactly the recorded corpus). */
+  private def metaN0(s: SparkSession, path: String): Long = {
+    val df = s.read.parquet(s"$path/meta")
+    val r = df.collect()(0)
+    val i = df.columns.indexOf("n0")
+    if (i >= 0) r.getLong(i) else r.getLong(df.columns.indexOf("n"))
+  }
+
   /** Trained coarse centroids, driver-side (≤1024 × dim doubles). */
   def centroids(s: SparkSession, path: String): Array[Array[Double]] =
     s.read.parquet(s"$path/cents").orderBy("cell").collect()
@@ -100,29 +111,45 @@ object PqIndex {
       sub.zipWithIndex.map { case (vals, c) => (m, c, vals) }
     }.toSeq.toDF("sub", "code", "vals")
       .write.mode("overwrite").parquet(s"$path/books")
-    Seq((cents.length, n)).toDF("cells", "n")
+    Seq((cents.length, n, n)).toDF("cells", "n", "n0")
       .write.mode("overwrite").parquet(s"$path/meta")
     val out = fs(s, path).create(marker(path), true)
     out.close()
   }
 
-  /** Build if absent OR if the recorded coarse resolution has drifted
-    * below what `projectedN` total vectors need. Returns the cell
-    * count in effect. */
+  /** Frozen-quantizer staleness bound: once appended mass doubles the
+    * corpus the quantizers were trained on, [[ensure]] re-trains.
+    * Under a STATIONARY append distribution recall barely moves (the
+    * append probe measures it — hash-uniform appends re-use the same
+    * cell geometry), so the trigger exists for the drift case:
+    * appended vectors from a shifted distribution land in the frozen
+    * cells' margins, residuals leave the codebooks' trained range, and
+    * ADC error grows with the appended fraction. 2× bounds the stale
+    * fraction at ≤ ½ of the corpus — and keeps rebuilds O(log n) over
+    * a corpus's lifetime, amortized like the cell-drift rebuilds. */
+  private val RetrainFactor = 2L
+
+  /** Build if absent, if the recorded coarse resolution has drifted
+    * below what `projectedN` total vectors need, or if appended mass
+    * has passed the [[RetrainFactor]] staleness bound since the
+    * quantizers were trained. Returns the cell count in effect. */
   def ensure(embeddings: DataFrame, path: String, projectedN: Long): Int = {
     val s = embeddings.sparkSession
     val needed = Similarity.ivfConfig(projectedN)._1
-    val stale = !ready(s, path) || meta(s, path)._1 < needed
+    val stale = !ready(s, path) || meta(s, path)._1 < needed ||
+      meta(s, path)._2 > RetrainFactor * metaN0(s, path)
     if (stale) build(embeddings, path, projectedN)
     meta(s, path)._1
   }
 
   /** Ingest a batch at the FROZEN quantizers: delta-sized projections
-    * append into the cell partitions; only meta is rewritten. */
+    * append into the cell partitions; only meta is rewritten (`n0`
+    * rides unchanged — it marks the quantizer-training snapshot). */
   def append(deltaEmb: DataFrame, path: String): Unit = {
     val s = deltaEmb.sparkSession
     import s.implicits._
-    val (cells, n0) = meta(s, path)
+    val (cells, nCur) = meta(s, path)
+    val n0 = metaN0(s, path)
     val cents = centroids(s, path)
     val cb = codebooks(s, path)
     fs(s, path).delete(marker(path), false)
@@ -132,7 +159,7 @@ object PqIndex {
       .write.mode("append").partitionBy("cell").parquet(s"$path/codes")
     e.select(col("vec_id"), col("v"), col("norm"))
       .write.mode("append").parquet(s"$path/vecs")
-    Seq((cells, n0 + nD)).toDF("cells", "n")
+    Seq((cells, nCur + nD, n0)).toDF("cells", "n", "n0")
       .write.mode("overwrite").parquet(s"$path/meta")
     val out = fs(s, path).create(marker(path), true)
     out.close()

@@ -55,9 +55,15 @@ object SignatureIndex {
 
   /** Full build from a corpus frame (canonical `doc_id`/`text`
     * columns). One signature pass (zero shuffle) + three writes. */
-  def build(docs: DataFrame, path: String): Unit = {
-    val s = docs.sparkSession
-    val sh = Dedup.hashedShingleSets(docs) // eager — reused by both writes
+  def build(docs: DataFrame, path: String): Unit =
+    buildFrames(Dedup.hashedShingleSets(docs), path)
+
+  /** [[build]] from an already-materialized hashed-shingle frame — a
+    * caller that needs the shingles for other derivations too (the
+    * fuzzy pool index's pair graph) shares one corpus pass instead of
+    * stacking a second corpus-sized checkpoint next to this one. */
+  private[graft] def buildFrames(sh: DataFrame, path: String): Unit = {
+    val s = sh.sparkSession
     val b = Dedup.bandedSignatures(sh)
     b.repartitionByRange(col("bh")).sortWithinPartitions(col("bh"))
       .write.mode("overwrite").parquet(s"$path/bands")

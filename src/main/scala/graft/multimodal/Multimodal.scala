@@ -376,6 +376,30 @@ object Multimodal {
     imageNeardup(syntheticImageCorpus(
       graft.core.Tables.load(spark, dir, "documents")))
 
+  /** Joint MEDIA survivors (m05): the d12 cross-modal decision join
+    * extended to the perceptual modalities — a document survives only
+    * if BOTH its image and its audio rendition are their near-dup
+    * cluster's min member (or unpaired). Thin view over
+    * [[graft.operators.DedupPipeline.media]], so the pair+cluster
+    * frames are shared with any other media derivation.
+    *
+    * Oracle-expressible the d08 way: the planted corpora are families
+    * of 4 (media f(doc_id), family = doc_id/4) whose CONSECUTIVE
+    * members differ by exactly one hash-picked patch/window — within
+    * the hamming-5 verify radius and the combination-LSH's
+    * deterministic recall — while distinct families sit ~32 bits
+    * apart. The pair graph's transitive closure is therefore exactly
+    * the family partition in BOTH modalities (pinned empirically by
+    * MultimodalSpec's set-equality tests), so the survivor set is the
+    * per-family min — the closure's fixpoint, spelled as a window
+    * instead of a recursive CTE. */
+  def jointMediaSurvivors(spark: SparkSession, dir: String): DataFrame = {
+    val docs = graft.core.Tables.load(spark, dir, "documents")
+    graft.operators.DedupPipeline
+      .media(docs, syntheticImageCorpus(docs), syntheticAudioCorpus(docs))
+      .jointMediaSurvivors
+  }
+
   /** Aggregate extracted features per modality (deterministic output for
     * the driver's rows-only check). */
   def featureSummary(spark: SparkSession, dir: String): DataFrame = {

@@ -210,17 +210,24 @@ object Dedup {
     sig.select(col("doc_id"), posexplode(array(bandHashes: _*)).as(Seq("band", "bh")))
   }
 
-  def minhashLsh(docs: DataFrame): DataFrame = {
-    val hashed = hashedShingleSets(docs)
-    // Key the bucket join on bh ALONE: each band hash is already seeded
-    // with its band index (xxhash64(bnd, m₂ᵦ, m₂ᵦ₊₁) above), so (band,
-    // bh) and (bh) induce the same buckets up to 2⁻⁶⁴ cross-band
-    // collisions — the collision class hashedShingles already accepts.
-    // Column pruning then drops `band` before the exchange: the window
-    // and self-join streams narrow 20 → 16 B/row and the key compare
-    // halves (the d03 table-fusion precedent, one level simpler).
+  def minhashLsh(docs: DataFrame): DataFrame =
+    minhashLshFrames(hashedShingleSets(docs))
+
+  /** [[minhashLsh]] over an ALREADY-materialized hashed-shingle frame —
+    * a builder that also persists the shingles (the fuzzy pool index)
+    * shares ONE corpus shingle pass instead of paying two
+    * corpus-sized checkpoints side by side (the p04 sf100 OOM lesson:
+    * block-manager peak is a budget like any other).
+    *
+    * Key the bucket join on bh ALONE: each band hash is already seeded
+    * with its band index (xxhash64(bnd, m₂ᵦ, m₂ᵦ₊₁) above), so (band,
+    * bh) and (bh) induce the same buckets up to 2⁻⁶⁴ cross-band
+    * collisions — the collision class hashedShingles already accepts.
+    * Column pruning then drops `band` before the exchange: the window
+    * and self-join streams narrow 20 → 16 B/row and the key compare
+    * halves (the d03 table-fusion precedent, one level simpler). */
+  private[graft] def minhashLshFrames(hashed: DataFrame): DataFrame =
     jaccardVerified(hashed, bucketPairs(bandedSignatures(hashed), Seq("bh")))
-  }
 
   def minhashLsh(s: SparkSession, dir: String): DataFrame =
     minhashLsh(Tables.load(s, dir, "documents"))

@@ -34,14 +34,20 @@ import org.apache.spark.sql.functions._
 final class DedupPipeline(
     docs: Option[DataFrame],
     embeddings: Option[DataFrame],
-    tau: Double = Dedup.ProductionEmbTau) {
-  require(docs.nonEmpty || embeddings.nonEmpty,
+    tau: Double = Dedup.ProductionEmbTau,
+    images: Option[DataFrame] = None,
+    audio: Option[DataFrame] = None) {
+  require(docs.nonEmpty || embeddings.nonEmpty || images.nonEmpty || audio.nonEmpty,
     "DedupPipeline needs at least one modality")
 
   private def docsF = docs.getOrElse(
-    sys.error("text-modality derivation on an embeddings-only pipeline"))
+    sys.error("text-modality derivation on a pipeline without documents"))
   private def embF = embeddings.getOrElse(
-    sys.error("embedding-modality derivation on a text-only pipeline"))
+    sys.error("embedding-modality derivation on a pipeline without embeddings"))
+  private def imagesF = images.getOrElse(
+    sys.error("image-modality derivation on a pipeline without images"))
+  private def audioF = audio.getOrElse(
+    sys.error("audio-modality derivation on a pipeline without audio"))
 
   /** Exact-verified text near-dup pairs (the d02 result), computed and
     * materialized once per pipeline. Result-sized. */
@@ -93,6 +99,54 @@ final class DedupPipeline(
         Seq("doc_id"), "left_anti")
       .select(col("doc_id"), col("n_chars"))
       .orderBy(col("doc_id"))
+
+  /** Perceptual image near-dup pairs (the m03 result over the
+    * instance's image frame) — decode + dHash + combination-LSH. */
+  lazy val imagePairs: DataFrame =
+    graft.multimodal.Multimodal.imageNeardup(imagesF).localCheckpoint(true)
+
+  /** Image-modality duplicate clusters: [[Dedup.clustersFromPairs]] is
+    * modality-agnostic, so media ids flow through the same CC step as
+    * text/embeddings (media_id and doc_id share the id space — the
+    * cross-modal join contract, as with vec_id). */
+  lazy val imageClusters: DataFrame =
+    Dedup.clustersFromPairs(imagePairs
+        .select(col("media_a").as("doc_a"), col("media_b").as("doc_b")))
+      .select(col("doc_id").as("media_id"), col("cluster_id"))
+      .localCheckpoint(true)
+
+  /** Perceptual audio near-dup pairs (the m04 result). */
+  lazy val audioPairs: DataFrame =
+    graft.multimodal.Multimodal.audioNeardup(audioF).localCheckpoint(true)
+
+  /** Audio-modality duplicate clusters. */
+  lazy val audioClusters: DataFrame =
+    Dedup.clustersFromPairs(audioPairs
+        .select(col("media_a").as("doc_a"), col("media_b").as("doc_b")))
+      .select(col("doc_id").as("media_id"), col("cluster_id"))
+      .localCheckpoint(true)
+
+  /** Ids the image modality drops (cluster members that are not their
+    * component's min), as a doc_id frame. */
+  def imageDropIds: DataFrame =
+    imageClusters.filter(col("media_id") =!= col("cluster_id"))
+      .select(col("media_id").as("doc_id"))
+
+  /** Ids the audio modality drops. */
+  def audioDropIds: DataFrame =
+    audioClusters.filter(col("media_id") =!= col("cluster_id"))
+      .select(col("media_id").as("doc_id"))
+
+  /** Joint MEDIA survivors (m05): a document survives only if both its
+    * image and its audio rendition are their perceptual cluster's min
+    * (or unpaired) — the d12 decision join extended to the media
+    * modalities. Same one-anti-join shape: the two decision-sized drop
+    * sets union, the corpus streams through un-shuffled. */
+  def jointMediaSurvivors: DataFrame =
+    docsF.join(imageDropIds.unionByName(audioDropIds).distinct(),
+        Seq("doc_id"), "left_anti")
+      .select(col("doc_id"), col("n_chars"))
+      .orderBy(col("doc_id"))
 }
 
 object DedupPipeline {
@@ -109,4 +163,12 @@ object DedupPipeline {
   def apply(docs: DataFrame, embeddings: DataFrame,
       tau: Double = Dedup.ProductionEmbTau): DedupPipeline =
     new DedupPipeline(Some(docs), Some(embeddings), tau)
+
+  /** Media-modality pipeline (m03/m04 pair+cluster frames, m05 joint
+    * survivors) over (media_id, content) image and audio frames whose
+    * ids share the documents id space. */
+  def media(docs: DataFrame, images: DataFrame,
+      audio: DataFrame): DedupPipeline =
+    new DedupPipeline(Some(docs), None,
+      Dedup.ProductionEmbTau, Some(images), Some(audio))
 }

@@ -33,14 +33,22 @@ import graft.functions.VectorFunctions
   * self-join shuffles the corpus ONCE keyed by cell, with the build
   * side hash-built under [[Dedup.bcastOrHashIf]]'s per-partition byte
   * budget (never a sort of the pair stream). Pair volume is
-  * Θ(Σ cell²) = Θ(n²/cells): with [[Similarity.ivfConfig]]'s
-  * 4√n cell growth that is Θ(n^1.5)/8 up to the 1024-cell cap —
-  * at larger corpora `cells` must grow ∝ n (the paper runs 50k
-  * clusters for LAION; pass `cells` explicitly, or lift the cap the
-  * way s03's scaladoc describes for two-level IVF). The per-cell
-  * quadratic is the method's published cost model, not an
-  * implementation shortcut.
-  */
+  * Θ(Σ cell²) = Θ(n²/cells), so the CELL COUNT MUST GROW ∝ n — the
+  * paper runs 50k clusters for LAION. Up to the coarse cap
+  * ([[Similarity.ivfConfig]]'s 1024) a single k-means level suffices;
+  * past it, single-level Lloyd is the binding cost (driver training is
+  * Θ(sample·cells·dim) per iteration, quadratic in cells at
+  * sample ∝ cells), so cells grow TWO-LEVEL: the coarse level stays at
+  * the cap, and each coarse cell splits into `subPerCell =
+  * ⌈(n/[[DeepCellWidth]])/coarse⌉` sub-cells trained per-cell on a
+  * hash-deterministic sample (Θ(sample·subPerCell·dim) total — linear
+  * in total cells). Assignment stays a projection: one coarse argmax
+  * (codegen [[graft.functions.NearestCentroid]]) plus one argmax over
+  * the coarse cell's slice of the flat sub-centroid matrix
+  * ([[graft.functions.NearestSubCentroid]]). The keep policy's
+  * centroid_sim is measured against the SUB-cell centroid — the cell
+  * that scopes the pair search is the cluster the policy ranks
+  * within, exactly as published. */
 object SemanticDedup {
 
   /** The paper tunes ε per corpus; 0.7 suits the synthetic corpus's
@@ -48,24 +56,64 @@ object SemanticDedup {
     * in-range, ambient isotropic pairs stay far below). */
   val DefaultTau = 0.7
 
+  /** Target MEAN cell width once the coarse cap binds: pair volume is
+    * Θ(n·width) at constant width, so this is the knob that keeps the
+    * method linear at any corpus size (512 ⇒ ~131k candidate dots per
+    * cell — the LAION paper's cells are wider because its per-cell
+    * pairwise runs on GPUs; ours is a CPU hash-join budget). */
+  val DeepCellWidth = 512L
+
+  /** Sub-cells per coarse cell for a corpus of `n` vectors: 1 until
+    * the coarse cap binds (n ≤ DeepCellWidth·coarse ≈ 524k at the
+    * 1024 cap), then grows so total cells ≈ n / DeepCellWidth. */
+  private[graft] def subPerCellFor(n: Long, coarse: Int): Int = {
+    val target = (n + DeepCellWidth - 1) / DeepCellWidth
+    math.max(1, math.ceil(target.toDouble / coarse).toInt)
+  }
+
   /** Per-vector semantic-dedup decision frame:
     * (vec_id, cell, centroid_sim, is_dup). `is_dup = 1` marks vectors
-    * the policy drops; survivors are `is_dup = 0`. */
+    * the policy drops; survivors are `is_dup = 0`. An explicit
+    * `cells` pins a single-level layout (test/tuning hook); the
+    * default sizes coarse cells via [[Similarity.ivfConfig]] and grows
+    * sub-cells past the cap. */
   def semanticDedup(corpus: DataFrame, tau: Double = DefaultTau,
       cells: Int = 0): DataFrame = {
+    val n = corpus.count()
+    val coarse = if (cells > 0) cells else Similarity.ivfConfig(n)._1
+    val sub = if (cells > 0) 1 else subPerCellFor(n, coarse)
+    semanticDedupCells(corpus, tau, coarse, sub, n)
+  }
+
+  /** [[semanticDedup]] with the two-level layout explicit (the spec
+    * exercises the deep path at test scale with a small coarse count
+    * and subPerCell > 1). */
+  private[graft] def semanticDedupCells(corpus: DataFrame, tau: Double,
+      coarse: Int, subPerCell: Int, n: Long): DataFrame = {
     val s = corpus.sparkSession
     val e = Similarity.withNorm(s, corpus)
-    val n = corpus.count()
-    val cCells = if (cells > 0) cells else Similarity.ivfConfig(n)._1
-    val cents = Similarity.kmeansCentroids(s, e, cCells)
-    val cent = Similarity.centFrame(s, cents)
-    // assignment is a projection; csim via one broadcast join against
-    // the tiny unit-norm centroid frame
-    val indexed = e
-      .withColumn("cell", VectorFunctions.nearestCell(s, col("v"), cents))
-      .join(broadcast(cent.select(col("cell"), col("cv"))), Seq("cell"))
-      .withColumn("csim", VectorFunctions.dot(s, col("v"), col("cv")) / col("norm"))
-      .select(col("cell"), col("vec_id"), col("v"), col("norm"), col("csim"))
+    val cents = Similarity.kmeansCentroids(s, e, coarse)
+    // (cell, vec_id, v, norm, csim) under the one- or two-level layout;
+    // csim is always against the cell that scopes the pair search
+    val indexed =
+      if (subPerCell <= 1) {
+        val cent = Similarity.centFrame(s, cents)
+        e.withColumn("cell", VectorFunctions.nearestCell(s, col("v"), cents))
+          .join(broadcast(cent.select(col("cell"), col("cv"))), Seq("cell"))
+          .withColumn("csim",
+            VectorFunctions.dot(s, col("v"), col("cv")) / col("norm"))
+          .select(col("cell"), col("vec_id"), col("v"), col("norm"), col("csim"))
+      } else {
+        val subCents = trainSubCentroids(s, e, cents, subPerCell)
+        val subFrame = Similarity.centFrame(s, subCents)
+        e.withColumn("c0", VectorFunctions.nearestCell(s, col("v"), cents))
+          .withColumn("cell", VectorFunctions.nearestSubCell(
+            s, col("v"), col("c0"), subCents, subPerCell))
+          .join(broadcast(subFrame.select(col("cell"), col("cv"))), Seq("cell"))
+          .withColumn("csim",
+            VectorFunctions.dot(s, col("v"), col("cv")) / col("norm"))
+          .select(col("cell"), col("vec_id"), col("v"), col("norm"), col("csim"))
+      }
     val rowBytes = 8L + 64 * 8 + 8 + 8 + 8 // cell + v + norm + csim + id
     val a = indexed.select(col("cell"), col("vec_id").as("id_a"),
       col("v").as("va"), col("norm").as("na"), col("csim").as("ca"))
@@ -88,6 +136,105 @@ object SemanticDedup {
         Seq("vec_id"), "left")
       .withColumn("is_dup", coalesce(col("is_dup"), lit(0L)))
       .orderBy(col("vec_id"))
+  }
+
+  private def ddot(x: Array[Double], y: Array[Double]): Double = {
+    var s0 = 0.0; var i = 0
+    while (i < x.length && i < y.length) { s0 += x(i) * y(i); i += 1 }
+    s0
+  }
+
+  /** Flat sub-centroid matrix (row `c·subPerCell + j` = sub-centroid j
+    * of coarse cell c) trained per coarse cell on a hash-deterministic
+    * sample: one bounded collect (≤32 points per target sub-cell,
+    * capped at 256k rows), driver-side assignment to coarse cells,
+    * then a tiny k-center + Lloyd per cell — Θ(sample·subPerCell·dim)
+    * total, LINEAR in total cells where single-level training is
+    * quadratic. A cell whose sample is thinner than its sub count pads
+    * with the coarse centroid (duplicate rows are harmless: argmax
+    * ties resolve to the lowest index). */
+  private def trainSubCentroids(s: SparkSession, e: DataFrame,
+      coarse: Array[Array[Double]], subPerCell: Int): Array[Array[Double]] = {
+    val k = coarse.length
+    val sampleN = math.min(32L * k * subPerCell, 262144L).toInt
+    val sample: Array[Array[Double]] = e
+      .filter(col("norm") > 0)
+      .orderBy(xxhash64(col("vec_id")), col("vec_id"))
+      .limit(sampleN)
+      .select(col("v"), col("norm"))
+      .collect()
+      .map { r =>
+        val nn = r.getDouble(1)
+        r.getSeq[Double](0).toArray.map(_ / nn)
+      }
+    val byCell = Array.fill(k)(scala.collection.mutable.ArrayBuffer[Array[Double]]())
+    sample.foreach { v =>
+      var best = 0; var bd = Double.MinValue; var c = 0
+      while (c < k) {
+        val d = ddot(v, coarse(c)); if (d > bd) { bd = d; best = c }; c += 1
+      }
+      byCell(best) += v
+    }
+    val flat = new Array[Array[Double]](k * subPerCell)
+    var c = 0
+    while (c < k) {
+      val cs = subKmeans(byCell(c).toArray, subPerCell, coarse(c))
+      var j = 0
+      while (j < subPerCell) { flat(c * subPerCell + j) = cs(j); j += 1 }
+      c += 1
+    }
+    flat
+  }
+
+  /** Tiny deterministic k-means over one cell's sample: k-center
+    * seeding (max-dot farthest-first, the [[Similarity
+    * .kmeansCentroids]] construction) + 5 Lloyd rounds; short cells
+    * pad with `fallback`. */
+  private def subKmeans(sample: Array[Array[Double]], k: Int,
+      fallback: Array[Double]): Array[Array[Double]] = {
+    if (sample.isEmpty) return Array.fill(k)(fallback)
+    val kk = math.min(k, sample.length)
+    val cents = scala.collection.mutable.ArrayBuffer[Array[Double]](sample(0))
+    val bestDot = sample.map(ddot(_, sample(0)))
+    while (cents.size < kk) {
+      var pick = 0; var i = 1
+      while (i < sample.length) {
+        if (bestDot(i) < bestDot(pick)) pick = i
+        i += 1
+      }
+      val cnew = sample(pick)
+      cents += cnew
+      var j = 0
+      while (j < sample.length) {
+        val d = ddot(sample(j), cnew)
+        if (d > bestDot(j)) bestDot(j) = d
+        j += 1
+      }
+    }
+    var cur = cents.toArray
+    val dim = sample(0).length
+    for (_ <- 0 until 5) {
+      val sums = Array.fill(kk)(new Array[Double](dim))
+      val counts = new Array[Int](kk)
+      sample.foreach { v =>
+        var best = 0; var bd = ddot(cur(0), v); var c = 1
+        while (c < kk) {
+          val d = ddot(cur(c), v); if (d > bd) { bd = d; best = c }; c += 1
+        }
+        counts(best) += 1
+        var i = 0
+        while (i < dim) { sums(best)(i) += v(i); i += 1 }
+      }
+      cur = cur.zipWithIndex.map { case (old, c) =>
+        if (counts(c) == 0) old
+        else {
+          val m = sums(c)
+          val nn = math.sqrt(ddot(m, m))
+          if (nn > 0) m.map(_ / nn) else old
+        }
+      }
+    }
+    cur ++ Array.fill(k - kk)(fallback)
   }
 
   /** Driver binding over [[Dedup.plantedProductionCorpus]] (the d06

@@ -693,14 +693,32 @@ object TextAnalysis {
     * and V its vocabulary size. Output: (doc_id, n_bigrams, nll)
     * rounded to 4 dp (the BM25 float-compare convention).
     *
-    * Scale shape: the bigram expansion is a codegen
-    * `transform(sequence(...))` over the token array (no UDF); the LM
-    * tables are one explode→hash-agg each over the REFERENCE split
-    * (reference-sized, not corpus-sized); scoring joins each training
-    * bigram against the two count tables — vocabulary-keyed hash
-    * joins AQE can broadcast when the reference is small — and
-    * aggregates per doc. Three linear shuffles, no self-join, nothing
-    * quadratic: the t13 TF-IDF family's shape. */
+    * Scale shape — the r9 ladder measured the first cut of this plan
+    * at e_xxtop 0.96 (84.4 s at 5M docs): its two LEFT joins put the
+    * corpus×~40 exploded bigram frame through TWO vocabulary-keyed
+    * exchanges once the LM tables outgrew AQE's broadcast threshold.
+    * The restructure splits the per-bigram log-probability
+    *
+    *   −ln((cb+1)/(cu+V)) = ln(cu(w1)+V) − ln(cb+1)
+    *
+    * and exploits add-one smoothing: `ln(cb+1) = 0` for every bigram
+    * ABSENT from the LM, so the bigram-count join only needs the
+    * in-LM rows — the reference LM's bigram keys distill into a
+    * distributed Bloom filter (the t20 `graft_bloom_agg` machinery)
+    * probed INSIDE the scan stage, and only survivors (true matches
+    * + <1% FPs, which the exact join removes) reach the bg join.
+    * The unigram term re-bases to `(n−1)·ln(V) + Σ ln((cu+V)/V)`
+    * over IN-VOCAB w1 positions only (OOV tokens contribute exactly
+    * ln(V), folded into the closed-form rebase), so that join is
+    * inner too, against the vocab-sized unigram table under a
+    * [[Dedup.bcastOrHashIf]] budget. Net: at any corpus size the
+    * only corpus-wide exchanges are the two per-doc partial→final
+    * aggregates (doc-sized after map-side combine); the LM tables
+    * broadcast when they fit and degrade to sized shuffled-hash
+    * joins when they don't — never dragging the OOV majority of the
+    * corpus through an exchange. Values unchanged: the regrouped sum
+    * differs from the oracle's per-bigram order only in ulps, which
+    * the shared round(…,4) convention absorbs (the BM25 precedent). */
   def lmPerplexity(trainDocs: DataFrame, referenceDocs: DataFrame): DataFrame = {
     import org.apache.spark.sql.Column
     val toks = tokens(col("text"))
@@ -709,27 +727,53 @@ object TextAnalysis {
       transform(sequence(lit(0), size(t) - 2),
         i => concat_ws(" ", element_at(t, i + 1), element_at(t, i + 2)))
     val refToks = referenceDocs.select(explode(toks).as("tok"))
-    // materialized: V (a scalar action) and the scoring join both
-    // consume it — without the cut the reference split tokenizes twice
+    // both LM tables materialized: each feeds a scalar action (V / the
+    // bloom build) AND a scoring join — without the cut the reference
+    // split tokenizes twice per table
     val uni = refToks.groupBy(col("tok")).agg(count(lit(1)).as("cu"))
       .localCheckpoint(true)
     val vocabSize = uni.count().toDouble
     val bi = referenceDocs
       .select(explode(bigrams(toks)).as("bg"))
       .groupBy(col("bg")).agg(count(lit(1)).as("cb"))
-    val trainBi = trainDocs
-      .filter(size(toks) >= 2)
+      .localCheckpoint(true)
+    val nBi = bi.count()
+    val bloomBytes = bi
+      .select(call_function("graft_bloom_agg", xxhash64(col("bg")),
+        lit(math.max(nBi, 1L)), lit(math.max(64L, nBi * 10L))).as("bf"))
+      .head().getAs[Array[Byte]](0)
+    val scorable = trainDocs.filter(size(toks) >= 2)
+    // per-doc bigram count straight off the token array — no explode
+    val base = scorable
+      .select(col("doc_id"), (size(toks) - 1).cast("long").as("n_bigrams"))
+    // Σ ln(cb+1) over in-LM bigrams (OOV bigrams contribute 0): bloom
+    // prune in-stage, exact inner join decides
+    val trainBg = scorable
       .select(col("doc_id"), explode(bigrams(toks)).as("bg"))
-      .withColumn("w1", split(col("bg"), " ").getItem(0))
-    val logp = log(
-      (coalesce(col("cb"), lit(0L)) + lit(1.0)) /
-        (coalesce(col("cu"), lit(0L)) + lit(vocabSize)))
-    trainBi
-      .join(bi, Seq("bg"), "left_outer")
-      .join(uni, trainBi("w1") === uni("tok"), "left_outer")
+    val prunedBg =
+      if (bloomBytes == null) trainBg.limit(0) // empty reference LM
+      else trainBg.filter(call_function("graft_might_contain",
+        lit(bloomBytes), xxhash64(col("bg"))))
+    val t1 = prunedBg
+      .join(Dedup.bcastOrHashIf(48, nBi, Seq("bg"))(bi), Seq("bg"))
       .groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n_bigrams"),
-        round(-sum(logp) / count(lit(1)), 4).as("nll"))
+      .agg(sum(log(col("cb") + lit(1.0))).as("s_bi"))
+    // Σ ln((cu+V)/V) over in-vocab w1 positions (tokens 1..n−1); the
+    // OOV positions' ln(V) lands via the n_bigrams·ln(V) rebase below
+    val t2 = scorable
+      .select(col("doc_id"),
+        explode(slice(toks, lit(1), size(toks) - 1)).as("tok"))
+      .join(Dedup.bcastOrHashIf(40, vocabSize.toLong, Seq("tok"))(uni),
+        Seq("tok"))
+      .groupBy(col("doc_id"))
+      .agg(sum(log((col("cu") + lit(vocabSize)) / lit(vocabSize))).as("s_uni"))
+    base
+      .join(t1, Seq("doc_id"), "left_outer")
+      .join(t2, Seq("doc_id"), "left_outer")
+      .select(col("doc_id"), col("n_bigrams"),
+        round((coalesce(col("s_uni"), lit(0.0))
+          + col("n_bigrams") * lit(math.log(vocabSize))
+          - coalesce(col("s_bi"), lit(0.0))) / col("n_bigrams"), 4).as("nll"))
       .orderBy(col("doc_id"))
   }
 

@@ -108,6 +108,134 @@ object RecallProbe {
           .count()
         val sec = (System.nanoTime() - t0) / 1e9
         println(f"""{"probe":"emb_deep","n":${n + pairs},"bits":$bits,"tables":$tables,"planted":$pairs,"found":$found,"recall":${found.toDouble / pairs}%.4f,"sec":$sec%.1f}""")
+      case "pqappend" =>
+        // s05's APPEND path over ≥3 generations: per-generation append
+        // cost (must be delta-proportional) and recall drift at the
+        // FROZEN quantizers, then a fresh rebuild on the full corpus
+        // for the staleness comparison. Two regimes per generation
+        // size: stationary batches (same hash-uniform distribution as
+        // the build corpus — ids continue the sequence) and DRIFTED
+        // batches (a deterministic +0.45·cos(d/4) component bias), the
+        // case the PqIndex.ensure re-train threshold exists for.
+        val gens = if (args.length > 2) args(2).toInt else 3
+        val drift = args.length > 3 && args(3) == "drift"
+        val batch = n / 10
+        val nq = 100
+        import graft.operators.Similarity
+        def batchVecs(g: Int): DataFrame = {
+          val base = spark.range(n + (g - 1) * batch, n + g * batch)
+            .select(col("id").as("vec_id"),
+              transform(sequence(lit(0), lit(Dims - 1)),
+                d => comp(col("id"), d, 1)).as("u"))
+          if (!drift) base.select(col("vec_id"),
+            expr("transform(u, x -> cast(x as float))").as("embedding"))
+          else base.select(col("vec_id"),
+            expr("transform(u, (x, d) -> cast(x + 0.45 * cos(d / 4.0) as float))")
+              .as("embedding"))
+        }
+        val corpus0 = cached(spark, s"$tmp/graft_pqappend_$n", baseVectors(spark, n))
+        val path = s"$tmp/graft_pqappend_idx_${n}_$drift-${System.nanoTime()}"
+        val tb0 = System.nanoTime()
+        graft.index.PqIndex.build(corpus0, path)
+        val buildSec = (System.nanoTime() - tb0) / 1e9
+        val queries = corpus0.filter(col("vec_id") < nq).localCheckpoint(true)
+        var full = corpus0
+        val genStats = (1 to gens).map { g =>
+          val b = batchVecs(g).localCheckpoint(true)
+          val ta = System.nanoTime()
+          graft.index.PqIndex.append(b, path)
+          val appendSec = (System.nanoTime() - ta) / 1e9
+          full = full.unionByName(b).localCheckpoint(true)
+          val approx = graft.index.PqIndex.query(spark, path, queries, 10)
+          val exact = Similarity.annBrute(full, queries, 10)
+          val r = Similarity.recallOf(exact, approx)
+          f""""gen$g":{"append_sec":$appendSec%.2f,"recall":$r%.3f}"""
+        }
+        // staleness comparison: fresh quantizers on the full corpus
+        val path2 = s"$path-fresh"
+        graft.index.PqIndex.build(full, path2)
+        val approxF = graft.index.PqIndex.query(spark, path2, queries, 10)
+        val exactF = Similarity.annBrute(full, queries, 10)
+        val rF = Similarity.recallOf(exactF, approxF)
+        println(f"""{"probe":"pq_append","n":$n,"batch":$batch,"gens":$gens,"drift":$drift,"build_sec":$buildSec%.2f,${genStats.mkString(",")},"fresh_rebuild_recall":$rF%.3f}""")
+      case "embappend" =>
+        // EmbSignatureIndex's APPEND path: per-generation append cost
+        // (delta-proportional — the counts re-merge is the only
+        // corpus-width term) and end-to-end boundary recall of a
+        // planted probe batch against the appended index vs a fresh
+        // rebuild at the same total. The planes are hash-derived (no
+        // trained state), so unlike PQ the drift axis here is DEPTH:
+        // ensure() rebuilds when adaptiveEmbBits outgrows the recorded
+        // depth, and this probe records recall on both sides of that
+        // policy.
+        val gens = if (args.length > 2) args(2).toInt else 3
+        val batch = n / 10
+        val pairs = 500
+        val corpus0 = cached(spark, s"$tmp/graft_embappend_$n", baseVectors(spark, n))
+        val path = s"$tmp/graft_embappend_idx_$n-${System.nanoTime()}"
+        val tb0 = System.nanoTime()
+        graft.index.EmbSignatureIndex.build(corpus0, path)
+        val buildSec = (System.nanoTime() - tb0) / 1e9
+        var full = corpus0
+        val genStats = (1 to gens).map { g =>
+          val b = spark.range(n + (g - 1) * batch, n + g * batch)
+            .select(col("id").as("vec_id"),
+              transform(sequence(lit(0), lit(Dims - 1)),
+                d => comp(col("id"), d, 1).cast("float")).as("embedding"))
+            .localCheckpoint(true)
+          val ta = System.nanoTime()
+          graft.index.EmbSignatureIndex.append(b, path)
+          val appendSec = (System.nanoTime() - ta) / 1e9
+          full = full.unionByName(b).localCheckpoint(true)
+          f""""gen$g":{"append_sec":$appendSec%.2f}"""
+        }
+        // boundary-recall probe: partners of base ids 0..pairs-1 played
+        // as the query delta against the appended index...
+        val delta = plantedPartners(spark, n, pairs).localCheckpoint(true)
+        val t0 = System.nanoTime()
+        val found = graft.operators.Dedup.incrementalEmbPairs(delta, path)
+          .filter(col("vec_b") === col("vec_a") + n && col("vec_a") < pairs)
+          .count()
+        val probeSec = (System.nanoTime() - t0) / 1e9
+        // ...vs a fresh rebuild on the full corpus (depth re-derived)
+        val path2 = s"$path-fresh"
+        graft.index.EmbSignatureIndex.build(full, path2)
+        val found2 = graft.operators.Dedup.incrementalEmbPairs(delta, path2)
+          .filter(col("vec_b") === col("vec_a") + n && col("vec_a") < pairs)
+          .count()
+        val bitsA = graft.index.EmbSignatureIndex.meta(spark, path)._1
+        val bitsF = graft.index.EmbSignatureIndex.meta(spark, path2)._1
+        println(f"""{"probe":"emb_append","n":$n,"batch":$batch,"gens":$gens,"build_sec":$buildSec%.2f,${genStats.mkString(",")},"probe_sec":$probeSec%.2f,"bits_appended":$bitsA,"recall_appended":${found.toDouble / pairs}%.3f,"bits_fresh":$bitsF,"recall_fresh":${found2.toDouble / pairs}%.3f}""")
+      case "semdedup" =>
+        // d15 at depth: the two-level cell growth exercised on a corpus
+        // past the coarse cap (subPerCellFor(2M+, 1024) ≥ 4). Planted
+        // partners at cosine 0.8005 ≥ τ=0.7 ARE semantic duplicates;
+        // cell-scoped recall = planted pairs co-located and dropped-one,
+        // and the keep policy is checked on every recovered pair.
+        val pairs = extra
+        val corpus = cached(spark, s"$tmp/graft_recall_emb_${n}_$pairs",
+          baseVectors(spark, n).unionByName(plantedPartners(spark, n, pairs)))
+        val t0 = System.nanoTime()
+        val res = graft.operators.SemanticDedup.semanticDedup(corpus)
+          .filter(col("vec_id") < pairs || (col("vec_id") >= n && col("vec_id") < n + pairs))
+          .localCheckpoint(true)
+        val sec = (System.nanoTime() - t0) / 1e9
+        val rows = res.collect()
+          .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2), r.getLong(3))).toMap
+        val planted = (0 until pairs).map(i => (i.toLong, i + n))
+        val coLoc = planted.filter { case (a, b) => rows(a)._1 == rows(b)._1 }
+        val dropOne = coLoc.count { case (a, b) => rows(a)._3 == 1L ^ rows(b)._3 == 1L }
+        // keep policy at depth: the dropped member is the
+        // (centroid_sim, id)-greater one (4-dp ties skipped, the spec's
+        // rounding-envelope argument)
+        val violations = coLoc.count { case (a, b) =>
+          val (_, ca, da) = rows(a)
+          val (_, cb, db) = rows(b)
+          math.abs(ca - cb) > 2e-4 && (
+            if (ca > cb) !(da == 1L && db == 0L)
+            else !(db == 1L && da == 0L))
+        }
+        println(f"""{"probe":"semdedup_deep","n":${n + pairs},"planted":$pairs,"colocated":${coLoc.size},"drop_one":$dropOne,"policy_violations":$violations,"cell_recall":${coLoc.size.toDouble / pairs}%.4f,"sec":$sec%.1f}""")
       case "ivf" =>
         val q = extra
         val corpus = cached(spark, s"$tmp/graft_recall_ivf_$n",

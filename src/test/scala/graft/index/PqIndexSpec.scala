@@ -71,6 +71,34 @@ class PqIndexSpec extends SparkSpec {
     assert(PqIndex.meta(spark, path)._1 > c0)
   }
 
+  test("ensure re-trains once appended mass passes the staleness bound") {
+    // the sf0.01 embeddings table is 500 rows (vec_id 0..499): build
+    // on 150, then append 150 + 200 so the second batch crosses 2·n0
+    val path = tmpDir("pqidx-stale")
+    val base = corpus.filter(col("vec_id") < 150)
+    PqIndex.build(base, path)
+    val centsBefore = PqIndex.centroids(spark, path)
+    // one batch AT the 2× bound (n = 300 = 2·150, not past it):
+    // quantizers stay frozen (projection pinned to the build size so
+    // the cell-drift axis stays quiet and only staleness is under test)
+    PqIndex.append(corpus.filter(col("vec_id") >= 150 && col("vec_id") < 300), path)
+    PqIndex.ensure(base, path, 150L)
+    assert(PqIndex.centroids(spark, path).map(_.toSeq).toSeq ==
+      centsBefore.map(_.toSeq).toSeq, "retrained below the bound")
+    // the next batch pushes n past 2·n0: the next ensure re-trains on
+    // the frame it is handed (the full corpus) and resets the snapshot
+    PqIndex.append(corpus.filter(col("vec_id") >= 300), path)
+    assert(PqIndex.meta(spark, path)._2 > 2 * 150L)
+    PqIndex.ensure(corpus, path, corpus.count())
+    val (_, nAfter) = PqIndex.meta(spark, path)
+    assert(nAfter == corpus.count())
+    // rebuilt: another ensure at the same size is a no-op again
+    val centsRebuilt = PqIndex.centroids(spark, path)
+    PqIndex.ensure(corpus, path, corpus.count())
+    assert(PqIndex.centroids(spark, path).map(_.toSeq).toSeq ==
+      centsRebuilt.map(_.toSeq).toSeq)
+  }
+
   test("probe set prunes the codes partitions in the executed plan") {
     val path = tmpDir("pqidx-prune")
     PqIndex.build(corpus, path)

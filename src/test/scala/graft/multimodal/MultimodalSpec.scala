@@ -207,4 +207,20 @@ class MultimodalSpec extends SparkSpec {
     assert(got.map(_._3).size > 1, "all pairs at one distance — perturbation inert")
     assert(got.forall { case (a, b, _) => (a >> 2) == (b >> 2) })
   }
+
+  test("m05 joint media survivors = family mins (closure spans every family, both modalities)") {
+    import org.apache.spark.sql.functions._
+    // the m05 oracle's load-bearing claim: consecutive family members
+    // differ by ONE planted patch/window, so the chain keeps every
+    // multi-member family one component even when non-consecutive
+    // members exceed the hamming-5 radius — and cross-family pairs
+    // never enter (pinned by the set-equality tests above). Survivors
+    // must therefore be exactly the per-family min ids.
+    val docs = graft.core.Tables.load(spark, Sf0001, "documents")
+    val got = Multimodal.jointMediaSurvivors(spark, Sf0001)
+      .collect().map(_.getLong(0)).toSeq
+    val ids = docs.select(col("doc_id")).collect().map(_.getLong(0))
+    val expected = ids.groupBy(_ >> 2).values.map(_.min).toSeq.sorted
+    assert(got === expected)
+  }
 }

@@ -65,4 +65,65 @@ class SemanticDedupSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(!plan.contains("CartesianProduct"))
   }
+
+  test("cell growth: single-level until the coarse cap binds, then sub-cells ∝ n") {
+    assert(SemanticDedup.subPerCellFor(2000L, 179) === 1)
+    assert(SemanticDedup.subPerCellFor(500000L, 1024) === 1)
+    // 2M vectors at width 512 → ~3907 target cells → 4 sub per coarse
+    assert(SemanticDedup.subPerCellFor(2000000L, 1024) === 4)
+    // one more decade → ~31 sub per coarse (total cells ≈ n/512 holds)
+    assert(SemanticDedup.subPerCellFor(16000000L, 1024) === 31)
+  }
+
+  test("two-level decisions equal the per-cell brute policy at depth") {
+    // the deep layout exercised at test scale: 8 coarse × 4 sub cells
+    val corpus = Dedup.plantedProductionCorpus(
+      Tables.load(spark, Sf0001, "embeddings"))
+    val n = corpus.count()
+    val res = SemanticDedup
+      .semanticDedupCells(corpus, tau = 0.7, coarse = 8, subPerCell = 4, n = n)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+    // two-level cell ids live in [0, coarse·sub)
+    assert(res.forall(r => r._2 >= 0 && r._2 < 32))
+    val vecs = corpus.collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      def d(x: Array[Double], y: Array[Double]) =
+        x.zip(y).map { case (p, q) => p * q }.sum
+      d(a, b) / math.sqrt(d(a, a) * d(b, b))
+    }
+    // drop-set envelope per the published policy, recomputed brute per
+    // cell: x dropped iff some same-cell y at cosine ≥ τ precedes it
+    // in (centroid_sim, id) order. The frame exposes csim ROUNDED to
+    // 4 dp while the engine orders by the exact value, so pairs within
+    // one rounding step of each other are order-ambiguous from the
+    // outside — those stay flexible (the planted-pair XOR check below
+    // still pins them behaviorally); everything beyond the step is
+    // certain and must match.
+    val byCell = res.groupBy(_._2)
+    val certainDrop = scala.collection.mutable.Set[Long]()
+    val maybeDrop = scala.collection.mutable.Set[Long]()
+    byCell.values.foreach { members =>
+      for (x <- members; y <- members if x._1 != y._1) {
+        if (cos(vecs(x._1), vecs(y._1)) >= 0.7) {
+          if (y._3 + 2e-4 < x._3) certainDrop += x._1
+          else if (math.abs(y._3 - x._3) <= 2e-4) maybeDrop += x._1
+        }
+      }
+    }
+    val got = res.filter(_._4 == 1L).map(_._1).toSet
+    assert(certainDrop.subsetOf(got),
+      s"policy must drop ${certainDrop -- got}")
+    assert(got.subsetOf(certainDrop ++ maybeDrop),
+      s"policy dropped ${got -- certainDrop -- maybeDrop} with no preceding neighbor")
+    // and the deep layout still recovers the planted pairs it co-locates
+    val cellOf = res.map(r => r._1 -> r._2).toMap
+    val coLocated = (0 until 20).map(i => (i.toLong, i + 1000000L))
+      .filter { case (a, b) => cellOf(a) == cellOf(b) }
+    assert(coLocated.size >= 16, s"only ${coLocated.size}/20 planted pairs co-located")
+    coLocated.foreach { case (a, b) =>
+      assert(got.contains(a) ^ got.contains(b),
+        s"planted pair ($a,$b) should drop exactly one member")
+    }
+  }
 }
