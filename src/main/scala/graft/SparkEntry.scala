@@ -975,7 +975,14 @@ object SparkEntry {
     // partition in both media modalities (consecutive family members
     // differ by one planted patch/window — inside the hamming-5 verify
     // radius and the combination-LSH's deterministic recall; distinct
-    // families sit ~32 bits apart), so joint survivors = family mins
+    // families sit ~32 bits apart), so joint survivors = family mins.
+    // Validity boundary (measured, graft.tools.M05Probe): at 500k docs
+    // the perceptual space is dense enough that 12 cross-family pairs
+    // land AT hamming 5 and merge a handful of families — REAL
+    // near-dups by the hash's definition, dropped correctly by the
+    // engine (m03/m04's set-equality specs pin LSH ≡ brute) but
+    // invisible to this id-structured oracle; it is exact at the
+    // driver gate's SF and diverges by 5 rows in 125k at sf10.
     "m05_joint_media_survivors" ->
       """SELECT doc_id, n_chars FROM (
         | SELECT doc_id, n_chars,

@@ -157,11 +157,17 @@ object SemanticDedup {
       coarse: Array[Array[Double]], subPerCell: Int): Array[Array[Double]] = {
     val k = coarse.length
     val sampleN = math.min(32L * k * subPerCell, 262144L).toInt
+    // materialize the sort-limit executor-side first: a bare
+    // collect() on TakeOrdered ships every partition's top-N prefix
+    // to the driver (30 partitions × 131k rows blew
+    // spark.driver.maxResultSize at the 2M probe); the checkpoint
+    // funnels through a shuffle and the collect is sample-sized
     val sample: Array[Array[Double]] = e
       .filter(col("norm") > 0)
       .orderBy(xxhash64(col("vec_id")), col("vec_id"))
       .limit(sampleN)
       .select(col("v"), col("norm"))
+      .localCheckpoint(true)
       .collect()
       .map { r =>
         val nn = r.getDouble(1)
