@@ -78,6 +78,7 @@ object ScalingBench {
     "t17_domain_mixture", "t18_mixture_epochs", "t19_token_chunks",
     "t20_bloom_decontamination", "t21_vocab_coverage", "t22_oov_ratio",
     "t23_contamination_ratio", "t24_shard_export", "t25_lm_perplexity",
+    "t26_segment_dedup", "t27_temperature_mixture",
     "p01_training_corpus",
     "p02_incremental_corpus", "p02b_small_corpus_delta",
     "p03_fuzzy_corpus",
@@ -132,6 +133,7 @@ object ScalingBench {
     "s02_ann_lsh", "s03_ann_ivf", "s04_ann_ivfpq", "s05_ann_pq_index",
     "t20_bloom_decontamination", "t21_vocab_coverage", "t22_oov_ratio",
     "t23_contamination_ratio", "t24_shard_export", "t25_lm_perplexity",
+    "t26_segment_dedup", "t27_temperature_mixture",
     "p01_training_corpus",
     "p02_incremental_corpus", "p02b_small_corpus_delta",
     "p03_fuzzy_corpus",
@@ -568,7 +570,8 @@ object ScalingBench {
       "t14_bm25_index", "t16_sequence_packing", "t17_domain_mixture",
       "t19_token_chunks", "p01_training_corpus", "p02_incremental_corpus",
       "p03_fuzzy_corpus", "p04_incremental_fuzzy", "p04b_small_fuzzy_delta",
-      "t25_lm_perplexity", "sn01_stream_text_score")
+      "t25_lm_perplexity", "t26_segment_dedup", "t27_temperature_mixture",
+      "sn01_stream_text_score")
     if (only(docNames)(identity).nonEmpty) {
       val sf100dDir = sys.env.getOrElse("SPARK_GRAFT_SF100D_DIR", "/tmp/graft_sf100d")
       ensureSf100Docs(spark, sf10Dir, sf100dDir)

@@ -124,6 +124,12 @@ object SparkEntry {
     // add-one smoothing trained on the clean benchmark split, training
     // docs scored by per-token negative log-likelihood
     "t25_lm_perplexity"   -> (TextAnalysis.lmPerplexity _),
+    // CCNet-style paragraph dedup over 10-token segments: first global
+    // occurrence survives, per-doc dup/kept-token report
+    "t26_segment_dedup"   -> (TextAnalysis.segmentDedup _),
+    // temperature-scaled (T=2) source mixture: weights ∝ √token-share
+    // in E4 fixed-point, allocations exact integer arithmetic
+    "t27_temperature_mixture" -> (Mixture.temperatureMixture _),
     // the composed pipeline as ONE oracle-exact query: exact dedup →
     // quality gate → decontamination → mixture → packing
     "p01_training_corpus" -> (TrainingCorpus.assemble _),
@@ -897,6 +903,56 @@ object SparkEntry {
         |   / count(*), 4) AS nll
         |FROM tb LEFT JOIN bi USING (bg) LEFT JOIN uni ON tb.w1 = uni.tok, v
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // t26: md5 over the identically-sliced token join, position packed
+    // into one BIGINT so the first-occurrence min is primitive on both
+    // engines; counts CAST to dodge the HUGEINT widening
+    "t26_segment_dedup" ->
+      """WITH t AS (SELECT doc_id, string_split(text,' ') AS w FROM documents),
+        |x AS (SELECT doc_id, CAST(len(w) AS BIGINT) AS n,
+        |       unnest(generate_series(0, (len(w)+9)//10 - 1)) AS k, w
+        |      FROM t),
+        |s AS (SELECT doc_id,
+        |       md5(array_to_string(w[k*10+1 : k*10+10], ' ')) AS h,
+        |       CAST(least(10, n - k*10) AS BIGINT) AS slen,
+        |       doc_id*100000 + CAST(k AS BIGINT) AS pos
+        |      FROM x),
+        |m AS (SELECT doc_id, slen, pos,
+        |       min(pos) OVER (PARTITION BY h) AS fp FROM s)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_segments,
+        | CAST(sum(CASE WHEN pos <> fp THEN 1 ELSE 0 END) AS BIGINT)
+        |  AS n_dup_segments,
+        | CAST(sum(CASE WHEN pos = fp THEN slen ELSE 0 END) AS BIGINT)
+        |  AS kept_tokens
+        |FROM m GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // t27: √share weights are one correctly-rounded IEEE sqrt + round
+    // over identical int64-derived doubles — the E4 integer weight is
+    // engine-exact, and everything after it is t17's DIV discipline
+    "t27_temperature_mixture" ->
+      """WITH t AS (
+        | SELECT doc_id, source,
+        |  CAST(len(string_split(text,' ')) AS BIGINT) AS n_tokens,
+        |  md5(CAST(doc_id AS VARCHAR)) AS k
+        | FROM documents),
+        |p AS (SELECT source, sum(n_tokens) AS st FROM t GROUP BY source),
+        |g AS (SELECT CAST(sum(st) AS BIGINT) AS tot FROM p),
+        |w AS (SELECT source,
+        |  CAST(round(sqrt(CAST(st AS DOUBLE) / CAST(tot AS DOUBLE)) * 10000)
+        |   AS BIGINT) AS wt_e4
+        | FROM p, g),
+        |ws AS (SELECT CAST(sum(wt_e4) AS BIGINT) AS wsum FROM w),
+        |a AS (SELECT source, ((tot * 50) // 100) * wt_e4 // wsum AS alloc
+        |      FROM w, g, ws),
+        |c AS (
+        | SELECT doc_id, source, n_tokens,
+        |  COALESCE(sum(n_tokens) OVER (PARTITION BY source ORDER BY k
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |   AS tokens_before
+        | FROM t)
+        |SELECT c.source, c.doc_id, c.n_tokens,
+        | CAST(c.tokens_before AS BIGINT) AS tokens_before
+        |FROM c JOIN a USING (source)
+        |WHERE c.tokens_before < a.alloc
+        |ORDER BY c.source, c.doc_id""".stripMargin,
     "p01_training_corpus" -> TrainingCorpusOracleSql,
     // p02 = p01 computed incrementally; equal output by contract
     "p02_incremental_corpus" -> TrainingCorpusOracleSql,

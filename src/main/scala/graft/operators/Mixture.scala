@@ -87,16 +87,7 @@ object Mixture {
       weight: Column => Column = suffixWeight,
       targetPct: Long = DefaultTargetPct): DataFrame = {
     require(targetPct > 0, s"targetPct must be positive, got $targetPct")
-    // pid: deterministic bucket from the shuffle key's hex prefix —
-    // monotone in k within a source, identical in every plan subtree
-    // (see scaladoc for why spark_partition_id over a range exchange
-    // is NOT safe here)
-    val slim = counts.select(col("doc_id"), col("source"), col("n_tokens"),
-      md5(col("doc_id").cast("string")).as("k"))
-      .withColumn("pid", conv(substring(col("k"), 1, 3), 16, 10).cast("int"))
-    // bucket totals: one partial-agg exchange, ≤ sources×4096 rows out
-    val ptots = slim.groupBy(col("source"), col("pid"))
-      .agg(sum(col("n_tokens")).as("ptot"))
+    val (slim, ptots) = bucketed(counts)
     // one tiny row per source; the global totals fold in by cross-joining
     // the one-row frame (broadcast: never a corpus shuffle)
     val perSrc = ptots.groupBy(col("source"))
@@ -107,6 +98,67 @@ object Mixture {
     val alloc = perSrc.crossJoin(broadcast(totals))
       .select(col("source"), col("src_tokens"), col("wt"),
         expr(s"tot * ${targetPct}L DIV 100L * wt DIV wsum").as("alloc"))
+    selectByAlloc(slim, ptots, alloc)
+  }
+
+  /** Temperature-scaled mixture (t27): per-source weights
+    * ∝ √(natural token share) — the T=2 "temperature" rebalancing the
+    * multilingual and LLaMA-style recipes use to UPWEIGHT small
+    * sources relative to proportional sampling (Conneau & Lample,
+    * NeurIPS'19 §3.1 sample languages with pᵢ^α, α=0.5; the Pile's
+    * hand weights play the same role). The weight is fixed-point:
+    * `wt_e4 = round(√(src_tokens/tot)·10⁴)` — sqrt and the one round
+    * are correctly-rounded IEEE ops on identical int64-derived
+    * doubles, so both engines produce the SAME integer weight and
+    * every downstream allocation stays exact integer arithmetic
+    * (t17's DIV discipline). Same two-phase grouped prefix-sum
+    * selection as [[domainMixtureCounts]]. */
+  def temperatureMixtureCounts(counts: DataFrame,
+      targetPct: Long = DefaultTargetPct): DataFrame = {
+    require(targetPct > 0, s"targetPct must be positive, got $targetPct")
+    val (slim, ptots) = bucketed(counts)
+    val perSrc = ptots.groupBy(col("source"))
+      .agg(sum(col("ptot")).as("src_tokens"))
+    val tot = perSrc.agg(sum(col("src_tokens")).as("tot"))
+    val withWt = perSrc.crossJoin(broadcast(tot))
+      .withColumn("wt_e4",
+        round(sqrt(col("src_tokens").cast("double") / col("tot").cast("double"))
+          * 10000, 0).cast("long"))
+    val wsum = withWt.agg(sum(col("wt_e4")).as("wsum"))
+    val alloc = withWt.crossJoin(broadcast(wsum))
+      .select(col("source"), col("src_tokens"), col("wt_e4"),
+        expr(s"tot * ${targetPct}L DIV 100L * wt_e4 DIV wsum").as("alloc"))
+    selectByAlloc(slim, ptots, alloc)
+  }
+
+  def temperatureMixture(docs: DataFrame,
+      targetPct: Long = DefaultTargetPct): DataFrame =
+    temperatureMixtureCounts(
+      docs.select(col("doc_id"), col("source"),
+        tokenCount(col("text")).as("n_tokens")), targetPct)
+      .orderBy(col("source"), col("doc_id"))
+
+  /** The deterministic-bucket slim frame + per-(source, bucket) totals
+    * shared by every mixture variant. pid: bucket from the shuffle
+    * key's hex prefix — monotone in k within a source, identical in
+    * every plan subtree (see scaladoc for why spark_partition_id over
+    * a range exchange is NOT safe here). The ptots aggregate is one
+    * partial-agg exchange, ≤ sources×4096 rows out. */
+  private def bucketed(counts: DataFrame): (DataFrame, DataFrame) = {
+    val slim = counts.select(col("doc_id"), col("source"), col("n_tokens"),
+      md5(col("doc_id").cast("string")).as("k"))
+      .withColumn("pid", conv(substring(col("k"), 1, 3), 16, 10).cast("int"))
+    val ptots = slim.groupBy(col("source"), col("pid"))
+      .agg(sum(col("n_tokens")).as("ptot"))
+    (slim, ptots)
+  }
+
+  /** Take-until-budget selection against a per-source allocation: the
+    * grouped two-phase prefix sum (bucket offsets broadcast back over
+    * the streaming corpus) shared by the proportional and temperature
+    * mixtures. */
+  private def selectByAlloc(slim: DataFrame, ptots: DataFrame,
+      alloc: DataFrame): DataFrame = {
     val poffs = ptots.withColumn("poff",
       coalesce(sum(col("ptot")).over(Window.partitionBy(col("source"))
         .orderBy(col("pid"))
@@ -152,6 +204,9 @@ object Mixture {
 
   def domainMixture(s: SparkSession, dir: String): DataFrame =
     domainMixture(Tables.load(s, dir, "documents"))
+
+  def temperatureMixture(s: SparkSession, dir: String): DataFrame =
+    temperatureMixture(Tables.load(s, dir, "documents"))
 
   def mixtureEpochs(s: SparkSession, dir: String): DataFrame =
     mixtureEpochs(Tables.load(s, dir, "documents"), targetPct = EpochsTargetPct)

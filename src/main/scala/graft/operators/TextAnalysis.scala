@@ -777,6 +777,54 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
+  /** Segment-level exact dedup (t26) — CCNet's PARAGRAPH-dedup stage
+    * (Wenzek et al., LREC 2020 §4.1: drop duplicated paragraphs by
+    * hash before any model-based filter; the step that removes
+    * boilerplate headers/navigation shared across pages), adapted to
+    * the whitespace-token corpus: "paragraphs" are consecutive
+    * `segTokens`-token blocks (the synthetic corpus carries no natural
+    * paragraph marks), and a segment is a duplicate iff an identical
+    * segment occurs at a strictly earlier global position — smaller
+    * doc_id, or an earlier offset within the same document. The
+    * per-doc report is what the pipeline acts on: segment count,
+    * duplicated-segment count, surviving token mass.
+    *
+    * Scale shape: d11's single-pass window — one scan explodes
+    * (doc_id, seg_idx, md5(segment), len); first-occurrence is
+    * `min(pos) over Window.partitionBy(hash)`, so the corpus-sized
+    * frame crosses the wire EXACTLY ONCE (the hash exchange feeding
+    * the window) and the rollup is a slim per-doc shuffle. Global
+    * position packs into one long (doc_id·10⁵ + seg_idx — docs cap at
+    * 400 tokens, so seg_idx < 10⁵ with headroom), making the window
+    * min a primitive comparison that both engines evaluate
+    * identically; segments travel as 16-byte md5 hashes, never
+    * strings, past the scan. */
+  def segmentDedup(docs: DataFrame, segTokens: Int = 10): DataFrame = {
+    val toks = tokens(col("text"))
+    val nSeg = ((size(toks) + lit(segTokens - 1)) / lit(segTokens)).cast("int")
+    val segs = transform(sequence(lit(0), nSeg - 1), k =>
+      struct(k.as("seg_idx"),
+        md5(array_join(
+          slice(toks, k * segTokens + 1, lit(segTokens)), " ")).as("h"),
+        least(lit(segTokens), size(toks) - k * segTokens)
+          .cast("long").as("slen")))
+    docs
+      .select(col("doc_id"), explode(segs).as("s"))
+      .select(col("doc_id"), col("s.h").as("h"), col("s.slen").as("slen"),
+        (col("doc_id") * 100000L + col("s.seg_idx")).as("pos"))
+      .withColumn("fp",
+        min(col("pos")).over(
+          org.apache.spark.sql.expressions.Window.partitionBy(col("h"))))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_segments"),
+        sum(when(col("pos") =!= col("fp"), 1L).otherwise(0L)).as("n_dup_segments"),
+        sum(when(col("pos") === col("fp"), col("slen")).otherwise(0L)).as("kept_tokens"))
+      .orderBy(col("doc_id"))
+  }
+
+  def segmentDedup(s: SparkSession, dir: String): DataFrame =
+    segmentDedup(Tables.load(s, dir, "documents"))
+
   /** Driver binding: reference split = every 23rd doc (the t09/p01
     * convention), training candidates the rest. */
   def lmPerplexity(s: SparkSession, dir: String): DataFrame = {

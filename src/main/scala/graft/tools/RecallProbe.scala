@@ -213,10 +213,13 @@ object RecallProbe {
         // cell-scoped recall = planted pairs co-located and dropped-one,
         // and the keep policy is checked on every recovered pair.
         val pairs = extra
+        // optional 4th arg pins a single-level cell count — the
+        // "what would the old 1024 cap cost here" comparison row
+        val capCells = if (args.length > 3) args(3).toInt else 0
         val corpus = cached(spark, s"$tmp/graft_recall_emb_${n}_$pairs",
           baseVectors(spark, n).unionByName(plantedPartners(spark, n, pairs)))
         val t0 = System.nanoTime()
-        val res = graft.operators.SemanticDedup.semanticDedup(corpus)
+        val res = graft.operators.SemanticDedup.semanticDedup(corpus, cells = capCells)
           .filter(col("vec_id") < pairs || (col("vec_id") >= n && col("vec_id") < n + pairs))
           .localCheckpoint(true)
         val sec = (System.nanoTime() - t0) / 1e9

@@ -121,6 +121,32 @@ class PlanSpec extends SparkSpec {
     assert(none.count() == 0)
   }
 
+  test("t25 bloom prune gates the bigram join inside the scan stage") {
+    val df = graft.operators.TextAnalysis.lmPerplexity(spark, Sf0001)
+    df.collect() // force AQE final plan
+    // the in-LM bigram filter must run BEFORE any exchange: OOV
+    // bigrams (the corpus majority at scale) contribute ln(cb+1)=0 and
+    // must never reach the bg join's shuffle
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    def flatten(p: SparkPlan): Seq[SparkPlan] = p +: (p match {
+      case a: AdaptiveSparkPlanExec => flatten(a.executedPlan)
+      case q: QueryStageExec => flatten(q.plan)
+      case other => other.children.flatMap(flatten)
+    })
+    val nodes = flatten(df.queryExecution.executedPlan)
+    val bloomFilters = nodes.collect {
+      case f: org.apache.spark.sql.execution.FilterExec
+          if f.condition.toString.contains("might_contain") => f
+    }
+    assert(bloomFilters.nonEmpty, "no bloom probe on the bigram branch")
+    assert(bloomFilters.forall(f => flatten(f.child).forall {
+      case _: org.apache.spark.sql.execution.exchange.Exchange => false
+      case _: QueryStageExec => false
+      case _ => true
+    }), "an exchange sits below the t25 bloom probe — prune is not scan-local")
+  }
+
   test("d10 survivors: corpus anti-joins against a BROADCAST drop set, columns pruned") {
     val plan = executedPlan(graft.operators.Dedup.dedupSurvivors(spark, Sf0001))
     // the non-survivor side is small (cluster members only) → broadcast

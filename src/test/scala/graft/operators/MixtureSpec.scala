@@ -45,6 +45,43 @@ class MixtureSpec extends SparkSpec {
     assert(got === reference(Sf0001, Mixture.DefaultTargetPct))
   }
 
+  test("temperature mixture equals the sequential √share-weighted reference") {
+    val rows = Tables.load(spark, Sf0001, "documents")
+      .select(col("doc_id"), col("source"),
+        size(split(col("text"), " ")).cast("long"))
+      .as[(Long, String, Long)].collect()
+    val bySrc = rows.groupBy(_._2)
+    val srcTok = bySrc.map { case (s, ds) => s -> ds.map(_._3).sum }
+    val tot = rows.map(_._3).sum
+    val wtE4 = srcTok.map { case (s, st) =>
+      s -> math.round(math.sqrt(st.toDouble / tot.toDouble) * 10000)
+    }
+    val wsum = wtE4.values.sum
+    val allocOf = wtE4.map { case (s, w) => s -> tot * 50L / 100L * w / wsum }
+    val expected = bySrc.toSeq.flatMap { case (src, docs) =>
+      var cum = 0L
+      docs.sortBy(d => md5hex(d._1.toString)).flatMap { case (id, _, n) =>
+        val keep = cum < allocOf(src)
+        val row = (src, id, n, cum)
+        cum += n
+        if (keep) Some(row) else None
+      }
+    }.sortBy(r => (r._1, r._2))
+    val got = Mixture.temperatureMixture(Tables.load(spark, Sf0001, "documents"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toSeq
+    assert(got === expected)
+    // T=2 does what it exists for: the weight RATIO between any two
+    // sources is the square root of their token-share ratio — small
+    // sources end up upweighted relative to proportional sampling
+    val st = srcTok.toSeq.sortBy(_._2)
+    val (loS, loT) = st.head
+    val (hiS, hiT) = st.last
+    if (hiT > loT)
+      assert(wtE4(hiS).toDouble / wtE4(loS) < hiT.toDouble / loT,
+        "temperature weights failed to compress the share ratio")
+  }
+
   test("every source fills its allocation with overshoot under one document") {
     val docs = Tables.load(spark, Sf0001, "documents")
     val sel = Mixture.domainMixture(docs)

@@ -7,6 +7,34 @@ import graft.SparkSpec
   * pin the cross-operator invariants the oracle can't express. */
 class PipelineOpsSpec extends SparkSpec {
 
+  test("segment dedup (t26): first global occurrence survives, dup/kept arithmetic exact") {
+    val s2 = spark
+    import s2.implicits._
+    def seg(c: Char) = (1 to 10).map(i => s"$c$i").mkString(" ")
+    val a = seg('a'); val b = seg('b'); val c = seg('c')
+    val docs = Seq(
+      (1L, s"$a $b"),      // both segments first occurrences
+      (2L, s"$a $c"),      // segment A duplicates doc 1's
+      (3L, s"$a $b"),      // verbatim copy of doc 1: everything dup
+      (4L, "x1 x2 x3"))    // one partial 3-token segment
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.segmentDedup(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got === Array(
+      (1L, 2L, 0L, 20L), (2L, 2L, 1L, 10L),
+      (3L, 2L, 2L, 0L), (4L, 1L, 0L, 3L)))
+    // intra-doc repetition: the second occurrence INSIDE one doc is a
+    // dup too (position packs doc_id and offset into one ordered long)
+    val rep = Seq((7L, s"$a $a")).toDF("doc_id", "text")
+    val r = TextAnalysis.segmentDedup(rep).collect().head
+    assert((r.getLong(1), r.getLong(2), r.getLong(3)) === ((2L, 1L, 10L)))
+    // d11's plan shape: one window keyed on the segment hash, never a
+    // corpus-sized single-partition window
+    val plan = TextAnalysis.segmentDedup(docs)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("SPARK_PARTITION_ID"))
+  }
+
   test("minhash-LSH finds exactly the exact-jaccard pairs (recall 1.0 at τ=0.8)") {
     val lsh = Dedup.minhashLsh(spark, Sf001).collect()
       .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))).toSet
