@@ -83,6 +83,7 @@ object ScalingBench {
     "p02_incremental_corpus", "p02b_small_corpus_delta",
     "p03_fuzzy_corpus",
     "p04_incremental_fuzzy", "p04b_small_fuzzy_delta",
+    "p05_temperature_corpus",
     "m03_image_neardup", "m04_audio_neardup", "m05_joint_media_survivors",
     "sn01_stream_text_score", "sn02_stream_emb_score",
     "sn03_stream_pool_batch")
@@ -138,6 +139,7 @@ object ScalingBench {
     "p02_incremental_corpus", "p02b_small_corpus_delta",
     "p03_fuzzy_corpus",
     "p04_incremental_fuzzy", "p04b_small_fuzzy_delta",
+    "p05_temperature_corpus",
     "m03_image_neardup", "m04_audio_neardup", "m05_joint_media_survivors",
     "sn01_stream_text_score", "sn02_stream_emb_score",
     "sn03_stream_pool_batch",
@@ -570,6 +572,7 @@ object ScalingBench {
       "t14_bm25_index", "t16_sequence_packing", "t17_domain_mixture",
       "t19_token_chunks", "p01_training_corpus", "p02_incremental_corpus",
       "p03_fuzzy_corpus", "p04_incremental_fuzzy", "p04b_small_fuzzy_delta",
+      "p05_temperature_corpus",
       "t25_lm_perplexity", "t26_segment_dedup", "t27_temperature_mixture",
       "sn01_stream_text_score")
     if (only(docNames)(identity).nonEmpty) {

@@ -149,6 +149,9 @@ object SparkEntry {
     // by contract equals the full fuzzy recompute, so the oracle is
     // p03's verbatim (the p02/d14 precedent)
     "p04_incremental_fuzzy" -> (TrainingCorpus.incrementalAssembleFuzzy _),
+    // p01 under the TEMPERATURE mixture: t27's √share weights replace
+    // the hand-weight table inside the composed assembly
+    "p05_temperature_corpus" -> (TrainingCorpus.assembleTemperature _),
     // training-data pipeline: similarity search
     "s01_ann_brute"       -> (Similarity.annBrute _),
     "s02_ann_lsh"         -> (Similarity.annLsh _),
@@ -258,6 +261,76 @@ object SparkEntry {
         |              (SELECT sum(wt) FROM mw) AS wsum),
         |ma AS (SELECT source, ((tot * 50) // 100) * wt // wsum AS alloc
         |       FROM mw, mg),
+        |mc AS (
+        | SELECT doc_id, source, n_tokens,
+        |  COALESCE(sum(n_tokens) OVER (PARTITION BY source
+        |   ORDER BY md5(CAST(doc_id AS VARCHAR))
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |   AS tokens_before
+        | FROM clean),
+        |sel AS (
+        | SELECT mc.doc_id, mc.source, mc.n_tokens
+        | FROM mc JOIN ma USING (source)
+        | WHERE mc.tokens_before < ma.alloc),
+        |pc AS (
+        | SELECT doc_id, source, n_tokens,
+        |  COALESCE(sum(n_tokens) OVER (ORDER BY doc_id
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS start_off
+        | FROM sel)
+        |SELECT doc_id, source, n_tokens,
+        | CAST(start_off AS BIGINT) AS start_off,
+        | CAST(start_off // 2048 AS BIGINT) AS first_seq,
+        | CAST((start_off + n_tokens - 1) // 2048 AS BIGINT) AS last_seq
+        |FROM pc ORDER BY doc_id""".stripMargin
+
+  /** p05 oracle — p01's chain with the TEMPERATURE mixture stanza:
+    * per-source weights √(clean-pool token share) in E4 fixed-point
+    * (one correctly-rounded IEEE sqrt + round over identical
+    * int64-derived doubles), every allocation integer DIV after it. */
+  private val TemperatureCorpusOracleSql =
+    """WITH cnt AS (
+        | SELECT doc_id, source, md5(lower(trim(text))) AS fp,
+        |  CAST(len(string_split(text,' ')) AS BIGINT) AS t0,
+        |  CAST(len(list_filter(string_split(text,' '),
+        |       x -> x IN ('the','a','and','of','to','in','is'))) AS BIGINT) AS s,
+        |  CAST(length(text) AS BIGINT) AS c0,
+        |  CAST(length(text)
+        |   - length(regexp_replace(text, '[^a-z0-9 ]', '', 'g')) AS BIGINT) AS p
+        | FROM documents WHERE doc_id % 23 <> 0),
+        |scored AS (
+        | SELECT doc_id, source, fp, t0 AS n_tokens,
+        |  ((2*(50*least(t0,100)*greatest(t0,1)*greatest(c0,1)
+        |      + 2500*s*greatest(c0,1) + 2500*(greatest(c0,1)-p)*greatest(t0,1))
+        |    + greatest(t0,1)*greatest(c0,1))
+        |   // (2*greatest(t0,1)*greatest(c0,1))) / 10000.0 AS quality
+        | FROM cnt),
+        |kept AS (
+        | SELECT doc_id, source, n_tokens FROM (
+        |  SELECT *, min(doc_id) OVER (PARTITION BY fp) AS keep_id FROM scored)
+        | WHERE doc_id = keep_id AND quality >= 0.5
+        |  AND n_tokens BETWEEN 20 AND 400),
+        |shx AS (
+        | SELECT doc_id,
+        |  list_distinct([w[i]||' '||w[i+1]||' '||w[i+2]||' '||w[i+3]||' '||w[i+4]
+        |                 for i in range(1, len(w)-3)]) AS sh
+        | FROM (SELECT doc_id, string_split(text,' ') AS w FROM documents)),
+        |bench AS (SELECT DISTINCT unnest(sh) AS h FROM shx WHERE doc_id % 23 = 0),
+        |contam AS (
+        | SELECT DISTINCT t.doc_id
+        | FROM (SELECT doc_id, unnest(sh) AS h FROM shx WHERE doc_id % 23 <> 0) t
+        | JOIN bench USING (h)),
+        |clean AS (
+        | SELECT * FROM kept
+        | WHERE doc_id NOT IN (SELECT doc_id FROM contam)),
+        |mw AS (SELECT source, sum(n_tokens) AS st FROM clean GROUP BY source),
+        |mg AS (SELECT CAST(sum(st) AS BIGINT) AS tot FROM mw),
+        |mww AS (SELECT source,
+        |  CAST(round(sqrt(CAST(st AS DOUBLE) / CAST(tot AS DOUBLE)) * 10000)
+        |   AS BIGINT) AS wt
+        | FROM mw, mg),
+        |mws AS (SELECT CAST(sum(wt) AS BIGINT) AS wsum FROM mww),
+        |ma AS (SELECT source, ((tot * 50) // 100) * wt // wsum AS alloc
+        |       FROM mww, mg, mws),
         |mc AS (
         | SELECT doc_id, source, n_tokens,
         |  COALESCE(sum(n_tokens) OVER (PARTITION BY source
@@ -959,6 +1032,7 @@ object SparkEntry {
     "p03_fuzzy_corpus" -> FuzzyCorpusOracleSql,
     // p04 = p03 computed incrementally; equal output by contract
     "p04_incremental_fuzzy" -> FuzzyCorpusOracleSql,
+    "p05_temperature_corpus" -> TemperatureCorpusOracleSql,
     // t17/t18: allocations are pure integer arithmetic (//), weights the
     // deterministic 1+(suffix%5), order the md5 shuffle key — every term
     // bit-reproducible across engines (the PARTITION BY source window is

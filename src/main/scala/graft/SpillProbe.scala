@@ -45,7 +45,12 @@ object SpillProbe {
     "sn01_stream_text_score", "sn02_stream_emb_score",
     // the fuzzy assembly's gated-LSH + CC stack and the LM scorer's
     // bigram join under pressure
-    "p03_fuzzy_corpus", "t25_lm_perplexity")
+    "p03_fuzzy_corpus", "t25_lm_perplexity",
+    // round-11 additions: the incremental fuzzy path (index build +
+    // affected-CC under pressure), the segment-hash window, the
+    // temperature selection, and the joint media decision stack
+    "p04_incremental_fuzzy", "t26_segment_dedup",
+    "t27_temperature_mixture", "m05_joint_media_survivors")
 
   def main(args: Array[String]): Unit = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")

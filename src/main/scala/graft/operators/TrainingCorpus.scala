@@ -130,6 +130,31 @@ object TrainingCorpus {
     Packing.packCounts(selected, budget)
   }
 
+  /** Corpus assembly under the TEMPERATURE mixture (p05): [[assemble]]
+    * with t27's √share weights replacing the hand-weight table — the
+    * recipe a multilingual/size-skewed pretraining corpus uses to
+    * upweight small domains (Conneau & Lample α=0.5 sampling). Same
+    * slim-frame composition: one scored scan, survivor-pruned
+    * decontamination, then the temperature selection + packing over
+    * token-count frames only. */
+  def assembleTemperature(trainDocs: DataFrame, benchmarkDocs: DataFrame,
+      targetPct: Long = Mixture.DefaultTargetPct,
+      budget: Long = Packing.DefaultBudget): DataFrame = {
+    val clean = cleanPool(trainDocs, benchmarkDocs).localCheckpoint(true)
+    val selected = Mixture.temperatureMixtureCounts(clean, targetPct)
+      .select(col("doc_id"), col("source"), col("n_tokens"))
+      .localCheckpoint(true)
+    Packing.packCounts(selected, budget)
+  }
+
+  /** Driver binding for the temperature assembly (p05; the p01 split
+    * convention). */
+  def assembleTemperature(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(s, dir, "documents")
+    assembleTemperature(docs.filter(col("doc_id") % 23 =!= 0),
+      docs.filter(col("doc_id") % 23 === 0))
+  }
+
   /** Corpus assembly with FUZZY near-dedup (p03) — [[assemble]] with a
     * minhash-LSH near-duplicate stage between the gates and the
     * decontamination pass, the pipeline shape the published corpora
