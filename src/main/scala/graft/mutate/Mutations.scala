@@ -89,6 +89,31 @@ class Mutations(store: TableStore) {
     removed
   }
 
+  /** Bulk predicate delete with per-row CDC events — the DISTRIBUTED
+    * extension of [[deleteById]] (the reference's delete surface is
+    * id-keyed only, `miniodb_service.go`; a 100 TB retention/GDPR pass
+    * deletes by predicate and must still notify consumers per row).
+    * The victim (id, timestamp) frame is captured and MATERIALIZED
+    * under the table lock BEFORE the partition swap — the swap
+    * rewrites the very files the plan reads — and the DELETE slice
+    * lands distributed via [[graft.streaming.CdcLog.appendFrame]],
+    * never through the driver. */
+  def deleteWhere(table: String, victim: org.apache.spark.sql.Column): Long =
+      store.withTableLock(table) {
+    store.flush(table)
+    val df = store.storageDf(table)
+    if (!df.columns.contains("id")) return 0L
+    val victims = (
+      if (df.columns.contains("timestamp"))
+        df.filter(victim).select(col("id"), col("timestamp"))
+      else df.filter(victim).select(col("id"))
+    ).localCheckpoint(true)
+    val removed = removeWhere(table, victim)
+    if (removed > 0)
+      graft.streaming.CdcLog.appendFrame(store, table, "DELETE", victims)
+    removed
+  }
+
   /** Update = delete old versions + insert the new record (reference
     * semantics: last write wins per id). Atomic vs other mutations on
     * the table (single UPDATE CDC event, not DELETE+INSERT — matching

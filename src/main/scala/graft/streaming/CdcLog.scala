@@ -68,6 +68,28 @@ object CdcLog {
       .parquet(s"${path(store, table)}/mut-${java.util.UUID.randomUUID()}")
   }
 
+  /** Frame-based append — the BULK-mutation path. The Seq overload
+    * covers the reference's id-keyed point mutations (driver-sized by
+    * definition); this one takes an (id, timestamp) FRAME and writes
+    * the slice distributed under one emitted_at stamp, so a predicate
+    * delete whose victim set has no business on the driver publishes
+    * per-row events without collecting them. Same slice-dir layout and
+    * cursor semantics as [[append]]. */
+  def appendFrame(store: TableStore, table: String, op: String,
+      rows: DataFrame, batchId: Long = -1L): Unit = {
+    import org.apache.spark.sql.functions.{col, lit}
+    val now = nextEmittedAt()
+    val ts =
+      if (rows.columns.contains("timestamp"))
+        col("timestamp").cast("timestamp")
+      else lit(null).cast("timestamp")
+    rows.select(lit(op).as("op"), col("id").cast("string").as("id"),
+        ts.as("timestamp"), lit(batchId).as("batch_id"),
+        lit(now).as("emitted_at"))
+      .write.mode("overwrite")
+      .parquet(s"${path(store, table)}/mut-${java.util.UUID.randomUUID()}")
+  }
+
   /** Consumer-side read of the full event log (empty frame when no
     * events exist). Batch dirs are plain subdirs → recursive lookup.
     * Reads are LOCKLESS, so `ignoreMissingFiles` (per-read option, not

@@ -35,6 +35,25 @@ class MutationsSpec extends SparkSpec {
     assert(after == untouched)
   }
 
+  test("deleteWhere: bulk predicate delete publishes per-row DELETE events distributed") {
+    import org.apache.spark.sql.functions._
+    val (store, mut) = seeded()
+    // predicate spans two ids across partitions
+    val n = mut.deleteWhere("t", col("id").isin("a", "c"))
+    assert(n == 3)
+    assert(store.read("t").collect().map(_.getAs[String]("id")).toSeq == Seq("b"))
+    // one CDC slice, one DELETE row per victim, all under one stamp
+    val ev = graft.streaming.CdcLog.read(store, "t")
+      .filter(col("op") === "DELETE").collect()
+    assert(ev.length == 3)
+    assert(ev.map(_.getAs[String]("id")).sorted.toSeq == Seq("a", "a", "c"))
+    assert(ev.map(_.getAs[Timestamp]("emitted_at")).distinct.length == 1)
+    // no-match predicate: nothing removed, no event slice
+    assert(mut.deleteWhere("t", col("id") === "zzz") == 0)
+    assert(graft.streaming.CdcLog.read(store, "t")
+      .filter(col("op") === "DELETE").count() == 3)
+  }
+
   test("deleteById drops a partition that becomes empty") {
     val (store, mut) = seeded()
     assert(mut.deleteById("t", "c") == 1)
