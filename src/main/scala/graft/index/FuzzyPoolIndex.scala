@@ -127,6 +127,29 @@ object FuzzyPoolIndex {
     fs(s, path).create(marker(path), true).close()
   }
 
+  /** Compact the signature index: re-sign the CURRENT gated pool's
+    * text and clear the tombstones. `retired/` grows monotonically
+    * under ingest (signatures are append-only, so every retraction
+    * leaves a dead band row the probe path must anti-join), and a
+    * retired doc that was an over-cap bucket's min severs that
+    * bucket's approximate star links — compaction is the documented
+    * maintenance that bounds both. `allDocs` is the corpus ∪ every
+    * ingested delta (the index stores no text); cadence is an
+    * operator choice, e.g. when |retired| crosses a fraction of
+    * |gated| — the LSM analogy the reference's tiered compaction
+    * already sets (`internal/compaction/manager.go`). Same torn-write
+    * marker contract as [[ingest]]. */
+  def compact(allDocs: DataFrame, path: String): Unit = {
+    val s = allDocs.sparkSession
+    val keptText = allDocs.join(
+      gated(s, path).select(col("doc_id")), Seq("doc_id"), "left_semi")
+    fs(s, path).delete(marker(path), false)
+    SignatureIndex.build(keptText, sigPath(path))
+    s.range(0).select(col("id").as("doc_id"))
+      .write.mode("overwrite").parquet(s"$path/retired")
+    fs(s, path).create(marker(path), true).close()
+  }
+
   /** Ingest a delta batch: advance the persisted state so the NEXT
     * batch sees corpus ∪ delta. Text work is delta-proportional (the
     * delta is scored, signed, and 5-gram-exploded once); the

@@ -52,6 +52,26 @@ class FuzzyPoolIndexSpec extends SparkSpec {
     assert(inc === full)
   }
 
+  test("compaction clears tombstones and preserves the next batch's decisions") {
+    val docs = docsAt(Sf0001)
+    val train = docs.filter(col("doc_id") % 23 =!= 0)
+    val bench = docs.filter(col("doc_id") % 23 === 0)
+    val corpus = train.filter(col("doc_id") % 3 =!= 0)
+    val b1 = train.filter(col("doc_id") % 6 === 0)
+    val b2 = train.filter(col("doc_id") % 6 === 3)
+    val path = tmpDir("graft-fuzzyidx4")
+    FuzzyPoolIndex.build(corpus, path = path, benchmarkDocs = bench)
+    FuzzyPoolIndex.ingest(b1, path)
+    // compact with the full ingested-so-far corpus: tombstones clear,
+    // and the NEXT batch computes the same pool as the uncompacted path
+    FuzzyPoolIndex.compact(corpus.unionByName(b1), path)
+    assert(FuzzyPoolIndex.ready(spark, path))
+    assert(FuzzyPoolIndex.retired(spark, path).count() === 0)
+    val inc = poolSet(TrainingCorpus.incrementalFuzzyPool(b2, path))
+    val full = poolSet(TrainingCorpus.fuzzyCleanPool(train, bench))
+    assert(inc === full)
+  }
+
   test("a smaller-id delta duplicate retracts a fuzzy-cluster keeper and re-keys its cluster") {
     val docs = docsAt(Sf0001)
     val train = docs.filter(col("doc_id") % 23 =!= 0)
