@@ -11,6 +11,12 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Pass forked run output straight through instead of wrapping it in
+// sbt's "[info] " logger prefix: the bench/verify mains print ONE
+// machine-readable JSON line on stdout, and the prefix made it
+// unparseable to anything that json-loads lines verbatim (the
+// BENCH "parsed": null defect carried since r9).
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

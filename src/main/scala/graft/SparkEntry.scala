@@ -519,6 +519,26 @@ object SparkEntry {
       |WHERE rank <= 10
       |ORDER BY query_id, rank""".stripMargin
 
+  /** Oracle VALIDITY ceilings, in `documents`-table rows: an oracle
+    * listed here is exact only while the corpus stays under its bound,
+    * because the oracle encodes a planted-data assumption that the
+    * engine (correctly) outgrows. [[graft.Verify]] enforces the bound
+    * machine-side — above it the oracle is omitted from
+    * oracle_sql.json (the query degrades to a rows-only check) instead
+    * of failing spuriously against a right answer.
+    *
+    * m05: the id-structural family-min oracle assumes the perceptual
+    * pair closure equals the doc_id/4 family partition. Measured
+    * (graft.tools.M05Probe): exact through the driver gate's SFs, but
+    * at 500k docs the hash space is dense enough that 12 REAL
+    * cross-family hamming-5 pairs merge families — engine right,
+    * oracle wrong, 5/125k rows. Bound set at the largest corpus where
+    * exactness was verified (the 50k-doc sf0.1 bench corpus), below
+    * the 500k point where the divergence is measured. */
+  val oracleValidMaxDocs: Map[String, Long] = Map(
+    "m05_joint_media_survivors" -> 100000L,
+    "m05b_joint_media_survivors_indexed" -> 100000L)
+
   /** DuckDB-runnable equivalents (same parquet tables registered under
     * their bare names). Keys absent here get a rows-only check. */
   def oracleSql: Map[String, String] = Map(
@@ -977,7 +997,8 @@ object SparkEntry {
         |FROM tb LEFT JOIN bi USING (bg) LEFT JOIN uni ON tb.w1 = uni.tok, v
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     // t26: md5 over the identically-sliced token join, position packed
-    // into one BIGINT so the first-occurrence min is primitive on both
+    // into one BIGINT (doc_id·2^20 + seg_idx, matching the Spark side's
+    // widened packing) so the first-occurrence min is primitive on both
     // engines; counts CAST to dodge the HUGEINT widening
     "t26_segment_dedup" ->
       """WITH t AS (SELECT doc_id, string_split(text,' ') AS w FROM documents),
@@ -987,7 +1008,7 @@ object SparkEntry {
         |s AS (SELECT doc_id,
         |       md5(array_to_string(w[k*10+1 : k*10+10], ' ')) AS h,
         |       CAST(least(10, n - k*10) AS BIGINT) AS slen,
-        |       doc_id*100000 + CAST(k AS BIGINT) AS pos
+        |       doc_id*1048576 + CAST(k AS BIGINT) AS pos
         |      FROM x),
         |m AS (SELECT doc_id, slen, pos,
         |       min(pos) OVER (PARTITION BY h) AS fp FROM s)
@@ -1112,7 +1133,9 @@ object SparkEntry {
     // near-dups by the hash's definition, dropped correctly by the
     // engine (m03/m04's set-equality specs pin LSH ≡ brute) but
     // invisible to this id-structured oracle; it is exact at the
-    // driver gate's SF and diverges by 5 rows in 125k at sf10.
+    // driver gate's SF and diverges by 5 rows in 125k at sf10. The
+    // boundary is machine-enforced: [[oracleValidMaxDocs]] makes
+    // Verify omit this oracle above the verified corpus size.
     "m05_joint_media_survivors" ->
       """SELECT doc_id, n_chars FROM (
         | SELECT doc_id, n_chars,

@@ -35,7 +35,22 @@ object Verify {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
+    // Machine-enforced oracle-validity bounds: an oracle whose
+    // planted-data assumption breaks above a measured corpus size
+    // (SparkEntry.oracleValidMaxDocs) is OMITTED at larger SFs — the
+    // query degrades to a rows-only check instead of failing spuriously
+    // against a correct engine answer.
+    val nDocs =
+      try spark.read.parquet(s"$sfDir/documents.parquet").count()
+      catch { case _: Throwable => 0L }
     val json = SparkEntry.oracleSql
+      .filter { case (k, _) =>
+        val ok = SparkEntry.oracleValidMaxDocs.get(k).forall(nDocs <= _)
+        if (!ok) System.err.println(
+          s"[verify] $k: oracle omitted (validity bound " +
+            s"${SparkEntry.oracleValidMaxDocs(k)} docs < corpus $nDocs)")
+        ok
+      }
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()

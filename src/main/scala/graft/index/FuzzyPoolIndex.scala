@@ -96,6 +96,11 @@ object FuzzyPoolIndex {
   def build(corpusDocs: DataFrame, benchmarkDocs: DataFrame,
       path: String): Unit = {
     val s = corpusDocs.sparkSession
+    // Rebuild over an ALREADY-ready index must honor the same torn-write
+    // contract as ingest/compact: drop READY before the first overwrite,
+    // or a crash mid-rebuild leaves ready()==true over half-rewritten
+    // frames and the next reader consumes a torn index.
+    fs(s, path).delete(marker(path), false)
     TrainingCorpus.scoredScan(corpusDocs)
       .groupBy(col("fp")).agg(min(col("doc_id")).as("keep_id"))
       .write.mode("overwrite").parquet(s"$path/fps")

@@ -132,13 +132,30 @@ object PqIndex {
   /** Build if absent, if the recorded coarse resolution has drifted
     * below what `projectedN` total vectors need, or if appended mass
     * has passed the [[RetrainFactor]] staleness bound since the
-    * quantizers were trained. Returns the cell count in effect. */
+    * quantizers were trained. Returns the cell count in effect.
+    *
+    * `embeddings` must be the FULL corpus-plus-appends frame: a
+    * staleness rebuild overwrites codes/vecs from it alone, so a
+    * caller handing only the original base frame would silently drop
+    * every appended vector. Enforced (one count, paid only on the
+    * rare rebuild path) rather than documented-only — quiet data loss
+    * must not be one call away. */
   def ensure(embeddings: DataFrame, path: String, projectedN: Long): Int = {
     val s = embeddings.sparkSession
     val needed = Similarity.ivfConfig(projectedN)._1
     val stale = !ready(s, path) || meta(s, path)._1 < needed ||
       meta(s, path)._2 > RetrainFactor * metaN0(s, path)
-    if (stale) build(embeddings, path, projectedN)
+    if (stale) {
+      if (ready(s, path)) {
+        val covered = meta(s, path)._2
+        val handed = embeddings.count()
+        require(handed >= covered,
+          s"PqIndex.ensure rebuild would drop vectors: handed frame has " +
+            s"$handed rows but the index covers $covered — pass the full " +
+            "corpus-plus-appends frame")
+      }
+      build(embeddings, path, projectedN)
+    }
     meta(s, path)._1
   }
 

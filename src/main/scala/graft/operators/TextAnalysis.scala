@@ -794,10 +794,13 @@ object TextAnalysis {
     * `min(pos) over Window.partitionBy(hash)`, so the corpus-sized
     * frame crosses the wire EXACTLY ONCE (the hash exchange feeding
     * the window) and the rollup is a slim per-doc shuffle. Global
-    * position packs into one long (doc_id·10⁵ + seg_idx — docs cap at
-    * 400 tokens, so seg_idx < 10⁵ with headroom), making the window
-    * min a primitive comparison that both engines evaluate
-    * identically; segments travel as 16-byte md5 hashes, never
+    * position packs into one long (doc_id·2²⁰ + seg_idx — a ~10M-token
+    * document before the packing aliases; the synthetic docs cap at
+    * 400), making the window min a primitive comparison that both
+    * engines evaluate identically; an assert_true guards the seg_idx
+    * bound at runtime, because an aliased position would mis-attribute
+    * first occurrence IDENTICALLY in the DuckDB oracle — the gate
+    * cannot catch it. Segments travel as 16-byte md5 hashes, never
     * strings, past the scan. */
   def segmentDedup(docs: DataFrame, segTokens: Int = 10): DataFrame = {
     val toks = tokens(col("text"))
@@ -811,7 +814,11 @@ object TextAnalysis {
     docs
       .select(col("doc_id"), explode(segs).as("s"))
       .select(col("doc_id"), col("s.h").as("h"), col("s.slen").as("slen"),
-        (col("doc_id") * 100000L + col("s.seg_idx")).as("pos"))
+        // assert_true is null on success, so the add is a no-op unless
+        // a >2²⁰-segment document would alias into the next doc's range
+        (col("doc_id") * lit(1L << 20) + col("s.seg_idx") +
+          coalesce(assert_true(col("s.seg_idx") < lit(1L << 20)).cast("long"),
+            lit(0L))).as("pos"))
       .withColumn("fp",
         min(col("pos")).over(
           org.apache.spark.sql.expressions.Window.partitionBy(col("h"))))

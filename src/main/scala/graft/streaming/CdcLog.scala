@@ -74,7 +74,16 @@ object CdcLog {
     * the slice distributed under one emitted_at stamp, so a predicate
     * delete whose victim set has no business on the driver publishes
     * per-row events without collecting them. Same slice-dir layout and
-    * cursor semantics as [[append]]. */
+    * cursor semantics as [[append]].
+    *
+    * The frame is materialized HERE (localCheckpoint) before the
+    * write: callers typically publish the victim set of a mutation
+    * they are about to apply (or just applied), and a lazy plan
+    * re-reading storage after the caller's partition swap would emit
+    * empty or failing slices. Materializing inside the append makes
+    * the contract structural instead of a per-caller precondition —
+    * the victim set is mutation-sized, not corpus-sized, so the pinned
+    * copy is cheap and released with the session's next releaseAll. */
   def appendFrame(store: TableStore, table: String, op: String,
       rows: DataFrame, batchId: Long = -1L): Unit = {
     import org.apache.spark.sql.functions.{col, lit}
@@ -86,6 +95,7 @@ object CdcLog {
     rows.select(lit(op).as("op"), col("id").cast("string").as("id"),
         ts.as("timestamp"), lit(batchId).as("batch_id"),
         lit(now).as("emitted_at"))
+      .localCheckpoint(true)
       .write.mode("overwrite")
       .parquet(s"${path(store, table)}/mut-${java.util.UUID.randomUUID()}")
   }

@@ -30,8 +30,27 @@ PATTERNS = {
     "api-key": re.compile(
         r"(AKIA[0-9A-Z]{16}|sk-[A-Za-z0-9]{20,}|ghp_[A-Za-z0-9]{36}|"
         r"xox[baprs]-[A-Za-z0-9-]{10,}|-----BEGIN [A-Z ]*PRIVATE KEY-----)"),
-    "axon-env": re.compile(r"\b[A-Z0-9_]*(AXON|ANTHROPIC|INTERNAL_TOKEN)[A-Z0-9_]*\b"),
+    # generic secret-shaped env-var names; vendor/site-specific name
+    # lists belong in the UNTRACKED tools/leakcheck.local.json, never
+    # in the tree (a public repo must not name what it scans for)
+    "env-token": re.compile(
+        r"\b[A-Z0-9_]+_(INTERNAL|SECRET)_[A-Z0-9_]+\b"
+        r"|\b[A-Z0-9_]{4,}_(TOKEN|API_KEY)\b"),
 }
+
+def load_local_patterns():
+    """Extra detector regexes from tools/leakcheck.local.json
+    ({"category": "regex", ...}) — untracked, operator-supplied."""
+    p = os.path.join("tools", "leakcheck.local.json")
+    if not os.path.isfile(p):
+        return {}
+    try:
+        return {k: re.compile(v) for k, v in json.load(open(p)).items()}
+    except (OSError, ValueError, re.error) as e:
+        print(f"warning: ignoring {p}: {e}", file=sys.stderr)
+        return {}
+
+PATTERNS.update(load_local_patterns())
 
 SCAN_DIRS = ["src", "tools", "project"]
 SCAN_FILES = ["build.sbt", "README.md", "SURVEY.md", "COVERAGE.md",
@@ -48,7 +67,27 @@ def files():
         if os.path.isfile(f):
             yield f
 
+def selftest():
+    """Plant one fixture line per category and assert detection — run
+    with --selftest after editing patterns."""
+    fixtures = {
+        "internal-import": "import com.acmecorp.engine.Thing",
+        "internal-url": "https://wiki.acmecorp.test/page",
+        "internal-pkg2": "com.acmecorp.internal",
+        "internal-bucket": "s3a://prod-data-lake/x",
+        "slack-link": "see app.slack for details",
+        "api-key": "AKIA" + "ABCDEFGHIJKLMNOP",
+        "env-token": "export ACME_INTERNAL_API=1 MYSVC_TOKEN=x",
+    }
+    bad = [c for c, line in fixtures.items()
+           if c in PATTERNS and not PATTERNS[c].search(line)]
+    print("selftest: " + ("FAIL " + ",".join(bad) if bad else
+          f"ok ({len(fixtures)} planted fixtures detected)"))
+    sys.exit(1 if bad else 0)
+
 def main():
+    if "--selftest" in sys.argv:
+        selftest()
     rnd = int(sys.argv[1]) if len(sys.argv) > 1 else 0
     hits = {k: [] for k in PATTERNS}
     self_path = os.path.join("tools", "leakcheck.py")
