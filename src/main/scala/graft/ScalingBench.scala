@@ -48,6 +48,15 @@ object ScalingBench {
     "p04b_small_fuzzy_delta" ->
       ((s, dir) =>
         graft.operators.TrainingCorpus.incrementalAssembleFuzzyMod(s, dir, 30)),
+    // media delta probes against the persisted perceptual-hash index
+    // (decode the batch ONLY — the m03/m04 cadence shape; mod=30 ≈ a
+    // 3% daily batch)
+    "m03b_image_delta" ->
+      ((s, dir) =>
+        graft.multimodal.Multimodal.imageNeardupIncrementalMod(s, dir, 30)),
+    "m04b_audio_delta" ->
+      ((s, dir) =>
+        graft.multimodal.Multimodal.audioNeardupIncrementalMod(s, dir, 30)),
     // streaming micro-batch scoring: half the d07/d13 delta scored with
     // the other half already committed in the pending log (frozen-index
     // contract — see StreamingNearDup/StreamingEmbNearDup.benchScore)
@@ -84,7 +93,9 @@ object ScalingBench {
     "p03_fuzzy_corpus",
     "p04_incremental_fuzzy", "p04b_small_fuzzy_delta",
     "p05_temperature_corpus",
-    "m03_image_neardup", "m04_audio_neardup", "m05_joint_media_survivors",
+    "m03_image_neardup", "m03b_image_delta",
+    "m04_audio_neardup", "m04b_audio_delta",
+    "m05_joint_media_survivors", "m05b_joint_media_survivors_indexed",
     "sn01_stream_text_score", "sn02_stream_emb_score",
     "sn03_stream_pool_batch")
 
@@ -140,7 +151,9 @@ object ScalingBench {
     "p03_fuzzy_corpus",
     "p04_incremental_fuzzy", "p04b_small_fuzzy_delta",
     "p05_temperature_corpus",
-    "m03_image_neardup", "m04_audio_neardup", "m05_joint_media_survivors",
+    "m03_image_neardup", "m03b_image_delta",
+    "m04_audio_neardup", "m04b_audio_delta",
+    "m05_joint_media_survivors", "m05b_joint_media_survivors_indexed",
     "sn01_stream_text_score", "sn02_stream_emb_score",
     "sn03_stream_pool_batch",
     "d05_embedding_neardup")
@@ -574,7 +587,14 @@ object ScalingBench {
       "p03_fuzzy_corpus", "p04_incremental_fuzzy", "p04b_small_fuzzy_delta",
       "p05_temperature_corpus",
       "t25_lm_perplexity", "t26_segment_dedup", "t27_temperature_mixture",
-      "sn01_stream_text_score")
+      "sn01_stream_text_score",
+      // the media family's 5M-doc decade: media content derives from
+      // doc_id alone (renderFamilyPng/Wav), so the docs-only sf100
+      // corpus carries it; the delta probes decode 1/30, the
+      // maintained m05 decodes its delta third — the corpus decode is
+      // the one-time index build the first attempt pays
+      "m03b_image_delta", "m04b_audio_delta",
+      "m05b_joint_media_survivors_indexed")
     if (only(docNames)(identity).nonEmpty) {
       val sf100dDir = sys.env.getOrElse("SPARK_GRAFT_SF100D_DIR", "/tmp/graft_sf100d")
       ensureSf100Docs(spark, sf10Dir, sf100dDir)

@@ -186,6 +186,14 @@ object SparkEntry {
     // survivor set is the per-family min id
     "m05_joint_media_survivors" ->
       ((s, dir) => graft.multimodal.Multimodal.jointMediaSurvivors(s, dir)),
+    // m05 MAINTAINED against persisted frames (the d14 shape for
+    // media): corpus decoded once into a MediaHashIndex + persisted
+    // cluster frame per modality, delta probed incrementally and
+    // folded in with mergeClusters. Same result, same oracle, same
+    // validity bound as m05 — but decode is amortized instead of
+    // per-run
+    "m05b_joint_media_survivors_indexed" ->
+      ((s, dir) => graft.multimodal.Multimodal.jointMediaSurvivorsIndexed(s, dir)),
   )
 
   /** d08/d14 oracle — transitive closure of the exact jaccard≥0.8
@@ -1137,6 +1145,14 @@ object SparkEntry {
     // boundary is machine-enforced: [[oracleValidMaxDocs]] makes
     // Verify omit this oracle above the verified corpus size.
     "m05_joint_media_survivors" ->
+      """SELECT doc_id, n_chars FROM (
+        | SELECT doc_id, n_chars,
+        |  min(doc_id) OVER (PARTITION BY doc_id // 4) AS fam_min
+        | FROM documents)
+        |WHERE doc_id = fam_min ORDER BY doc_id""".stripMargin,
+    // m05b: the maintained (index + mergeClusters) path must equal the
+    // full-recompute m05 — same oracle, same validity bound
+    "m05b_joint_media_survivors_indexed" ->
       """SELECT doc_id, n_chars FROM (
         | SELECT doc_id, n_chars,
         |  min(doc_id) OVER (PARTITION BY doc_id // 4) AS fam_min

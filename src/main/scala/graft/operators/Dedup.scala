@@ -283,28 +283,51 @@ object Dedup {
     * `sigCol`; `maxHamming` must stay ≤ 7 for the 3-of-8 block keys'
     * deterministic-recall pigeonhole to hold. Returns
     * (doc_a, doc_b, hamming), unsorted. */
-  private[graft] def hamming64Pairs(sigFrame: DataFrame, sigCol: String,
-      maxHamming: Int): DataFrame = {
-    require(maxHamming <= SimBlocks - 1,
-      s"3-of-8 block keys guarantee recall only to hamming ${SimBlocks - 1}")
-    val sigs = sigFrame.localCheckpoint(true) // fans out 4 ways in bucketPairs
+  /** The 56 combination-LSH bucket keys (3-of-8 block combos, table
+    * index fused into bits 24+) for one 64-bit signature, as an
+    * array<long> column. SHARED between the batch pair path
+    * ([[hamming64Pairs]]), the persisted media-hash index
+    * ([[graft.index.MediaHashIndex]]) and the incremental probe
+    * ([[incrementalHamming64PairsFrames]]) — one geometry, so
+    * index-side buckets and probe-side buckets always agree.
+    *
+    * The table index is FUSED into the bucket key (bits 24+) instead
+    * of riding as its own column: the n·56-row bucket stream crosses
+    * two shuffles (count window + self-join), so one slim long key
+    * instead of (tbl, bv) cuts the dominant exchange's row width —
+    * measured 22.3 → 15.2 s warm standalone on the 500k-doc sf10
+    * point. Distinct tables stay distinct buckets, so the cap/recall
+    * contract is untouched. */
+  private[graft] def hammingBlockKeys(sig: Column): Column = {
     val bitsPerBlock = 64 / SimBlocks
     val mask = (1L << bitsPerBlock) - 1
     val blk = (0 until SimBlocks).map(b =>
-      shiftright(col(sigCol), b * bitsPerBlock).bitwiseAND(mask))
-    // the table index is FUSED into the bucket key (bits 24+) instead of
-    // riding as its own column: the n·56-row bucket stream crosses two
-    // shuffles (count window + self-join), so one slim long key instead
-    // of (tbl, bv) cuts the dominant exchange's row width — measured
-    // 22.3 → 15.2 s warm standalone on the 500k-doc sf10 point. Distinct
-    // tables stay distinct buckets, so the cap/recall contract is
-    // untouched.
+      shiftright(sig, b * bitsPerBlock).bitwiseAND(mask))
     val combos = (for {
       i <- 0 until SimBlocks; j <- i + 1 until SimBlocks; k <- j + 1 until SimBlocks
     } yield blk(i) + shiftleft(blk(j), bitsPerBlock) + shiftleft(blk(k), 2 * bitsPerBlock))
       .zipWithIndex.map { case (c, t) => c + lit(t.toLong << (3 * bitsPerBlock)) }
-    val buckets = sigs.select(col("doc_id"), col(sigCol),
-      explode(array(combos: _*)).as("bk"))
+    array(combos: _*)
+  }
+
+  private[graft] def hamming64Pairs(sigFrame: DataFrame, sigCol: String,
+      maxHamming: Int): DataFrame = {
+    val sigs = sigFrame.localCheckpoint(true) // fans out 4 ways in bucketPairs
+    hamming64PairsFromBuckets(
+      sigs.select(col("doc_id"), col(sigCol),
+        explode(hammingBlockKeys(col(sigCol))).as("bk")),
+      sigCol, maxHamming)
+  }
+
+  /** [[hamming64Pairs]] entered at an already-derived (doc_id, sigCol,
+    * bk) bucket frame — the persisted media-hash index stores exactly
+    * this ([[graft.index.MediaHashIndex]]), so a maintained corpus
+    * re-derives pairs without re-exploding (or, upstream, re-decoding)
+    * anything. */
+  private[graft] def hamming64PairsFromBuckets(buckets: DataFrame,
+      sigCol: String, maxHamming: Int): DataFrame = {
+    require(maxHamming <= SimBlocks - 1,
+      s"3-of-8 block keys guarantee recall only to hamming ${SimBlocks - 1}")
     bucketPairs(buckets, Seq("bk"), dedupe = false, rider = Some(sigCol))
       .select(col("doc_a"), col("doc_b"),
         bit_count(col(s"${sigCol}_a").bitwiseXOR(col(s"${sigCol}_b")))
@@ -315,6 +338,89 @@ object Dedup {
 
   def simhash(s: SparkSession, dir: String): DataFrame =
     simhash(Tables.load(s, dir, "documents"))
+
+  /** Hamming near-dup pairs TOUCHING a delta batch of 64-bit
+    * signatures, probed against a PERSISTED bucket corpus
+    * ([[graft.index.MediaHashIndex]]) — the d07 incremental shape for
+    * the signature-hamming family (text SimHash, image dHash, audio
+    * eHash). At 100 TB of media the decode+hash pass dominates all
+    * downstream cost; this path hashes ONLY the delta and probes the
+    * persisted buckets, so per-batch work is delta-proportional.
+    *
+    * Shuffle shape mirrors [[incrementalPairsFrames]]: the delta's 56
+    * bucket keys are a zero-shuffle map; the candidate join reads the
+    * persisted bucket table with the delta side small enough that AQE
+    * broadcasts it (no hard hint — an oversized delta degrades to a
+    * shuffle join, the t09 lesson); bucket widths come from the
+    * persisted ledger semi-pruned by a broadcast of the delta's keys.
+    * Unlike the MinHash path there is NO attach join at all: the
+    * 8-byte signature rides the bucket rows, so the hamming verify is
+    * a codegen'd bit_count over columns already present.
+    *
+    * Result = [[hamming64Pairs]] over corpus∪delta restricted to
+    * pairs with ≥1 side in the delta, for every bucket at or under
+    * the shared [[MaxBucket]] cap. Over-cap buckets emit CONNECTIVITY
+    * LINKS only, in both paths — but not the same links (batch chains
+    * adjacent sorted members + stars to the min; this path links each
+    * delta row to the bucket min): equivalent for
+    * [[clustersFromPairs]] connectivity, NOT pairwise identical —
+    * equivalence specs restrict to uncapped buckets, the
+    * [[incrementalPairs]] contract verbatim.
+    *
+    * `deltaSigs` carries (media_id, sig); `corpusBuckets` is the
+    * persisted (media_id, sig, bk) frame; `corpusCounts` the
+    * persisted (bk, n, min_id, min_sig) ledger. Returns
+    * (media_a, media_b, hamming), unsorted. */
+  private[graft] def incrementalHamming64PairsFrames(deltaSigs: DataFrame,
+      corpusBuckets: DataFrame, corpusCounts: DataFrame,
+      maxHamming: Int): DataFrame = {
+    require(maxHamming <= SimBlocks - 1,
+      s"3-of-8 block keys guarantee recall only to hamming ${SimBlocks - 1}")
+    // delta-sized ×56; consumed 4 ways (counts, normal join both sides,
+    // hot links) — materialize once
+    val dB = deltaSigs
+      .select(col("media_id"), col("sig"),
+        explode(hammingBlockKeys(col("sig"))).as("bk"))
+      .localCheckpoint(true)
+    val dCounts = dB.groupBy(col("bk"))
+      .agg(count(lit(1)).as("dn"),
+        min(struct(col("media_id"), col("sig"))).as("dmn"))
+    // semi-prune the corpus ledger to delta-touched buckets (broadcast
+    // of delta keys; footer-pruned via the bk-sorted layout), THEN the
+    // outer merge's build side is delta-sized by construction
+    val touched = corpusCounts
+      .join(broadcast(dCounts.select(col("bk"))), Seq("bk"), "left_semi")
+      .select(col("bk"), col("n"),
+        struct(col("min_id").as("media_id"), col("min_sig").as("sig")).as("mn"))
+    val hotB = touched
+      .join(dCounts, Seq("bk"), "right_outer")
+      .filter(coalesce(col("n"), lit(0L)) + col("dn") > MaxBucket)
+      .select(col("bk"),
+        least(coalesce(col("mn"), col("dmn")),
+          coalesce(col("dmn"), col("mn"))).as("mn"))
+      .localCheckpoint(true) // tiny by construction; broadcast-joined 2×
+    val hotKeys = broadcast(hotB.select(col("bk")))
+    val dNorm = dB.join(hotKeys, Seq("bk"), "left_anti")
+    val allNorm = corpusBuckets.unionByName(dB)
+      .join(hotKeys, Seq("bk"), "left_anti")
+    val cand = dNorm
+      .select(col("media_id").as("da"), col("sig").as("sa"), col("bk"))
+      .join(allNorm.select(col("media_id").as("ob"), col("sig").as("sb"),
+        col("bk")), Seq("bk"))
+      .filter(col("da") =!= col("ob"))
+      .select(least(col("da"), col("ob")).as("media_a"),
+        greatest(col("da"), col("ob")).as("media_b"),
+        bit_count(col("sa").bitwiseXOR(col("sb"))).cast("long").as("hamming"))
+    val hotPairs = dB.join(broadcast(hotB), Seq("bk"))
+      .filter(col("media_id") =!= col("mn.media_id"))
+      .select(least(col("media_id"), col("mn.media_id")).as("media_a"),
+        greatest(col("media_id"), col("mn.media_id")).as("media_b"),
+        bit_count(col("sig").bitwiseXOR(col("mn.sig")))
+          .cast("long").as("hamming"))
+    cand.unionByName(hotPairs)
+      .filter(col("hamming") <= maxHamming)
+      .distinct()
+  }
 
   /** Document-frequency cap for the n-gram inverted index. A shingle
     * shared by k documents emits k² pair hits in the self-join, so one

@@ -223,4 +223,57 @@ class MultimodalSpec extends SparkSpec {
     val expected = ids.groupBy(_ >> 2).values.map(_.min).toSeq.sorted
     assert(got === expected)
   }
+
+  test("m03b/m04b incremental delta ≡ batch pairs restricted to the delta (real decode)") {
+    import org.apache.spark.sql.functions._
+    val mod = 3
+    def restricted(batch: org.apache.spark.sql.DataFrame) = batch
+      .filter(col("media_a") % mod === 0 || col("media_b") % mod === 0)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    def got(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val img = got(Multimodal.imageNeardupIncrementalMod(spark, Sf0001, mod))
+    assert(img === restricted(Multimodal.imageNeardup(spark, Sf0001)))
+    assert(img.nonEmpty, "planted families must cross the corpus/delta split")
+    val aud = got(Multimodal.audioNeardupIncrementalMod(spark, Sf0001, mod))
+    assert(aud === restricted(Multimodal.audioNeardup(spark, Sf0001)))
+    assert(aud.nonEmpty)
+  }
+
+  test("m05b maintained survivors ≡ m05 full recompute") {
+    val a = Multimodal.jointMediaSurvivors(spark, Sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val b = Multimodal.jointMediaSurvivorsIndexed(spark, Sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(a === b)
+  }
+
+  test("m05 drop set ≡ brute hamming-closure over decoded hashes (closure-level spec)") {
+    import org.apache.spark.sql.functions._
+    // the m03/m04 set-equality spec lifted one level: the SURVIVOR
+    // decision must match the transitive closure of the brute
+    // all-pairs hamming≤5 graph on the real decoded signatures — no
+    // planted-family assumption anywhere (this is the spec that stays
+    // valid at the scales where the id-structural oracle breaks)
+    val docs = graft.core.Tables.load(spark, Sf0001, "documents")
+    def bruteDrops(sigs: org.apache.spark.sql.DataFrame): Set[Long] = {
+      val s = sigs.withColumnsRenamed(Map("media_id" -> "id", "sig" -> "h"))
+        .localCheckpoint(true)
+      val pairs = s.as("a").join(s.as("b"), col("a.id") < col("b.id"))
+        .filter(bit_count(col("a.h").bitwiseXOR(col("b.h"))) <= 5)
+        .select(col("a.id").as("doc_a"), col("b.id").as("doc_b"))
+      graft.operators.Dedup.clustersFromPairs(pairs)
+        .filter(col("doc_id") =!= col("cluster_id"))
+        .collect().map(_.getLong(0)).toSet
+    }
+    val drops = bruteDrops(Multimodal.imageSigFrame(
+        Multimodal.syntheticImageCorpus(docs))) ++
+      bruteDrops(Multimodal.audioSigFrame(
+        Multimodal.syntheticAudioCorpus(docs)))
+    val expected = docs.select(col("doc_id")).collect().map(_.getLong(0))
+      .filterNot(drops).sorted.toSeq
+    val got = Multimodal.jointMediaSurvivors(spark, Sf0001)
+      .collect().map(_.getLong(0)).toSeq
+    assert(got === expected)
+  }
 }
