@@ -65,7 +65,9 @@ object ScalingBench {
     "sn02_stream_emb_score" ->
       ((s, dir) => graft.streaming.StreamingEmbNearDup.benchScore(s, dir)),
     "sn03_stream_pool_batch" ->
-      ((s, dir) => graft.streaming.StreamingCorpusPool.benchScore(s, dir)))
+      ((s, dir) => graft.streaming.StreamingCorpusPool.benchScore(s, dir)),
+    "sn04_stream_fuzzy_batch" ->
+      ((s, dir) => graft.streaming.StreamingFuzzyPool.benchScore(s, dir)))
 
   private def query(name: String): (SparkSession, String) => DataFrame =
     SparkEntry.queries.getOrElse(name, Extra(name))
@@ -97,7 +99,7 @@ object ScalingBench {
     "m04_audio_neardup", "m04b_audio_delta",
     "m05_joint_media_survivors", "m05b_joint_media_survivors_indexed",
     "sn01_stream_text_score", "sn02_stream_emb_score",
-    "sn03_stream_pool_batch")
+    "sn03_stream_pool_batch", "sn04_stream_fuzzy_batch")
 
   /** SPARK_GRAFT_SCALING_ONLY=a,b,c restricts the measured set — for
     * adding rows for NEW queries to an existing record without
@@ -155,7 +157,7 @@ object ScalingBench {
     "m04_audio_neardup", "m04b_audio_delta",
     "m05_joint_media_survivors", "m05b_joint_media_survivors_indexed",
     "sn01_stream_text_score", "sn02_stream_emb_score",
-    "sn03_stream_pool_batch",
+    "sn03_stream_pool_batch", "sn04_stream_fuzzy_batch",
     "d05_embedding_neardup")
 
   private def MeasuredSf10 = only(MeasuredSf10All)(identity)

@@ -174,17 +174,33 @@ object FuzzyPoolIndex {
       .join(TrainingCorpus.deltaFpMins(deltaDocs), Seq("fp"), "full_outer")
       .select(col("fp"),
         least(col("keep_id"), col("dmin")).as("keep_id"))
-      .localCheckpoint(true)
-    // every frame below READS the current index — materialize before
+    ingestFrames(s, st.gated, st.pairs, st.clusters, st.retired,
+      mergedFps, st.deltaBands, st.deltaShingles, path)
+  }
+
+  /** [[ingest]] with the advanced frames already computed — the
+    * streaming compactor folds its pending log in without re-scoring
+    * ([[graft.streaming.StreamingFuzzyPool.compact]] hands the live
+    * decision frames plus the log's accumulated bands/shingles).
+    * `deltaBands`/`deltaShingles` must be at most log-sized and
+    * materialized or cheap to rescan (the [[SignatureIndex
+    * .appendFrames]] contract). Same crash contract as [[ingest]]:
+    * READY drops before the first rewrite, re-creates after the
+    * last. */
+  private[graft] def ingestFrames(s: SparkSession, gatedNew: DataFrame,
+      pairsNew: DataFrame, clustersNew: DataFrame, retiredNew: DataFrame,
+      mergedFps: DataFrame, deltaBands: DataFrame, deltaShingles: DataFrame,
+      path: String): Unit = {
+    // every frame below may READ the current index — materialize before
     // any overwrite (Spark cannot overwrite a path its plan still reads)
-    val g = st.gated.localCheckpoint(true)
-    val p = st.pairs.localCheckpoint(true)
-    val c = st.clusters.localCheckpoint(true)
-    val r = st.retired.localCheckpoint(true)
+    val f = mergedFps.localCheckpoint(true)
+    val g = gatedNew.localCheckpoint(true)
+    val p = pairsNew.localCheckpoint(true)
+    val c = clustersNew.localCheckpoint(true)
+    val r = retiredNew.localCheckpoint(true)
     fs(s, path).delete(marker(path), false)
-    SignatureIndex.appendFrames(s, st.deltaBands, st.deltaShingles,
-      sigPath(path))
-    mergedFps.write.mode("overwrite").parquet(s"$path/fps")
+    SignatureIndex.appendFrames(s, deltaBands, deltaShingles, sigPath(path))
+    f.write.mode("overwrite").parquet(s"$path/fps")
     g.write.mode("overwrite").parquet(s"$path/gated")
     p.write.mode("overwrite").parquet(s"$path/pairs")
     c.write.mode("overwrite").parquet(s"$path/clusters")

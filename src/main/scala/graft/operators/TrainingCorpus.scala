@@ -404,10 +404,6 @@ object TrainingCorpus {
     val idx = graft.index.FuzzyPoolIndex
     val fps = idx.fps(s, indexPath)
     val benchSh = idx.benchShingles(s, indexPath)
-    val gated = idx.gated(s, indexPath)
-    val pairs = idx.pairs(s, indexPath)
-    val clusters = idx.clusters(s, indexPath)
-    val retired = idx.retired(s, indexPath)
 
     // delta gate survivors (combined-min rule) + their contamination
     val (kept, contamIds, deltaFps, nDeltaFps) =
@@ -418,33 +414,73 @@ object TrainingCorpus {
         coalesce(col("contam"), lit(false)).as("contam"))
       .localCheckpoint(true)
 
-    // retractions: gated corpus keepers out-minned by a delta arrival
-    // (the gated frame streams once against the broadcast fp-min set)
-    val r = gated
-      .join(Dedup.bcastIf(48, nDeltaFps)(deltaFps), Seq("fp"))
-      .filter(col("dmin") < col("doc_id"))
-      .select(col("doc_id"))
-      .localCheckpoint(true)
-    val nR = r.count()
-
-    // delta pair formation against the persisted signature index,
-    // minus pairs touching a tombstoned (retired ∪ newly-retracted) doc
+    // delta pair formation against the persisted signature index
+    // (pairs touching tombstoned docs are dropped inside the fold)
     val deltaKeptText = deltaDocs
       .join(keptFlag.select(col("doc_id")), Seq("doc_id"), "left_semi")
     val deltaSh = Dedup.hashedShingleSets(deltaKeptText) // materialized inside
     val deltaBands = Dedup.bandedSignatures(deltaSh).localCheckpoint(true)
     val sp = idx.sigPath(indexPath)
+    val probed = Dedup.incrementalPairsFrames(deltaSh, deltaBands,
+        graft.index.SignatureIndex.bands(s, sp),
+        graft.index.SignatureIndex.shingles(s, sp),
+        graft.index.SignatureIndex.counts(s, sp))
+      .select(col("doc_a"), col("doc_b"))
+
+    val d = foldFuzzyDecisions(
+      idx.gated(s, indexPath), idx.pairs(s, indexPath),
+      idx.clusters(s, indexPath), idx.retired(s, indexPath),
+      keptFlag, s.range(0).select(col("id").as("doc_id")),
+      deltaFps, nDeltaFps, probed)
+    FuzzyState(d.gated, d.pairs, d.clusters, d.retired, deltaBands, deltaSh)
+  }
+
+  /** The advanced decision frames after a fold. */
+  private[graft] final case class FuzzyDecisions(gated: DataFrame,
+      pairs: DataFrame, clusters: DataFrame, retired: DataFrame)
+
+  /** Fold ALREADY-SCORED additions, retraction mins and new near-dup
+    * pairs into the persisted (gated, pairs, clusters, retired)
+    * decision frames — the shared core of [[incrementalFuzzyFrames]]
+    * (one delta batch vs the index) and the streaming maintainer's
+    * live view ([[graft.streaming.StreamingFuzzyPool]] passes the
+    * union of its pending batches: live pending additions as
+    * `keptFlag`, pending additions later undercut as
+    * `retractedExtra`, the global pending pre-gate mins as
+    * `deltaFps`, and the pending pair log as `newPairs`).
+    *
+    * Semantics as documented on [[incrementalFuzzyFrames]]:
+    * retractions follow the combined-min rule; removing a node can
+    * SPLIT a component, so connected components re-run over AFFECTED
+    * components only (those holding a retracted node or a new pair's
+    * endpoint), sourced from the persisted EDGES. Shuffle shape: the
+    * gated/pairs/clusters frames stream against BROADCASTS of
+    * delta-sized id/label sets ([[Dedup.bcastIf]] — an oversized
+    * delta degrades to a hash join, never an OOM). */
+  private[graft] def foldFuzzyDecisions(gated: DataFrame, pairs: DataFrame,
+      clusters: DataFrame, retired: DataFrame, keptFlag: DataFrame,
+      retractedExtra: DataFrame, deltaFps: DataFrame, nDeltaFps: Long,
+      newPairs0: DataFrame): FuzzyDecisions = {
+    // retractions: gated corpus keepers out-minned by a delta arrival
+    // (the gated frame streams once against the broadcast fp-min set),
+    // plus the caller's extra retraction set
+    val r = gated
+      .join(Dedup.bcastIf(48, nDeltaFps)(deltaFps), Seq("fp"))
+      .filter(col("dmin") < col("doc_id"))
+      .select(col("doc_id"))
+      .unionByName(retractedExtra)
+      .distinct()
+      .localCheckpoint(true)
+    val nR = r.count()
     val dead = retired.unionByName(r).distinct().localCheckpoint(true)
     val nDead = dead.count()
     def notDead(df: DataFrame, side: String): DataFrame =
       df.join(Dedup.bcastIf(8, nDead)(
         dead.withColumnRenamed("doc_id", side)), Seq(side), "left_anti")
-    val newPairs = notDead(notDead(
-      Dedup.incrementalPairsFrames(deltaSh, deltaBands,
-          graft.index.SignatureIndex.bands(s, sp),
-          graft.index.SignatureIndex.shingles(s, sp),
-          graft.index.SignatureIndex.counts(s, sp))
-        .select(col("doc_a"), col("doc_b")), "doc_a"), "doc_b")
+    // new pairs minus those touching a tombstoned (retired ∪
+    // newly-retracted) doc — signatures are append-only, so a retired
+    // doc still collides in the band table
+    val newPairs = notDead(notDead(newPairs0, "doc_a"), "doc_b")
       .localCheckpoint(true)
 
     // affected components: those holding a retracted node or a new
@@ -479,7 +515,7 @@ object TrainingCorpus {
     val gatedNew = gated
       .join(Dedup.bcastIf(8, nR)(r), Seq("doc_id"), "left_anti")
       .unionByName(keptFlag)
-    FuzzyState(gatedNew, pairsNew, clustersNew, dead, deltaBands, deltaSh)
+    FuzzyDecisions(gatedNew, pairsNew, clustersNew, dead)
   }
 
   /** The fuzzy survivor pool AFTER a delta batch, computed
