@@ -28,9 +28,14 @@ import graft.query.QueryEngine
   * @param authSecret HMAC secret enabling the auth verbs; None = auth
   *                   disabled (reference `auth.enabled: false` mode)
   * @param defaultTable when set, legacy `FROM table` queries resolve to
-  *                     this table (reference `miniodb_service.go:663-681`) */
+  *                     this table (reference `miniodb_service.go:663-681`)
+  * @param auditPath when set, every mutation verb appends a JSONL audit
+  *                  entry — success AND failure, with error text and
+  *                  duration — to this file (reference
+  *                  `internal/audit/audit.go:87-158`; None = audit
+  *                  disabled, the reference's `audit.enabled: false`) */
 class ServiceFacade(store: TableStore, authSecret: Option[String] = None,
-    defaultTable: Option[String] = None) {
+    defaultTable: Option[String] = None, auditPath: Option[String] = None) {
 
   val engine = new QueryEngine(store, defaultTable = defaultTable)
   private val auth = authSecret.map(new AuthService(_))
@@ -54,6 +59,30 @@ class ServiceFacade(store: TableStore, authSecret: Option[String] = None,
   private val mutations = new Mutations(store)
   private val compactor = new Compaction(store)
 
+  // ----------------------------------------------------------------- audit
+  private val audit = auditPath.map(new AuditLog(_))
+
+  def auditEnabled: Boolean = audit.isDefined
+
+  private def auditLog(action: String, table: String, recordId: String,
+      success: Boolean, error: String, t0: Long): Unit =
+    audit.foreach(_.log(action, table, recordId, success, error,
+      (System.nanoTime() - t0) / 1000000L))
+
+  /** Run a mutation verb under the audit trail: one entry per ATTEMPT
+    * (the CDC log records only applied facts — denied/failed attempts
+    * exist only here, the reference's audit semantics). */
+  private def audited[T](action: String, table: String,
+      recordId: String)(f: => T): T = {
+    val t0 = System.nanoTime()
+    try { val r = f; auditLog(action, table, recordId, success = true, null, t0); r }
+    catch { case e: Throwable =>
+      auditLog(action, table, recordId, success = false,
+        String.valueOf(e.getMessage), t0)
+      throw e
+    }
+  }
+
   // QueryStats mirror (reference `query.go:124-138`)
   private val totalQueries = new LongAdder
   private val failedQueries = new LongAdder
@@ -64,20 +93,30 @@ class ServiceFacade(store: TableStore, authSecret: Option[String] = None,
 
   final case class WriteResult(id: String, table: String)
 
-  /** WriteData: id resolution per table strategy + buffered ingest. */
+  /** WriteData: id resolution per table strategy + buffered ingest.
+    * Audited with the RESOLVED id on success (a generated id must be
+    * traceable from the trail alone), the submitted one on failure. */
   def writeData(table: String, record: DynRecord): WriteResult = {
-    val cfg = store.ensureTable(table)
-    val id =
-      if (record.id != null && record.id.nonEmpty) {
-        require(IdGen.validate(record.id, cfg.idPattern), s"invalid id '${record.id}'")
-        record.id
-      } else IdGen.generate(cfg.idStrategy match {
-        case IdStrategy.UserProvided => IdStrategy.Uuid // must generate something
-        case s => s
-      })
-    store.write(table, Seq(record.copy(id = id)))
-    totalWrites.increment()
-    WriteResult(id, table)
+    val t0 = System.nanoTime()
+    try {
+      val cfg = store.ensureTable(table)
+      val id =
+        if (record.id != null && record.id.nonEmpty) {
+          require(IdGen.validate(record.id, cfg.idPattern), s"invalid id '${record.id}'")
+          record.id
+        } else IdGen.generate(cfg.idStrategy match {
+          case IdStrategy.UserProvided => IdStrategy.Uuid // must generate something
+          case s => s
+        })
+      store.write(table, Seq(record.copy(id = id)))
+      totalWrites.increment()
+      auditLog("write", table, id, success = true, null, t0)
+      WriteResult(id, table)
+    } catch { case e: Throwable =>
+      auditLog("write", table, String.valueOf(record.id), success = false,
+        String.valueOf(e.getMessage), t0)
+      throw e
+    }
   }
 
   /** QueryData: SQL in, JSON rows out, optional limit (reference appends
@@ -99,14 +138,19 @@ class ServiceFacade(store: TableStore, authSecret: Option[String] = None,
     engine.executePage(sql, cursor, math.min(math.max(pageSize, 1), 10000))
 
   def updateData(table: String, record: DynRecord): Long =
-    mutations.updateById(table, record)
+    audited("update", table, String.valueOf(record.id)) {
+      mutations.updateById(table, record)
+    }
 
   def deleteData(table: String, id: String): Long =
-    mutations.deleteById(table, id)
+    audited("delete", table, id) { mutations.deleteById(table, id) }
 
   /** Purge rows whose id is empty/blank (reference
     * `POST /v1/data/cleanup-empty-ids`). */
-  def cleanupEmptyIds(table: String): Long = mutations.cleanupEmptyIds(table)
+  def cleanupEmptyIds(table: String): Long =
+    audited("cleanup_empty_ids", table, "") {
+      mutations.cleanupEmptyIds(table)
+    }
 
   // ------------------------------------------------------- subscriptions
 
@@ -133,13 +177,14 @@ class ServiceFacade(store: TableStore, authSecret: Option[String] = None,
     new graft.streaming.CdcConsumer(store, table, group).commitAt(highWater)
 
   def createTable(table: String, config: TableConfig = TableConfig()): Unit =
-    store.createTable(table, config)
+    audited("create_table", table, "") { store.createTable(table, config) }
 
   def listTables(): Seq[String] = store.listTables()
 
   def getTable(table: String): Option[TableConfig] = store.config(table)
 
-  def deleteTable(table: String): Unit = store.dropTable(table)
+  def deleteTable(table: String): Unit =
+    audited("delete_table", table, "") { store.dropTable(table) }
 
   def compactTable(table: String): (Int, Int, Int) = compactor.compact(table)
 
@@ -179,27 +224,31 @@ class ServiceFacade(store: TableStore, authSecret: Option[String] = None,
   /** Backup: consistent snapshot of a table's parquet (flush first) plus
     * its table-config metadata into `<dest>/<table>` (reference Backup →
     * MinIO bucket copy + metadata backup). */
-  def backup(table: String, dest: String): Long = store.withTableLock(table) {
-    // under the table lock: a mutation rewriting partitions mid-copy
-    // would yield a torn snapshot
-    store.flush(table)
-    val conf = store.spark.sparkContext.hadoopConfiguration
-    val src = new Path(store.tablePath(table))
-    val dst = new Path(s"$dest/$table")
-    val fs = src.getFileSystem(conf)
-    if (!fs.exists(src)) return 0L
-    if (fs.exists(dst)) fs.delete(dst, true)
-    org.apache.hadoop.fs.FileUtil.copy(fs, src, fs, dst, false, conf)
-    store.config(table).foreach { cfg =>
-      val out = fs.create(new Path(dst, "_graft_config.txt"), true)
-      out.write(configText(cfg).getBytes("UTF-8")); out.close()
-    }
-    fs.getContentSummary(dst).getFileCount
-  }
+  def backup(table: String, dest: String): Long =
+    audited("backup", table, dest) { store.withTableLock(table) {
+      // under the table lock: a mutation rewriting partitions mid-copy
+      // would yield a torn snapshot
+      store.flush(table)
+      val conf = store.spark.sparkContext.hadoopConfiguration
+      val src = new Path(store.tablePath(table))
+      val dst = new Path(s"$dest/$table")
+      val fs = src.getFileSystem(conf)
+      if (!fs.exists(src)) 0L
+      else {
+        if (fs.exists(dst)) fs.delete(dst, true)
+        org.apache.hadoop.fs.FileUtil.copy(fs, src, fs, dst, false, conf)
+        store.config(table).foreach { cfg =>
+          val out = fs.create(new Path(dst, "_graft_config.txt"), true)
+          out.write(configText(cfg).getBytes("UTF-8")); out.close()
+        }
+        fs.getContentSummary(dst).getFileCount
+      }
+    } }
 
   /** Restore a backup into the live table path (replaces current data
     * and, when the backup carries one, the table config). */
-  def restore(table: String, from: String): Long = store.withTableLock(table) {
+  def restore(table: String, from: String): Long =
+    audited("restore", table, from) { store.withTableLock(table) {
     // lock: restore replaces the table directory wholesale — a flush or
     // batch commit interleaving with the delete+copy would either leak
     // files into the restored table or lose acknowledged rows
@@ -225,7 +274,7 @@ class ServiceFacade(store: TableStore, authSecret: Option[String] = None,
     store.invalidateSchemaCache(table) // registry must re-read the restored snapshot
     store.bumpVersion(table)
     fs.getContentSummary(dst).getFileCount
-  }
+  } }
 
   final case class BackupStatus(table: String, files: Long, bytes: Long,
       modifiedAt: Long, hasMetadata: Boolean)

@@ -47,6 +47,47 @@ class ServiceFacadeSpec extends SparkSpec {
     assert(p1.length == 2 && p2.length == 2 && p3.length == 1 && c3 == -1)
   }
 
+  test("audit trail: every mutation attempt logged with success/failure") {
+    val auditFile = tmpDir("svc-audit") + "/audit.jsonl"
+    val store = new TableStore(spark, tmpDir("svc-a"))
+    store.createTable("t", TableConfig(idStrategy = IdStrategy.CustomPrefix("ord")))
+    val svc = new ServiceFacade(store, auditPath = Some(auditFile))
+    assert(svc.auditEnabled)
+    val w = svc.writeData("t", rec("", Map("v" -> 1))) // generated id
+    svc.updateData("t", rec(w.id, Map("v" -> 2)))
+    svc.deleteData("t", w.id)
+    // a DENIED write (invalid id) must appear too — the entry class
+    // the CDC log structurally cannot carry
+    intercept[IllegalArgumentException] {
+      svc.writeData("t", rec("bad id!", Map("v" -> 3)))
+    }
+    val dest = tmpDir("svc-a-backup")
+    svc.writeData("t", rec("keep", Map("v" -> 4)))
+    svc.backup("t", dest)
+    svc.restore("t", dest)
+    intercept[IllegalArgumentException] { svc.restore("t", tmpDir("svc-a-empty")) }
+
+    val lines = java.nio.file.Files.readAllLines(
+      java.nio.file.Paths.get(auditFile)).toArray.map(_.toString)
+    def field(line: String, k: String): String =
+      s""""$k":"([^"]*)"""".r.findFirstMatchIn(line).map(_.group(1)).getOrElse("")
+    val acts = lines.map(l =>
+      (field(l, "action"), l.contains(""""success":true""")))
+    assert(acts.toSeq === Seq(
+      "write" -> true, "update" -> true,
+      "delete" -> true, "write" -> false, "write" -> true,
+      "backup" -> true, "restore" -> true, "restore" -> false))
+    // the generated id is traceable from the trail alone
+    assert(field(lines(0), "record_id") === w.id)
+    // failures carry the error text
+    assert(field(lines(3), "error").contains("invalid id"))
+    assert(lines.forall(l => l.contains(""""timestamp":""") &&
+      l.contains(""""duration_ms":""")))
+    // and a facade WITHOUT an audit path writes nothing anywhere
+    val svc2 = new ServiceFacade(new TableStore(spark, tmpDir("svc-b")))
+    assert(!svc2.auditEnabled)
+  }
+
   test("backup and restore round-trip") {
     val svc = new ServiceFacade(new TableStore(spark, tmpDir("svc4")))
     val dest = tmpDir("svc4-backup")
