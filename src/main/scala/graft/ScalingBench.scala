@@ -67,7 +67,12 @@ object ScalingBench {
     "sn03_stream_pool_batch" ->
       ((s, dir) => graft.streaming.StreamingCorpusPool.benchScore(s, dir)),
     "sn04_stream_fuzzy_batch" ->
-      ((s, dir) => graft.streaming.StreamingFuzzyPool.benchScore(s, dir)))
+      ((s, dir) => graft.streaming.StreamingFuzzyPool.benchScore(s, dir)),
+    // media micro-batch: half the m03b delta DECODED AND SCORED inside
+    // the measured region, the other half already in the pending log
+    // (frozen MediaHashIndex contract — see StreamingMediaDedup)
+    "sn05_stream_media_batch" ->
+      ((s, dir) => graft.streaming.StreamingMediaDedup.benchScore(s, dir)))
 
   private def query(name: String): (SparkSession, String) => DataFrame =
     SparkEntry.queries.getOrElse(name, Extra(name))
@@ -99,7 +104,8 @@ object ScalingBench {
     "m04_audio_neardup", "m04b_audio_delta",
     "m05_joint_media_survivors", "m05b_joint_media_survivors_indexed",
     "sn01_stream_text_score", "sn02_stream_emb_score",
-    "sn03_stream_pool_batch", "sn04_stream_fuzzy_batch")
+    "sn03_stream_pool_batch", "sn04_stream_fuzzy_batch",
+    "sn05_stream_media_batch")
 
   /** SPARK_GRAFT_SCALING_ONLY=a,b,c restricts the measured set — for
     * adding rows for NEW queries to an existing record without
@@ -158,6 +164,7 @@ object ScalingBench {
     "m05_joint_media_survivors", "m05b_joint_media_survivors_indexed",
     "sn01_stream_text_score", "sn02_stream_emb_score",
     "sn03_stream_pool_batch", "sn04_stream_fuzzy_batch",
+    "sn05_stream_media_batch",
     "d05_embedding_neardup")
 
   private def MeasuredSf10 = only(MeasuredSf10All)(identity)

@@ -69,13 +69,15 @@ object MediaHashIndex {
   def counts(s: SparkSession, path: String): DataFrame =
     s.read.parquet(s"$path/counts")
 
-  /** The per-signature bucket frame — shared by [[build]]/[[append]];
-    * pure map, zero shuffle. `sigFrame` carries (media_id, sig). */
-  private def bucketRows(sigFrame: DataFrame): DataFrame =
+  /** The per-signature bucket frame — shared by [[build]]/[[append]]
+    * and the streaming scorer's pending-log derivation
+    * ([[graft.streaming.StreamingMediaDedup]]): pure map, zero
+    * shuffle. `sigFrame` carries (media_id, sig). */
+  private[graft] def bucketRows(sigFrame: DataFrame): DataFrame =
     sigFrame.select(col("media_id"), col("sig"),
       explode(Dedup.hammingBlockKeys(col("sig"))).as("bk"))
 
-  private def countRows(b: DataFrame): DataFrame =
+  private[graft] def countRows(b: DataFrame): DataFrame =
     b.groupBy(col("bk"))
       .agg(count(lit(1)).as("n"),
         min(struct(col("media_id"), col("sig"))).as("mn"))

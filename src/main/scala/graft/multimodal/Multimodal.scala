@@ -424,7 +424,7 @@ object Multimodal {
     * hashed ONCE per (sf dir, tag); every later invocation probes the
     * persisted frames. `corpusSigs` is by-name — an index that is
     * already ready never pays the decode. */
-  private def ensureIndex(s: SparkSession, dir: String, tag: String,
+  private[graft] def ensureIndex(s: SparkSession, dir: String, tag: String,
       corpusSigs: => DataFrame): String = {
     val path = graft.index.IndexCache.pathFor(
       s, s"$dir/documents.parquet", tag)

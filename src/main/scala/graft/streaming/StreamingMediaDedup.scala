@@ -1,0 +1,185 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+import org.apache.spark.sql.types.{BinaryType, LongType, StructField, StructType}
+
+import graft.index.MediaHashIndex
+import graft.operators.Dedup
+
+/** Continuous near-dup scoring for the MEDIA modalities: Structured
+  * Streaming over a media source (parquet drops of raw image/audio
+  * bytes — the shape a training-data lake ingests), each micro-batch
+  * DECODED ONCE and scored against the persisted perceptual-hash index
+  * ([[graft.index.MediaHashIndex]]). This is the streaming form of the
+  * m03b/m04b daily-ingest story and the media member of the streaming
+  * family (text [[StreamingNearDup]], vectors [[StreamingEmbNearDup]],
+  * exact pool [[StreamingCorpusPool]], fuzzy pool
+  * [[StreamingFuzzyPool]]) — with it, every persisted incremental
+  * index in the repo has a streaming binding.
+  *
+  * The modality enters as a decode function `sigOf: (media_id,
+  * content) → (media_id, sig)` ([[graft.multimodal.Multimodal
+  * .imageSigFrame]] / `audioSigFrame`) — the index and the scoring
+  * machinery are codec-agnostic, exactly as in the batch path. Decode
+  * is the dominant cost at 100 TB and runs over THE BATCH ONLY; the
+  * pair machinery sees 8-byte signatures.
+  *
+  * Contract ([[BatchLog]] exactly-once + frozen-index scoring):
+  *
+  *  - batch N emits every hamming≤5 pair (d, x) with d in batch N and
+  *    x in (index corpus ∪ batches 1..N) — cross-batch pairs surface
+  *    at the later side's batch, so the union over batches equals the
+  *    batch-path pair set restricted to pairs touching the stream
+  *    ([[Dedup.incrementalHamming64PairsFrames]]' equivalence
+  *    contract). The pending log rides the corpus side as derived
+  *    bucket/ledger rows (delta-sized ×56 — re-deriving per batch is
+  *    cheaper than a second persisted table, and uses the SAME
+  *    [[MediaHashIndex.bucketRows]]/`countRows` code as the index, so
+  *    stream buckets and index buckets can never disagree).
+  *  - the index is never mutated by the stream; [[compact]] folds the
+  *    pending signatures in via the batch [[MediaHashIndex.append]]
+  *    (offline, single-writer), after which the same pairs re-derive
+  *    from the index side — pinned by the spec's compact-continuity
+  *    test.
+  */
+object StreamingMediaDedup {
+
+  private val PendingTables = Seq("sigs")
+
+  private def log(s: SparkSession, outDir: String) =
+    new BatchLog(s, outDir, PendingTables)
+
+  private def streamId(checkpoint: String): String = {
+    val d = java.security.MessageDigest.getInstance("SHA-256")
+      .digest(checkpoint.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    "s" + d.take(8).map(b => f"$b%02x").mkString
+  }
+
+  /** Canonical source schema for a media drop. */
+  val sourceSchema: StructType = StructType(Seq(
+    StructField("media_id", LongType),
+    StructField("content", BinaryType)))
+
+  /** All pairs the stream has committed so far. */
+  def pairs(s: SparkSession, outDir: String): DataFrame =
+    log(s, outDir).pairs(StructType(Seq(
+      StructField("media_a", LongType), StructField("media_b", LongType),
+      StructField("hamming", LongType))))
+
+  /** The scoring plan for one batch of ALREADY-DECODED signatures:
+    * probe against (index ∪ pending log minus `excludePrefix`), the
+    * pending side entering as bucket/ledger rows derived with the
+    * index's own geometry. Returns (scored pairs, the delta sigs the
+    * commit path persists as the batch's pending state). */
+  private def scorePlan(deltaSigs: DataFrame, indexPath: String,
+      lg: BatchLog, excludePrefix: String): (DataFrame, DataFrame) = {
+    val s = deltaSigs.sparkSession
+    val sg = deltaSigs.select(col("media_id"), col("sig"))
+      .localCheckpoint(true) // one decode pass; consumed by probe + commit
+    val pending = lg.pendingPrefixes.filterNot(_ == excludePrefix)
+    val idxB = MediaHashIndex.buckets(s, indexPath)
+    val idxC = MediaHashIndex.counts(s, indexPath)
+    val (cB, cC) =
+      if (pending.isEmpty) (idxB, idxC)
+      else {
+        val pB = MediaHashIndex.bucketRows(lg.readPending("sigs", pending))
+        (idxB.unionByName(pB), idxC.unionByName(MediaHashIndex.countRows(pB)))
+      }
+    (Dedup.incrementalHamming64PairsFrames(sg, cB, cC, maxHamming = 5), sg)
+  }
+
+  /** Decode and score one micro-batch, then commit its outputs.
+    * Exposed for the replay-idempotence spec; the stream calls it from
+    * foreachBatch. */
+  private[streaming] def processBatch(batch: DataFrame,
+      sigOf: DataFrame => DataFrame, sid: String, batchId: Long,
+      indexPath: String, outDir: String): Unit = {
+    val s = batch.sparkSession
+    val lg = log(s, outDir)
+    val prefix = s"$sid-b$batchId"
+    if (lg.isCommitted(prefix)) return
+    // a torn compact must be completed BEFORE scoring — otherwise docs
+    // already appended to the index still ride the stale pending log
+    // and double-count bucket widths in the hot-bucket ledger
+    lg.finishCompaction()
+    val (scored, sg) = scorePlan(sigOf(batch), indexPath, lg, prefix)
+    scored.write.mode("overwrite").parquet(lg.pairsPath(prefix))
+    sg.write.mode("overwrite").parquet(lg.pendingPath("sigs", prefix))
+    lg.commit(prefix)
+  }
+
+  /** Start the scorer on a parquet media source (canonical
+    * media_id/content fields — [[sourceSchema]]). */
+  def start(
+      spark: SparkSession,
+      sourceDir: String,
+      sigOf: DataFrame => DataFrame,
+      indexPath: String,
+      outDir: String,
+      checkpoint: String,
+      trigger: Trigger = Trigger.AvailableNow(),
+      options: Map[String, String] = Map.empty): StreamingQuery = {
+    require(MediaHashIndex.ready(spark, indexPath),
+      s"media hash index at $indexPath is not ready — build it first")
+    val sid = streamId(checkpoint)
+    spark.readStream
+      .schema(sourceSchema)
+      .options(options)
+      .parquet(sourceDir)
+      .writeStream
+      .queryName("media-neardup-score")
+      .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty)
+          processBatch(batch, sigOf, sid, batchId, indexPath, outDir)
+        ()
+      }
+      .start()
+  }
+
+  /** Fold the pending signatures into the index —
+    * [[StreamingNearDup.compact]]'s media twin: intent →
+    * [[MediaHashIndex.append]] → delete pending dirs → drop intent.
+    * A crash mid-append leaves the index not-ready (its own torn-write
+    * contract); a crash after the append is completed by the next
+    * batch's / compact's [[BatchLog.finishCompaction]]. */
+  def compact(s: SparkSession, outDir: String, indexPath: String): Unit = {
+    val lg = log(s, outDir)
+    lg.finishCompaction()
+    val pending = lg.pendingPrefixes
+    if (pending.isEmpty) return
+    lg.beginCompaction(pending)
+    MediaHashIndex.append(lg.readPending("sigs", pending), indexPath)
+    lg.finishCompaction()
+  }
+
+  /** Scaling-ladder binding (sn05): one streaming micro-batch of media
+    * — half the m03b delta, DECODED INSIDE the measured region (decode
+    * is the cost the cadence exists to bound) — scored with the other
+    * half already committed in the pending log. Reuses m05b's cached
+    * image index; first attempt pays the index build + batch-0 commit,
+    * the second measures the warm per-batch cost (the d07/d13
+    * best-of-2 precedent). */
+  def benchScore(s: SparkSession, dir: String): DataFrame = {
+    val mm = graft.multimodal.Multimodal
+    val docs = graft.core.Tables.load(s, dir, "documents")
+    val isDelta = col("doc_id") % 3 === 0
+    val idxPath = mm.ensureIndex(s, dir, "imghash-mod=3",
+      mm.imageSigFrame(mm.syntheticImageCorpus(docs.filter(!isDelta))))
+    val logDir = graft.index.IndexCache.pathFor(
+      s, s"$dir/documents.parquet", "smedia-log")
+    val lg = log(s, logDir)
+    val delta = docs.filter(isDelta)
+    if (!lg.isCommitted("bench-b0"))
+      processBatch(
+        mm.syntheticImageCorpus(delta.filter(col("doc_id") % 2 === 0)),
+        mm.imageSigFrame, "bench", 0L, idxPath, logDir)
+    scorePlan(
+      mm.imageSigFrame(
+        mm.syntheticImageCorpus(delta.filter(col("doc_id") % 2 =!= 0))),
+      idxPath, lg, "")._1
+  }
+}
