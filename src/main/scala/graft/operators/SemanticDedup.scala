@@ -93,50 +93,90 @@ object SemanticDedup {
     val s = corpus.sparkSession
     val e = Similarity.withNorm(s, corpus)
     val cents = Similarity.kmeansCentroids(s, e, coarse)
-    // (cell, vec_id, v, norm, csim) under the one- or two-level layout;
-    // csim is always against the cell that scopes the pair search
-    val indexed =
-      if (subPerCell <= 1) {
-        val cent = Similarity.centFrame(s, cents)
-        e.withColumn("cell", VectorFunctions.nearestCell(s, col("v"), cents))
-          .join(broadcast(cent.select(col("cell"), col("cv"))), Seq("cell"))
-          .withColumn("csim",
-            VectorFunctions.dot(s, col("v"), col("cv")) / col("norm"))
-          .select(col("cell"), col("vec_id"), col("v"), col("norm"), col("csim"))
-      } else {
-        val subCents = trainSubCentroids(s, e, cents, subPerCell)
-        val subFrame = Similarity.centFrame(s, subCents)
-        e.withColumn("c0", VectorFunctions.nearestCell(s, col("v"), cents))
-          .withColumn("cell", VectorFunctions.nearestSubCell(
-            s, col("v"), col("c0"), subCents, subPerCell))
-          .join(broadcast(subFrame.select(col("cell"), col("cv"))), Seq("cell"))
-          .withColumn("csim",
-            VectorFunctions.dot(s, col("v"), col("cv")) / col("norm"))
-          .select(col("cell"), col("vec_id"), col("v"), col("norm"), col("csim"))
-      }
-    val rowBytes = 8L + 64 * 8 + 8 + 8 + 8 // cell + v + norm + csim + id
+    val subCents =
+      if (subPerCell <= 1) null
+      else trainSubCentroids(s, e, cents, subPerCell)
+    semanticDedupWithCents(e, tau, cents, subCents, subPerCell, n)
+  }
+
+  /** [[semanticDedupCells]] under FROZEN centroids — the shared spine
+    * of the batch path and [[graft.index.SemDedupIndex]]'s build and
+    * incremental-equivalence contract (a maintained index must equal
+    * THIS over corpus ∪ deltas: only the training step sees different
+    * data between the two paths). `e` already carries
+    * (vec_id, v, norm). */
+  private[graft] def semanticDedupWithCents(e: DataFrame, tau: Double,
+      cents: Array[Array[Double]], subCents: Array[Array[Double]],
+      subPerCell: Int, n: Long): DataFrame = {
+    val indexed = assignFrame(e, cents, subCents, subPerCell)
+    decisionsFrame(indexed, dropsFrame(indexed, tau, n), n)
+  }
+
+  /** (cell, vec_id, v, norm, csim) under frozen one- or two-level
+    * centroids; csim is always against the cell that scopes the pair
+    * search. Codegen projections + one tiny broadcast join — the
+    * corpus never shuffles here. */
+  private[graft] def assignFrame(e: DataFrame,
+      cents: Array[Array[Double]], subCents: Array[Array[Double]],
+      subPerCell: Int): DataFrame = {
+    val s = e.sparkSession
+    if (subPerCell <= 1) {
+      val cent = Similarity.centFrame(s, cents)
+      e.withColumn("cell", VectorFunctions.nearestCell(s, col("v"), cents))
+        .join(broadcast(cent.select(col("cell"), col("cv"))), Seq("cell"))
+        .withColumn("csim",
+          VectorFunctions.dot(s, col("v"), col("cv")) / col("norm"))
+        .select(col("cell"), col("vec_id"), col("v"), col("norm"), col("csim"))
+    } else {
+      val subFrame = Similarity.centFrame(s, subCents)
+      e.withColumn("c0", VectorFunctions.nearestCell(s, col("v"), cents))
+        .withColumn("cell", VectorFunctions.nearestSubCell(
+          s, col("v"), col("c0"), subCents, subPerCell))
+        .join(broadcast(subFrame.select(col("cell"), col("cv"))), Seq("cell"))
+        .withColumn("csim",
+          VectorFunctions.dot(s, col("v"), col("cv")) / col("norm"))
+        .select(col("cell"), col("vec_id"), col("v"), col("norm"), col("csim"))
+    }
+  }
+
+  /** Bytes per assigned-member row (cell + v + norm + csim + id) —
+    * the hash-build budget unit for the within-cell joins. */
+  private[graft] val MemberRowBytes = 8L + 64 * 8 + 8 + 8 + 8
+
+  /** The same-cell ≥τ drop set over an assigned frame: each pair
+    * drops its (csim, id)-greater member. */
+  private[graft] def dropsFrame(indexed: DataFrame, tau: Double,
+      n: Long): DataFrame = {
+    val s = indexed.sparkSession
     val a = indexed.select(col("cell"), col("vec_id").as("id_a"),
       col("v").as("va"), col("norm").as("na"), col("csim").as("ca"))
     val b = indexed.select(col("cell"), col("vec_id").as("id_b"),
       col("v").as("vb"), col("norm").as("nb"), col("csim").as("cb"))
     val pairs = a
-      .join(Dedup.bcastOrHashIf(rowBytes, n, Seq("cell"))(b), Seq("cell"))
+      .join(Dedup.bcastOrHashIf(MemberRowBytes, n, Seq("cell"))(b), Seq("cell"))
       .filter(col("id_a") < col("id_b"))
       .filter(VectorFunctions.dot(s, col("va"), col("vb"))
         / (col("na") * col("nb")) >= tau)
-    // each ≥τ pair drops its (csim, id)-greater member
-    val dropped = pairs.select(
-      when(col("ca") > col("cb") ||
-           (col("ca") === col("cb") && col("id_a") > col("id_b")),
-        col("id_a")).otherwise(col("id_b")).as("vec_id"))
-      .distinct()
+    pairs.select(dupSide.as("vec_id")).distinct()
+  }
+
+  /** The (csim, id)-greater side of a scored pair — the member each
+    * ≥τ relation drops. Shared by the batch drop set and the index's
+    * incremental probe so the keep policy cannot diverge. */
+  private[graft] def dupSide: org.apache.spark.sql.Column =
+    when(col("ca") > col("cb") ||
+         (col("ca") === col("cb") && col("id_a") > col("id_b")),
+      col("id_a")).otherwise(col("id_b"))
+
+  /** Decision frame from an assigned frame + drop set. */
+  private[graft] def decisionsFrame(indexed: DataFrame, dropped: DataFrame,
+      n: Long): DataFrame =
     indexed
       .select(col("vec_id"), col("cell"), round(col("csim"), 4).as("centroid_sim"))
       .join(Dedup.bcastIf(16, n)(dropped.withColumn("is_dup", lit(1L))),
         Seq("vec_id"), "left")
       .withColumn("is_dup", coalesce(col("is_dup"), lit(0L)))
       .orderBy(col("vec_id"))
-  }
 
   private def ddot(x: Array[Double], y: Array[Double]): Double = {
     var s0 = 0.0; var i = 0
@@ -153,7 +193,7 @@ object SemanticDedup {
     * quadratic. A cell whose sample is thinner than its sub count pads
     * with the coarse centroid (duplicate rows are harmless: argmax
     * ties resolve to the lowest index). */
-  private def trainSubCentroids(s: SparkSession, e: DataFrame,
+  private[graft] def trainSubCentroids(s: SparkSession, e: DataFrame,
       coarse: Array[Array[Double]], subPerCell: Int): Array[Array[Double]] = {
     val k = coarse.length
     val sampleN = math.min(32L * k * subPerCell, 262144L).toInt
@@ -249,4 +289,25 @@ object SemanticDedup {
   def semanticDedup(s: SparkSession, dir: String): DataFrame =
     semanticDedup(Dedup.plantedProductionCorpus(
       Tables.load(s, dir, "embeddings")))
+
+  /** Incremental SemDeDup decisions for a 1-in-`mod` delta against the
+    * persisted index (d15b — the d07/d13 cadence shape for semantic
+    * dedup): the corpus is assigned, paired, and decided ONCE into
+    * [[graft.index.SemDedupIndex]]; each batch assigns only the delta
+    * under the frozen centroids and compares it against its touched
+    * cells' members. Returns the batch's decision updates: the delta's
+    * decision rows plus any corpus member the delta RETROACTIVELY
+    * drops (a delta vector ranking below a corpus keeper in
+    * (centroid_sim, id) order drops the keeper — the published policy
+    * is order-based, not arrival-based, so maintenance must be able to
+    * flip corpus decisions, exactly like d14's label takeover). */
+  def semanticDedupIncrementalMod(s: SparkSession, dir: String,
+      mod: Int): DataFrame = {
+    val e = Dedup.plantedProductionCorpus(Tables.load(s, dir, "embeddings"))
+    val isDelta = col("vec_id") % mod === 0
+    val idxPath = graft.index.IndexCache.pathFor(
+      s, s"$dir/embeddings.parquet", s"semdedup-mod=$mod")
+    graft.index.SemDedupIndex.ensure(e.filter(!isDelta), idxPath)
+    graft.index.SemDedupIndex.probe(e.filter(isDelta), idxPath)
+  }
 }
