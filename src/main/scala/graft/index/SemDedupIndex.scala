@@ -97,7 +97,7 @@ object SemDedupIndex {
     import s.implicits._
     val rows =
       cents.zipWithIndex.map { case (c, i) => (0, i.toLong, c.toSeq) } ++
-        (if (subCents == null) Seq.empty
+        (if (subCents == null) Array.empty[(Int, Long, Seq[Double])]
          else subCents.zipWithIndex.map { case (c, i) => (1, i.toLong, c.toSeq) })
     rows.toSeq.toDF("lvl", "idx", "cv")
       .coalesce(1).write.mode("overwrite").parquet(s"$path/cents")
