@@ -72,7 +72,37 @@ object ScalingBench {
     // the measured region, the other half already in the pending log
     // (frozen MediaHashIndex contract — see StreamingMediaDedup)
     "sn05_stream_media_batch" ->
-      ((s, dir) => graft.streaming.StreamingMediaDedup.benchScore(s, dir)))
+      ((s, dir) => graft.streaming.StreamingMediaDedup.benchScore(s, dir)),
+    // incremental SemDeDup (the d15 cadence shape): corpus assigned,
+    // paired, and decided once into the persisted SemDedupIndex; the
+    // 1-in-30 delta is assigned under the frozen centroids and compared
+    // against its touched cells' members only
+    "d15b_semantic_delta" ->
+      ((s, dir) =>
+        graft.operators.SemanticDedup.semanticDedupIncrementalMod(s, dir, 30)))
+
+  /** One-time index builds behind the incremental rows, timed as their
+    * OWN `<name>_build` row under [[BuildTimeoutSec]] instead of being
+    * charged to the first delta probe. The r12 record conflated the
+    * two: the media family's first sf100 attempt spent its entire 300 s
+    * budget inside the 5M-doc corpus decode and — because a timed-out
+    * attempt is never retried — the warm steady state was never
+    * observed (err_sf100 on m03b/m04b/m05b), and m05b's sf10 number
+    * (57.5 s) read SLOWER than the full recompute it amortizes. The
+    * build IS the amortized one-off by each feature's own thesis; the
+    * steady-state row is the per-batch cost the cadence argues. */
+  private[graft] val Build: Map[String, (SparkSession, String) => Unit] = Map(
+    "m03b_image_delta" ->
+      ((s, dir) =>
+        { graft.multimodal.Multimodal.ensureImageIndexMod(s, dir, 30); () }),
+    "m04b_audio_delta" ->
+      ((s, dir) =>
+        { graft.multimodal.Multimodal.ensureAudioIndexMod(s, dir, 30); () }),
+    "m05b_joint_media_survivors_indexed" ->
+      ((s, dir) => graft.multimodal.Multimodal.ensureJointMediaIndexes(s, dir)),
+    "d15b_semantic_delta" ->
+      ((s, dir) =>
+        { graft.operators.SemanticDedup.ensureSemDedupIndexMod(s, dir, 30); () }))
 
   private def query(name: String): (SparkSession, String) => DataFrame =
     SparkEntry.queries.getOrElse(name, Extra(name))
@@ -86,7 +116,7 @@ object ScalingBench {
     "d10_dedup_survivors", "d11_substring_dedup", "d12_joint_survivors",
     "d13_incremental_emb_neardup", "d13b_small_emb_delta",
     "d14_incremental_clusters", "d14b_small_delta",
-    "d15_semantic_dedup",
+    "d15_semantic_dedup", "d15b_semantic_delta",
     "s02_ann_lsh", "s03_ann_ivf", "s04_ann_ivfpq", "s05_ann_pq_index",
     "t11_bm25_search",
     "t12_multiquery_search", "t13_keyword_tfidf",
@@ -146,7 +176,7 @@ object ScalingBench {
     "d11_substring_dedup", "d12_joint_survivors",
     "d13_incremental_emb_neardup", "d13b_small_emb_delta",
     "d14_incremental_clusters", "d14b_small_delta",
-    "d15_semantic_dedup",
+    "d15_semantic_dedup", "d15b_semantic_delta",
     "t11_bm25_search", "t12_multiquery_search", "t13_keyword_tfidf",
     "t14_bm25_index", "t15_batch_bm25_index", "t16_sequence_packing",
     "t17_domain_mixture", "t18_mixture_epochs", "t19_token_chunks",
@@ -399,19 +429,26 @@ object ScalingBench {
   private val TimeoutSec =
     sys.env.getOrElse("SPARK_GRAFT_SCALING_TIMEOUT_SEC", "300").toInt
 
+  /** Budget for the one-time `<name>_build` index rows — a build pass
+    * decodes/trains over the CORPUS (the cost it amortizes away from
+    * every later batch), so it gets the corpus-pass budget, not the
+    * per-batch one. */
+  private val BuildTimeoutSec =
+    sys.env.getOrElse("SPARK_GRAFT_SCALING_BUILD_TIMEOUT_SEC", "900").toInt
+
   /** One attempt: time `fn` under a cancellable job group. Returns
     * (seconds, null) on success or (-1, reason) on failure — the
     * reason string lands in the JSON so a failed point stays
     * diagnosable after the stderr is gone. */
   private def attempt(spark: SparkSession, name: String, sf: String,
-      fn: () => Unit): (Double, String) = {
+      fn: () => Unit, timeoutSec: Int = TimeoutSec): (Double, String) = {
     val group = s"scaling-$name-sf$sf"
     spark.sparkContext.setJobGroup(group, name, interruptOnCancel = true)
     @volatile var timedOut = false
     val timer = new java.util.Timer("scaling-timeout", true)
     timer.schedule(new java.util.TimerTask {
       def run(): Unit = { timedOut = true; spark.sparkContext.cancelJobGroup(group) }
-    }, TimeoutSec * 1000L)
+    }, timeoutSec * 1000L)
     val t0 = System.nanoTime()
     try { fn(); ((System.nanoTime() - t0) / 1e9, null) }
     catch { case e: Throwable =>
@@ -432,11 +469,63 @@ object ScalingBench {
         }
       }
       val why =
-        if (timedOut) s"timeout after ${TimeoutSec}s"
+        if (timedOut) s"timeout after ${timeoutSec}s"
         else trim(s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage)}")
       System.err.println(s"[scaling] $name@sf$sf failed: $why")
       (-1.0, why)
     } finally { timer.cancel(); spark.sparkContext.clearJobGroup() }
+  }
+
+  private type Record = scala.collection.mutable.LinkedHashMap[String,
+    scala.collection.mutable.LinkedHashMap[String, Double]]
+  private type Errors = scala.collection.mutable.LinkedHashMap[String,
+    scala.collection.mutable.LinkedHashMap[String, String]]
+
+  private def put(times: Record, errors: Errors, name: String, sf: String,
+      best: Double, err: String): Unit = {
+    times.getOrElseUpdate(name,
+      scala.collection.mutable.LinkedHashMap[String, Double]()).put(sf, best)
+    if (best < 0)
+      errors.getOrElseUpdate(name,
+        scala.collection.mutable.LinkedHashMap[String, String]())
+        .put(sf, err)
+    System.err.println(f"[scaling] $name @ sf$sf: $best%.3f s")
+  }
+
+  /** Measure one query at one SF: the one-time `<name>_build` row
+    * first (when registered — its own budget, charged to its own row),
+    * then the steady-state best-of-2. A failed build fails the steady
+    * row too (probing a half-built index would measure garbage). */
+  private def measureOne(spark: SparkSession, name: String, sf: String,
+      dir: String, times: Record, errors: Errors): Unit = {
+    val buildOk = Build.get(name).forall { b =>
+      val bn = s"${name}_build"
+      val (t, e) = attempt(spark, bn, sf, () => b(spark, dir), BuildTimeoutSec)
+      graft.core.Caching.releaseAll(spark)
+      put(times, errors, bn, sf, t, e)
+      t >= 0
+    }
+    if (!buildOk) {
+      put(times, errors, name, sf, -1.0, "index build failed")
+      return
+    }
+    def once(): (Double, String) = {
+      val r = attempt(spark, name, sf,
+        () => { query(name)(spark, dir).count(); () })
+      // query boundary: release this attempt's localCheckpoint blocks
+      // so pinned frames from one query can't evict the next one's
+      // working set (the round-6 suite ran with zero cleanup and its
+      // sf10 tail failed on accumulated block-manager pressure while
+      // succeeding standalone)
+      graft.core.Caching.releaseAll(spark)
+      r
+    }
+    val (ta, ea) = once()
+    // a failed attempt fails once, not twice (a timeout already cost
+    // TimeoutSec of wall-clock)
+    val (tb, eb) = if (ta < 0) (ta, ea) else once()
+    val best = if (ta < 0 || tb < 0) math.max(ta, tb) else math.min(ta, tb)
+    put(times, errors, name, sf, best, if (ea != null) ea else eb)
   }
 
   def main(args: Array[String]): Unit = {
@@ -465,10 +554,8 @@ object ScalingBench {
     }
     graft.core.Caching.releaseAll(spark)
 
-    val times = scala.collection.mutable.LinkedHashMap[String,
-      scala.collection.mutable.LinkedHashMap[String, Double]]()
-    val errors = scala.collection.mutable.LinkedHashMap[String,
-      scala.collection.mutable.LinkedHashMap[String, String]]()
+    val times: Record = scala.collection.mutable.LinkedHashMap()
+    val errors: Errors = scala.collection.mutable.LinkedHashMap()
     val recalls = scala.collection.mutable.LinkedHashMap[String,
       scala.collection.mutable.LinkedHashMap[String, Double]]()
     dirs.foreach { case (sf, dir) =>
@@ -514,29 +601,7 @@ object ScalingBench {
         }
       }
       (if (sf == "10") MeasuredSf10 else Measured).foreach { name =>
-        def once(): (Double, String) = {
-          val r = attempt(spark, name, sf,
-            () => { query(name)(spark, dir).count(); () })
-          // query boundary: release this attempt's localCheckpoint blocks
-          // so pinned frames from one query can't evict the next one's
-          // working set (the round-6 suite ran with zero cleanup and its
-          // sf10 tail failed on accumulated block-manager pressure while
-          // succeeding standalone)
-          graft.core.Caching.releaseAll(spark)
-          r
-        }
-        val (ta, ea) = once()
-        // a failed attempt fails once, not twice (a timeout already cost
-        // TimeoutSec of wall-clock)
-        val (tb, eb) = if (ta < 0) (ta, ea) else once()
-        val best = if (ta < 0 || tb < 0) math.max(ta, tb) else math.min(ta, tb)
-        times.getOrElseUpdate(name,
-          scala.collection.mutable.LinkedHashMap[String, Double]()).put(sf, best)
-        if (best < 0)
-          errors.getOrElseUpdate(name,
-            scala.collection.mutable.LinkedHashMap[String, String]())
-            .put(sf, if (ea != null) ea else eb)
-        System.err.println(f"[scaling] $name @ sf$sf: $best%.3f s")
+        measureOne(spark, name, sf, dir, times, errors)
       }
       // ANN recall at this SF (untimed; vs the exact brute top-k) — so a
       // recall regression is visible in the record next to the timing
@@ -565,22 +630,7 @@ object ScalingBench {
       ensureSf100Events(spark, sf10Dir, sf100Dir)
       graft.core.Tables.registerAll(spark, sf100Dir)
       only(bNames)(identity).foreach { name =>
-        def once(): (Double, String) = {
-          val r = attempt(spark, name, "100",
-            () => { query(name)(spark, sf100Dir).count(); () })
-          graft.core.Caching.releaseAll(spark)
-          r
-        }
-        val (ta, ea) = once()
-        val (tb, eb) = if (ta < 0) (ta, ea) else once()
-        val best = if (ta < 0 || tb < 0) math.max(ta, tb) else math.min(ta, tb)
-        times.getOrElseUpdate(name,
-          scala.collection.mutable.LinkedHashMap[String, Double]()).put("100", best)
-        if (best < 0)
-          errors.getOrElseUpdate(name,
-            scala.collection.mutable.LinkedHashMap[String, String]())
-            .put("100", if (ea != null) ea else eb)
-        System.err.println(f"[scaling] $name @ sf100: $best%.3f s")
+        measureOne(spark, name, "100", sf100Dir, times, errors)
       }
     }
 
@@ -609,22 +659,7 @@ object ScalingBench {
       ensureSf100Docs(spark, sf10Dir, sf100dDir)
       graft.core.Tables.registerAll(spark, sf100dDir)
       only(docNames)(identity).foreach { name =>
-        def once(): (Double, String) = {
-          val r = attempt(spark, name, "100",
-            () => { query(name)(spark, sf100dDir).count(); () })
-          graft.core.Caching.releaseAll(spark)
-          r
-        }
-        val (ta, ea) = once()
-        val (tb, eb) = if (ta < 0) (ta, ea) else once()
-        val best = if (ta < 0 || tb < 0) math.max(ta, tb) else math.min(ta, tb)
-        times.getOrElseUpdate(name,
-          scala.collection.mutable.LinkedHashMap[String, Double]()).put("100", best)
-        if (best < 0)
-          errors.getOrElseUpdate(name,
-            scala.collection.mutable.LinkedHashMap[String, String]())
-            .put("100", if (ea != null) ea else eb)
-        System.err.println(f"[scaling] $name @ sf100d: $best%.3f s")
+        measureOne(spark, name, "100", sf100dDir, times, errors)
       }
     }
 

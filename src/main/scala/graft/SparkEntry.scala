@@ -194,6 +194,16 @@ object SparkEntry {
     // per-run
     "m05b_joint_media_survivors_indexed" ->
       ((s, dir) => graft.multimodal.Multimodal.jointMediaSurvivorsIndexed(s, dir)),
+    // d15 MAINTAINED against the persisted SemDedupIndex (the d14
+    // shape for semantic dedup): corpus assigned/paired/decided once,
+    // the delta third assigned under the FROZEN centroids and compared
+    // against its touched cells only. Returns the batch's decision
+    // updates — delta rows plus retroactive corpus drops. Rows-only
+    // (no DuckDB k-means); SemDedupIndexSpec pins the equivalence
+    // contract: maintained decisions == semanticDedupWithCents over
+    // corpus ∪ delta under the same frozen centroids
+    "d15b_semantic_dedup_indexed" ->
+      ((s, dir) => SemanticDedup.semanticDedupIncrementalMod(s, dir, 3)),
   )
 
   /** d08/d14 oracle — transitive closure of the exact jaccard≥0.8

@@ -84,6 +84,21 @@ object MediaHashIndex {
       .select(col("bk"), col("n"),
         col("mn.media_id").as("min_id"), col("mn.sig").as("min_sig"))
 
+  /** Re-aggregate a UNION of counts frames to one ledger row per
+    * bucket (sum widths, struct-min the (id, sig) pair — the same
+    * merge semantics as [[append]]'s full-outer fold). A consumer that
+    * unions index counts with freshly derived delta counts MUST pass
+    * through this: the probe's hot-bucket threshold and bucket-min
+    * link are per-ROW, so two rows for one bk understate the combined
+    * width and can pick the wrong min in skewed buckets. */
+  private[graft] def remergeCounts(c: DataFrame): DataFrame =
+    c.groupBy(col("bk"))
+      .agg(sum(col("n")).as("n"),
+        min(struct(col("min_id").as("media_id"), col("min_sig").as("sig")))
+          .as("mn"))
+      .select(col("bk"), col("n"),
+        col("mn.media_id").as("min_id"), col("mn.sig").as("min_sig"))
+
   /** Full build from a decoded signature frame (canonical
     * `media_id`/`sig` columns — the caller owns decode, so one decode
     * pass can feed several derivations). Honors the torn-rebuild

@@ -301,13 +301,23 @@ object SemanticDedup {
     * (centroid_sim, id) order drops the keeper — the published policy
     * is order-based, not arrival-based, so maintenance must be able to
     * flip corpus decisions, exactly like d14's label takeover). */
+  /** Build-if-absent for d15b's persisted index — the one-time
+    * train+assign+pair pass over the corpus slice, exposed separately
+    * so the scaling harness times it as its own build-phase row. */
+  private[graft] def ensureSemDedupIndexMod(s: SparkSession, dir: String,
+      mod: Int): String = {
+    val e = Dedup.plantedProductionCorpus(Tables.load(s, dir, "embeddings"))
+    val idxPath = graft.index.IndexCache.pathFor(
+      s, s"$dir/embeddings.parquet", s"semdedup-mod=$mod")
+    graft.index.SemDedupIndex.ensure(
+      e.filter(col("vec_id") % mod =!= 0), idxPath)
+    idxPath
+  }
+
   def semanticDedupIncrementalMod(s: SparkSession, dir: String,
       mod: Int): DataFrame = {
     val e = Dedup.plantedProductionCorpus(Tables.load(s, dir, "embeddings"))
-    val isDelta = col("vec_id") % mod === 0
-    val idxPath = graft.index.IndexCache.pathFor(
-      s, s"$dir/embeddings.parquet", s"semdedup-mod=$mod")
-    graft.index.SemDedupIndex.ensure(e.filter(!isDelta), idxPath)
-    graft.index.SemDedupIndex.probe(e.filter(isDelta), idxPath)
+    val idxPath = ensureSemDedupIndexMod(s, dir, mod)
+    graft.index.SemDedupIndex.probe(e.filter(col("vec_id") % mod === 0), idxPath)
   }
 }

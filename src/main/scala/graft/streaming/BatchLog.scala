@@ -66,20 +66,51 @@ private[streaming] final class BatchLog(s: SparkSession, outDir: String,
     else s.read.parquet(committed.map(pairsPath): _*)
   }
 
-  def beginCompaction(prefixes: Seq[String]): Unit = {
+  /** Record the compaction intent. `expected` (when >= 0) is the index
+    * row count the fold must reach before the listed pending dirs may
+    * be deleted — [[finishCompaction]]'s coverage check. Without it, a
+    * crash between this intent and the index append would let the next
+    * [[finishCompaction]] delete pending state the index never
+    * received (silent signature loss). */
+  def beginCompaction(prefixes: Seq[String], expected: Long = -1L): Unit = {
     val out = f.create(intentFile, true)
-    out.write(prefixes.mkString("\n")
+    val head = if (expected >= 0) s"expected=$expected\n" else ""
+    out.write((head + prefixes.mkString("\n"))
       .getBytes(java.nio.charset.StandardCharsets.UTF_8))
     out.close()
   }
 
-  /** Complete a (possibly torn) compaction's pending-dir deletes. */
-  def finishCompaction(): Unit = {
+  /** Complete a (possibly torn) compaction. When the intent carries an
+    * `expected=` coverage line, the pending dirs are deleted ONLY once
+    * `indexCount` confirms the fold landed:
+    *  - index not ready → torn append; touch nothing (the index's own
+    *    rebuild contract applies first, pending state stays recoverable)
+    *  - count >= expected → the append landed; delete pending + intent
+    *  - count < expected → the append never completed; drop the intent
+    *    (the compaction un-begins — pending stays, a later compact
+    *    retries) so the sigs are never silently lost.
+    * Intents without the coverage line keep the legacy
+    * delete-unconditionally behavior (callers that verify by other
+    * means). */
+  def finishCompaction(indexReady: => Boolean = true,
+      indexCount: => Long = Long.MaxValue): Unit = {
     if (!f.exists(intentFile)) return
     val in = f.open(intentFile)
-    val listed = scala.io.Source.fromInputStream(in).getLines().toList
+    val lines = scala.io.Source.fromInputStream(in).getLines().toList
     in.close()
-    for (p <- listed; t <- tables) f.delete(pendingDir(t, p), true)
-    f.delete(intentFile, false)
+    val expected = lines.headOption
+      .filter(_.startsWith("expected="))
+      .map(_.stripPrefix("expected=").toLong)
+    val listed = if (expected.isDefined) lines.tail else lines
+    expected match {
+      case Some(_) if !indexReady =>
+        () // torn append — defer to the index's rebuild contract
+      case Some(exp) if indexCount < exp =>
+        f.delete(intentFile, false) // fold never landed; keep pending
+      case _ =>
+        for (p <- listed; t <- tables) f.delete(pendingDir(t, p), true)
+        f.delete(intentFile, false)
+    }
+    ()
   }
 }

@@ -79,7 +79,11 @@ object StreamingEmbNearDup {
         (idxSigs.unionByName(pSigs),
           idxVecs.unionByName(lg.readPending("vecs", pending)),
           idxSk.unionByName(lg.readPending("sketches", pending)),
-          idxCounts.unionByName(pc))
+          // re-merge per bucket: a (tbl, sig) present in both the index
+          // ledger and the pending derivation must be ONE row, or the
+          // probe's hot threshold and bucket-min see each side alone
+          idxCounts.unionByName(pc).groupBy(col("tbl"), col("sig"))
+            .agg(sum(col("n")).as("n"), min(col("min_vec")).as("min_vec")))
       }
     (Dedup.incrementalEmbPairsFrames(
       e, dBase, bits, cSigs, cVecs, cSk, cCounts, tau), dBase, vv, sk)

@@ -85,7 +85,11 @@ object StreamingMediaDedup {
       if (pending.isEmpty) (idxB, idxC)
       else {
         val pB = MediaHashIndex.bucketRows(lg.readPending("sigs", pending))
-        (idxB.unionByName(pB), idxC.unionByName(MediaHashIndex.countRows(pB)))
+        // re-merge per bk: a bucket present on both sides must be ONE
+        // ledger row, or the probe's hot threshold sees half the width
+        (idxB.unionByName(pB),
+          MediaHashIndex.remergeCounts(
+            idxC.unionByName(MediaHashIndex.countRows(pB))))
       }
     (Dedup.incrementalHamming64PairsFrames(sg, cB, cC, maxHamming = 5), sg)
   }
@@ -102,8 +106,12 @@ object StreamingMediaDedup {
     if (lg.isCommitted(prefix)) return
     // a torn compact must be completed BEFORE scoring — otherwise docs
     // already appended to the index still ride the stale pending log
-    // and double-count bucket widths in the hot-bucket ledger
-    lg.finishCompaction()
+    // and double-count bucket widths in the hot-bucket ledger. The
+    // coverage check (index ready + sig count reached the intent's
+    // expected=) stops the converse loss: a compact that crashed before
+    // its append must NOT have its pending dirs deleted.
+    lg.finishCompaction(MediaHashIndex.ready(s, indexPath),
+      MediaHashIndex.sigs(s, indexPath).count())
     val (scored, sg) = scorePlan(sigOf(batch), indexPath, lg, prefix)
     scored.write.mode("overwrite").parquet(lg.pairsPath(prefix))
     sg.write.mode("overwrite").parquet(lg.pendingPath("sigs", prefix))
@@ -141,19 +149,26 @@ object StreamingMediaDedup {
   }
 
   /** Fold the pending signatures into the index —
-    * [[StreamingNearDup.compact]]'s media twin: intent →
-    * [[MediaHashIndex.append]] → delete pending dirs → drop intent.
-    * A crash mid-append leaves the index not-ready (its own torn-write
-    * contract); a crash after the append is completed by the next
-    * batch's / compact's [[BatchLog.finishCompaction]]. */
+    * [[StreamingNearDup.compact]]'s media twin, with a VERIFIED
+    * intent: the intent records the sig count the append must reach
+    * (pre-append index + pending), and [[BatchLog.finishCompaction]]
+    * deletes pending dirs only once the index covers it. Crash matrix:
+    * before the append → the coverage check rolls the intent back,
+    * sigs stay pending (previously they were silently lost); DURING
+    * the append → index not-ready, nothing is touched until its
+    * rebuild contract runs; after the append → the next batch/compact
+    * completes the deletes. */
   def compact(s: SparkSession, outDir: String, indexPath: String): Unit = {
     val lg = log(s, outDir)
-    lg.finishCompaction()
+    def ready = MediaHashIndex.ready(s, indexPath)
+    def count = MediaHashIndex.sigs(s, indexPath).count()
+    lg.finishCompaction(ready, count)
     val pending = lg.pendingPrefixes
     if (pending.isEmpty) return
-    lg.beginCompaction(pending)
+    lg.beginCompaction(pending,
+      count + lg.readPending("sigs", pending).count())
     MediaHashIndex.append(lg.readPending("sigs", pending), indexPath)
-    lg.finishCompaction()
+    lg.finishCompaction(ready, count)
   }
 
   /** Scaling-ladder binding (sn05): one streaming micro-batch of media

@@ -159,4 +159,20 @@ class MediaHashIndexSpec extends SparkSpec {
     assert(pairSet(MediaHashIndex.pairsFromIndex(spark, path, 5)) ===
       pairSet(batchPairs(sigs)))
   }
+
+  test("remergeCounts: a bucket on both sides of a union becomes ONE summed row") {
+    val idx = Seq((100L, 3L, 10L, 0x0FL), (200L, 2L, 40L, 0xF0L))
+      .toDF("bk", "n", "min_id", "min_sig")
+    val delta = Seq((100L, 2L, 5L, 0x07L), (300L, 1L, 70L, 0xFFL))
+      .toDF("bk", "n", "min_id", "min_sig")
+    val merged = MediaHashIndex.remergeCounts(idx.unionByName(delta))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(merged.size === 3)
+    // widths SUM (the hot threshold must see the combined bucket) and
+    // the (id, sig) min is picked atomically — append's merge semantics
+    assert(merged(100L) === ((5L, 5L, 0x07L)))
+    assert(merged(200L) === ((2L, 40L, 0xF0L)))
+    assert(merged(300L) === ((1L, 70L, 0xFFL)))
+  }
 }

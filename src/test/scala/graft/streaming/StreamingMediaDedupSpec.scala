@@ -116,6 +116,50 @@ class StreamingMediaDedupSpec extends SparkSpec {
       s"missed=${(expected -- streamed).take(5)} extra=${(streamed -- expected).take(5)}")
   }
 
+  test("compaction intent WITHOUT a landed append must not delete pending sigs") {
+    val (_, corpus, b1, b2) = familySplit()
+    val idxPath = tmpDir("smd-l-idx")
+    val corpusSigs =
+      Multimodal.imageSigFrame(Multimodal.syntheticImageCorpus(corpus))
+        .localCheckpoint(true)
+    MediaHashIndex.build(corpusSigs, idxPath)
+    val outDir = tmpDir("smd-l-out")
+
+    StreamingMediaDedup.processBatch(Multimodal.syntheticImageCorpus(b1),
+      Multimodal.imageSigFrame, "sid0", 0L, idxPath, outDir)
+
+    // simulate the LOSS crash window: compact wrote its intent (with
+    // the coverage line) and died before MediaHashIndex.append touched
+    // anything — the index is still ready at its OLD count
+    val lg = new BatchLog(spark, outDir, Seq("sigs"))
+    val preCount = MediaHashIndex.sigs(spark, idxPath).count()
+    val pendCount = lg.readPending("sigs", Seq("sid0-b0")).count()
+    lg.beginCompaction(Seq("sid0-b0"), preCount + pendCount)
+
+    // the next batch's recovery must KEEP the un-folded pending state
+    // (before the coverage check it deleted it — silent signature loss)
+    StreamingMediaDedup.processBatch(Multimodal.syntheticImageCorpus(b2),
+      Multimodal.imageSigFrame, "sid0", 1L, idxPath, outDir)
+    assert(lg.pendingPrefixes.toSet == Set("sid0-b0", "sid0-b1"),
+      s"pending sigs lost to an un-landed compaction: ${lg.pendingPrefixes}")
+
+    // b2's pairs saw b1 via the surviving pending log
+    val streamed = pairSet(StreamingMediaDedup.pairs(spark, outDir))
+    val b1Sigs = Multimodal.imageSigFrame(Multimodal.syntheticImageCorpus(b1))
+      .localCheckpoint(true)
+    val b2Sigs = Multimodal.imageSigFrame(Multimodal.syntheticImageCorpus(b2))
+    val expected = incrRef(corpusSigs, b1Sigs, "l1") ++
+      incrRef(corpusSigs.unionByName(b1Sigs), b2Sigs, "l2")
+    assert(streamed == expected,
+      s"missed=${(expected -- streamed).take(5)} extra=${(streamed -- expected).take(5)}")
+
+    // a real compact then folds BOTH batches in and drains the log
+    StreamingMediaDedup.compact(spark, outDir, idxPath)
+    assert(lg.pendingPrefixes.isEmpty)
+    assert(MediaHashIndex.sigs(spark, idxPath).count() ===
+      preCount + pendCount + b2Sigs.count())
+  }
+
   test("replayed micro-batch is a no-op; compact folds the log into the index (audio)") {
     val (_, corpus, b1, b2) = familySplit()
     val idxPath = tmpDir("smd-c-idx")
