@@ -57,6 +57,14 @@ object ScalingBench {
     "m04b_audio_delta" ->
       ((s, dir) =>
         graft.multimodal.Multimodal.audioNeardupIncrementalMod(s, dir, 30)),
+    // m05b at the realistic 1/30 daily batch (the d07b convention):
+    // the driver's m05b binds a full THIRD of the corpus as the delta,
+    // where the probe's candidate join approaches the full join's size
+    // by construction — this row shows the steady-state cost at the
+    // cadence the feature exists for
+    "m05b_small_delta" ->
+      ((s, dir) =>
+        graft.multimodal.Multimodal.jointMediaSurvivorsIndexedMod(s, dir, 30)),
     // streaming micro-batch scoring: half the d07/d13 delta scored with
     // the other half already committed in the pending log (frozen-index
     // contract — see StreamingNearDup/StreamingEmbNearDup.benchScore)
@@ -79,7 +87,12 @@ object ScalingBench {
     // against its touched cells' members only
     "d15b_semantic_delta" ->
       ((s, dir) =>
-        graft.operators.SemanticDedup.semanticDedupIncrementalMod(s, dir, 30)))
+        graft.operators.SemanticDedup.semanticDedupIncrementalMod(s, dir, 30)),
+    // streaming semantic micro-batch: half the delta third scored with
+    // the other half already committed in the pending log (frozen
+    // SemDedupIndex contract — see StreamingSemanticDedup)
+    "sn06_stream_semantic_batch" ->
+      ((s, dir) => graft.streaming.StreamingSemanticDedup.benchScore(s, dir)))
 
   /** One-time index builds behind the incremental rows, timed as their
     * OWN `<name>_build` row under [[BuildTimeoutSec]] instead of being
@@ -100,9 +113,19 @@ object ScalingBench {
         { graft.multimodal.Multimodal.ensureAudioIndexMod(s, dir, 30); () }),
     "m05b_joint_media_survivors_indexed" ->
       ((s, dir) => graft.multimodal.Multimodal.ensureJointMediaIndexes(s, dir)),
+    // shares m03b/m04b's mod=30 hash indexes by construction (same
+    // content-addressed tags), so when those build rows ran first this
+    // row records only the cluster-index build — the amortization IS
+    // the point, disclosed in SCALING.md
+    "m05b_small_delta" ->
+      ((s, dir) =>
+        graft.multimodal.Multimodal.ensureJointMediaIndexes(s, dir, 30)),
     "d15b_semantic_delta" ->
       ((s, dir) =>
-        { graft.operators.SemanticDedup.ensureSemDedupIndexMod(s, dir, 30); () }))
+        { graft.operators.SemanticDedup.ensureSemDedupIndexMod(s, dir, 30); () }),
+    "sn06_stream_semantic_batch" ->
+      ((s, dir) =>
+        { graft.operators.SemanticDedup.ensureSemDedupIndexMod(s, dir, 3); () }))
 
   private def query(name: String): (SparkSession, String) => DataFrame =
     SparkEntry.queries.getOrElse(name, Extra(name))
@@ -133,9 +156,10 @@ object ScalingBench {
     "m03_image_neardup", "m03b_image_delta",
     "m04_audio_neardup", "m04b_audio_delta",
     "m05_joint_media_survivors", "m05b_joint_media_survivors_indexed",
+    "m05b_small_delta",
     "sn01_stream_text_score", "sn02_stream_emb_score",
     "sn03_stream_pool_batch", "sn04_stream_fuzzy_batch",
-    "sn05_stream_media_batch")
+    "sn05_stream_media_batch", "sn06_stream_semantic_batch")
 
   /** SPARK_GRAFT_SCALING_ONLY=a,b,c restricts the measured set — for
     * adding rows for NEW queries to an existing record without
@@ -192,9 +216,10 @@ object ScalingBench {
     "m03_image_neardup", "m03b_image_delta",
     "m04_audio_neardup", "m04b_audio_delta",
     "m05_joint_media_survivors", "m05b_joint_media_survivors_indexed",
+    "m05b_small_delta",
     "sn01_stream_text_score", "sn02_stream_emb_score",
     "sn03_stream_pool_batch", "sn04_stream_fuzzy_batch",
-    "sn05_stream_media_batch",
+    "sn05_stream_media_batch", "sn06_stream_semantic_batch",
     "d05_embedding_neardup")
 
   private def MeasuredSf10 = only(MeasuredSf10All)(identity)
@@ -653,7 +678,7 @@ object ScalingBench {
       // maintained m05 decodes its delta third — the corpus decode is
       // the one-time index build the first attempt pays
       "m03b_image_delta", "m04b_audio_delta",
-      "m05b_joint_media_survivors_indexed")
+      "m05b_joint_media_survivors_indexed", "m05b_small_delta")
     if (only(docNames)(identity).nonEmpty) {
       val sf100dDir = sys.env.getOrElse("SPARK_GRAFT_SF100D_DIR", "/tmp/graft_sf100d")
       ensureSf100Docs(spark, sf10Dir, sf100dDir)

@@ -137,24 +137,30 @@ object SemDedupIndex {
     fs(s, path).create(marker(path), true).close()
   }
 
-  /** The delta's assigned frame plus the batch's NEW drops (delta
-    * members dropped by corpus/delta neighbors, and corpus keepers
-    * retroactively dropped by delta members). Pure — [[append]]
-    * persists, [[probe]] only reports. */
-  private def probeFrames(delta: DataFrame, path: String)
-      : (DataFrame, DataFrame) = {
+  /** Assign a raw (vec_id, embedding) delta under the index's FROZEN
+    * centroids — the shared entry of the batch probe and the streaming
+    * scorer ([[graft.streaming.StreamingSemanticDedup]]): both must
+    * assign with the index's own geometry or probe and state diverge. */
+  private[graft] def assignDelta(delta: DataFrame, path: String): DataFrame = {
     val s = delta.sparkSession
-    val (_, _, sub, tau) = meta(s, path)
+    val (_, _, sub, _) = meta(s, path)
     val (cents, subCents) = centroids(s, path)
-    val dA = SemanticDedup
-      .assignFrame(Similarity.withNorm(s, delta), cents, subCents, sub)
-      .localCheckpoint(true) // delta-sized; consumed 3 ways below
-    val nD = dA.count()
+    SemanticDedup.assignFrame(Similarity.withNorm(s, delta), cents, subCents, sub)
+  }
+
+  /** The batch's NEW drop set: delta members dropped by corpus/delta
+    * neighbors, and corpus keepers RETROACTIVELY dropped by delta
+    * members — over an arbitrary `corpusMembers` frame, so the
+    * streaming path can ride its pending log on the corpus side.
+    * `dA` must be materialized (it is consumed twice). */
+  private[graft] def newDropsAgainst(dA: DataFrame, nD: Long,
+      corpusMembers: DataFrame, tau: Double): DataFrame = {
+    val s = dA.sparkSession
     val a = dA.select(col("cell"), col("vec_id").as("id_a"),
       col("v").as("va"), col("norm").as("na"), col("csim").as("ca"))
     // delta vs corpus: members STREAM (cell-pruned by the range layout),
     // the delta side hash-builds under the byte budget / broadcasts
-    val b = members(s, path).select(col("cell"), col("vec_id").as("id_b"),
+    val b = corpusMembers.select(col("cell"), col("vec_id").as("id_b"),
       col("v").as("vb"), col("norm").as("nb"), col("csim").as("cb"))
     val cross = b
       .join(Dedup.bcastOrHashIf(SemanticDedup.MemberRowBytes, nD,
@@ -170,16 +176,28 @@ object SemDedupIndex {
       .filter(col("id_a") < col("id_b"))
       .filter(VectorFunctions.dot(s, col("va"), col("vb"))
         / (col("na") * col("nb")) >= tau)
-    val newDrops = cross.select(SemanticDedup.dupSide.as("vec_id"))
+    cross.select(SemanticDedup.dupSide.as("vec_id"))
       .unionByName(within.select(SemanticDedup.dupSide.as("vec_id")))
       .distinct()
-    (dA, newDrops)
+  }
+
+  /** The delta's assigned frame plus the batch's NEW drops (delta
+    * members dropped by corpus/delta neighbors, and corpus keepers
+    * retroactively dropped by delta members). Pure — [[append]]
+    * persists, [[probe]] only reports. */
+  private def probeFrames(delta: DataFrame, path: String)
+      : (DataFrame, DataFrame) = {
+    val s = delta.sparkSession
+    val (_, _, _, tau) = meta(s, path)
+    val dA = assignDelta(delta, path)
+      .localCheckpoint(true) // delta-sized; consumed 3 ways below
+    (dA, newDropsAgainst(dA, dA.count(), members(s, path), tau))
   }
 
   /** The batch's decision-update frame: the delta's decision rows plus
     * every CORPUS row the delta retroactively drops. `corpusMembers`
     * must be the member frame as of BEFORE the batch. */
-  private def decisionUpdates(dA: DataFrame, nd: DataFrame,
+  private[graft] def decisionUpdates(dA: DataFrame, nd: DataFrame,
       corpusMembers: DataFrame): DataFrame = {
     val deltaDec = dA
       .select(col("vec_id"), col("cell"),
@@ -219,6 +237,23 @@ object SemDedupIndex {
     nd.write.mode("append").parquet(s"$path/drops")
     fs(s, path).create(marker(path), true).close()
     updates
+  }
+
+  /** Persist ALREADY-ASSIGNED members plus their drop set — the
+    * compactor's entry ([[graft.streaming.StreamingSemanticDedup]]
+    * folds its pending log in without re-assigning or re-pairing;
+    * the stream already computed both under the frozen centroids).
+    * Same torn-write contract as [[append]]. */
+  def appendFrames(s: SparkSession, deltaMembers: DataFrame,
+      deltaDrops: DataFrame, path: String): Unit = {
+    fs(s, path).delete(marker(path), false)
+    deltaMembers
+      .select(col("cell"), col("vec_id"), col("v"), col("norm"), col("csim"))
+      .sortWithinPartitions(col("cell"))
+      .write.mode("append").parquet(s"$path/members")
+    deltaDrops.select(col("vec_id")).distinct()
+      .write.mode("append").parquet(s"$path/drops")
+    fs(s, path).create(marker(path), true).close()
   }
 
   /** Build if absent; re-train + rebuild when the corpus has outgrown

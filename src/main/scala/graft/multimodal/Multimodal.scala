@@ -511,8 +511,7 @@ object Multimodal {
     * its own build row (r12's sf10 record showed m05b SLOWER than m05
     * only because this build ran inside the probe's timed region). */
   private[graft] def ensureJointMediaIndexes(s: SparkSession,
-      dir: String): Unit = {
-    val mod = 3
+      dir: String, mod: Int = 3): Unit = {
     Seq(("img", ensureImageIndexMod(s, dir, mod)),
         ("aud", ensureAudioIndexMod(s, dir, mod))).foreach {
       case (tag, hashPath) =>
@@ -527,12 +526,20 @@ object Multimodal {
     }
   }
 
-  def jointMediaSurvivorsIndexed(s: SparkSession, dir: String): DataFrame = {
-    val mod = 3
+  def jointMediaSurvivorsIndexed(s: SparkSession, dir: String): DataFrame =
+    jointMediaSurvivorsIndexedMod(s, dir, 3)
+
+  /** [[jointMediaSurvivorsIndexed]] with the corpus/delta split
+    * parameterized (the d07/d07b convention): mod=3 is the driver
+    * binding's upper bound — at a 1/3 delta the probe's candidate join
+    * approaches the full join's size by construction — mod=30 the
+    * realistic daily batch the ladder also measures. */
+  def jointMediaSurvivorsIndexedMod(s: SparkSession, dir: String,
+      mod: Int): DataFrame = {
     val docs = graft.core.Tables.load(s, dir, "documents")
     val isDelta = col("doc_id") % mod === 0
     val deltaDocs = docs.filter(isDelta)
-    ensureJointMediaIndexes(s, dir)
+    ensureJointMediaIndexes(s, dir, mod)
 
     def modalityClusters(tag: String, corpus: DataFrame => DataFrame,
         sigf: DataFrame => DataFrame): DataFrame = {

@@ -1524,8 +1524,15 @@ object Dedup {
     * frame through a broadcast join against the (delta-sized) remap.
     * Every frame that shuffles is delta-sized by construction. */
   def mergeClusters(clusters: DataFrame, deltaPairs: DataFrame): DataFrame = {
-    val ids = deltaPairs.select(col("doc_a").as("doc_id"))
-      .unionByName(deltaPairs.select(col("doc_b").as("doc_id")))
+    // materialize the (delta-sized) pair frame ONCE: it feeds three
+    // plan subtrees (both endpoint projections + the contraction), and
+    // a lazy subtree re-runs the caller's whole pair-formation pipeline
+    // per consumption — for the media path that meant re-DECODING the
+    // delta three times (m05b's sf10 row read slower than the full
+    // recompute it amortizes until this pin)
+    val dp = deltaPairs.localCheckpoint(true)
+    val ids = dp.select(col("doc_a").as("doc_id"))
+      .unionByName(dp.select(col("doc_b").as("doc_id")))
       .distinct()
     // endpoint → its current label; endpoints in no existing cluster
     // (new delta docs, corpus docs with no prior pair) label themselves
@@ -1538,7 +1545,7 @@ object Dedup {
       .localCheckpoint(true)
     val la = lab.select(col("doc_id").as("doc_a"), col("lab").as("la"))
     val lb = lab.select(col("doc_id").as("doc_b"), col("lab").as("lb"))
-    val contracted = deltaPairs.join(la, Seq("doc_a")).join(lb, Seq("doc_b"))
+    val contracted = dp.join(la, Seq("doc_a")).join(lb, Seq("doc_b"))
       .filter(col("la") =!= col("lb"))
       .select(least(col("la"), col("lb")).as("doc_a"),
         greatest(col("la"), col("lb")).as("doc_b"))

@@ -1,0 +1,201 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+import org.apache.spark.sql.types.{DoubleType, LongType, StructField, StructType}
+
+import graft.index.SemDedupIndex
+import graft.operators.Dedup
+
+/** Continuous SemDeDup scoring: Structured Streaming over an embedding
+  * source, each micro-batch assigned under the index's FROZEN
+  * centroids and decided against the persisted
+  * [[graft.index.SemDedupIndex]] — the streaming form of the d15b
+  * cadence and the semantic member of the streaming family (text
+  * [[StreamingNearDup]], vectors [[StreamingEmbNearDup]], pools
+  * [[StreamingCorpusPool]]/[[StreamingFuzzyPool]], media
+  * [[StreamingMediaDedup]]) — with it, every persisted incremental
+  * index in the repo again has a streaming binding.
+  *
+  * Contract ([[BatchLog]] exactly-once + frozen-index scoring):
+  *
+  *  - batch N emits its decision-update frame: the batch's own
+  *    (vec_id, cell, centroid_sim, is_dup) rows plus every EARLIER row
+  *    (index corpus or batches 1..N−1) the batch retroactively drops —
+  *    the published keep policy is (centroid_sim, id)-ORDER-based, not
+  *    arrival-based, so a later vector can demote an existing keeper.
+  *    The union of updates over batches, folded latest-wins onto the
+  *    index's build-time decisions, equals the batch recompute
+  *    ([[graft.operators.SemanticDedup.semanticDedupWithCents]] over
+  *    corpus ∪ batches under the frozen centroids) — drops are
+  *    monotone (a dropped vector never un-drops), so latest-wins is
+  *    just the accumulated drop set.
+  *  - the pending log rides the corpus side as the batches' ASSIGNED
+  *    member frames (delta-sized; same columns as the index's members,
+  *    produced by the same [[SemDedupIndex.assignDelta]], so stream
+  *    cells and index cells can never disagree).
+  *  - the index is never mutated by the stream; [[compact]] folds the
+  *    pending members/drops in via [[SemDedupIndex.appendFrames]]
+  *    under a VERIFIED intent (the [[StreamingMediaDedup.compact]]
+  *    coverage contract: pending dirs are deleted only once the index
+  *    member count confirms the append landed).
+  *
+  * Centroid staleness is the batch side's job between streams, as with
+  * every frozen-state scorer: [[SemDedupIndex.ensure]] after a compact
+  * (empty log) re-trains once the corpus outgrows the layout. */
+object StreamingSemanticDedup {
+
+  private val PendingTables = Seq("members", "drops")
+
+  private def log(s: SparkSession, outDir: String) =
+    new BatchLog(s, outDir, PendingTables)
+
+  private def streamId(checkpoint: String): String = {
+    val d = java.security.MessageDigest.getInstance("SHA-256")
+      .digest(checkpoint.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    "s" + d.take(8).map(b => f"$b%02x").mkString
+  }
+
+  /** All decision updates the stream has committed so far (latest
+    * batches last; is_dup=1 rows accumulate — drops are monotone). */
+  def updates(s: SparkSession, outDir: String): DataFrame =
+    log(s, outDir).pairs(StructType(Seq(
+      StructField("vec_id", LongType), StructField("cell", LongType),
+      StructField("centroid_sim", DoubleType),
+      StructField("is_dup", LongType))))
+
+  /** The LIVE maintained decision view: index members/drops ∪ the
+    * committed pending log — identical in shape and content to
+    * [[SemDedupIndex.decisions]] run AFTER compacting the log. */
+  def decisions(s: SparkSession, outDir: String,
+      indexPath: String): DataFrame = {
+    val lg = log(s, outDir)
+    val pending = lg.pendingPrefixes
+    val m =
+      if (pending.isEmpty) SemDedupIndex.members(s, indexPath)
+      else SemDedupIndex.members(s, indexPath)
+        .unionByName(lg.readPending("members", pending))
+    val d =
+      if (pending.isEmpty) SemDedupIndex.drops(s, indexPath)
+      else SemDedupIndex.drops(s, indexPath)
+        .unionByName(lg.readPending("drops", pending).select(col("vec_id")))
+        .distinct()
+    m.select(col("vec_id"), col("cell"),
+        round(col("csim"), 4).as("centroid_sim"))
+      .join(d.withColumn("is_dup", lit(1L)), Seq("vec_id"), "left")
+      .withColumn("is_dup", coalesce(col("is_dup"), lit(0L)))
+      .orderBy(col("vec_id"))
+  }
+
+  /** The scoring plan for one batch: assign under the frozen
+    * centroids, decide against (index members ∪ pending log minus
+    * `excludePrefix`). Returns (decision updates, assigned members,
+    * new drops) — the commit path persists the latter two. */
+  private def scorePlan(batch: DataFrame, indexPath: String, lg: BatchLog,
+      excludePrefix: String): (DataFrame, DataFrame, DataFrame) = {
+    val s = batch.sparkSession
+    val (_, _, _, tau) = SemDedupIndex.meta(s, indexPath)
+    val dA = SemDedupIndex.assignDelta(batch, indexPath)
+      .localCheckpoint(true) // delta-sized; consumed by probe + commit
+    val pending = lg.pendingPrefixes.filterNot(_ == excludePrefix)
+    val corpusSide =
+      if (pending.isEmpty) SemDedupIndex.members(s, indexPath)
+      else SemDedupIndex.members(s, indexPath)
+        .unionByName(lg.readPending("members", pending))
+    val nd = SemDedupIndex.newDropsAgainst(dA, dA.count(), corpusSide, tau)
+      .localCheckpoint(true)
+    (SemDedupIndex.decisionUpdates(dA, nd, corpusSide), dA, nd)
+  }
+
+  /** Score one micro-batch and commit its outputs. Exposed for the
+    * replay-idempotence spec; the stream calls it from foreachBatch. */
+  private[streaming] def processBatch(batch: DataFrame, sid: String,
+      batchId: Long, indexPath: String, outDir: String): Unit = {
+    val s = batch.sparkSession
+    val lg = log(s, outDir)
+    val prefix = s"$sid-b$batchId"
+    if (lg.isCommitted(prefix)) return
+    // complete (or roll back) a torn compact BEFORE scoring, under the
+    // coverage check — see StreamingMediaDedup.processBatch
+    lg.finishCompaction(SemDedupIndex.ready(s, indexPath),
+      SemDedupIndex.members(s, indexPath).count())
+    val (upd, dA, nd) = scorePlan(batch, indexPath, lg, prefix)
+    upd.write.mode("overwrite").parquet(lg.pairsPath(prefix))
+    dA.write.mode("overwrite").parquet(lg.pendingPath("members", prefix))
+    nd.write.mode("overwrite").parquet(lg.pendingPath("drops", prefix))
+    lg.commit(prefix)
+  }
+
+  /** Start the scorer on a newline-JSON embedding source (canonical
+    * vec_id/embedding fields, like the embeddings table). */
+  def start(
+      spark: SparkSession,
+      sourceDir: String,
+      schema: StructType,
+      indexPath: String,
+      outDir: String,
+      checkpoint: String,
+      trigger: Trigger = Trigger.AvailableNow(),
+      options: Map[String, String] = Map.empty): StreamingQuery = {
+    require(SemDedupIndex.ready(spark, indexPath),
+      s"semantic dedup index at $indexPath is not ready — build it first")
+    val sid = streamId(checkpoint)
+    spark.readStream
+      .schema(schema)
+      .options(options)
+      .json(sourceDir)
+      .writeStream
+      .queryName("semantic-dedup-score")
+      .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty)
+          processBatch(batch, sid, batchId, indexPath, outDir)
+        ()
+      }
+      .start()
+  }
+
+  /** Fold the pending members/drops into the index — the
+    * [[StreamingMediaDedup.compact]] verified-intent shape over
+    * [[SemDedupIndex.appendFrames]] (no re-assign, no re-pair: the
+    * stream already computed both under the frozen centroids). */
+  def compact(s: SparkSession, outDir: String, indexPath: String): Unit = {
+    val lg = log(s, outDir)
+    def ready = SemDedupIndex.ready(s, indexPath)
+    def count = SemDedupIndex.members(s, indexPath).count()
+    lg.finishCompaction(ready, count)
+    val pending = lg.pendingPrefixes
+    if (pending.isEmpty) return
+    lg.beginCompaction(pending,
+      count + lg.readPending("members", pending).count())
+    SemDedupIndex.appendFrames(s,
+      lg.readPending("members", pending),
+      lg.readPending("drops", pending), indexPath)
+    lg.finishCompaction(ready, count)
+  }
+
+  /** Scaling-ladder binding (sn06): one streaming micro-batch of
+    * vectors — half the d15b-style delta third — scored with the other
+    * half already committed in the pending log. Reuses the mod=3
+    * SemDedupIndex; the first attempt pays the index build + batch-0
+    * commit, the second measures the warm per-batch cost (the d07/d13
+    * best-of-2 precedent; the index build also runs as its own
+    * sn06 `_build` ScalingBench row). */
+  def benchScore(s: SparkSession, dir: String): DataFrame = {
+    val emb = Dedup.plantedProductionCorpus(
+      graft.core.Tables.load(s, dir, "embeddings"))
+    val idxPath =
+      graft.operators.SemanticDedup.ensureSemDedupIndexMod(s, dir, 3)
+    val logDir = graft.index.IndexCache.pathFor(
+      s, s"$dir/embeddings.parquet", "ssem-log")
+    val lg = log(s, logDir)
+    val delta = emb.filter(col("vec_id") % 3 === 0)
+    if (!lg.isCommitted("bench-b0"))
+      processBatch(delta.filter(pmod(col("vec_id"), lit(2)) === 0),
+        "bench", 0L, idxPath, logDir)
+    scorePlan(delta.filter(pmod(col("vec_id"), lit(2)) =!= 0),
+      idxPath, lg, "")._1
+  }
+}

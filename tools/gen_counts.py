@@ -39,6 +39,11 @@ def main() -> int:
         (repo / "README.md",
          r"# \d+ tests / \d+ suites",
          f"# {n_tests} tests / {n_suites} suites"),
+        (repo / "README.md",
+         r"`SparkEntry\.queries` \(\d+ entries\) is the operator surface; "
+         r"\d+ have DuckDB",
+         f"`SparkEntry.queries` ({n_q} entries) is the operator surface; "
+         f"{n_oracle} have DuckDB"),
         (repo / "COVERAGE.md",
          r"\(\d+ of \d+ oracle-matched against DuckDB at sf0\.01",
          f"({n_oracle} of {n_q} oracle-matched against DuckDB at sf0.01"),
