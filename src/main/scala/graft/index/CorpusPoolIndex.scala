@@ -41,8 +41,24 @@ object CorpusPoolIndex {
 
   private def marker(path: String) = new Path(path, "_POOLIDX_READY")
 
+  private def foldFile(path: String) = new Path(path, "_LAST_FOLD")
+
   def ready(s: SparkSession, path: String): Boolean =
     fs(s, path).exists(marker(path))
+
+  /** Token of the last streaming-compaction fold this index absorbed
+    * (null when none) — the rewrite-style coverage check
+    * ([[graft.streaming.BatchLog.finishCompaction]]): pool counts can
+    * legally SHRINK across a fold (retraction), so recovery verifies
+    * fold identity, not row counts. */
+  def lastFold(s: SparkSession, path: String): String = {
+    val f = fs(s, path)
+    if (!f.exists(foldFile(path))) null
+    else {
+      val in = f.open(foldFile(path))
+      try scala.io.Source.fromInputStream(in).mkString.trim finally in.close()
+    }
+  }
 
   def pool(s: SparkSession, path: String): DataFrame =
     s.read.parquet(s"$path/pool")
@@ -108,12 +124,17 @@ object CorpusPoolIndex {
     * [[ingest]] and the streaming compactor
     * ([[graft.streaming.StreamingCorpusPool.compact]]). */
   private[graft] def writeVersion(s: SparkSession, newPool: DataFrame,
-      newFps: DataFrame, path: String): Unit = {
+      newFps: DataFrame, path: String, foldToken: String = null): Unit = {
     val p = newPool.localCheckpoint(true)
     val f0 = newFps.localCheckpoint(true)
     fs(s, path).delete(marker(path), false)
     p.write.mode("overwrite").parquet(s"$path/pool")
     f0.write.mode("overwrite").parquet(s"$path/fps")
+    if (foldToken != null) {
+      val tf = fs(s, path).create(foldFile(path), true)
+      tf.write(foldToken.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      tf.close()
+    }
     val out = fs(s, path).create(marker(path), true)
     out.close()
   }

@@ -57,6 +57,20 @@ object FuzzyPoolIndex {
 
   private def marker(path: String) = new Path(path, "_FUZZYIDX_READY")
 
+  private def foldFile(path: String) = new Path(path, "_LAST_FOLD")
+
+  /** Token of the last streaming-compaction fold this index absorbed
+    * (null when none) — the rewrite-style coverage check; see
+    * [[CorpusPoolIndex.lastFold]]. */
+  def lastFold(s: SparkSession, path: String): String = {
+    val f = fs(s, path)
+    if (!f.exists(foldFile(path))) null
+    else {
+      val in = f.open(foldFile(path))
+      try scala.io.Source.fromInputStream(in).mkString.trim finally in.close()
+    }
+  }
+
   def ready(s: SparkSession, path: String): Boolean =
     fs(s, path).exists(marker(path))
 
@@ -190,7 +204,7 @@ object FuzzyPoolIndex {
   private[graft] def ingestFrames(s: SparkSession, gatedNew: DataFrame,
       pairsNew: DataFrame, clustersNew: DataFrame, retiredNew: DataFrame,
       mergedFps: DataFrame, deltaBands: DataFrame, deltaShingles: DataFrame,
-      path: String): Unit = {
+      path: String, foldToken: String = null): Unit = {
     // every frame below may READ the current index — materialize before
     // any overwrite (Spark cannot overwrite a path its plan still reads)
     val f = mergedFps.localCheckpoint(true)
@@ -205,6 +219,11 @@ object FuzzyPoolIndex {
     p.write.mode("overwrite").parquet(s"$path/pairs")
     c.write.mode("overwrite").parquet(s"$path/clusters")
     r.write.mode("overwrite").parquet(s"$path/retired")
+    if (foldToken != null) {
+      val tf = fs(s, path).create(foldFile(path), true)
+      tf.write(foldToken.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      tf.close()
+    }
     fs(s, path).create(marker(path), true).close()
   }
 }

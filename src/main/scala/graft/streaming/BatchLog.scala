@@ -66,34 +66,52 @@ private[streaming] final class BatchLog(s: SparkSession, outDir: String,
     else s.read.parquet(committed.map(pairsPath): _*)
   }
 
-  /** Record the compaction intent. `expected` (when >= 0) is the index
-    * row count the fold must reach before the listed pending dirs may
-    * be deleted — [[finishCompaction]]'s coverage check. Without it, a
-    * crash between this intent and the index append would let the next
+  /** The deterministic token naming one compaction of one pending set —
+    * APPEND-style compactors verify by row count, REWRITE-style ones
+    * (pool fold; counts can legally shrink) persist this token with the
+    * fold and recovery verifies token equality. A rebuild of the index
+    * by anyone else never writes it, so a rebuilt-but-never-folded
+    * index can't pass for a landed fold. */
+  def compactionToken(prefixes: Seq[String]): String = {
+    val d = java.security.MessageDigest.getInstance("SHA-256")
+      .digest(prefixes.sorted.mkString(",")
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    d.take(8).map(b => f"$b%02x").mkString
+  }
+
+  /** Record the compaction intent plus its coverage line —
+    * `expected` (>= 0) for an append-style fold verified by row count,
+    * or `token` for a rewrite-style fold verified by the fold's
+    * persisted [[compactionToken]]. Without a coverage line, a crash
+    * between this intent and the fold would let the next
     * [[finishCompaction]] delete pending state the index never
-    * received (silent signature loss). */
-  def beginCompaction(prefixes: Seq[String], expected: Long = -1L): Unit = {
+    * received (silent loss). */
+  def beginCompaction(prefixes: Seq[String], expected: Long = -1L,
+      token: String = null): Unit = {
     val out = f.create(intentFile, true)
-    val head = if (expected >= 0) s"expected=$expected\n" else ""
+    val head =
+      if (token != null) s"token=$token\n"
+      else if (expected >= 0) s"expected=$expected\n"
+      else ""
     out.write((head + prefixes.mkString("\n"))
       .getBytes(java.nio.charset.StandardCharsets.UTF_8))
     out.close()
   }
 
-  /** Complete a (possibly torn) compaction. When the intent carries an
-    * `expected=` coverage line, the pending dirs are deleted ONLY once
-    * `indexCount` confirms the fold landed:
-    *  - index not ready → torn append; touch nothing (the index's own
+  /** Complete a (possibly torn) compaction. When the intent carries a
+    * coverage line, the pending dirs are deleted ONLY once the index
+    * confirms the fold landed:
+    *  - index not ready → torn fold; touch nothing (the index's own
     *    rebuild contract applies first, pending state stays recoverable)
-    *  - count >= expected → the append landed; delete pending + intent
-    *  - count < expected → the append never completed; drop the intent
-    *    (the compaction un-begins — pending stays, a later compact
-    *    retries) so the sigs are never silently lost.
-    * Intents without the coverage line keep the legacy
-    * delete-unconditionally behavior (callers that verify by other
-    * means). */
+    *  - `expected=` line: count >= expected → landed; else the fold
+    *    never completed — drop the intent (the compaction un-begins,
+    *    pending stays, a later compact retries)
+    *  - `token=` line: `foldToken` == token → landed; else un-begin
+    * Intents without a coverage line keep the legacy
+    * delete-unconditionally behavior. */
   def finishCompaction(indexReady: => Boolean = true,
-      indexCount: => Long = Long.MaxValue): Unit = {
+      indexCount: => Long = Long.MaxValue,
+      foldToken: => String = null): Unit = {
     if (!f.exists(intentFile)) return
     val in = f.open(intentFile)
     val lines = scala.io.Source.fromInputStream(in).getLines().toList
@@ -101,13 +119,21 @@ private[streaming] final class BatchLog(s: SparkSession, outDir: String,
     val expected = lines.headOption
       .filter(_.startsWith("expected="))
       .map(_.stripPrefix("expected=").toLong)
-    val listed = if (expected.isDefined) lines.tail else lines
-    expected match {
-      case Some(_) if !indexReady =>
-        () // torn append — defer to the index's rebuild contract
-      case Some(exp) if indexCount < exp =>
+    val token = lines.headOption
+      .filter(_.startsWith("token="))
+      .map(_.stripPrefix("token="))
+    val listed =
+      if (expected.isDefined || token.isDefined) lines.tail else lines
+    val verified =
+      if (expected.isEmpty && token.isEmpty) Some(true) // legacy intent
+      else if (!indexReady) None // torn fold — defer to rebuild contract
+      else Some(expected.forall(indexCount >= _) &&
+        token.forall(t => foldToken == t))
+    verified match {
+      case None => ()
+      case Some(false) =>
         f.delete(intentFile, false) // fold never landed; keep pending
-      case _ =>
+      case Some(true) =>
         for (p <- listed; t <- tables) f.delete(pendingDir(t, p), true)
         f.delete(intentFile, false)
     }

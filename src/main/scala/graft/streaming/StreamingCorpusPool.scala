@@ -80,7 +80,11 @@ object StreamingCorpusPool {
     val lg = log(s, outDir)
     val prefix = s"$sid-b$batchId"
     if (lg.isCommitted(prefix)) return // replay of a fully committed batch
-    lg.finishCompaction() // torn compact: complete its deletes first
+    // torn compact: complete (or roll back) under the fold-token check —
+    // a compact that crashed before its pool rewrite must NOT have its
+    // pending dirs deleted (see BatchLog.finishCompaction)
+    lg.finishCompaction(CorpusPoolIndex.ready(s, indexPath),
+      foldToken = CorpusPoolIndex.lastFold(s, indexPath))
     val (additions, deltaFps) = acceptPlan(batch, indexPath, lg, prefix)
     val adds = additions.localCheckpoint(true)
     // batch-scoped OVERWRITE dirs: a replayed crash recomputes the same
@@ -187,7 +191,9 @@ object StreamingCorpusPool {
     * completed by [[BatchLog.finishCompaction]] at the next batch. */
   def compact(s: SparkSession, outDir: String, indexPath: String): Unit = {
     val lg = log(s, outDir)
-    lg.finishCompaction()
+    def ready = CorpusPoolIndex.ready(s, indexPath)
+    def fold = CorpusPoolIndex.lastFold(s, indexPath)
+    lg.finishCompaction(ready, foldToken = fold)
     val pending = lg.pendingPrefixes
     if (pending.isEmpty) return
     val newPool = pool(s, outDir, indexPath)
@@ -195,8 +201,11 @@ object StreamingCorpusPool {
       .unionByName(lg.readPending("fpmins", pending)
         .withColumnRenamed("dmin", "keep_id"))
       .groupBy(col("fp")).agg(min(col("keep_id")).as("keep_id"))
-    lg.beginCompaction(pending)
-    CorpusPoolIndex.writeVersion(s, newPool, newFps, indexPath)
-    lg.finishCompaction()
+    // rewrite-style fold: pool counts can legally shrink (retraction),
+    // so the intent's coverage is the fold TOKEN the rewrite persists
+    val token = lg.compactionToken(pending)
+    lg.beginCompaction(pending, token = token)
+    CorpusPoolIndex.writeVersion(s, newPool, newFps, indexPath, token)
+    lg.finishCompaction(ready, foldToken = fold)
   }
 }

@@ -98,7 +98,10 @@ object StreamingEmbNearDup {
     val lg = log(s, outDir)
     val prefix = s"$sid-b$batchId"
     if (lg.isCommitted(prefix)) return
-    lg.finishCompaction()
+    // torn compact: complete (or roll back) under the coverage check —
+    // see StreamingMediaDedup.processBatch
+    lg.finishCompaction(EmbSignatureIndex.ready(s, indexPath),
+      EmbSignatureIndex.sigs(s, indexPath).count())
     val (scored, dBase, vv, sk) = scorePlan(batch, indexPath, lg, prefix, tau)
     scored.write.mode("overwrite").parquet(lg.pairsPath(prefix))
     dBase.write.mode("overwrite").parquet(lg.pendingPath("sigs", prefix))
@@ -167,14 +170,17 @@ object StreamingEmbNearDup {
     * depth → delete pending dirs → drop intent. */
   def compact(s: SparkSession, outDir: String, indexPath: String): Unit = {
     val lg = log(s, outDir)
-    lg.finishCompaction()
+    def ready = EmbSignatureIndex.ready(s, indexPath)
+    def count = EmbSignatureIndex.sigs(s, indexPath).count()
+    lg.finishCompaction(ready, count)
     val pending = lg.pendingPrefixes
     if (pending.isEmpty) return
-    lg.beginCompaction(pending)
+    lg.beginCompaction(pending,
+      count + lg.readPending("sigs", pending).count())
     EmbSignatureIndex.appendFrames(s,
       lg.readPending("sigs", pending),
       lg.readPending("vecs", pending),
       lg.readPending("sketches", pending), indexPath)
-    lg.finishCompaction()
+    lg.finishCompaction(ready, count)
   }
 }

@@ -128,7 +128,9 @@ object StreamingFuzzyPool {
     val lg = log(s, outDir)
     val prefix = s"$sid-b$batchId"
     if (lg.isCommitted(prefix)) return // replay of a fully committed batch
-    lg.finishCompaction() // torn compact: complete its deletes first
+    // torn compact: complete (or roll back) under the fold-token check
+    lg.finishCompaction(FuzzyPoolIndex.ready(s, indexPath),
+      foldToken = FuzzyPoolIndex.lastFold(s, indexPath))
     val (adds, deltaFps, deltaBands, deltaSh, newPairs) =
       scorePlan(batch, indexPath, lg, prefix)
     val a = adds.localCheckpoint(true)
@@ -270,7 +272,9 @@ object StreamingFuzzyPool {
     * contract). */
   def compact(s: SparkSession, outDir: String, indexPath: String): Unit = {
     val lg = log(s, outDir)
-    lg.finishCompaction()
+    def ready = FuzzyPoolIndex.ready(s, indexPath)
+    def fold = FuzzyPoolIndex.lastFold(s, indexPath)
+    lg.finishCompaction(ready, foldToken = fold)
     val pending = lg.pendingPrefixes
     if (pending.isEmpty) return
     val d = liveDecisions(s, outDir, indexPath)
@@ -278,10 +282,13 @@ object StreamingFuzzyPool {
       .unionByName(lg.readPending("fpmins", pending)
         .withColumnRenamed("dmin", "keep_id"))
       .groupBy(col("fp")).agg(min(col("keep_id")).as("keep_id"))
-    lg.beginCompaction(pending)
+    // rewrite-style fold (retraction can shrink every frame): the
+    // intent's coverage is the fold TOKEN the rewrite persists
+    val token = lg.compactionToken(pending)
+    lg.beginCompaction(pending, token = token)
     FuzzyPoolIndex.ingestFrames(s, d.gated, d.pairs, d.clusters, d.retired,
       mergedFps, lg.readPending("bands", pending),
-      lg.readPending("shingles", pending), indexPath)
-    lg.finishCompaction()
+      lg.readPending("shingles", pending), indexPath, token)
+    lg.finishCompaction(ready, foldToken = fold)
   }
 }

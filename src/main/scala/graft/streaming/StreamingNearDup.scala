@@ -102,7 +102,11 @@ object StreamingNearDup {
     val lg = log(s, outDir)
     val prefix = s"$sid-b$batchId"
     if (lg.isCommitted(prefix)) return // replay of a fully committed batch
-    lg.finishCompaction() // torn compact: complete its deletes first
+    // torn compact: complete its deletes first — under the coverage
+    // check, so a compact that crashed BEFORE its append rolls back
+    // instead of losing the pending state (see StreamingMediaDedup)
+    lg.finishCompaction(SignatureIndex.ready(s, indexPath),
+      SignatureIndex.shingles(s, indexPath).count())
     val (scored, deltaBands, deltaSh) = scorePlan(batch, indexPath, lg, prefix)
     // batch-scoped OVERWRITE dirs: a replayed crash recomputes the same
     // content (same pending set — markers gate what a replay can see)
@@ -174,17 +178,21 @@ object StreamingNearDup {
     * drop intent. A crash after the append is recovered by
     * [[BatchLog.finishCompaction]] at the next batch or compact; a
     * crash DURING the append leaves the index not-ready (rebuild
-    * contract). Pair outputs are untouched — [[pairs]] keeps serving
-    * them. */
+    * contract); a crash BEFORE the append rolls the intent back under
+    * the coverage line instead of deleting un-folded pending state.
+    * Pair outputs are untouched — [[pairs]] keeps serving them. */
   def compact(s: SparkSession, outDir: String, indexPath: String): Unit = {
     val lg = log(s, outDir)
-    lg.finishCompaction()
+    def ready = SignatureIndex.ready(s, indexPath)
+    def count = SignatureIndex.shingles(s, indexPath).count()
+    lg.finishCompaction(ready, count)
     val pending = lg.pendingPrefixes
     if (pending.isEmpty) return
-    lg.beginCompaction(pending)
+    lg.beginCompaction(pending,
+      count + lg.readPending("shingles", pending).count())
     val pb = lg.readPending("bands", pending)
     val ps = lg.readPending("shingles", pending)
     SignatureIndex.appendFrames(s, pb, ps, indexPath)
-    lg.finishCompaction()
+    lg.finishCompaction(ready, count)
   }
 }

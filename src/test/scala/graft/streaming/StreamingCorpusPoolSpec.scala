@@ -130,4 +130,28 @@ class StreamingCorpusPoolSpec extends SparkSpec {
     assert(new BatchLog(spark, outDir, Seq("adds", "fpmins"))
       .pendingPrefixes === Seq("sid0-b0"))
   }
+
+  test("compaction intent WITHOUT a landed fold must not delete pending state") {
+    val (_, bench, corpus, delta) = corpusSplit()
+    val idxPath = tmpDir("scp-l-idx")
+    CorpusPoolIndex.build(corpus, bench, idxPath)
+    val outDir = tmpDir("scp-l-out")
+    StreamingCorpusPool.processBatch(delta, "sid0", 0L, idxPath, outDir)
+    val live = poolSet(StreamingCorpusPool.pool(spark, outDir, idxPath))
+
+    // crash window: compact wrote its TOKEN intent and died before the
+    // pool rewrite — the pool is still the pre-fold version (rewrite
+    // folds can shrink counts, so coverage is the persisted fold token)
+    val lg = new BatchLog(spark, outDir, Seq("adds", "fpmins"))
+    lg.beginCompaction(Seq("sid0-b0"),
+      token = lg.compactionToken(Seq("sid0-b0")))
+
+    // recovery must roll the intent back and KEEP the pending batch —
+    // the live view stays correct throughout
+    StreamingCorpusPool.compact(spark, outDir, idxPath)
+    assert(lg.pendingPrefixes.isEmpty,
+      "the real compact should then fold and drain the log")
+    assert(poolSet(CorpusPoolIndex.pool(spark, idxPath)) === live,
+      "pool after recovery+compact must equal the pre-crash live view")
+  }
 }

@@ -110,6 +110,37 @@ class StreamingNearDupSpec extends SparkSpec {
         s"extra=${(streamed -- (afterB1 ++ incrB2)).take(5)}")
   }
 
+  test("compaction intent WITHOUT a landed append must not delete pending state") {
+    val (_, corpus, delta) = corpusSplit()
+    val idxPath = tmpDir("snd-l-idx")
+    graft.index.SignatureIndex.build(corpus, idxPath)
+    val outDir = tmpDir("snd-l-out")
+    import spark.implicits._
+    val deltaRows = delta.collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("text"))).toSeq
+    val (b1, b2) = deltaRows.partition(_._1 % 2 == 0)
+    StreamingNearDup.processBatch(b1.toDF("doc_id", "text"),
+      "sid0", 0L, idxPath, outDir)
+
+    // crash window: compact wrote its coverage intent and died BEFORE
+    // the append touched the index
+    val lg = new BatchLog(spark, outDir, Seq("bands", "shingles"))
+    val pre = graft.index.SignatureIndex.shingles(spark, idxPath).count()
+    val pend = lg.readPending("shingles", Seq("sid0-b0")).count()
+    lg.beginCompaction(Seq("sid0-b0"), pre + pend)
+
+    // recovery (next batch) must KEEP the un-folded pending state
+    StreamingNearDup.processBatch(b2.toDF("doc_id", "text"),
+      "sid0", 1L, idxPath, outDir)
+    assert(lg.pendingPrefixes.toSet == Set("sid0-b0", "sid0-b1"),
+      s"pending state lost to an un-landed compaction: ${lg.pendingPrefixes}")
+    // a real compact then folds both batches in and drains the log
+    StreamingNearDup.compact(spark, outDir, idxPath)
+    assert(lg.pendingPrefixes.isEmpty)
+    assert(graft.index.SignatureIndex.shingles(spark, idxPath).count() >
+      pre + pend)
+  }
+
   test("scoring plan: candidate and verify joins broadcast the delta side") {
     // benchScore = one batch scored with another already pending — the
     // shape the ladder measures. The delta probes must BROADCAST into
