@@ -50,7 +50,13 @@ object SpillProbe {
     // affected-CC under pressure), the segment-hash window, the
     // temperature selection, and the joint media decision stack
     "p04_incremental_fuzzy", "t26_segment_dedup",
-    "t27_temperature_mixture", "m05_joint_media_survivors")
+    "t27_temperature_mixture", "m05_joint_media_survivors",
+    // round-13 additions: the incremental SemDeDup probe (frozen-cent
+    // assignment + cell-scoped member join), its streaming micro-batch
+    // form, and the maintained media decision stack at the realistic
+    // 1/30 cadence (delta decode + index probe + contracted-CC fold)
+    "d15b_semantic_dedup_indexed", "sn06_stream_semantic_batch",
+    "m05b_small_delta")
 
   def main(args: Array[String]): Unit = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
