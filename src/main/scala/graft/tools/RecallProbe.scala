@@ -239,6 +239,50 @@ object RecallProbe {
             else !(db == 1L && da == 0L))
         }
         println(f"""{"probe":"semdedup_deep","n":${n + pairs},"planted":$pairs,"colocated":${coLoc.size},"drop_one":$dropOne,"policy_violations":$violations,"cell_recall":${coLoc.size.toDouble / pairs}%.4f,"sec":$sec%.1f}""")
+      case "semdedupincr" =>
+        // d15b at depth: the INCREMENTAL path in the two-level regime
+        // (the suite ladder tops out at 200k vectors — single-level).
+        // Build the index on the corpus minus a 1/30 delta (timed as
+        // the one-off), then time probe() and append() of the delta —
+        // the steady per-batch cost the cadence argues — and check the
+        // keep policy on every planted pair STRADDLING the split (the
+        // retroactive-flip machinery's at-depth exercise).
+        val pairs = extra
+        val corpus = cached(spark, s"$tmp/graft_recall_emb_${n}_$pairs",
+          baseVectors(spark, n).unionByName(plantedPartners(spark, n, pairs)))
+        val isDelta = pmod(col("vec_id"), lit(30)) === 0
+        val idxPath = s"$tmp/graft_semincr_${n}_$pairs"
+        new org.apache.hadoop.fs.Path(idxPath)
+          .getFileSystem(spark.sparkContext.hadoopConfiguration)
+          .delete(new org.apache.hadoop.fs.Path(idxPath), true)
+        val t0 = System.nanoTime()
+        graft.index.SemDedupIndex.build(corpus.filter(!isDelta), idxPath)
+        val buildSec = (System.nanoTime() - t0) / 1e9
+        val delta = corpus.filter(isDelta)
+        val t1 = System.nanoTime()
+        val probed = graft.index.SemDedupIndex.probe(delta, idxPath).count()
+        val probeSec = (System.nanoTime() - t1) / 1e9
+        val t2 = System.nanoTime()
+        graft.index.SemDedupIndex.append(delta, idxPath).count()
+        val appendSec = (System.nanoTime() - t2) / 1e9
+        // policy check over the planted window of the maintained view
+        val rows = graft.index.SemDedupIndex.decisions(spark, idxPath)
+          .filter(col("vec_id") < pairs || (col("vec_id") >= n && col("vec_id") < n + pairs))
+          .collect()
+          .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2), r.getLong(3))).toMap
+        val planted = (0 until pairs).map(i => (i.toLong, i + n))
+        val straddling = planted.count { case (a, b) =>
+          (a % 30 == 0) ^ (b % 30 == 0) }
+        val coLoc = planted.filter { case (a, b) => rows(a)._1 == rows(b)._1 }
+        val dropOne = coLoc.count { case (a, b) => rows(a)._3 == 1L ^ rows(b)._3 == 1L }
+        val violations = coLoc.count { case (a, b) =>
+          val (_, ca, da) = rows(a)
+          val (_, cb, db) = rows(b)
+          math.abs(ca - cb) > 2e-4 && (
+            if (ca > cb) !(da == 1L && db == 0L)
+            else !(db == 1L && da == 0L))
+        }
+        println(f"""{"probe":"semdedup_incr","n":${n + pairs},"delta":${(n + pairs) / 30},"planted":$pairs,"straddling":$straddling,"colocated":${coLoc.size},"drop_one":$dropOne,"policy_violations":$violations,"probe_rows":$probed,"build_sec":$buildSec%.1f,"probe_sec":$probeSec%.1f,"append_sec":$appendSec%.1f}""")
       case "ivf" =>
         val q = extra
         val corpus = cached(spark, s"$tmp/graft_recall_ivf_$n",
