@@ -1420,9 +1420,16 @@ object Dedup {
     }
     def ck(df: DataFrame): DataFrame =
       if (ccDir.isDefined) df.checkpoint(true) else df.localCheckpoint(true)
+    // both edge directions from ONE pass over `pairs` (explode, not a
+    // two-branch union): Catalyst does not dedupe identical subplans
+    // across union branches, so a caller handing a LAZY pair pipeline
+    // (the index builds: minhashLsh / pairsFromIndex) paid its whole
+    // pair formation twice inside this one job
     val edges = ck(pairs
-      .select(col("doc_a").as("u"), col("doc_b").as("v"))
-      .unionByName(pairs.select(col("doc_b").as("u"), col("doc_a").as("v")))
+      .select(explode(array(
+        struct(col("doc_a").as("u"), col("doc_b").as("v")),
+        struct(col("doc_b").as("u"), col("doc_a").as("v")))).as("e"))
+      .select(col("e.u").as("u"), col("e.v").as("v"))
       .repartition(col("v")))
     var p = ck(edges.groupBy(col("u"))
       .agg(min(col("v")).as("m"))
