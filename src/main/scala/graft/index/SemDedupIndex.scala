@@ -196,16 +196,25 @@ object SemDedupIndex {
 
   /** The batch's decision-update frame: the delta's decision rows plus
     * every CORPUS row the delta retroactively drops. `corpusMembers`
-    * must be the member frame as of BEFORE the batch. */
+    * must be the member frame as of BEFORE the batch.
+    *
+    * The drop set is delta-BOUNDED (each drop names a ≥τ pair side in
+    * a delta-touched cell) but rides a localCheckpoint whose stats
+    * Spark treats as unknown-size, so both joins must broadcast it
+    * EXPLICITLY under the byte budget — without the hint the retro
+    * lookup sort-merges, shuffling the CORPUS member table per batch
+    * (caught in the PLANS.md audit; at 100 TB that is the one shuffle
+    * this cadence exists to avoid). */
   private[graft] def decisionUpdates(dA: DataFrame, nd: DataFrame,
       corpusMembers: DataFrame): DataFrame = {
+    val bc = Dedup.bcastIf(16, nd.count())(_)
     val deltaDec = dA
       .select(col("vec_id"), col("cell"),
         round(col("csim"), 4).as("centroid_sim"))
-      .join(nd.withColumn("is_dup", lit(1L)), Seq("vec_id"), "left")
+      .join(bc(nd.withColumn("is_dup", lit(1L))), Seq("vec_id"), "left")
       .withColumn("is_dup", coalesce(col("is_dup"), lit(0L)))
     val retro = corpusMembers
-      .join(nd, Seq("vec_id"), "left_semi")
+      .join(bc(nd), Seq("vec_id"), "left_semi")
       .select(col("vec_id"), col("cell"),
         round(col("csim"), 4).as("centroid_sim"), lit(1L).as("is_dup"))
     deltaDec.unionByName(retro).orderBy(col("vec_id"))

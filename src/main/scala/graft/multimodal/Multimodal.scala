@@ -560,7 +560,17 @@ object Multimodal {
     val audC = modalityClusters("aud", syntheticAudioCorpus, audioSigFrame)
     def dropIds(c: DataFrame) =
       c.filter(col("doc_id") =!= col("cluster_id")).select(col("doc_id"))
-    docs.join(dropIds(imgC).unionByName(dropIds(audC)).distinct(),
+    // drop-set rows are bounded by the persisted cluster frames plus
+    // the delta's fresh nodes (both cheap counts); the explicit
+    // budget-aware hint keeps the decision join broadcast (corpus
+    // streams) or shuffled-hash — never a corpus sort (the drop set
+    // rides checkpointed frames whose size Spark treats as unknown)
+    val nBound = Seq("img", "aud").map { tag =>
+      graft.index.ClusterIndex.load(s, graft.index.IndexCache.pathFor(
+        s, s"$dir/documents.parquet", s"${tag}cc-mod=$mod")).count()
+    }.sum + 2 * deltaDocs.count()
+    docs.join(graft.operators.Dedup.bcastOrHashIf(8, nBound)(
+        dropIds(imgC).unionByName(dropIds(audC)).distinct()),
         Seq("doc_id"), "left_anti")
       .select(col("doc_id"), col("n_chars"))
       .orderBy(col("doc_id"))

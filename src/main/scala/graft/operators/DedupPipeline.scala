@@ -83,11 +83,30 @@ final class DedupPipeline(
     embClusters.filter(col("vec_id") =!= col("cluster_id"))
       .select(col("vec_id").as("doc_id"))
 
+  /** Budget-aware hint for a drop set riding checkpointed frames:
+    * Spark sees a LogicalRDD's size as unknown, so without the
+    * explicit hint the decision anti-join SORT-MERGES — shuffling AND
+    * sorting the corpus (caught in the PLANS.md audit). Broadcast
+    * under the byte budget (the decision-sized common case — corpus
+    * streams un-shuffled); shuffled-hash above it (a corpus-sized
+    * drop set must exchange, but never sort). `n` bounds the drop-set
+    * rows by its source cluster frame's (cheap, checkpointed) count. */
+  private def dropHint(n: => Long)(drops: DataFrame): DataFrame =
+    Dedup.bcastOrHashIf(8, n)(drops)
+
+  // cluster-frame counts, one cheap job each per instance (the frames
+  // are checkpointed) — shared by every decision join's dropHint
+  private lazy val textClusterCount: Long = textClusters.count()
+  private lazy val embClusterCount: Long = embClusters.count()
+  private lazy val imageClusterCount: Long = imageClusters.count()
+  private lazy val audioClusterCount: Long = audioClusters.count()
+
   /** The deduplicated corpus (d10): one anti-join of the corpus
     * against the text drop set; the corpus streams through
     * un-shuffled. */
   def survivors: DataFrame =
-    docsF.join(textDropIds, Seq("doc_id"), "left_anti")
+    docsF.join(dropHint(textClusterCount)(textDropIds),
+        Seq("doc_id"), "left_anti")
       .select(col("doc_id"), col("n_chars"))
       .orderBy(col("doc_id"))
 
@@ -95,7 +114,8 @@ final class DedupPipeline(
     * into one anti-join. Ids present in only one modality are judged
     * by that modality alone. */
   def jointSurvivors: DataFrame =
-    docsF.join(textDropIds.unionByName(embDropIds).distinct(),
+    docsF.join(dropHint(textClusterCount + embClusterCount)(
+        textDropIds.unionByName(embDropIds).distinct()),
         Seq("doc_id"), "left_anti")
       .select(col("doc_id"), col("n_chars"))
       .orderBy(col("doc_id"))
@@ -143,7 +163,8 @@ final class DedupPipeline(
     * modalities. Same one-anti-join shape: the two decision-sized drop
     * sets union, the corpus streams through un-shuffled. */
   def jointMediaSurvivors: DataFrame =
-    docsF.join(imageDropIds.unionByName(audioDropIds).distinct(),
+    docsF.join(dropHint(imageClusterCount + audioClusterCount)(
+        imageDropIds.unionByName(audioDropIds).distinct()),
         Seq("doc_id"), "left_anti")
       .select(col("doc_id"), col("n_chars"))
       .orderBy(col("doc_id"))
