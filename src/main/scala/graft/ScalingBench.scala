@@ -123,6 +123,16 @@ object ScalingBench {
     "d15b_semantic_delta" ->
       ((s, dir) =>
         { graft.operators.SemanticDedup.ensureSemDedupIndexMod(s, dir, 30); () }),
+    // text-path analogue of the media attribution fix: the one-time
+    // corpus signature build behind d07/d07b runs under the build
+    // budget, so the 5M-doc decade's steady rows start warm instead of
+    // spending the 300 s attempt budget inside the corpus pass
+    "d07_incremental_neardup" ->
+      ((s, dir) =>
+        { graft.operators.Dedup.ensureSignatureIndexMod(s, dir, 3); () }),
+    "d07b_small_delta" ->
+      ((s, dir) =>
+        { graft.operators.Dedup.ensureSignatureIndexMod(s, dir, 30); () }),
     "sn06_stream_semantic_batch" ->
       ((s, dir) =>
         { graft.operators.SemanticDedup.ensureSemDedupIndexMod(s, dir, 3); () }))
@@ -665,13 +675,21 @@ object ScalingBench {
     // d03, d08, sn01), promoted here so the record is machine-readable
     // end to end
     val docNames = Seq("d01_dedup_exact", "d02_minhash_lsh",
-      "d03_simhash", "d08_dedup_clusters", "d11_substring_dedup",
-      "t14_bm25_index", "t16_sequence_packing", "t17_domain_mixture",
-      "t19_token_chunks", "p01_training_corpus", "p02_incremental_corpus",
+      "d03_simhash", "d04_ngram_jaccard",
+      // the text incremental family at the decade: build split off via
+      // the Build map (the media attribution fix), steady rows warm
+      "d07_incremental_neardup", "d07b_small_delta",
+      "d08_dedup_clusters", "d11_substring_dedup",
+      "t11_bm25_search", "t12_multiquery_search", "t13_keyword_tfidf",
+      "t14_bm25_index", "t15_batch_bm25_index", "t16_sequence_packing",
+      "t17_domain_mixture", "t18_mixture_epochs",
+      "t19_token_chunks", "t20_bloom_decontamination",
+      "t21_vocab_coverage", "t22_oov_ratio", "t23_contamination_ratio",
+      "t24_shard_export", "p01_training_corpus", "p02_incremental_corpus",
       "p03_fuzzy_corpus", "p04_incremental_fuzzy", "p04b_small_fuzzy_delta",
       "p05_temperature_corpus",
       "t25_lm_perplexity", "t26_segment_dedup", "t27_temperature_mixture",
-      "sn01_stream_text_score",
+      "sn01_stream_text_score", "sn04_stream_fuzzy_batch",
       // the media family's 5M-doc decade: media content derives from
       // doc_id alone (renderFamilyPng/Wav), so the docs-only sf100
       // corpus carries it; the delta probes decode 1/30, the

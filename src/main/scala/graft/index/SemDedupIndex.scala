@@ -207,7 +207,7 @@ object SemDedupIndex {
     * this cadence exists to avoid). */
   private[graft] def decisionUpdates(dA: DataFrame, nd: DataFrame,
       corpusMembers: DataFrame): DataFrame = {
-    val bc = Dedup.bcastIf(16, nd.count())(_)
+    val bc = Dedup.bcastOrHashIf(16, nd.count(), Seq("vec_id"))(_)
     val deltaDec = dA
       .select(col("vec_id"), col("cell"),
         round(col("csim"), 4).as("centroid_sim"))

@@ -1144,12 +1144,23 @@ object Dedup {
     * never share a build. */
   def incrementalNearDupMod(s: SparkSession, dir: String, mod: Int): DataFrame = {
     val docs = Tables.load(s, dir, "documents")
-    val isDelta = col("doc_id") % mod === 0
+    val path = ensureSignatureIndexMod(s, dir, mod)
+    incrementalPairs(docs.filter(col("doc_id") % mod === 0), path)
+  }
+
+  /** Build (if absent) the corpus-side signature index behind
+    * [[incrementalNearDupMod]] and return its path. Exposed so the
+    * scaling harness can time the ONE-TIME corpus build as its own
+    * `_build` row instead of charging it to the first delta probe
+    * (the media-family attribution fix, applied to the text path). */
+  def ensureSignatureIndexMod(s: SparkSession, dir: String, mod: Int): String = {
+    val docs = Tables.load(s, dir, "documents")
     val path = graft.index.IndexCache.pathFor(
       s, s"$dir/documents.parquet", s"sig-mod=$mod")
     if (!graft.index.SignatureIndex.ready(s, path))
-      graft.index.SignatureIndex.build(docs.filter(!isDelta), path)
-    incrementalPairs(docs.filter(isDelta), path)
+      graft.index.SignatureIndex.build(
+        docs.filter(!(col("doc_id") % mod === 0)), path)
+    path
   }
 
   // ---- incremental embedding near-dup vs a persisted signature index ----

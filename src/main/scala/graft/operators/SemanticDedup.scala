@@ -168,12 +168,17 @@ object SemanticDedup {
          (col("ca") === col("cb") && col("id_a") > col("id_b")),
       col("id_a")).otherwise(col("id_b"))
 
-  /** Decision frame from an assigned frame + drop set. */
+  /** Decision frame from an assigned frame + drop set. The drop set
+    * broadcasts in the common case; past the budget it hash-builds on
+    * the join key ([[Dedup.bcastOrHashIf]]) — a corpus-sized drop set
+    * must exchange, but the corpus side must never SORT (the PLANS.md
+    * SMJ audit's contract for every decision join). */
   private[graft] def decisionsFrame(indexed: DataFrame, dropped: DataFrame,
       n: Long): DataFrame =
     indexed
       .select(col("vec_id"), col("cell"), round(col("csim"), 4).as("centroid_sim"))
-      .join(Dedup.bcastIf(16, n)(dropped.withColumn("is_dup", lit(1L))),
+      .join(Dedup.bcastOrHashIf(16, n, Seq("vec_id"))(
+          dropped.withColumn("is_dup", lit(1L))),
         Seq("vec_id"), "left")
       .withColumn("is_dup", coalesce(col("is_dup"), lit(0L)))
       .orderBy(col("vec_id"))
