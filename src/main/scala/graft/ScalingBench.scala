@@ -517,14 +517,18 @@ object ScalingBench {
     scala.collection.mutable.LinkedHashMap[String, String]]
 
   private def put(times: Record, errors: Errors, name: String, sf: String,
-      best: Double, err: String): Unit = {
+      best: Double, err: String, dir: String = ""): Unit = {
     times.getOrElseUpdate(name,
       scala.collection.mutable.LinkedHashMap[String, Double]()).put(sf, best)
     if (best < 0)
       errors.getOrElseUpdate(name,
         scala.collection.mutable.LinkedHashMap[String, String]())
         .put(sf, err)
-    System.err.println(f"[scaling] $name @ sf$sf: $best%.3f s")
+    // both sf100 decades (events-only and docs-only) share the "100"
+    // record key — the corpus dir in the log line is what tells a
+    // failed row's corpus apart when triaging stderr
+    val at = if (dir.isEmpty) "" else s" [${new java.io.File(dir).getName}]"
+    System.err.println(f"[scaling] $name @ sf$sf$at: $best%.3f s")
   }
 
   /** Measure one query at one SF: the one-time `<name>_build` row
@@ -537,11 +541,11 @@ object ScalingBench {
       val bn = s"${name}_build"
       val (t, e) = attempt(spark, bn, sf, () => b(spark, dir), BuildTimeoutSec)
       graft.core.Caching.releaseAll(spark)
-      put(times, errors, bn, sf, t, e)
+      put(times, errors, bn, sf, t, e, dir)
       t >= 0
     }
     if (!buildOk) {
-      put(times, errors, name, sf, -1.0, "index build failed")
+      put(times, errors, name, sf, -1.0, "index build failed", dir)
       return
     }
     def once(): (Double, String) = {
@@ -560,7 +564,7 @@ object ScalingBench {
     // TimeoutSec of wall-clock)
     val (tb, eb) = if (ta < 0) (ta, ea) else once()
     val best = if (ta < 0 || tb < 0) math.max(ta, tb) else math.min(ta, tb)
-    put(times, errors, name, sf, best, if (ea != null) ea else eb)
+    put(times, errors, name, sf, best, if (ea != null) ea else eb, dir)
   }
 
   def main(args: Array[String]): Unit = {

@@ -32,6 +32,8 @@ object ClusterIndex {
     * decision-sized, already the product of the CC pass. */
   def build(clusters: DataFrame, path: String): Unit = {
     val s = clusters.sparkSession
+    // torn-write contract: not-ready while the frame is mid-overwrite
+    fs(s, path).delete(marker(path), false)
     clusters.write.mode("overwrite").parquet(s"$path/clusters")
     fs(s, path).create(marker(path), true).close()
   }

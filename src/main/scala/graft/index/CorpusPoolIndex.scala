@@ -41,8 +41,6 @@ object CorpusPoolIndex {
 
   private def marker(path: String) = new Path(path, "_POOLIDX_READY")
 
-  private def foldFile(path: String) = new Path(path, "_LAST_FOLD")
-
   def ready(s: SparkSession, path: String): Boolean =
     fs(s, path).exists(marker(path))
 
@@ -51,14 +49,8 @@ object CorpusPoolIndex {
     * ([[graft.streaming.BatchLog.finishCompaction]]): pool counts can
     * legally SHRINK across a fold (retraction), so recovery verifies
     * fold identity, not row counts. */
-  def lastFold(s: SparkSession, path: String): String = {
-    val f = fs(s, path)
-    if (!f.exists(foldFile(path))) null
-    else {
-      val in = f.open(foldFile(path))
-      try scala.io.Source.fromInputStream(in).mkString.trim finally in.close()
-    }
-  }
+  def lastFold(s: SparkSession, path: String): String =
+    FoldToken.read(s, path)
 
   def pool(s: SparkSession, path: String): DataFrame =
     s.read.parquet(s"$path/pool")
@@ -75,6 +67,12 @@ object CorpusPoolIndex {
   def build(corpusDocs: DataFrame, benchmarkDocs: DataFrame,
       path: String): Unit = {
     val s = corpusDocs.sparkSession
+    // rebuild over an already-ready index honors the torn-write
+    // contract: READY drops before the first overwrite (a crash
+    // mid-rebuild must read not-ready, not half-rewritten frames), and
+    // a stale fold token is cleared — a rebuilt index contains no fold
+    fs(s, path).delete(marker(path), false)
+    FoldToken.clear(s, path)
     TrainingCorpus.scoredScan(corpusDocs)
       .groupBy(col("fp")).agg(min(col("doc_id")).as("keep_id"))
       .write.mode("overwrite").parquet(s"$path/fps")
@@ -130,11 +128,7 @@ object CorpusPoolIndex {
     fs(s, path).delete(marker(path), false)
     p.write.mode("overwrite").parquet(s"$path/pool")
     f0.write.mode("overwrite").parquet(s"$path/fps")
-    if (foldToken != null) {
-      val tf = fs(s, path).create(foldFile(path), true)
-      tf.write(foldToken.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-      tf.close()
-    }
+    FoldToken.write(s, path, foldToken)
     val out = fs(s, path).create(marker(path), true)
     out.close()
   }

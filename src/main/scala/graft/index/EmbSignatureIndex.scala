@@ -87,6 +87,9 @@ object EmbSignatureIndex {
     * (defaults to the corpus's own count). */
   def build(embeddings: DataFrame, path: String, totalN: Long = -1L): Unit = {
     val s = embeddings.sparkSession
+    // torn-write contract: a drift re-train rebuilds over a READY
+    // index — it must read not-ready while frames are mid-overwrite
+    fs(s, path).delete(marker(path), false)
     val e = Dedup.embNormed(embeddings)
     val n = e.count()
     val bits = Dedup.adaptiveEmbBits(if (totalN > 0) totalN else n)

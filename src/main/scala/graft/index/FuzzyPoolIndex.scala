@@ -57,19 +57,11 @@ object FuzzyPoolIndex {
 
   private def marker(path: String) = new Path(path, "_FUZZYIDX_READY")
 
-  private def foldFile(path: String) = new Path(path, "_LAST_FOLD")
-
   /** Token of the last streaming-compaction fold this index absorbed
     * (null when none) — the rewrite-style coverage check; see
     * [[CorpusPoolIndex.lastFold]]. */
-  def lastFold(s: SparkSession, path: String): String = {
-    val f = fs(s, path)
-    if (!f.exists(foldFile(path))) null
-    else {
-      val in = f.open(foldFile(path))
-      try scala.io.Source.fromInputStream(in).mkString.trim finally in.close()
-    }
-  }
+  def lastFold(s: SparkSession, path: String): String =
+    FoldToken.read(s, path)
 
   def ready(s: SparkSession, path: String): Boolean =
     fs(s, path).exists(marker(path))
@@ -115,6 +107,7 @@ object FuzzyPoolIndex {
     // or a crash mid-rebuild leaves ready()==true over half-rewritten
     // frames and the next reader consumes a torn index.
     fs(s, path).delete(marker(path), false)
+    FoldToken.clear(s, path) // a rebuilt index contains no fold
     TrainingCorpus.scoredScan(corpusDocs)
       .groupBy(col("fp")).agg(min(col("doc_id")).as("keep_id"))
       .write.mode("overwrite").parquet(s"$path/fps")
@@ -219,11 +212,7 @@ object FuzzyPoolIndex {
     p.write.mode("overwrite").parquet(s"$path/pairs")
     c.write.mode("overwrite").parquet(s"$path/clusters")
     r.write.mode("overwrite").parquet(s"$path/retired")
-    if (foldToken != null) {
-      val tf = fs(s, path).create(foldFile(path), true)
-      tf.write(foldToken.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-      tf.close()
-    }
+    FoldToken.write(s, path, foldToken)
     fs(s, path).create(marker(path), true).close()
   }
 }

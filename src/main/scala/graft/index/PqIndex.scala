@@ -91,6 +91,9 @@ object PqIndex {
   def build(embeddings: DataFrame, path: String, totalN: Long = -1L): Unit = {
     val s = embeddings.sparkSession
     import s.implicits._
+    // torn-write contract: ensure()'s staleness re-train rebuilds over
+    // a READY index — it must read not-ready mid-overwrite
+    fs(s, path).delete(marker(path), false)
     val e = Similarity.withNorm(s, embeddings).localCheckpoint(true)
     val n = e.count()
     val cells = Similarity.ivfConfig(if (totalN > 0) totalN else n)._1

@@ -207,7 +207,8 @@ object SemDedupIndex {
     * this cadence exists to avoid). */
   private[graft] def decisionUpdates(dA: DataFrame, nd: DataFrame,
       corpusMembers: DataFrame): DataFrame = {
-    val bc = Dedup.bcastOrHashIf(16, nd.count(), Seq("vec_id"))(_)
+    val nDrops = nd.count() // once — the hint lambda runs per join below
+    val bc = Dedup.bcastOrHashIf(16, nDrops, Seq("vec_id"))(_)
     val deltaDec = dA
       .select(col("vec_id"), col("cell"),
         round(col("csim"), 4).as("centroid_sim"))

@@ -64,6 +64,10 @@ object SignatureIndex {
     * stacking a second corpus-sized checkpoint next to this one. */
   private[graft] def buildFrames(sh: DataFrame, path: String): Unit = {
     val s = sh.sparkSession
+    // a rebuild over an already-ready index must read not-ready while
+    // its frames are mid-overwrite (the torn-write contract every
+    // append in this family already honors)
+    fs(s, path).delete(marker(path), false)
     val b = Dedup.bandedSignatures(sh)
     b.repartitionByRange(col("bh")).sortWithinPartitions(col("bh"))
       .write.mode("overwrite").parquet(s"$path/bands")

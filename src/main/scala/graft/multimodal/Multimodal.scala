@@ -560,17 +560,17 @@ object Multimodal {
     val audC = modalityClusters("aud", syntheticAudioCorpus, audioSigFrame)
     def dropIds(c: DataFrame) =
       c.filter(col("doc_id") =!= col("cluster_id")).select(col("doc_id"))
-    // drop-set rows are bounded by the persisted cluster frames plus
-    // the delta's fresh nodes (both cheap counts); the explicit
-    // budget-aware hint keeps the decision join broadcast (corpus
-    // streams) or shuffled-hash — never a corpus sort (the drop set
-    // rides checkpointed frames whose size Spark treats as unknown)
-    val nBound = Seq("img", "aud").map { tag =>
-      graft.index.ClusterIndex.load(s, graft.index.IndexCache.pathFor(
-        s, s"$dir/documents.parquet", s"${tag}cc-mod=$mod")).count()
-    }.sum + 2 * deltaDocs.count()
-    docs.join(graft.operators.Dedup.bcastOrHashIf(8, nBound)(
-        dropIds(imgC).unionByName(dropIds(audC)).distinct()),
+    // materialize the decision-sized drop set once and size the join
+    // hint from its EXACT count — an estimated bound (cluster frames +
+    // 2·delta) understates it when one delta sig links many fresh
+    // corpus endpoints, and an understated bound can broadcast a frame
+    // past the byte budget. The explicit hint keeps the decision join
+    // broadcast (corpus streams) or shuffled-hash — never a corpus
+    // sort (checkpointed frames read as unknown-size to the planner)
+    val dropSet = dropIds(imgC).unionByName(dropIds(audC)).distinct()
+      .localCheckpoint(true)
+    docs.join(graft.operators.Dedup.bcastOrHashIf(8, dropSet.count())(
+        dropSet),
         Seq("doc_id"), "left_anti")
       .select(col("doc_id"), col("n_chars"))
       .orderBy(col("doc_id"))

@@ -194,6 +194,12 @@ object StreamingCorpusPool {
     def ready = CorpusPoolIndex.ready(s, indexPath)
     def fold = CorpusPoolIndex.lastFold(s, indexPath)
     lg.finishCompaction(ready, foldToken = fold)
+    // a torn REWRITE (the previous fold crashed mid-overwrite: index
+    // not-ready, intent and pending kept by the recovery above) must
+    // be repaired by the index's rebuild contract BEFORE any re-fold —
+    // the fold below READS the index, and a fold computed from torn
+    // frames would persist corruption under a valid token
+    if (!ready) return
     val pending = lg.pendingPrefixes
     if (pending.isEmpty) return
     val newPool = pool(s, outDir, indexPath)

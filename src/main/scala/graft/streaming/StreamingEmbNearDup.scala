@@ -173,6 +173,9 @@ object StreamingEmbNearDup {
     def ready = EmbSignatureIndex.ready(s, indexPath)
     def count = EmbSignatureIndex.sigs(s, indexPath).count()
     lg.finishCompaction(ready, count)
+    // torn append from a crashed fold: rebuild contract first, never
+    // re-append (see StreamingNearDup.compact)
+    if (!ready) return
     val pending = lg.pendingPrefixes
     if (pending.isEmpty) return
     lg.beginCompaction(pending,

@@ -275,6 +275,9 @@ object StreamingFuzzyPool {
     def ready = FuzzyPoolIndex.ready(s, indexPath)
     def fold = FuzzyPoolIndex.lastFold(s, indexPath)
     lg.finishCompaction(ready, foldToken = fold)
+    // torn rewrite from a crashed fold: rebuild contract first, never
+    // re-fold from torn frames (see StreamingCorpusPool.compact)
+    if (!ready) return
     val pending = lg.pendingPrefixes
     if (pending.isEmpty) return
     val d = liveDecisions(s, outDir, indexPath)

@@ -163,6 +163,9 @@ object StreamingMediaDedup {
     def ready = MediaHashIndex.ready(s, indexPath)
     def count = MediaHashIndex.sigs(s, indexPath).count()
     lg.finishCompaction(ready, count)
+    // torn append from a crashed fold: rebuild contract first, never
+    // re-append (see StreamingNearDup.compact)
+    if (!ready) return
     val pending = lg.pendingPrefixes
     if (pending.isEmpty) return
     lg.beginCompaction(pending,

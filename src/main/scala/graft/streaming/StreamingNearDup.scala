@@ -186,6 +186,13 @@ object StreamingNearDup {
     def ready = SignatureIndex.ready(s, indexPath)
     def count = SignatureIndex.shingles(s, indexPath).count()
     lg.finishCompaction(ready, count)
+    // a torn APPEND (the previous compact's fold crashed mid-write:
+    // index not-ready, intent and pending kept by the recovery above)
+    // must be repaired by the index's rebuild contract BEFORE any
+    // re-fold — re-appending into an index that already received these
+    // rows would duplicate them, and the count coverage would read the
+    // doubled rows as "landed" and delete the pending dirs
+    if (!ready) return
     val pending = lg.pendingPrefixes
     if (pending.isEmpty) return
     lg.beginCompaction(pending,

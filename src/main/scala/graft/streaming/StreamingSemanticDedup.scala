@@ -166,6 +166,9 @@ object StreamingSemanticDedup {
     def ready = SemDedupIndex.ready(s, indexPath)
     def count = SemDedupIndex.members(s, indexPath).count()
     lg.finishCompaction(ready, count)
+    // torn append from a crashed fold: rebuild contract first, never
+    // re-append (see StreamingNearDup.compact)
+    if (!ready) return
     val pending = lg.pendingPrefixes
     if (pending.isEmpty) return
     lg.beginCompaction(pending,

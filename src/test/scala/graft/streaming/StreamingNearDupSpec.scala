@@ -201,4 +201,53 @@ class StreamingNearDupSpec extends SparkSpec {
     StreamingNearDup.compact(spark, outDir, idxPath)
     assert(pairSet(StreamingNearDup.pairs(spark, outDir)) == streamed)
   }
+
+  test("compact after a crash mid-append must not re-append (no double fold)") {
+    // The crash window INSIDE a fold: intent written, the index append
+    // landed, but the crash hit before the READY marker was recreated.
+    // The next compact() must NOT fold again — the index already holds
+    // the pending rows, and a re-append would duplicate every one of
+    // them while the count coverage reads the doubled rows as "landed"
+    // and deletes the pending dirs. Contract shared by all six
+    // streaming compactors (the `if (!ready) return` gate after the
+    // recovery finishCompaction).
+    val (_, corpus, delta) = corpusSplit()
+    val idxPath = tmpDir("snd-d-idx")
+    graft.index.SignatureIndex.build(corpus, idxPath)
+    val outDir = tmpDir("snd-d-out")
+    import spark.implicits._
+    val deltaRows = delta.collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("text"))).toSeq
+    val b1df = deltaRows.toDF("doc_id", "text")
+    StreamingNearDup.processBatch(b1df, "sid0", 0L, idxPath, outDir)
+
+    val lg = new BatchLog(spark, outDir, Seq("bands", "shingles"))
+    val pre = graft.index.SignatureIndex.shingles(spark, idxPath).count()
+    val pend = lg.readPending("shingles", Seq("sid0-b0")).count()
+    lg.beginCompaction(Seq("sid0-b0"), pre + pend)
+    graft.index.SignatureIndex.appendFrames(spark,
+      lg.readPending("bands", Seq("sid0-b0")),
+      lg.readPending("shingles", Seq("sid0-b0")), idxPath)
+    val fs = new org.apache.hadoop.fs.Path(idxPath)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(idxPath, "_SIGIDX_READY"), false)
+
+    // gated: the torn index must be left for the rebuild contract —
+    // no second append, pending and intent both kept
+    StreamingNearDup.compact(spark, outDir, idxPath)
+    assert(!graft.index.SignatureIndex.ready(spark, idxPath))
+    assert(graft.index.SignatureIndex.shingles(spark, idxPath).count()
+      == pre + pend,
+      "compact re-appended into a torn index (double fold)")
+    assert(lg.pendingPrefixes == Seq("sid0-b0"),
+      s"pending lost under a torn index: ${lg.pendingPrefixes}")
+
+    // the rebuild contract repairs the index from the corpus (pending
+    // still in the log), after which ONE fold drains it exactly once
+    graft.index.SignatureIndex.build(corpus, idxPath)
+    StreamingNearDup.compact(spark, outDir, idxPath)
+    assert(lg.pendingPrefixes.isEmpty)
+    assert(graft.index.SignatureIndex.shingles(spark, idxPath).count()
+      == pre + pend)
+  }
 }

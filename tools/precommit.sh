@@ -14,9 +14,19 @@ sbt -batch compile Test/compile
 
 if [[ "${1:-}" != "--fast" ]]; then
   out=$(mktemp -d /tmp/graft-precommit.XXXXXX)
-  sbt -batch "runMain graft.Verify /root/testdata/sf0.001 $out" \
-    2>&1 | grep -E "\[verify\].*failed" && {
-      echo "precommit: verify smoke FAILED (see above)"; exit 1; } || true
+  log=$(mktemp /tmp/graft-precommit-log.XXXXXX)
+  # capture sbt's own exit status: a Verify that CRASHES mid-run prints
+  # no "[verify] ... failed" line, and a pipeline grep would swallow
+  # the non-zero status while the partial result dirs pass the >0 check
+  if ! sbt -batch "runMain graft.Verify /root/testdata/sf0.001 $out" \
+      > "$log" 2>&1; then
+    tail -30 "$log"
+    echo "precommit: verify smoke CRASHED (sbt exit != 0, log above)"
+    exit 1
+  fi
+  if grep -E "\[verify\].*failed" "$log"; then
+    echo "precommit: verify smoke FAILED (see above)"; exit 1
+  fi
   n=$(find "$out" -mindepth 1 -maxdepth 1 -type d | wc -l)
   [[ "$n" -gt 0 ]] || { echo "precommit: verify wrote no results"; exit 1; }
   echo "precommit: OK (compile green, $n query results at sf0.001)"
