@@ -91,7 +91,8 @@ object Demo {
       }
       val noAuth = post("/v1/query", """{"sql":"SELECT 1 AS one"}""")
       println(s"== REST without token: HTTP ${noAuth.statusCode()}")
-      val tokResp = post("/v1/auth/token", """{"subject":"demo"}""")
+      val tokResp = post("/v1/auth/token",
+        """{"subject":"demo","secret":"demo-secret-0123456789abcdef"}""")
       require(tokResp.statusCode() == 200,
         s"token issue failed: HTTP ${tokResp.statusCode()} ${tokResp.body()}")
       val access = """"access_token":"([^"]+)"""".r

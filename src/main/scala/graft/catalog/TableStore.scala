@@ -67,9 +67,26 @@ class TableStore(val spark: SparkSession, val root: String) {
     try f finally l.unlock()
   }
 
-  def tablePath(table: String): String = s"$root/$table"
+  /** Table names are path segments under `root` — an unvalidated name
+    * is a path-traversal hole (`dropTable("..")` would recursively
+    * delete the data root's PARENT). The reference sanitizes every
+    * table identifier (`internal/security/sql_sanitizer.go`); this is
+    * the equivalent chokepoint, enforced on every storage-path
+    * derivation. */
+  private val TableName = "^[A-Za-z0-9_][A-Za-z0-9_.-]{0,127}$".r
+  private[graft] def requireValidTable(table: String): Unit =
+    require(TableName.matches(table) && !table.contains("..")
+        && table != "." && !table.endsWith("."),
+      s"invalid table name '$table' — letters, digits, _, -, . only " +
+        "(no path separators or traversal)")
+
+  def tablePath(table: String): String = {
+    requireValidTable(table)
+    s"$root/$table"
+  }
 
   def createTable(table: String, config: TableConfig = TableConfig()): Unit = {
+    requireValidTable(table)
     configs.putIfAbsent(table, config)
     versions.putIfAbsent(table, new AtomicLong(0))
     // start the flush-interval clock at creation: a 0 default would make
@@ -107,7 +124,10 @@ class TableStore(val spark: SparkSession, val root: String) {
 
   def config(table: String): Option[TableConfig] = configs.get(table)
 
-  def dropTable(table: String): Unit = {
+  /** Runs under the table lock: an unlocked drop races a concurrent
+    * flush/compaction whose WAL append or tmp-dir rename would
+    * resurrect the dropped path as a ghost directory. */
+  def dropTable(table: String): Unit = withTableLock(table) {
     configs.remove(table)
     buffers.remove(table)
     walSegments.remove(table)
@@ -360,41 +380,36 @@ class TableStore(val spark: SparkSession, val root: String) {
   def flush(table: String): Unit = withTableLock(table) {
     maybeReplayWal(table)
     val buf = buffers.getOrElseUpdate(table, ArrayBuffer.empty)
-    val (batch, segs) = buf.synchronized {
-      val b = buf.toVector; buf.clear()
-      val s = walSegments.get(table).map(w => { val v = w.toVector; w.clear(); v })
-        .getOrElse(Vector.empty)
-      (b, s)
-    }
+    // SNAPSHOT, don't drain: concurrent readers take no lock, so the
+    // rows must stay visible in the buffer until the parquet append
+    // COMMITS — draining first opened a window (the whole multi-second
+    // write) where acknowledged rows were in neither buffer nor
+    // storage, violating the hybrid read's read-your-writes guarantee.
+    // Writers are excluded by the table lock, so the buffer cannot
+    // change underneath; a failed append now leaves buffer and WAL
+    // untouched (no re-buffer dance). The price is the commit window
+    // itself: a reader racing the job commit may see a flushed row in
+    // both storage and buffer for the moment before the clear below —
+    // transient duplicates beat transient loss.
+    val batch = buf.synchronized(buf.toVector)
     if (batch.nonEmpty) {
       lastFlush(table) = System.currentTimeMillis()
-      try {
-        flattenBatch(batch, Some(table))
-          .withColumn("date", to_date(col("timestamp")))
-          // cluster by id within each partition file: tight per-row-group
-          // id min/max + bloom locality for point lookups at scale
-          .sortWithinPartitions(col("date"), col("id"))
-          .write
-          .mode("append")
-          .partitionBy("date")
-          // parquet bloom filter on id: point lookups (delete/update by id,
-          // reference index #33) skip row groups without footer-stats help
-          .option("parquet.bloom.filter.enabled#id", "true")
-          .parquet(tablePath(table))
-      } catch {
-        case e: Throwable =>
-          // failed flush: re-buffer the batch (front, preserving order) so
-          // the rows stay QUERYABLE in this process — the WAL segments
-          // were not deleted, so durability was never at risk
-          val buf2 = buffers.getOrElseUpdate(table, ArrayBuffer.empty)
-          buf2.synchronized {
-            buf2.prependAll(batch)
-            walSegments.getOrElseUpdate(table, ArrayBuffer.empty).prependAll(segs)
-          }
-          // visibility changed (rows moved storage-bound → buffer): cached
-          // results keyed at the old version must not keep serving
-          bumpVersion(table)
-          throw e
+      flattenBatch(batch, Some(table))
+        .withColumn("date", to_date(col("timestamp")))
+        // cluster by id within each partition file: tight per-row-group
+        // id min/max + bloom locality for point lookups at scale
+        .sortWithinPartitions(col("date"), col("id"))
+        .write
+        .mode("append")
+        .partitionBy("date")
+        // parquet bloom filter on id: point lookups (delete/update by id,
+        // reference index #33) skip row groups without footer-stats help
+        .option("parquet.bloom.filter.enabled#id", "true")
+        .parquet(tablePath(table))
+      val segs = buf.synchronized {
+        buf.clear()
+        walSegments.get(table).map(w => { val v = w.toVector; w.clear(); v })
+          .getOrElse(Vector.empty)
       }
       val fs = walDir(table).getFileSystem(spark.sparkContext.hadoopConfiguration)
       segs.foreach(p => fs.delete(p, false))

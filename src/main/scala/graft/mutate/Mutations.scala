@@ -70,7 +70,12 @@ class Mutations(store: TableStore) {
       else col("date").isin(realDates: _*) || col("date").isNull
     val affected = df.filter(dateMatch)
     val removed = affected.filter(victim).count()
-    val survivors = affected.filter(!victim)
+    // three-valued logic: a row whose predicate evaluates to NULL
+    // (e.g. age > 30 with age NULL) is excluded by filter(victim) AND
+    // by filter(!victim) — it would be silently dropped from the
+    // rewrite, uncounted and with no CDC event. NULL-predicate rows
+    // are NOT victims; they must survive.
+    val survivors = affected.filter(!coalesce(victim, lit(false)))
     val dirNames = realDates ++ (if (nullDates.nonEmpty) Seq("__HIVE_DEFAULT_PARTITION__") else Nil)
     swapPartitions(table, survivors, dirNames)
     removed
@@ -133,8 +138,12 @@ class Mutations(store: TableStore) {
     removeWhere(table, col("id").isNull || col("id") === "")
 
   /** Retention: drop whole date partitions older than `retentionDays`
-    * (partition drop = directory delete, no data rewrite). */
-  def applyRetention(table: String, asOf: java.time.LocalDate): Long = {
+    * (partition drop = directory delete, no data rewrite). Runs under
+    * the table lock — an unlocked partition delete races a concurrent
+    * compaction/mutation swap whose tmp-dir rename can RECREATE the
+    * expired partition after this pass reported it dropped. */
+  def applyRetention(table: String, asOf: java.time.LocalDate): Long =
+      store.withTableLock(table) {
     val days = store.config(table).map(_.retentionDays).getOrElse(0)
     if (days <= 0) return 0L
     val cutoff = asOf.minusDays(days.toLong)

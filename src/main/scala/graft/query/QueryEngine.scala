@@ -320,7 +320,17 @@ class QueryEngine(store: TableStore, cache: ResultCache = new ResultCache(),
         // with high offset bits sign-extends negative here — reject it
         if (from < 0) return Left(s"invalid cursor $cursor")
         streams.synchronized(Option(streams.get(sid))) match {
-          case Some(snap) => Right(slicePage(sid, snap, from, pageSize))
+          case Some(snap) =>
+            // the snapshot can be EVICTED between the map lookup and
+            // the slice (admitStream on another request closes it and
+            // deletes a disk-spilled snapshot's file) — surface that as
+            // the documented expired-cursor error, not an uncaught
+            // FileNotFoundException → 500
+            try Right(slicePage(sid, snap, from, pageSize))
+            catch { case _: java.io.IOException | _: IllegalStateException =>
+              Left(s"unknown or expired stream cursor $cursor — " +
+                "restart at cursor 0")
+            }
           case None => Left(
             s"unknown or expired stream cursor $cursor — restart at cursor 0")
         }

@@ -90,8 +90,10 @@ class RestServer(facade: ServiceFacade, host: String = "127.0.0.1", port: Int = 
           val o = obj("ok" -> h.ok, "tables" -> h.tables, "spark_active" -> h.sparkActive)
           respond(ex, if (h.ok) 200 else 503, o)
         case ("POST", List("v1", "auth", "token")) =>
-          val subject = text(body(ex), "subject")
-          val t = facade.getToken(subject)
+          // open route, but NOT an open mint: the reference requires
+          // api_key+secret (GetTokenRequest, miniodb.proto:379-381)
+          val b = body(ex)
+          val t = facade.getToken(text(b, "subject"), text(b, "secret"))
           respond(ex, 200, obj("access_token" -> t.accessToken,
             "refresh_token" -> t.refreshToken, "expires_at" -> t.expiresAt))
         case ("POST", List("v1", "auth", "refresh")) =>

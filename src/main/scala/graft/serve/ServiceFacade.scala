@@ -42,8 +42,22 @@ class ServiceFacade(store: TableStore, authSecret: Option[String] = None,
   private def authOr[T](f: AuthService => T): T =
     f(auth.getOrElse(throw new IllegalStateException("auth is not enabled")))
 
-  /** GetToken (reference AuthService): issue an access+refresh pair. */
-  def getToken(subject: String): AuthService#TokenPair = authOr(_.issue(subject))
+  /** GetToken (reference `GetTokenRequest{api_key, secret}` →
+    * `ValidateCredentials`, `internal/transport/grpc/server.go:654-665`):
+    * the caller must present the deployment's shared API secret before
+    * a token is minted — an OPEN token mint would make bearer auth on
+    * every other route decorative (any caller could name any subject).
+    * Timing-safe compare; the configured auth secret doubles as the
+    * API credential (single-secret deployment model). */
+  def getToken(subject: String, secret: String): AuthService#TokenPair =
+    authOr { a =>
+      require(subject != null && subject.nonEmpty, "subject is required")
+      val ok = secret != null && authSecret.exists(s =>
+        java.security.MessageDigest.isEqual(
+          s.getBytes("UTF-8"), secret.getBytes("UTF-8")))
+      require(ok, "invalid credentials")
+      a.issue(subject)
+    }
 
   def validateToken(token: String): Either[String, AuthService#Claims] =
     authOr(_.validate(token))
@@ -91,12 +105,23 @@ class ServiceFacade(store: TableStore, authSecret: Option[String] = None,
   private val slowQueries = new AtomicLong(0)
   val SlowQueryMs = 1000L
 
+  /** Table names are canonicalized to lowercase at the service
+    * boundary: SQL identifiers are case-insensitive in Spark (and the
+    * gate's extractTables lowercases relations), so without this a
+    * table created as "Events" over REST would be unqueryable as
+    * `SELECT * FROM Events` — the store's maps and paths are
+    * case-sensitive. One convention at the one place every transport
+    * funnels through. */
+  private def canon(table: String): String =
+    if (table == null) table else table.toLowerCase(java.util.Locale.ROOT)
+
   final case class WriteResult(id: String, table: String)
 
   /** WriteData: id resolution per table strategy + buffered ingest.
     * Audited with the RESOLVED id on success (a generated id must be
     * traceable from the trail alone), the submitted one on failure. */
-  def writeData(table: String, record: DynRecord): WriteResult = {
+  def writeData(tableRaw: String, record: DynRecord): WriteResult = {
+    val table = canon(tableRaw)
     val t0 = System.nanoTime()
     try {
       val cfg = store.ensureTable(table)
@@ -137,19 +162,29 @@ class ServiceFacade(store: TableStore, authSecret: Option[String] = None,
       pageSize: Int = 100): Either[String, (Array[String], Long)] =
     engine.executePage(sql, cursor, math.min(math.max(pageSize, 1), 10000))
 
-  def updateData(table: String, record: DynRecord): Long =
+  def updateData(tableRaw: String, record: DynRecord): Long = {
+    val table = canon(tableRaw)
     audited("update", table, String.valueOf(record.id)) {
+      // same id gate as writeData: an update with an empty or
+      // pattern-violating id would otherwise write exactly the
+      // empty-id garbage cleanupEmptyIds exists to purge (updates are
+      // id-KEYED, so unlike writeData there is no generate fallback)
+      val cfg = store.ensureTable(table)
+      require(record.id != null && record.id.nonEmpty &&
+          graft.ingest.IdGen.validate(record.id, cfg.idPattern),
+        s"invalid id '${record.id}' for update")
       mutations.updateById(table, record)
     }
+  }
 
   def deleteData(table: String, id: String): Long =
-    audited("delete", table, id) { mutations.deleteById(table, id) }
+    audited("delete", canon(table), id) { mutations.deleteById(canon(table), id) }
 
   /** Purge rows whose id is empty/blank (reference
     * `POST /v1/data/cleanup-empty-ids`). */
   def cleanupEmptyIds(table: String): Long =
-    audited("cleanup_empty_ids", table, "") {
-      mutations.cleanupEmptyIds(table)
+    audited("cleanup_empty_ids", canon(table), "") {
+      mutations.cleanupEmptyIds(canon(table))
     }
 
   // ------------------------------------------------------- subscriptions
@@ -162,7 +197,7 @@ class ServiceFacade(store: TableStore, authSecret: Option[String] = None,
     * uncommitted polls re-deliver. */
   def pollEvents(table: String, group: String,
       limit: Int = 1000): (Array[String], Long) = {
-    val consumer = new graft.streaming.CdcConsumer(store, table, group)
+    val consumer = new graft.streaming.CdcConsumer(store, canon(table), group)
     val page = consumer.poll().limit(math.min(math.max(limit, 1), 10000))
       .localCheckpoint(true) // one execution serves both payload and mark
     val rows = page.toJSON.collect()
@@ -174,19 +209,19 @@ class ServiceFacade(store: TableStore, authSecret: Option[String] = None,
   /** Advance a consumer group's cursor to an explicit high-water mark
     * from a previous poll (never moves backwards). */
   def commitEvents(table: String, group: String, highWater: Long): Unit =
-    new graft.streaming.CdcConsumer(store, table, group).commitAt(highWater)
+    new graft.streaming.CdcConsumer(store, canon(table), group).commitAt(highWater)
 
   def createTable(table: String, config: TableConfig = TableConfig()): Unit =
-    audited("create_table", table, "") { store.createTable(table, config) }
+    audited("create_table", canon(table), "") { store.createTable(canon(table), config) }
 
   def listTables(): Seq[String] = store.listTables()
 
-  def getTable(table: String): Option[TableConfig] = store.config(table)
+  def getTable(table: String): Option[TableConfig] = store.config(canon(table))
 
   def deleteTable(table: String): Unit =
-    audited("delete_table", table, "") { store.dropTable(table) }
+    audited("delete_table", canon(table), "") { store.dropTable(canon(table)) }
 
-  def compactTable(table: String): (Int, Int, Int) = compactor.compact(table)
+  def compactTable(table: String): (Int, Int, Int) = compactor.compact(canon(table))
 
   // ---------------------------------------------------------------- backup
 
@@ -224,7 +259,8 @@ class ServiceFacade(store: TableStore, authSecret: Option[String] = None,
   /** Backup: consistent snapshot of a table's parquet (flush first) plus
     * its table-config metadata into `<dest>/<table>` (reference Backup →
     * MinIO bucket copy + metadata backup). */
-  def backup(table: String, dest: String): Long =
+  def backup(tableRaw: String, dest: String): Long = {
+    val table = canon(tableRaw)
     audited("backup", table, dest) { store.withTableLock(table) {
       // under the table lock: a mutation rewriting partitions mid-copy
       // would yield a torn snapshot
@@ -232,22 +268,29 @@ class ServiceFacade(store: TableStore, authSecret: Option[String] = None,
       val conf = store.spark.sparkContext.hadoopConfiguration
       val src = new Path(store.tablePath(table))
       val dst = new Path(s"$dest/$table")
+      // source and destination may live on DIFFERENT filesystems
+      // (s3a store → local backup dir and vice versa): every dst
+      // operation must go through dst's own FileSystem or Hadoop
+      // throws "Wrong FS"
       val fs = src.getFileSystem(conf)
+      val dstFs = dst.getFileSystem(conf)
       if (!fs.exists(src)) 0L
       else {
-        if (fs.exists(dst)) fs.delete(dst, true)
-        org.apache.hadoop.fs.FileUtil.copy(fs, src, fs, dst, false, conf)
+        if (dstFs.exists(dst)) dstFs.delete(dst, true)
+        org.apache.hadoop.fs.FileUtil.copy(fs, src, dstFs, dst, false, conf)
         store.config(table).foreach { cfg =>
-          val out = fs.create(new Path(dst, "_graft_config.txt"), true)
+          val out = dstFs.create(new Path(dst, "_graft_config.txt"), true)
           out.write(configText(cfg).getBytes("UTF-8")); out.close()
         }
-        fs.getContentSummary(dst).getFileCount
+        dstFs.getContentSummary(dst).getFileCount
       }
     } }
+  }
 
   /** Restore a backup into the live table path (replaces current data
     * and, when the backup carries one, the table config). */
-  def restore(table: String, from: String): Long =
+  def restore(tableRaw: String, from: String): Long = {
+    val table = canon(tableRaw)
     audited("restore", table, from) { store.withTableLock(table) {
     // lock: restore replaces the table directory wholesale — a flush or
     // batch commit interleaving with the delete+copy would either leak
@@ -255,26 +298,30 @@ class ServiceFacade(store: TableStore, authSecret: Option[String] = None,
     val conf = store.spark.sparkContext.hadoopConfiguration
     val src = new Path(s"$from/$table")
     val dst = new Path(store.tablePath(table))
+    // src (backup) and dst (store) may live on different filesystems —
+    // address each through its own (the backup() convention)
     val fs = src.getFileSystem(conf)
+    val dstFs = dst.getFileSystem(conf)
     require(fs.exists(src), s"no backup for $table at $from")
     // pre-restore un-flushed rows must not survive into the restored
     // table (their WAL segments die with the replaced path)
     store.discardBuffer(table)
-    if (fs.exists(dst)) fs.delete(dst, true)
-    org.apache.hadoop.fs.FileUtil.copy(fs, src, fs, dst, false, conf)
+    if (dstFs.exists(dst)) dstFs.delete(dst, true)
+    org.apache.hadoop.fs.FileUtil.copy(fs, src, dstFs, dst, false, conf)
     val metaP = new Path(dst, "_graft_config.txt")
-    if (fs.exists(metaP)) {
-      val in = fs.open(metaP)
+    if (dstFs.exists(metaP)) {
+      val in = dstFs.open(metaP)
       val txt = try new String(
         org.apache.hadoop.io.IOUtils.readFullyToByteArray(in), "UTF-8")
       finally in.close()
       store.setConfig(table, parseConfig(txt))
-      fs.delete(metaP, false) // metadata is registry state, not table data
+      dstFs.delete(metaP, false) // metadata is registry state, not table data
     } else store.ensureTable(table)
     store.invalidateSchemaCache(table) // registry must re-read the restored snapshot
     store.bumpVersion(table)
-    fs.getContentSummary(dst).getFileCount
+    dstFs.getContentSummary(dst).getFileCount
   } }
+  }
 
   final case class BackupStatus(table: String, files: Long, bytes: Long,
       modifiedAt: Long, hasMetadata: Boolean)

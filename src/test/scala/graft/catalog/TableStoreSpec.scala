@@ -204,4 +204,18 @@ class TableStoreSpec extends SparkSpec {
     val last = new TableStore(spark, root)
     assert(last.read("t").count() == 4)
   }
+
+  test("table names are validated: path traversal and separators refused") {
+    val store = new TableStore(spark, tmpDir("ts-val"))
+    // the traversal hole: dropTable("..") would have recursively
+    // deleted the data root's PARENT (reference sanitizes every table
+    // identifier — internal/security/sql_sanitizer.go)
+    for (bad <- Seq("..", ".", "a/b", "a\\b", "../x", "a..b", "", "a.", " a"))
+      intercept[IllegalArgumentException] { store.tablePath(bad) }
+    for (bad <- Seq("..", "a/b"))
+      intercept[IllegalArgumentException] { store.dropTable(bad) }
+    // normal names (incl. dots and dashes) pass
+    for (ok <- Seq("t", "events_v2", "a-b", "a.b", "T1"))
+      store.tablePath(ok)
+  }
 }

@@ -149,4 +149,21 @@ class MutationsSpec extends SparkSpec {
     assert(left == (0 until n).map(i => s"id$i").toSet -- Set("id3", "id7"),
       s"rows lost or resurrected: ${left.size} of ${n - 2} expected")
   }
+
+  test("deleteWhere: rows whose predicate evaluates to NULL must SURVIVE") {
+    import org.apache.spark.sql.functions._
+    val store = new TableStore(spark, tmpDir("mut-null"))
+    store.write("t", Seq(
+      rec("hi", "2024-01-01 00:00:00", Map("age" -> 40)),
+      rec("lo", "2024-01-01 00:00:01", Map("age" -> 10)),
+      rec("nu", "2024-01-01 00:00:02", Map("other" -> 1)))) // age = NULL
+    store.flush("t")
+    val mut = new Mutations(store)
+    // three-valued logic: age>30 is NULL for row "nu" — it is not a
+    // victim and must not be silently dropped from the rewrite
+    assert(mut.deleteWhere("t", col("age") > 30) == 1)
+    val left = store.read("t").collect().map(_.getAs[String]("id")).toSet
+    assert(left == Set("lo", "nu"),
+      s"NULL-predicate row silently deleted: survivors = $left")
+  }
 }

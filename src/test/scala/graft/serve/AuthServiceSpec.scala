@@ -71,13 +71,16 @@ class AuthServiceSpec extends AnyFunSuite {
     val store = new graft.catalog.TableStore(spark,
       java.nio.file.Files.createTempDirectory("auth").toString)
     val svc = new ServiceFacade(store, authSecret = Some("0123456789abcdef"))
-    val pair = svc.getToken("ops")
+    // the mint requires the deployment credential (reference
+    // GetTokenRequest{api_key, secret}); a wrong secret never mints
+    intercept[IllegalArgumentException](svc.getToken("ops", "wrong-secret"))
+    val pair = svc.getToken("ops", "0123456789abcdef")
     assert(svc.validateToken(pair.accessToken).exists(_.subject == "ops"))
     assert(svc.refreshToken(pair.refreshToken).isRight)
     assert(svc.revokeToken(pair.accessToken).isRight)
     assert(svc.validateToken(pair.accessToken).isLeft)
     // disabled facade throws
     val bare = new ServiceFacade(store)
-    intercept[IllegalStateException](bare.getToken("x"))
+    intercept[IllegalStateException](bare.getToken("x", "y"))
   }
 }

@@ -120,7 +120,13 @@ class RestServerSpec extends SparkSpec {
       // no token → 401; health stays open
       assert(send(port, "GET", "/v1/tables")._1 == 401)
       assert(send(port, "GET", "/v1/health")._1 == 200)
-      val (tc, tb) = send(port, "POST", "/v1/auth/token", """{"subject":"alice"}""")
+      // the mint requires the deployment credential: no/wrong secret → 400
+      assert(send(port, "POST", "/v1/auth/token",
+        """{"subject":"alice"}""")._1 == 400)
+      assert(send(port, "POST", "/v1/auth/token",
+        """{"subject":"alice","secret":"wrong"}""")._1 == 400)
+      val (tc, tb) = send(port, "POST", "/v1/auth/token",
+        """{"subject":"alice","secret":"rest-secret-0123456789abcdef"}""")
       assert(tc == 200, s"$tc $tb")
       val access = """"access_token":"([^"]+)"""".r.findFirstMatchIn(tb).get.group(1)
       val refresh = """"refresh_token":"([^"]+)"""".r.findFirstMatchIn(tb).get.group(1)

@@ -173,4 +173,20 @@ class ServiceFacadeSpec extends SparkSpec {
     assert(svc.listTables() == Seq("b"))
     assert(svc.healthCheck().ok)
   }
+
+  test("table names are case-insensitive at the service boundary") {
+    val store = new graft.catalog.TableStore(spark, tmpDir("svc-case"))
+    val svc = new ServiceFacade(store)
+    // created as "Events", written as "EVENTS", queried lowercase —
+    // SQL identifiers are case-insensitive, so the facade canonicalizes
+    svc.createTable("Events")
+    svc.writeData("EVENTS", graft.ingest.DynRecord("e1",
+      java.sql.Timestamp.valueOf("2024-01-01 00:00:00"), Map("v" -> 1)))
+    store.flush("events")
+    assert(svc.listTables() == Seq("events"))
+    assert(svc.getTable("eVeNtS").isDefined)
+    val res = svc.queryData("SELECT id FROM Events")
+    assert(res.exists(_.contains("e1")), s"mixed-case query failed: $res")
+    assert(svc.deleteData("Events", "e1") == 1)
+  }
 }
