@@ -43,7 +43,7 @@ object Verify {
     val nDocs =
       try spark.read.parquet(s"$sfDir/documents.parquet").count()
       catch { case _: Throwable => 0L }
-    val json = SparkEntry.oracleSql
+    val emitted = SparkEntry.oracleSql
       .filter { case (k, _) =>
         val ok = SparkEntry.oracleValidMaxDocs.get(k).forall(nDocs <= _)
         if (!ok) System.err.println(
@@ -51,7 +51,25 @@ object Verify {
             s"${SparkEntry.oracleValidMaxDocs(k)} docs < corpus $nDocs)")
         ok
       }
-      .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
+    // Oracle-support exports (SparkEntry.oracleExports): deterministic
+    // engine frames the oracle SQL reads back via read_parquet() —
+    // written only when the consuming query's oracle survived the
+    // validity gate, then spliced in by ABSOLUTE path (the driver's
+    // DuckDB runs on this same filesystem right after).
+    val expDir = new java.io.File(s"$outDir/_exports").getAbsolutePath
+    SparkEntry.oracleExports.foreach { case (ename, (qname, fn)) =>
+      if (emitted.contains(qname)) {
+        try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+          .parquet(s"$expDir/$ename")
+        catch { case e: Throwable =>
+          System.err.println(s"[verify] export $ename failed: ${e.getMessage}")
+        }
+      }
+    }
+    val json = emitted
+      .map { case (k, v) =>
+        s"${q(k)}: ${q(v.replace("__EXPORTS__", expDir))}" }
+      .mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()
   }

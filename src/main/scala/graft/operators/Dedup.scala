@@ -267,15 +267,26 @@ object Dedup {
     * touching the n·56-row stream are the bucket window and the
     * bucket self-join. Thresholds BEFORE the distinct so the dedup
     * shuffle carries survivors only. */
-  def simhash(docs: DataFrame): DataFrame = {
-    val s = docs.sparkSession
-    val sigs = docs
-      .select(col("doc_id"),
-        graft.functions.LshFunctions.simhashSig(
-          s, tokens(col("text"))).as("simhash"))
-    hamming64Pairs(sigs, "simhash", MaxHamming)
+  def simhash(docs: DataFrame): DataFrame =
+    hamming64Pairs(simhashSigFrame(docs), "simhash", MaxHamming)
       .orderBy(col("doc_a"), col("doc_b"))
-  }
+
+  /** The d03 signature frame (doc_id, simhash) — one fused-kernel
+    * pass, shared by [[simhash]] and the driver-oracle export:
+    * [[graft.Verify]] writes this frame to parquet and the DuckDB
+    * oracle re-derives the pair set by brute hamming≤5 self-join
+    * (`bit_count(xor(...))`), turning the in-suite brute
+    * set-equality spec into a driver-green CORRECTNESS row. The
+    * signature kernel itself stays engine-derived (deterministic
+    * function of `text`); what the oracle independently validates is
+    * the whole pair machinery — bucketing, cap, verify, dedup. */
+  def simhashSigFrame(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+      graft.functions.LshFunctions.simhashSig(
+        docs.sparkSession, tokens(col("text"))).as("simhash"))
+
+  def simhashSigs(s: SparkSession, dir: String): DataFrame =
+    simhashSigFrame(Tables.load(s, dir, "documents"))
 
   /** Generic 64-bit-signature hamming near-dup: the d03 bucket geometry
     * over ANY (doc_id, 64-bit signature) frame — text SimHash (d03) and

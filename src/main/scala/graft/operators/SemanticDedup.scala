@@ -325,4 +325,43 @@ object SemanticDedup {
     val idxPath = ensureSemDedupIndexMod(s, dir, mod)
     graft.index.SemDedupIndex.probe(e.filter(col("vec_id") % mod === 0), idxPath)
   }
+
+  /** The trained centroid frame (cell, cv) of the d15 batch layout
+    * over the driver corpus — the export the d15 DuckDB oracle
+    * consumes ([[graft.Verify]] writes it; the oracle re-derives
+    * assignment, within-cell pairing and the (centroid_sim, id) keep
+    * policy in SQL against it). Recomputation here is bit-identical
+    * to the centroids the d15 query trains internally:
+    * [[Similarity.kmeansCentroids]] is deterministic (hash-ordered
+    * sample, farthest-first seeding, fixed-order chunk merge) and
+    * runs on the same frame in the same JVM. Single-level layouts
+    * only — d15's oracle validity bound keeps the corpus below the
+    * two-level regime, where the SQL's flat argmax would diverge
+    * from the hierarchical assignment. */
+  private[graft] def trainedCentFrame(s: SparkSession, dir: String): DataFrame = {
+    val e = Similarity.withNorm(s,
+      Dedup.plantedProductionCorpus(Tables.load(s, dir, "embeddings")))
+    val n = e.count()
+    val coarse = Similarity.ivfConfig(n)._1
+    require(subPerCellFor(n, coarse) == 1,
+      s"d15 oracle export is single-level only (n=$n outgrew the " +
+        "coarse cap; the validity bound should have omitted this oracle)")
+    Similarity.centFrame(s, Similarity.kmeansCentroids(s, e, coarse))
+      .select(col("cell"), col("cv"))
+  }
+
+  /** The persisted d15b index's FROZEN centroids as (cell, cv) —
+    * ensure()s the index first (idempotent), so the export always
+    * reflects exactly the geometry the d15b query probed under.
+    * Same single-level restriction as [[trainedCentFrame]]. */
+  private[graft] def indexCentFrame(s: SparkSession, dir: String,
+      mod: Int): DataFrame = {
+    val path = ensureSemDedupIndexMod(s, dir, mod)
+    val (_, _, sub, _) = graft.index.SemDedupIndex.meta(s, path)
+    require(sub == 1,
+      s"d15b oracle export is single-level only (subPerCell=$sub; the " +
+        "validity bound should have omitted this oracle)")
+    s.read.parquet(s"$path/cents").filter(col("lvl") === 0)
+      .select(col("idx").as("cell"), col("cv"))
+  }
 }
