@@ -390,7 +390,13 @@ class TableStore(val spark: SparkSession, val root: String) {
     // untouched (no re-buffer dance). The price is the commit window
     // itself: a reader racing the job commit may see a flushed row in
     // both storage and buffer for the moment before the clear below —
-    // transient duplicates beat transient loss.
+    // transient duplicates beat transient loss. That transient can be
+    // PINNED by the ResultCache (a result planned in the window caches
+    // at the pre-bump version until this flush's bumpVersion below
+    // invalidates it) — accepted because the window is one job-commit
+    // wide and mutation verbs re-read; consumers needing exactly-once
+    // visibility should dedup on id read-side or re-read when the
+    // table version moved mid-query.
     val batch = buf.synchronized(buf.toVector)
     if (batch.nonEmpty) {
       lastFlush(table) = System.currentTimeMillis()

@@ -33,9 +33,18 @@ import graft.query.QueryEngine
   *                  entry — success AND failure, with error text and
   *                  duration — to this file (reference
   *                  `internal/audit/audit.go:87-158`; None = audit
-  *                  disabled, the reference's `audit.enabled: false`) */
+  *                  disabled, the reference's `audit.enabled: false`)
+  * @param apiSecret the CLIENT-presented mint credential for
+  *                  [[getToken]] — the reference separates the
+  *                  `api_key/secret` credential from the token-signing
+  *                  key (`internal/config`), so a client authorized to
+  *                  mint tokens need not hold the HMAC signing key
+  *                  (which could forge arbitrary tokens and bypass
+  *                  revocation). None = the documented single-secret
+  *                  mode, falling back to `authSecret` as before. */
 class ServiceFacade(store: TableStore, authSecret: Option[String] = None,
-    defaultTable: Option[String] = None, auditPath: Option[String] = None) {
+    defaultTable: Option[String] = None, auditPath: Option[String] = None,
+    apiSecret: Option[String] = None) {
 
   val engine = new QueryEngine(store, defaultTable = defaultTable)
   private val auth = authSecret.map(new AuthService(_))
@@ -47,12 +56,13 @@ class ServiceFacade(store: TableStore, authSecret: Option[String] = None,
     * the caller must present the deployment's shared API secret before
     * a token is minted — an OPEN token mint would make bearer auth on
     * every other route decorative (any caller could name any subject).
-    * Timing-safe compare; the configured auth secret doubles as the
-    * API credential (single-secret deployment model). */
+    * Timing-safe compare against the DISTINCT `apiSecret` when
+    * configured (clients then never hold the signing key); falls back
+    * to `authSecret` in single-secret mode. */
   def getToken(subject: String, secret: String): AuthService#TokenPair =
     authOr { a =>
       require(subject != null && subject.nonEmpty, "subject is required")
-      val ok = secret != null && authSecret.exists(s =>
+      val ok = secret != null && apiSecret.orElse(authSecret).exists(s =>
         java.security.MessageDigest.isEqual(
           s.getBytes("UTF-8"), secret.getBytes("UTF-8")))
       require(ok, "invalid credentials")

@@ -21,6 +21,22 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * is completed by [[finishCompaction]] at the next batch or compact; a
   * crash DURING the index append leaves the index not-ready and the
   * index's own rebuild contract applies. Single-writer per outDir. */
+private[streaming] object BatchLog {
+  private val logger = org.slf4j.LoggerFactory.getLogger(classOf[BatchLog])
+
+  /** Operator signal for the torn-index gate (the r13 advice finding):
+    * every compactor's `if (!ready) return` is a deliberate no-op —
+    * re-appending into an index that already received the crashed
+    * fold's rows would duplicate them — but a SILENT one leaves
+    * pending dirs accumulating with no hint of the recovery step.
+    * One warning per gate firing, naming the repair entry point. */
+  private[streaming] def tornIndexWarn(indexPath: String, repair: String): Unit =
+    logger.warn(
+      s"torn index at $indexPath: compaction is a no-op until the index " +
+        s"is rebuilt (run $repair over the full corpus); pending batch " +
+        "state is retained and will fold in after the rebuild")
+}
+
 private[streaming] final class BatchLog(s: SparkSession, outDir: String,
     tables: Seq[String]) {
 

@@ -27,7 +27,17 @@ object CdcLog {
     StructField("batch_id", LongType, nullable = false),
     StructField("emitted_at", TimestampType, nullable = false)))
 
-  def path(store: TableStore, table: String): String = s"${store.root}/_cdc/$table"
+  /** CDC directory for `table` — validated through the SAME chokepoint
+    * as every other storage-path derivation ([[TableStore
+    * .requireValidTable]]): the facade/REST CDC verbs take
+    * client-supplied names, and an unvalidated `..` here would read or
+    * write cursor files OUTSIDE the `_cdc` namespace (the r13 advice
+    * finding — every path derivation goes through the validator, not
+    * just `tablePath`). */
+  def path(store: TableStore, table: String): String = {
+    store.requireValidTable(table)
+    s"${store.root}/_cdc/$table"
+  }
 
   /** Timestamp ↔ epoch-micros round-trip — ONE implementation, because
     * the consumer's cursor-boundary correctness depends on it exactly. */

@@ -199,7 +199,7 @@ object StreamingCorpusPool {
     // be repaired by the index's rebuild contract BEFORE any re-fold —
     // the fold below READS the index, and a fold computed from torn
     // frames would persist corruption under a valid token
-    if (!ready) return
+    if (!ready) { BatchLog.tornIndexWarn(indexPath, "CorpusPoolIndex.build"); return }
     val pending = lg.pendingPrefixes
     if (pending.isEmpty) return
     val newPool = pool(s, outDir, indexPath)

@@ -277,7 +277,7 @@ object StreamingFuzzyPool {
     lg.finishCompaction(ready, foldToken = fold)
     // torn rewrite from a crashed fold: rebuild contract first, never
     // re-fold from torn frames (see StreamingCorpusPool.compact)
-    if (!ready) return
+    if (!ready) { BatchLog.tornIndexWarn(indexPath, "FuzzyPoolIndex.build"); return }
     val pending = lg.pendingPrefixes
     if (pending.isEmpty) return
     val d = liveDecisions(s, outDir, indexPath)

@@ -165,7 +165,7 @@ object StreamingMediaDedup {
     lg.finishCompaction(ready, count)
     // torn append from a crashed fold: rebuild contract first, never
     // re-append (see StreamingNearDup.compact)
-    if (!ready) return
+    if (!ready) { BatchLog.tornIndexWarn(indexPath, "MediaHashIndex.build"); return }
     val pending = lg.pendingPrefixes
     if (pending.isEmpty) return
     lg.beginCompaction(pending,

@@ -192,7 +192,7 @@ object StreamingNearDup {
     // re-fold — re-appending into an index that already received these
     // rows would duplicate them, and the count coverage would read the
     // doubled rows as "landed" and delete the pending dirs
-    if (!ready) return
+    if (!ready) { BatchLog.tornIndexWarn(indexPath, "SignatureIndex.build"); return }
     val pending = lg.pendingPrefixes
     if (pending.isEmpty) return
     lg.beginCompaction(pending,

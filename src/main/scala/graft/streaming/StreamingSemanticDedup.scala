@@ -168,7 +168,7 @@ object StreamingSemanticDedup {
     lg.finishCompaction(ready, count)
     // torn append from a crashed fold: rebuild contract first, never
     // re-append (see StreamingNearDup.compact)
-    if (!ready) return
+    if (!ready) { BatchLog.tornIndexWarn(indexPath, "SemDedupIndex.ensure"); return }
     val pending = lg.pendingPrefixes
     if (pending.isEmpty) return
     lg.beginCompaction(pending,

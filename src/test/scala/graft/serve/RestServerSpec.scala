@@ -213,4 +213,41 @@ class RestServerSpec extends SparkSpec {
       assert(c3 == 400 && b3.contains("error"), s"$c3 $b3") // gate rejects non-SELECT
     }
   }
+
+  test("path-traversal table names are 400s end-to-end: data, DDL, CDC") {
+    withServer() { (port, _) =>
+      // every storage-path derivation goes through the name validator —
+      // including the CDC path (the r13 advice finding): a traversal
+      // name must die as a 400 at the route, never touch the filesystem
+      val (wc, wb) = send(port, "POST", "/v1/data",
+        """{"table":"..","record":{"id":"x","timestamp":1704067200000,
+          |"payload":{"v":1}}}""".stripMargin)
+      assert(wc == 400 && wb.contains("invalid table name"), s"$wc $wb")
+      val (pc, pb) = send(port, "GET", "/v1/cdc/..?group=g1")
+      assert(pc == 400 && pb.contains("invalid table name"), s"$pc $pb")
+      val (cc, cb) = send(port, "POST", "/v1/cdc/../commit",
+        """{"group":"g1","high_water":1}""")
+      assert(cc == 400 || cc == 404, s"$cc $cb") // 400 validator or 404 route
+      val (tc, tb) = send(port, "POST", "/v1/tables", """{"table":"a/b"}""")
+      assert(tc == 400 && tb.contains("invalid table name"), s"$tc $tb")
+    }
+  }
+
+  test("distinct apiSecret mints tokens; the signing key is not a credential") {
+    val facade = new ServiceFacade(new TableStore(spark, tmpDir("rest-api")),
+      authSecret = Some("signing-key-0123456789abcdef"),
+      apiSecret = Some("client-credential-xyz"))
+    val srv = new RestServer(facade)
+    val port = srv.start()
+    try {
+      // the client credential mints
+      val (tc, tb) = send(port, "POST", "/v1/auth/token",
+        """{"subject":"alice","secret":"client-credential-xyz"}""")
+      assert(tc == 200, s"$tc $tb")
+      // the SIGNING key is no longer accepted as a mint credential —
+      // clients never need to hold it, so it never leaves the server
+      assert(send(port, "POST", "/v1/auth/token",
+        """{"subject":"alice","secret":"signing-key-0123456789abcdef"}""")._1 == 400)
+    } finally srv.stop()
+  }
 }
