@@ -556,15 +556,23 @@ object SparkEntry {
   val oracleValidMaxDocs: Map[String, Long] = Map(
     "m05_joint_media_survivors" -> 100000L,
     "m05b_joint_media_survivors_indexed" -> 100000L,
-    // Second bound flavor: FEASIBILITY/REGIME, not correctness. The
-    // d03/m03/m04 oracles are brute O(n²) hamming self-joins in
-    // DuckDB — exact at any size, but quadratic SQL (the d02/d04
-    // precedent: >150 s at 5k docs is the slow family; integer
-    // bit_count pairs are ~100× cheaper, so 20k docs ≈ 200M cheap
-    // comparisons stays in budget while sf10's 478k docs would not).
-    "d03_simhash" -> 20000L,
-    "m03_image_neardup" -> 20000L,
-    "m04_audio_neardup" -> 20000L,
+    // d03/m03/m04's brute hamming≤5 oracles share m05's bound flavor:
+    // exact only below the BUCKET-CAP regime. The engine's over-cap
+    // buckets (>MaxBucket=64 members — skewed key, the 100 TB skew
+    // contract) emit chain+star CONNECTIVITY pairs, not all pairs, so
+    // above cap engagement the engine correctly drops some true
+    // boundary pairs the brute join keeps (measured: d03 at the
+    // 5k-doc sf0.1 loses exactly 39 hamming-5 pairs, every one inside
+    // a single shared 68–100-wide bucket — verified by recomputing
+    // the combination-key widths in DuckDB). Bounds = the largest
+    // corpus where brute equality was VERIFIED: d03 at 500 docs
+    // (sf0.01 — its text families collide into wide 3-block buckets
+    // well before the media hashes do), m03/m04 at 5k docs (sf0.1,
+    // measured bit-exact). The engine-side contract above the bound
+    // stays pinned by the in-suite closure-level specs.
+    "d03_simhash" -> 500L,
+    "m03_image_neardup" -> 5000L,
+    "m04_audio_neardup" -> 5000L,
     // d15/d15b oracles re-derive cell assignment with a FLAT argmax —
     // valid only in the single-level centroid regime (subPerCell = 1,
     // i.e. n ≤ DeepCellWidth·coarseCap ≈ 524k vectors); above it the
@@ -1250,7 +1258,9 @@ object SparkEntry {
     // hamming≤5 self-join over the EXPORTED signature frame (the
     // in-suite brute set-equality spec, moved into the driver gate).
     // bit_count over xor of BIGINTs is two's-complement on both
-    // engines, so signed 64-bit signatures compare exactly.
+    // engines, so signed 64-bit signatures compare exactly. Valid
+    // below the bucket-cap regime only (oracleValidMaxDocs): over-cap
+    // buckets trade boundary pairs for connectivity by design.
     "d03_simhash" ->
       """SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
         | CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
