@@ -30,7 +30,10 @@ def main() -> int:
     n_tests, n_suites = tests[-1], suites[-1]
 
     out = pathlib.Path(out_dir)
-    queries = sorted(p.name for p in out.iterdir() if p.is_dir())
+    # _exports holds oracle-support frames (signatures/centroids the
+    # oracle SQL reads back), not query results — never count it
+    queries = sorted(p.name for p in out.iterdir()
+                     if p.is_dir() and not p.name.startswith("_"))
     oracles = json.loads((out / "oracle_sql.json").read_text())
     n_q, n_oracle = len(queries), len(oracles)
 
