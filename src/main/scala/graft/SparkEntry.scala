@@ -95,8 +95,9 @@ object SparkEntry {
     // persisted index + one delta-sized contracted-CC merge
     "d14_incremental_clusters" -> (Dedup.incrementalClusters _),
     // SemDeDup: k-means-cell-scoped semantic redundancy pruning, keep
-    // lowest-centroid-similarity member (rows-only: no DuckDB k-means;
-    // the spec pins planted-duplicate recovery + one-survivor policy)
+    // lowest-centroid-similarity member. Oracle-checked as of r14:
+    // Verify exports the trained centroids and DuckDB re-derives
+    // assignment + pairing + the keep policy (oracleExports)
     "d15_semantic_dedup"  -> (SemanticDedup.semanticDedup _),
     // training-data pipeline: sequence packing (corpus → fixed-budget
     // training sequences)
@@ -171,12 +172,14 @@ object SparkEntry {
     "m02_media_decode" ->
       ((s, dir) => graft.multimodal.Multimodal.decodeSummary(s, dir)),
     // perceptual image dedup: real PNG decode → 64-bit dHash → the d03
-    // block-LSH geometry (rows-only: no DuckDB image codec; the spec
-    // pins set-equality vs the brute hamming≤5 pair set)
+    // block-LSH geometry. Oracle-checked as of r14 (exported sig frame
+    // + brute hamming≤5 join in DuckDB, below the bucket-cap bound);
+    // the spec pins brute set-equality at every scale
     "m03_image_neardup" ->
       ((s, dir) => graft.multimodal.Multimodal.imageNeardup(s, dir)),
     // audio dedup: real WAV decode → 64-bit energy-envelope hash → the
-    // same block-LSH geometry (rows-only; spec pins brute set-equality)
+    // same block-LSH geometry. Oracle-checked as of r14 (same exported-
+    // sig conversion and bucket-cap bound as m03)
     "m04_audio_neardup" ->
       ((s, dir) => graft.multimodal.Multimodal.audioNeardup(s, dir)),
     // joint media survivors: the d12 decision join over the m03+m04
@@ -198,10 +201,11 @@ object SparkEntry {
     // shape for semantic dedup): corpus assigned/paired/decided once,
     // the delta third assigned under the FROZEN centroids and compared
     // against its touched cells only. Returns the batch's decision
-    // updates — delta rows plus retroactive corpus drops. Rows-only
-    // (no DuckDB k-means); SemDedupIndexSpec pins the equivalence
-    // contract: maintained decisions == semanticDedupWithCents over
-    // corpus ∪ delta under the same frozen centroids
+    // updates — delta rows plus retroactive corpus drops.
+    // Oracle-checked as of r14: Verify exports the index's FROZEN
+    // centroids and DuckDB re-derives the decision-update contract
+    // in SQL; SemDedupIndexSpec additionally pins maintained ==
+    // semanticDedupWithCents over corpus ∪ delta at every scale
     "d15b_semantic_dedup_indexed" ->
       ((s, dir) => SemanticDedup.semanticDedupIncrementalMod(s, dir, 3)),
   )
