@@ -53,10 +53,15 @@ object SpillProbe {
     "t27_temperature_mixture", "m05_joint_media_survivors",
     // round-13 additions: the incremental SemDeDup probe (frozen-cent
     // assignment + cell-scoped member join), its streaming micro-batch
-    // form, and the maintained media decision stack at the realistic
-    // 1/30 cadence (delta decode + index probe + contracted-CC fold)
+    // form, and the maintained media decision stack — as of r14 the
+    // DRIVER m05b binding IS the realistic 1/30 cadence (the retired
+    // m05b_small_delta alias resolved to the same dataflow)
     "d15b_semantic_dedup_indexed", "sn06_stream_semantic_batch",
-    "m05b_small_delta")
+    "m05b_joint_media_survivors_indexed",
+    // round-14 addition: the sessionization fold's per-user TreeMap
+    // state under a starved executor pool (state is O(live sessions),
+    // so the probe interrogates exactly that bound)
+    "sn07_sessionize_batch")
 
   def main(args: Array[String]): Unit = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
