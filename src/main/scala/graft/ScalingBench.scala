@@ -174,6 +174,7 @@ object ScalingBench {
     "m03_image_neardup", "m03b_image_delta",
     "m04_audio_neardup", "m04b_audio_delta",
     "m05_joint_media_survivors", "m05b_joint_media_survivors_indexed",
+    "m06_video_neardup",
     "sn01_stream_text_score", "sn02_stream_emb_score",
     "sn03_stream_pool_batch", "sn04_stream_fuzzy_batch",
     "sn05_stream_media_batch", "sn06_stream_semantic_batch",
@@ -232,6 +233,7 @@ object ScalingBench {
     "m03_image_neardup", "m03b_image_delta",
     "m04_audio_neardup", "m04b_audio_delta",
     "m05_joint_media_survivors", "m05b_joint_media_survivors_indexed",
+    "m06_video_neardup",
     "sn01_stream_text_score", "sn02_stream_emb_score",
     "sn03_stream_pool_batch", "sn04_stream_fuzzy_batch",
     "sn05_stream_media_batch", "sn06_stream_semantic_batch",

@@ -167,8 +167,10 @@ object SparkEntry {
     // multimodal plumbing (stubbed decode, real batching: rows-only)
     "m01_multimodal_features" ->
       ((s, dir) => graft.multimodal.Multimodal.featureSummary(s, dir)),
-    // real JDK codecs (ImageIO PNG / sampled-audio WAV) over synthesized
-    // containers; video stays stub — no JDK video codec (rows-only)
+    // real JDK codecs over synthesized containers for ALL THREE
+    // modalities as of r14: ImageIO PNG, sampled-audio WAV, and
+    // MJPEG-in-AVI video (RIFF walk + ImageIO JPEG frames); other
+    // video containers stay the declared stub (rows-only)
     "m02_media_decode" ->
       ((s, dir) => graft.multimodal.Multimodal.decodeSummary(s, dir)),
     // perceptual image dedup: real PNG decode → 64-bit dHash → the d03
@@ -182,6 +184,12 @@ object SparkEntry {
     // sig conversion and bucket-cap bound as m03)
     "m04_audio_neardup" ->
       ((s, dir) => graft.multimodal.Multimodal.audioNeardup(s, dir)),
+    // video dedup (r14): REAL MJPEG-in-AVI decode (RIFF walk + ImageIO
+    // JPEG frames — the one dependency-free video family) → 64-bit
+    // middle-frame dHash → the same block-LSH geometry and brute-join
+    // oracle as m03/m04
+    "m06_video_neardup" ->
+      ((s, dir) => graft.multimodal.Multimodal.videoNeardup(s, dir)),
     // joint media survivors: the d12 decision join over the m03+m04
     // cluster frames. Oracle-checkable (unlike m03/m04's raw pair
     // frames): the planted family chains make the perceptual closure
@@ -577,6 +585,7 @@ object SparkEntry {
     "d03_simhash" -> 500L,
     "m03_image_neardup" -> 5000L,
     "m04_audio_neardup" -> 5000L,
+    "m06_video_neardup" -> 5000L,
     // d15/d15b oracles re-derive cell assignment with a FLAT argmax —
     // valid only in the single-level centroid regime (subPerCell = 1,
     // i.e. n ≤ DeepCellWidth·coarseCap ≈ 524k vectors); above it the
@@ -613,6 +622,10 @@ object SparkEntry {
     "m04_sigs" -> (("m04_audio_neardup",
       (s, dir) => graft.multimodal.Multimodal.audioSigFrame(
         graft.multimodal.Multimodal.syntheticAudioCorpus(
+          graft.core.Tables.load(s, dir, "documents"))))),
+    "m06_sigs" -> (("m06_video_neardup",
+      (s, dir) => graft.multimodal.Multimodal.videoSigFrame(
+        graft.multimodal.Multimodal.syntheticVideoCorpus(
           graft.core.Tables.load(s, dir, "documents"))))),
     "d15_cents" -> (("d15_semantic_dedup",
       (s, dir) => SemanticDedup.trainedCentFrame(s, dir))),
@@ -1288,6 +1301,14 @@ object SparkEntry {
         | CAST(bit_count(xor(a.sig, b.sig)) AS BIGINT) AS hamming
         |FROM read_parquet('__EXPORTS__/m04_sigs/*.parquet') a
         |JOIN read_parquet('__EXPORTS__/m04_sigs/*.parquet') b
+        | ON a.media_id < b.media_id
+        |WHERE bit_count(xor(a.sig, b.sig)) <= 5
+        |ORDER BY media_a, media_b""".stripMargin,
+    "m06_video_neardup" ->
+      """SELECT a.media_id AS media_a, b.media_id AS media_b,
+        | CAST(bit_count(xor(a.sig, b.sig)) AS BIGINT) AS hamming
+        |FROM read_parquet('__EXPORTS__/m06_sigs/*.parquet') a
+        |JOIN read_parquet('__EXPORTS__/m06_sigs/*.parquet') b
         | ON a.media_id < b.media_id
         |WHERE bit_count(xor(a.sig, b.sig)) <= 5
         |ORDER BY media_a, media_b""".stripMargin,

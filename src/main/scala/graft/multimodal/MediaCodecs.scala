@@ -283,4 +283,168 @@ object MediaCodecs {
       } finally ais.close()
     }.toOption }
   }
+
+  // ------------------------------------------ MJPEG-in-AVI video codec
+
+  /** The JDK ships no general video codec — but MJPEG-in-AVI needs
+    * none: AVI is a RIFF container (PUBLIC spec — the same chunk
+    * grammar as the WAV files above) whose '00dc' chunks are plain
+    * JPEG frames, and JPEG decode is ImageIO. So ONE real video path
+    * exists dependency-free, exactly as WAV is the real audio path;
+    * every other video container stays the declared stub.
+    *
+    * Container layout written/read here:
+    * {{{
+    * RIFF <sz> 'AVI '
+    *   LIST <sz> 'hdrl'
+    *     'avih' <56>   µs/frame@0, totalFrames@16, width@32, height@36
+    *     LIST <sz> 'strl'
+    *       'strh' <56> 'vids'/'MJPG', scale@20=1, rate@24=fps, length@32
+    *       'strf' <40> BITMAPINFOHEADER ('MJPG')
+    *   LIST <sz> 'movi'
+    *     '00dc' <sz> <jpeg bytes>   (chunks pad to even length)
+    * }}} */
+  final case class VideoInfo(width: Int, height: Int, frames: Int,
+      fps: Double, durationS: Double)
+
+  private def le32(out: ByteArrayOutputStream, v: Int): Unit = {
+    out.write(v & 0xff); out.write((v >>> 8) & 0xff)
+    out.write((v >>> 16) & 0xff); out.write((v >>> 24) & 0xff)
+  }
+  private def cc(out: ByteArrayOutputStream, s: String): Unit =
+    out.write(s.getBytes(java.nio.charset.StandardCharsets.ISO_8859_1))
+  private def chunk(out: ByteArrayOutputStream, id: String,
+      payload: Array[Byte]): Unit = {
+    cc(out, id); le32(out, payload.length)
+    out.write(payload, 0, payload.length)
+    if ((payload.length & 1) == 1) out.write(0) // RIFF even padding
+  }
+
+  /** Encode frames as an MJPEG AVI. Deterministic given the frames. */
+  def writeMjpegAvi(frames: Seq[BufferedImage], fps: Int): Array[Byte] = {
+    require(frames.nonEmpty && fps > 0, "frames and fps required")
+    val (w0, h0) = (frames.head.getWidth, frames.head.getHeight)
+    val jpegs = frames.map { f =>
+      val o = new ByteArrayOutputStream(); ImageIO.write(f, "jpg", o); o.toByteArray
+    }
+    def fixed(n: Int)(fill: ByteArrayOutputStream => Unit): Array[Byte] = {
+      val o = new ByteArrayOutputStream(); fill(o)
+      val b = o.toByteArray
+      java.util.Arrays.copyOf(b, n) // zero-pad reserved tail fields
+    }
+    val avih = fixed(56) { o =>
+      le32(o, 1000000 / fps); le32(o, 0); le32(o, 0); le32(o, 0)
+      le32(o, jpegs.size) // dwTotalFrames @16
+      le32(o, 0); le32(o, 1); le32(o, 0)
+      le32(o, w0); le32(o, h0) // @32, @36
+    }
+    val strh = fixed(56) { o =>
+      cc(o, "vids"); cc(o, "MJPG")
+      le32(o, 0); le32(o, 0); le32(o, 0)
+      le32(o, 1) // dwScale @20
+      le32(o, fps) // dwRate @24
+      le32(o, 0)
+      le32(o, jpegs.size) // dwLength @32
+    }
+    val strf = fixed(40) { o =>
+      le32(o, 40); le32(o, w0); le32(o, h0)
+      o.write(1); o.write(0); o.write(24); o.write(0) // planes, bitcount
+      cc(o, "MJPG")
+      le32(o, w0 * h0 * 3)
+    }
+    def list(typ: String)(fill: ByteArrayOutputStream => Unit): Array[Byte] = {
+      val o = new ByteArrayOutputStream(); cc(o, typ); fill(o); o.toByteArray
+    }
+    val strl = list("strl") { o => chunk(o, "strh", strh); chunk(o, "strf", strf) }
+    val hdrl = list("hdrl") { o => chunk(o, "avih", avih); chunk(o, "LIST", strl) }
+    val movi = list("movi") { o => jpegs.foreach(j => chunk(o, "00dc", j)) }
+    val riff = list("AVI ") { o => chunk(o, "LIST", hdrl); chunk(o, "LIST", movi) }
+    val out = new ByteArrayOutputStream()
+    chunk(out, "RIFF", riff)
+    out.toByteArray
+  }
+
+  private def rdLe32(b: Array[Byte], i: Int): Int =
+    (b(i) & 0xff) | ((b(i + 1) & 0xff) << 8) | ((b(i + 2) & 0xff) << 16) |
+      ((b(i + 3) & 0xff) << 24)
+  private def rdCc(b: Array[Byte], i: Int): String =
+    new String(b, i, 4, java.nio.charset.StandardCharsets.ISO_8859_1)
+
+  /** Walk every chunk in [lo, hi), calling `f(id, payloadLo, payloadLen)`;
+    * recurses into LISTs (passing the list type as the id for leaf-less
+    * lists' children discovery). Malformed sizes end the walk — degrade,
+    * never throw. */
+  private def walk(b: Array[Byte], lo: Int, hi: Int)
+      (f: (String, Int, Int) => Unit): Unit = {
+    var i = lo
+    while (i + 8 <= hi) {
+      val id = rdCc(b, i)
+      val len = rdLe32(b, i + 4)
+      if (len < 0 || i + 8 + len > hi) return
+      if (id == "LIST" && len >= 4) walk(b, i + 12, i + 8 + len)(f)
+      else f(id, i + 8, len)
+      i += 8 + len + (len & 1)
+    }
+  }
+
+  private def isAvi(b: Array[Byte]): Boolean =
+    b != null && b.length >= 12 && rdCc(b, 0) == "RIFF" && rdCc(b, 8) == "AVI "
+
+  /** Header-only video info (no frame decode). None for non-AVI bytes. */
+  def videoInfo(bytes: Array[Byte]): Option[VideoInfo] = {
+    if (!isAvi(bytes)) return None
+    var info: Option[VideoInfo] = None
+    walk(bytes, 12, bytes.length) { (id, lo, len) =>
+      if (id == "avih" && len >= 40 && info.isEmpty) {
+        val usPerFrame = rdLe32(bytes, lo)
+        val frames = rdLe32(bytes, lo + 16)
+        val fps = if (usPerFrame > 0) 1e6 / usPerFrame else 0.0
+        info = Some(VideoInfo(rdLe32(bytes, lo + 32), rdLe32(bytes, lo + 36),
+          frames, fps, if (fps > 0) frames / fps else 0.0))
+      }
+    }
+    info
+  }
+
+  /** The raw JPEG payloads of the video's frame chunks ('00dc'/'00db'),
+    * in stream order — frame SAMPLING reads only the chunks it keeps,
+    * never decoding the rest. */
+  def videoFrameChunks(bytes: Array[Byte]): Seq[Array[Byte]] = {
+    if (!isAvi(bytes)) return Nil
+    val out = Seq.newBuilder[Array[Byte]]
+    walk(bytes, 12, bytes.length) { (id, lo, len) =>
+      if (id.length == 4 && (id.endsWith("dc") || id.endsWith("db")))
+        out += java.util.Arrays.copyOfRange(bytes, lo, lo + len)
+    }
+    out.result()
+  }
+
+  /** Full decode summary: header info + the mean luma histogram over
+    * up to `sampleFrames` evenly-spaced decoded frames. None for
+    * non-AVI bytes or an AVI whose sampled frames all fail JPEG
+    * decode. */
+  def decodeVideo(bytes: Array[Byte], sampleFrames: Int = 3)
+      : Option[(VideoInfo, Array[Double])] = {
+    val info = videoInfo(bytes).getOrElse(return None)
+    val chunks = videoFrameChunks(bytes)
+    if (chunks.isEmpty) return None
+    val step = math.max(1, chunks.size / math.max(1, sampleFrames))
+    val hists = chunks.indices.by(step).take(sampleFrames).toSeq
+      .flatMap(i => decodeImage(chunks(i))).map(_.lumaHistogram)
+    if (hists.isEmpty) None
+    else {
+      val avg = new Array[Double](8)
+      hists.foreach { h => var i = 0; while (i < 8) { avg(i) += h(i); i += 1 } }
+      Some((info, avg.map(_ / hists.size)))
+    }
+  }
+
+  /** 64-bit perceptual hash of a video: the [[dHash64]] of its MIDDLE
+    * frame — re-encodes and minor per-frame edits land within a few
+    * bits, unrelated clips differ in ~32 (the m03/m04 signature
+    * contract, extended to the video modality). */
+  def vHash64(bytes: Array[Byte]): Option[Long] = {
+    val chunks = videoFrameChunks(bytes)
+    if (chunks.isEmpty) None else dHash64(chunks(chunks.size / 2))
+  }
 }

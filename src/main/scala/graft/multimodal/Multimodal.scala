@@ -107,7 +107,15 @@ object Multimodal {
               decoded = true)
             case None => stub(r.sample_rate)
           }
-          case _ => stub(r.sample_rate) // video: no JDK codec — declared stub
+          case _ => MediaCodecs.decodeVideo(bytes) match {
+            // video: REAL decode for MJPEG-in-AVI (RIFF container +
+            // ImageIO JPEG frames — the one dependency-free video
+            // family); every other container degrades to the stub
+            case Some((v, hist)) => DecodedFeatures(r.media_id, r.modality,
+              bytes.length.toLong, v.width, v.height, 0, v.durationS,
+              hist, decoded = true)
+            case None => stub(r.sample_rate)
+          }
         }
       }
     }
@@ -121,6 +129,30 @@ object Multimodal {
         transform(sequence(lit(1), octet_length(col("content"))),
           i => when(i % k === 0, col("content").substr(i, lit(1)))),
         x => x.isNotNull))
+
+  /** REAL video frame sampling: every `everyK`-th JPEG frame chunk of
+    * each MJPEG-AVI clip, emitted as its own row with the decoded
+    * dimensions — the training-pipeline "sample frames for the vision
+    * encoder" step. The RIFF walk reads only chunk headers; only KEPT
+    * frames JPEG-decode. Non-AVI bytes yield zero rows (degrade, never
+    * fail the partition). */
+  def sampleVideoFrames(spark: SparkSession, media: DataFrame,
+      everyK: Int): DataFrame = {
+    require(everyK > 0, "everyK must be positive")
+    import spark.implicits._
+    media.select(col("media_id"), col("content")).as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        javax.imageio.ImageIO.setUseCache(false)
+        it.flatMap { case (id, bytes) =>
+          MediaCodecs.videoFrameChunks(bytes).zipWithIndex.iterator
+            .filter(_._2 % everyK == 0)
+            .flatMap { case (jpeg, idx) =>
+              MediaCodecs.decodeImage(jpeg).map(info =>
+                (id, idx.toLong, info.width, info.height, jpeg))
+            }
+        }
+      }.toDF("media_id", "frame_idx", "width", "height", "frame_jpeg")
+  }
 
   /** Frame sampling for "video": fixed-size byte windows every stride
     * bytes (the batch shape of frame extraction). */
@@ -178,7 +210,23 @@ object Multimodal {
             val out = new java.io.ByteArrayOutputStream()
             MediaCodecs.writeWav(ais, out)
             r.copy(content = out.toByteArray)
-          case _ => r // video: opaque bytes stay opaque
+          case _ =>
+            // video: a REAL 3-frame MJPEG AVI (RIFF + ImageIO JPEG —
+            // the one video family the JDK can decode; see
+            // MediaCodecs.writeMjpegAvi)
+            val frames = (0 until 3).map { fi =>
+              val img = new java.awt.image.BufferedImage(16, 16,
+                java.awt.image.BufferedImage.TYPE_INT_RGB)
+              var i = 0
+              while (i < 256) {
+                val v = if (content.isEmpty) fi * 40
+                  else ((content((i + fi) % content.length) & 0xFF) + fi * 7) & 0xFF
+                img.setRGB(i % 16, i / 16, (v << 16) | (v << 8) | v)
+                i += 1
+              }
+              img
+            }
+            r.copy(content = MediaCodecs.writeMjpegAvi(frames, fps = 10))
         }
       }
     }
@@ -217,6 +265,16 @@ object Multimodal {
     * measured — the far tail correctly exceeds it) while distinct
     * families differ in ~half of their 64 gradient bits. */
   private[multimodal] def renderFamilyPng(id: Long): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(renderFamilyImage(id), "png", out)
+    out.toByteArray
+  }
+
+  /** The family-structured 32×32 image behind BOTH perceptual visual
+    * corpora: the PNG corpus (m03) encodes it directly, the MJPEG-AVI
+    * corpus (m06) carries it as the clip's MIDDLE frame — the frame
+    * [[MediaCodecs.vHash64]] hashes. */
+  private def renderFamilyImage(id: Long): java.awt.image.BufferedImage = {
     val family = id >>> 2
     val member = (id & 3).toInt
     val img = new java.awt.image.BufferedImage(32, 32,
@@ -258,9 +316,33 @@ object Multimodal {
       }
       k += 1
     }
-    val out = new java.io.ByteArrayOutputStream()
-    javax.imageio.ImageIO.write(img, "png", out)
-    out.toByteArray
+    img
+  }
+
+  /** Render one REAL MJPEG-AVI clip for the video-dedup corpus: three
+    * 32×32 frames, the middle one the family image ([[renderFamilyImage]]
+    * — so [[MediaCodecs.vHash64]] inherits the m03 family geometry:
+    * same-family clips within a few bits, distinct families ~32 apart),
+    * flanked by two deterministic brightness-shifted variants so the
+    * container carries genuinely distinct frames. */
+  private[multimodal] def renderFamilyAvi(id: Long): Array[Byte] = {
+    val mid = renderFamilyImage(id)
+    def flank(shift: Int): java.awt.image.BufferedImage = {
+      val img = new java.awt.image.BufferedImage(32, 32,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      var y = 0
+      while (y < 32) {
+        var x = 0
+        while (x < 32) {
+          val v = math.min(255, (mid.getRGB(x, y) & 0xFF) + shift)
+          img.setRGB(x, y, (v << 16) | (v << 8) | v)
+          x += 1
+        }
+        y += 1
+      }
+      img
+    }
+    MediaCodecs.writeMjpegAvi(Seq(flank(24), mid, flank(48)), fps = 10)
   }
 
   /** Render one REAL WAV clip for the audio-dedup corpus: a 4 kHz mono
@@ -390,6 +472,50 @@ object Multimodal {
 
   def imageNeardup(spark: SparkSession, dir: String): DataFrame =
     imageNeardup(syntheticImageCorpus(
+      graft.core.Tables.load(spark, dir, "documents")))
+
+  /** Deterministic video corpus for the dedup path — one real MJPEG
+    * AVI per documents row ([[renderFamilyAvi]]). */
+  def syntheticVideoCorpus(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id")).as[Long].mapPartitions { it =>
+      javax.imageio.ImageIO.setUseCache(false)
+      it.map(id => (id, renderFamilyAvi(id)))
+    }.toDF("media_id", "content")
+  }
+
+  /** Decode-and-hash pass for the video modality: (media_id, sig) via
+    * the REAL RIFF/AVI walker + ImageIO JPEG frame decode + 64-bit
+    * middle-frame dHash ([[MediaCodecs.vHash64]]). Partition-local —
+    * the pair machinery never sees video bytes, only 8-byte sigs, the
+    * m03/m04 scale contract extended to the third modality. */
+  def videoSigFrame(clips: DataFrame): DataFrame = {
+    val spark = clips.sparkSession
+    import spark.implicits._
+    clips.select(col("media_id"), col("content"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        javax.imageio.ImageIO.setUseCache(false)
+        it.flatMap { case (id, avi) => MediaCodecs.vHash64(avi).map((id, _)) }
+      }
+      .toDF("media_id", "sig")
+  }
+
+  /** Video near-duplicate pairs (m06): decode every clip with the real
+    * MJPEG-AVI path, hash its middle frame, and run the SAME
+    * combinatorial block-LSH + exact-hamming verify as the image/audio/
+    * text families ([[graft.operators.Dedup.hamming64Pairs]]). */
+  def videoNeardup(clips: DataFrame): DataFrame = {
+    val sigs = videoSigFrame(clips)
+      .withColumnsRenamed(Map("media_id" -> "doc_id", "sig" -> "vhash"))
+    graft.operators.Dedup.hamming64Pairs(sigs, "vhash", maxHamming = 5)
+      .withColumnsRenamed(Map("doc_a" -> "media_a", "doc_b" -> "media_b"))
+      .orderBy(col("media_a"), col("media_b"))
+  }
+
+  def videoNeardup(spark: SparkSession, dir: String): DataFrame =
+    videoNeardup(syntheticVideoCorpus(
       graft.core.Tables.load(spark, dir, "documents")))
 
   /** Joint MEDIA survivors (m05): the d12 cross-modal decision join

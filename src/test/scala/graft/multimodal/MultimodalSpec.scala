@@ -80,7 +80,9 @@ class MultimodalSpec extends SparkSpec {
     assert(out(0).decoded && out(0).width == 20 && out(0).height == 10)
     assert(out(1).decoded && out(1).sample_rate == 8000 &&
       math.abs(out(1).duration_s - 0.25) < 0.01)
-    assert(!out(2).decoded && out(2).features.length == 8) // video → declared stub
+    // non-AVI video bytes degrade to the stub (only MJPEG-in-AVI has a
+    // dependency-free decode path)
+    assert(!out(2).decoded && out(2).features.length == 8)
     assert(!out(3).decoded) // corrupt image degrades per-row, not per-partition
   }
 
@@ -115,16 +117,90 @@ class MultimodalSpec extends SparkSpec {
     assert(rows.forall(_.getAs[Array[Byte]]("frame").length <= 32))
   }
 
-  test("decodeSummary: synthesized PNG/WAV rows all decode, video stays stub") {
+  test("decodeSummary: synthesized PNG/WAV/AVI rows ALL decode with real codecs") {
     val rows = Multimodal.decodeSummary(spark, Sf0001).collect()
     assert(rows.map(_.getString(0)).toSeq == Seq("audio", "image", "video"))
     val byMod = rows.map(r => r.getString(0) -> r).toMap
-    // every synthesized image/audio container decodes with the REAL codec
+    // every synthesized container decodes with the REAL codec — as of
+    // r14 including video (MJPEG-in-AVI: RIFF walk + ImageIO JPEG)
     assert(byMod("image").getAs[Long]("n_decoded") == byMod("image").getAs[Long]("n"))
     assert(byMod("audio").getAs[Long]("n_decoded") == byMod("audio").getAs[Long]("n"))
-    assert(byMod("video").getAs[Long]("n_decoded") == 0)
+    assert(byMod("video").getAs[Long]("n_decoded") == byMod("video").getAs[Long]("n"))
     assert(byMod("image").getAs[Double]("avg_width") == 16.0)
+    assert(byMod("video").getAs[Double]("avg_width") == 16.0)
     assert(byMod("audio").getAs[Double]("avg_rate") == 8000.0)
+  }
+
+  test("MJPEG-AVI round-trip: header info, frame chunks, sampled decode") {
+    def frame(v: Int) = {
+      val img = new java.awt.image.BufferedImage(24, 16,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      (0 until 24 * 16).foreach(i => img.setRGB(i % 24, i / 24, (v << 16) | (v << 8) | v))
+      img
+    }
+    val avi = MediaCodecs.writeMjpegAvi(Seq(frame(10), frame(120), frame(240)), fps = 5)
+    val info = MediaCodecs.videoInfo(avi).get
+    assert(info.width == 24 && info.height == 16 && info.frames == 3)
+    assert(math.abs(info.fps - 5.0) < 1e-6 && math.abs(info.durationS - 0.6) < 1e-6)
+    val chunks = MediaCodecs.videoFrameChunks(avi)
+    assert(chunks.size == 3)
+    // each chunk is a standalone JPEG ImageIO decodes at the right dims
+    chunks.foreach { j =>
+      val i = MediaCodecs.decodeImage(j).get
+      assert(i.width == 24 && i.height == 16)
+    }
+    val (vi, hist) = MediaCodecs.decodeVideo(avi).get
+    assert(vi.frames == 3 && math.abs(hist.sum - 1.0) < 1e-9)
+    // non-AVI bytes degrade to None, never throw
+    assert(MediaCodecs.videoInfo("not a video".getBytes).isEmpty)
+    assert(MediaCodecs.decodeVideo(Array[Byte](82, 73, 70, 70)).isEmpty)
+    // a WAV is RIFF but not AVI — the magic check must reject it
+    assert(MediaCodecs.videoInfo(wavBytes(440.0, 8000f, 0.1)).isEmpty)
+  }
+
+  test("vHash64 family geometry: same family within 5 bits, strangers ~32") {
+    val sigs = (0L until 16L).flatMap(id =>
+      MediaCodecs.vHash64(Multimodal.renderFamilyAvi(id)).map(id -> _)).toMap
+    assert(sigs.size == 16)
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    for (f <- 0 until 4; m <- 1 until 4) {
+      val d = ham(sigs(f * 4L), sigs(f * 4L + m))
+      assert(d <= 5, s"family $f member $m drifted $d bits (JPEG loss?)")
+    }
+    val cross = for (a <- 0 until 4; b <- (a + 1) until 4)
+      yield ham(sigs(a * 4L), sigs(b * 4L))
+    assert(cross.forall(_ > 10), s"cross-family too close: $cross")
+  }
+
+  test("m06 video near-dup pairs ≡ brute hamming≤5 over decoded vHashes") {
+    val docs = graft.core.Tables.load(spark, Sf0001, "documents").limit(60)
+    val corpus = Multimodal.syntheticVideoCorpus(docs)
+    val got = Multimodal.videoNeardup(corpus)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val sigs = Multimodal.videoSigFrame(corpus)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val brute = (for {
+      (a, sa) <- sigs; (b, sb) <- sigs
+      if a < b && java.lang.Long.bitCount(sa ^ sb) <= 5
+    } yield (a, b)).toSet
+    assert(got === brute)
+    assert(got.nonEmpty, "planted families must produce video pairs")
+  }
+
+  test("real frame sampling: every k-th JPEG frame, non-AVI yields zero rows") {
+    import spark.implicits._
+    val media = Seq(
+      (1L, Multimodal.renderFamilyAvi(1L)),
+      (2L, "not a video".getBytes)).toDF("media_id", "content")
+    val frames = Multimodal.sampleVideoFrames(spark, media, everyK = 2).collect()
+    val byId = frames.groupBy(_.getLong(0))
+    assert(byId(1L).map(_.getLong(1)).sorted.toSeq == Seq(0L, 2L)) // frames 0 and 2 of 3
+    assert(!byId.contains(2L))
+    assert(byId(1L).forall(r => r.getInt(2) == 32 && r.getInt(3) == 32))
+    // sampled chunks decode standalone
+    byId(1L).foreach { r =>
+      assert(MediaCodecs.decodeImage(r.getAs[Array[Byte]]("frame_jpeg")).isDefined)
+    }
   }
 
   test("feature summary aggregates per modality") {
