@@ -57,6 +57,9 @@ object ScalingBench {
     "m04b_audio_delta" ->
       ((s, dir) =>
         graft.multimodal.Multimodal.audioNeardupIncrementalMod(s, dir, 30)),
+    "m06b_video_delta" ->
+      ((s, dir) =>
+        graft.multimodal.Multimodal.videoNeardupIncrementalMod(s, dir, 30)),
     // (m05b_small_delta retired r14: the DRIVER m05b binding moved to
     // the realistic 1/30 cadence, making the two rows the same
     // measurement — the ladder keeps only the driver-named one)
@@ -121,6 +124,9 @@ object ScalingBench {
     "m04b_audio_delta" ->
       ((s, dir) =>
         { graft.multimodal.Multimodal.ensureAudioIndexMod(s, dir, 30); () }),
+    "m06b_video_delta" ->
+      ((s, dir) =>
+        { graft.multimodal.Multimodal.ensureVideoIndexMod(s, dir, 30); () }),
     // shares m03b/m04b's mod=30 hash indexes by construction (same
     // content-addressed tags), so when those build rows ran first this
     // row records only the cluster-index build — the amortization IS
@@ -174,7 +180,7 @@ object ScalingBench {
     "m03_image_neardup", "m03b_image_delta",
     "m04_audio_neardup", "m04b_audio_delta",
     "m05_joint_media_survivors", "m05b_joint_media_survivors_indexed",
-    "m06_video_neardup",
+    "m06_video_neardup", "m06b_video_delta",
     "sn01_stream_text_score", "sn02_stream_emb_score",
     "sn03_stream_pool_batch", "sn04_stream_fuzzy_batch",
     "sn05_stream_media_batch", "sn06_stream_semantic_batch",
@@ -233,7 +239,7 @@ object ScalingBench {
     "m03_image_neardup", "m03b_image_delta",
     "m04_audio_neardup", "m04b_audio_delta",
     "m05_joint_media_survivors", "m05b_joint_media_survivors_indexed",
-    "m06_video_neardup",
+    "m06_video_neardup", "m06b_video_delta",
     "sn01_stream_text_score", "sn02_stream_emb_score",
     "sn03_stream_pool_batch", "sn04_stream_fuzzy_batch",
     "sn05_stream_media_batch", "sn06_stream_semantic_batch",

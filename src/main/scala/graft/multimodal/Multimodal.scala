@@ -579,6 +579,16 @@ object Multimodal {
       audioSigFrame(syntheticAudioCorpus(docs.filter(col("doc_id") % mod =!= 0))))
   }
 
+  /** [[ensureImageIndexMod]]'s video twin (m06b's build phase) — the
+    * corpus AVI decode+hash pass runs exactly once into the shared
+    * [[graft.index.MediaHashIndex]] layout. */
+  private[graft] def ensureVideoIndexMod(s: SparkSession, dir: String,
+      mod: Int): String = {
+    val docs = graft.core.Tables.load(s, dir, "documents")
+    ensureIndex(s, dir, s"vidhash-mod=$mod",
+      videoSigFrame(syntheticVideoCorpus(docs.filter(col("doc_id") % mod =!= 0))))
+  }
+
   /** Image near-dup pairs TOUCHING a delta batch (m03b), probed
     * against the persisted corpus hash index — the d07 incremental
     * shape for the image modality: decode runs over the DELTA ONLY
@@ -608,6 +618,23 @@ object Multimodal {
     val isDelta = col("doc_id") % mod === 0
     val path = ensureAudioIndexMod(s, dir, mod)
     val deltaSigs = audioSigFrame(syntheticAudioCorpus(docs.filter(isDelta)))
+    graft.operators.Dedup.incrementalHamming64PairsFrames(deltaSigs,
+      graft.index.MediaHashIndex.buckets(s, path),
+      graft.index.MediaHashIndex.counts(s, path), maxHamming = 5)
+      .orderBy(col("media_a"), col("media_b"))
+  }
+
+  /** Video near-dup pairs touching a delta batch (m06b) — the same
+    * delta-proportional cadence for the third modality: only the
+    * delta's AVIs decode (the 100 TB argument is STRONGEST here —
+    * video decode dominates all media cost), the persisted buckets
+    * stream, the verify is a codegen bit_count over riding sigs. */
+  def videoNeardupIncrementalMod(s: SparkSession, dir: String,
+      mod: Int): DataFrame = {
+    val docs = graft.core.Tables.load(s, dir, "documents")
+    val isDelta = col("doc_id") % mod === 0
+    val path = ensureVideoIndexMod(s, dir, mod)
+    val deltaSigs = videoSigFrame(syntheticVideoCorpus(docs.filter(isDelta)))
     graft.operators.Dedup.incrementalHamming64PairsFrames(deltaSigs,
       graft.index.MediaHashIndex.buckets(s, path),
       graft.index.MediaHashIndex.counts(s, path), maxHamming = 5)

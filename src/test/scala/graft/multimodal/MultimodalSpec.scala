@@ -314,6 +314,9 @@ class MultimodalSpec extends SparkSpec {
     val aud = got(Multimodal.audioNeardupIncrementalMod(spark, Sf0001, mod))
     assert(aud === restricted(Multimodal.audioNeardup(spark, Sf0001)))
     assert(aud.nonEmpty)
+    val vid = got(Multimodal.videoNeardupIncrementalMod(spark, Sf0001, mod))
+    assert(vid === restricted(Multimodal.videoNeardup(spark, Sf0001)))
+    assert(vid.nonEmpty)
   }
 
   test("m05b maintained survivors ≡ m05 full recompute") {
