@@ -94,6 +94,13 @@ object ScalingBench {
     // (frozen MediaHashIndex contract — see StreamingMediaDedup)
     "sn05_stream_media_batch" ->
       ((s, dir) => graft.streaming.StreamingMediaDedup.benchScore(s, dir)),
+    // video micro-batch (m06b's streaming twin): half the m06b delta's
+    // AVIs decoded and scored inside the measured region against the
+    // frozen video hash index — decode dominates, which is exactly the
+    // cost the per-batch cadence bounds (the r14 verdict's family-
+    // symmetry ask: every persisted index gets a streaming ladder row)
+    "sn05b_stream_video_batch" ->
+      ((s, dir) => graft.streaming.StreamingMediaDedup.benchScoreVideo(s, dir)),
     // incremental SemDeDup (the d15 cadence shape): corpus assigned,
     // paired, and decided once into the persisted SemDedupIndex; the
     // 1-in-30 delta is assigned under the frozen centroids and compared
@@ -127,6 +134,12 @@ object ScalingBench {
     "m06b_video_delta" ->
       ((s, dir) =>
         { graft.multimodal.Multimodal.ensureVideoIndexMod(s, dir, 30); () }),
+    // sn05b probes the mod=3 video index (the sn05 convention): the
+    // 2/3-corpus AVI decode is the amortized one-off, timed here so
+    // the steady row starts warm (the r12 conflation precedent)
+    "sn05b_stream_video_batch" ->
+      ((s, dir) =>
+        { graft.multimodal.Multimodal.ensureVideoIndexMod(s, dir, 3); () }),
     // shares m03b/m04b's mod=30 hash indexes by construction (same
     // content-addressed tags), so when those build rows ran first this
     // row records only the cluster-index build — the amortization IS
@@ -183,7 +196,8 @@ object ScalingBench {
     "m06_video_neardup", "m06b_video_delta",
     "sn01_stream_text_score", "sn02_stream_emb_score",
     "sn03_stream_pool_batch", "sn04_stream_fuzzy_batch",
-    "sn05_stream_media_batch", "sn06_stream_semantic_batch",
+    "sn05_stream_media_batch", "sn05b_stream_video_batch",
+    "sn06_stream_semantic_batch",
     "sn07_sessionize_batch")
 
   /** SPARK_GRAFT_SCALING_ONLY=a,b,c restricts the measured set — for
@@ -242,7 +256,8 @@ object ScalingBench {
     "m06_video_neardup", "m06b_video_delta",
     "sn01_stream_text_score", "sn02_stream_emb_score",
     "sn03_stream_pool_batch", "sn04_stream_fuzzy_batch",
-    "sn05_stream_media_batch", "sn06_stream_semantic_batch",
+    "sn05_stream_media_batch", "sn05b_stream_video_batch",
+    "sn06_stream_semantic_batch",
     "sn07_sessionize_batch")
     // d05 (the LABELED exact all-pairs sweep baseline) is capped at
     // sf1 as of r14: its sf10 attempt fails BY DESIGN (quadratic pair

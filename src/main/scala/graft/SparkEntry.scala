@@ -190,19 +190,22 @@ object SparkEntry {
     // oracle as m03/m04
     "m06_video_neardup" ->
       ((s, dir) => graft.multimodal.Multimodal.videoNeardup(s, dir)),
-    // joint media survivors: the d12 decision join over the m03+m04
-    // cluster frames. Oracle-checkable (unlike m03/m04's raw pair
-    // frames): the planted family chains make the perceptual closure
-    // equal the doc_id/4 family partition in both modalities, so the
-    // survivor set is the per-family min id
+    // joint media survivors: the d12 decision join over the
+    // m03+m04+m06 cluster frames — ALL THREE perceptual modalities as
+    // of r15. Oracle-checkable (unlike the raw pair frames): the
+    // planted family chains make the perceptual closure equal the
+    // doc_id/4 family partition in every modality (video's hashed
+    // middle frame IS the family image), so the survivor set is the
+    // per-family min id — unchanged by the third modality, which is
+    // exactly what makes the upgrade oracle-compatible
     "m05_joint_media_survivors" ->
       ((s, dir) => graft.multimodal.Multimodal.jointMediaSurvivors(s, dir)),
     // m05 MAINTAINED against persisted frames (the d14 shape for
     // media): corpus decoded once into a MediaHashIndex + persisted
-    // cluster frame per modality, delta probed incrementally and
-    // folded in with mergeClusters. Same result, same oracle, same
-    // validity bound as m05 — but decode is amortized instead of
-    // per-run
+    // cluster frame per modality (image, audio, video), delta probed
+    // incrementally and folded in with mergeClusters. Same result,
+    // same oracle, same validity bound as m05 — but decode (which
+    // video makes the dominant cost) is amortized instead of per-run
     "m05b_joint_media_survivors_indexed" ->
       ((s, dir) => graft.multimodal.Multimodal.jointMediaSurvivorsIndexed(s, dir)),
     // d15 MAINTAINED against the persisted SemDedupIndex (the d14

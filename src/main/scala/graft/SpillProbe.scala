@@ -61,7 +61,12 @@ object SpillProbe {
     // round-14 addition: the sessionization fold's per-user TreeMap
     // state under a starved executor pool (state is O(live sessions),
     // so the probe interrogates exactly that bound)
-    "sn07_sessionize_batch")
+    "sn07_sessionize_batch",
+    // round-15 additions: the video family joins the every-persisted-
+    // index invariant — batch pairs (decode + block-LSH under
+    // pressure) and the streaming micro-batch form (frozen video
+    // index + pending-log union)
+    "m06_video_neardup", "sn05b_stream_video_batch")
 
   def main(args: Array[String]): Unit = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")

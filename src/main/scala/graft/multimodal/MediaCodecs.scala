@@ -380,7 +380,10 @@ object MediaCodecs {
     while (i + 8 <= hi) {
       val id = rdCc(b, i)
       val len = rdLe32(b, i + 4)
-      if (len < 0 || i + 8 + len > hi) return
+      // overflow-free bound: hi - i - 8 cannot overflow (i + 8 <= hi),
+      // while `i + 8 + len > hi` wraps negative for a crafted len near
+      // Int.MaxValue and would walk past the array
+      if (len < 0 || len > hi - i - 8) return
       if (id == "LIST" && len >= 4) walk(b, i + 12, i + 8 + len)(f)
       else f(id, i + 8, len)
       i += 8 + len + (len & 1)

@@ -169,9 +169,10 @@ object Multimodal {
   /** Deterministic REAL-media synthesis from the documents table: the
     * image rows carry an actual PNG (16×16, pixels derived from the text
     * bytes), the audio rows an actual WAV (8 kHz mono 16-bit tone with a
-    * doc-keyed frequency), the video rows raw bytes (no JDK video
-    * codec). Gives the decode pipeline real containers to chew on at
-    * benchmark scale without external media files. */
+    * doc-keyed frequency), the video rows a real 3-frame MJPEG-in-AVI
+    * container ([[MediaCodecs.writeMjpegAvi]]). Gives the decode
+    * pipeline real containers to chew on at benchmark scale without
+    * external media files. */
   def synthesizeMedia(spark: SparkSession, dir: String): Dataset[MediaRecord] = {
     import spark.implicits._
     fromDocuments(spark, dir).as[MediaRecord].mapPartitions { it =>
@@ -520,8 +521,9 @@ object Multimodal {
 
   /** Joint MEDIA survivors (m05): the d12 cross-modal decision join
     * extended to the perceptual modalities — a document survives only
-    * if BOTH its image and its audio rendition are their near-dup
-    * cluster's min member (or unpaired). Thin view over
+    * if its image, its audio, AND its video rendition are each their
+    * near-dup cluster's min member (or unpaired); all three modalities
+    * as of r15. Thin view over
     * [[graft.operators.DedupPipeline.media]], so the pair+cluster
     * frames are shared with any other media derivation.
     *
@@ -530,15 +532,18 @@ object Multimodal {
     * members differ by exactly one hash-picked patch/window — within
     * the hamming-5 verify radius and the combination-LSH's
     * deterministic recall — while distinct families sit ~32 bits
-    * apart. The pair graph's transitive closure is therefore exactly
-    * the family partition in BOTH modalities (pinned empirically by
-    * MultimodalSpec's set-equality tests), so the survivor set is the
-    * per-family min — the closure's fixpoint, spelled as a window
-    * instead of a recursive CTE. */
+    * apart (the video clip's hashed middle frame IS the family image,
+    * so video inherits the image geometry exactly). The pair graph's
+    * transitive closure is therefore exactly the family partition in
+    * ALL THREE modalities (pinned empirically by MultimodalSpec's
+    * set-equality tests), so the survivor set is the per-family min —
+    * the closure's fixpoint, spelled as a window instead of a
+    * recursive CTE. */
   def jointMediaSurvivors(spark: SparkSession, dir: String): DataFrame = {
     val docs = graft.core.Tables.load(spark, dir, "documents")
     graft.operators.DedupPipeline
-      .media(docs, syntheticImageCorpus(docs), syntheticAudioCorpus(docs))
+      .media(docs, syntheticImageCorpus(docs), syntheticAudioCorpus(docs),
+        Some(syntheticVideoCorpus(docs)))
       .jointMediaSurvivors
   }
 
@@ -657,8 +662,8 @@ object Multimodal {
     * validity bound): pair formation differs only inside over-cap
     * buckets, where both paths preserve connectivity — and the
     * keep/drop decision is a function of connectivity alone. */
-  /** Build-if-absent for BOTH of m05b's per-modality index pairs
-    * (perceptual-hash + duplicate-cluster, image and audio) — the
+  /** Build-if-absent for ALL THREE of m05b's per-modality index pairs
+    * (perceptual-hash + duplicate-cluster: image, audio, video) — the
     * one-time corpus decode + cluster pass the maintained path
     * amortizes, exposed separately so the scaling harness times it as
     * its own build row (r12's sf10 record showed m05b SLOWER than m05
@@ -666,7 +671,8 @@ object Multimodal {
   private[graft] def ensureJointMediaIndexes(s: SparkSession,
       dir: String, mod: Int = 3): Unit = {
     Seq(("img", ensureImageIndexMod(s, dir, mod)),
-        ("aud", ensureAudioIndexMod(s, dir, mod))).foreach {
+        ("aud", ensureAudioIndexMod(s, dir, mod)),
+        ("vid", ensureVideoIndexMod(s, dir, mod))).foreach {
       case (tag, hashPath) =>
         val ccPath = graft.index.IndexCache.pathFor(
           s, s"$dir/documents.parquet", s"${tag}cc-mod=$mod")
@@ -719,16 +725,18 @@ object Multimodal {
 
     val imgC = modalityClusters("img", syntheticImageCorpus, imageSigFrame)
     val audC = modalityClusters("aud", syntheticAudioCorpus, audioSigFrame)
+    val vidC = modalityClusters("vid", syntheticVideoCorpus, videoSigFrame)
     def dropIds(c: DataFrame) =
       c.filter(col("doc_id") =!= col("cluster_id")).select(col("doc_id"))
     // materialize the decision-sized drop set once and size the join
     // hint from its EXACT count — an estimated bound (cluster frames +
-    // 2·delta) understates it when one delta sig links many fresh
+    // 3·delta) understates it when one delta sig links many fresh
     // corpus endpoints, and an understated bound can broadcast a frame
     // past the byte budget. The explicit hint keeps the decision join
     // broadcast (corpus streams) or shuffled-hash — never a corpus
     // sort (checkpointed frames read as unknown-size to the planner)
-    val dropSet = dropIds(imgC).unionByName(dropIds(audC)).distinct()
+    val dropSet = dropIds(imgC).unionByName(dropIds(audC))
+      .unionByName(dropIds(vidC)).distinct()
       .localCheckpoint(true)
     docs.join(graft.operators.Dedup.bcastOrHashIf(8, dropSet.count())(
         dropSet),

@@ -36,8 +36,10 @@ final class DedupPipeline(
     embeddings: Option[DataFrame],
     tau: Double = Dedup.ProductionEmbTau,
     images: Option[DataFrame] = None,
-    audio: Option[DataFrame] = None) {
-  require(docs.nonEmpty || embeddings.nonEmpty || images.nonEmpty || audio.nonEmpty,
+    audio: Option[DataFrame] = None,
+    video: Option[DataFrame] = None) {
+  require(docs.nonEmpty || embeddings.nonEmpty || images.nonEmpty ||
+    audio.nonEmpty || video.nonEmpty,
     "DedupPipeline needs at least one modality")
 
   private def docsF = docs.getOrElse(
@@ -48,6 +50,8 @@ final class DedupPipeline(
     sys.error("image-modality derivation on a pipeline without images"))
   private def audioF = audio.getOrElse(
     sys.error("audio-modality derivation on a pipeline without audio"))
+  private def videoF = video.getOrElse(
+    sys.error("video-modality derivation on a pipeline without video"))
 
   /** Exact-verified text near-dup pairs (the d02 result), computed and
     * materialized once per pipeline. Result-sized. */
@@ -100,6 +104,7 @@ final class DedupPipeline(
   private lazy val embClusterCount: Long = embClusters.count()
   private lazy val imageClusterCount: Long = imageClusters.count()
   private lazy val audioClusterCount: Long = audioClusters.count()
+  private lazy val videoClusterCount: Long = videoClusters.count()
 
   /** The deduplicated corpus (d10): one anti-join of the corpus
     * against the text drop set; the corpus streams through
@@ -157,17 +162,43 @@ final class DedupPipeline(
     audioClusters.filter(col("media_id") =!= col("cluster_id"))
       .select(col("media_id").as("doc_id"))
 
-  /** Joint MEDIA survivors (m05): a document survives only if both its
-    * image and its audio rendition are their perceptual cluster's min
-    * (or unpaired) — the d12 decision join extended to the media
-    * modalities. Same one-anti-join shape: the two decision-sized drop
-    * sets union, the corpus streams through un-shuffled. */
-  def jointMediaSurvivors: DataFrame =
-    docsF.join(dropHint(imageClusterCount + audioClusterCount)(
-        imageDropIds.unionByName(audioDropIds).distinct()),
-        Seq("doc_id"), "left_anti")
+  /** Perceptual video near-dup pairs (the m06 result over the
+    * instance's clip frame) — AVI decode + middle-frame dHash +
+    * combination-LSH; the pair machinery sees 8-byte sigs only. */
+  lazy val videoPairs: DataFrame =
+    graft.multimodal.Multimodal.videoNeardup(videoF).localCheckpoint(true)
+
+  /** Video-modality duplicate clusters — the third member of the
+    * perceptual family, through the same modality-agnostic CC step. */
+  lazy val videoClusters: DataFrame =
+    Dedup.clustersFromPairs(videoPairs
+        .select(col("media_a").as("doc_a"), col("media_b").as("doc_b")))
+      .select(col("doc_id").as("media_id"), col("cluster_id"))
+      .localCheckpoint(true)
+
+  /** Ids the video modality drops. */
+  def videoDropIds: DataFrame =
+    videoClusters.filter(col("media_id") =!= col("cluster_id"))
+      .select(col("media_id").as("doc_id"))
+
+  /** Joint MEDIA survivors (m05): a document survives only if EVERY
+    * perceptual rendition it has — image, audio, and (when the
+    * pipeline carries one) video — is its near-dup cluster's min
+    * member (or unpaired); the d12 decision join extended to all
+    * three media modalities. Same one-anti-join shape: the
+    * decision-sized drop sets union, the corpus streams through
+    * un-shuffled. */
+  def jointMediaSurvivors: DataFrame = {
+    val twoWay = imageDropIds.unionByName(audioDropIds)
+    val drops =
+      if (video.isEmpty) twoWay.distinct()
+      else twoWay.unionByName(videoDropIds).distinct()
+    val bound = imageClusterCount + audioClusterCount +
+      (if (video.isEmpty) 0L else videoClusterCount)
+    docsF.join(dropHint(bound)(drops), Seq("doc_id"), "left_anti")
       .select(col("doc_id"), col("n_chars"))
       .orderBy(col("doc_id"))
+  }
 }
 
 object DedupPipeline {
@@ -185,11 +216,11 @@ object DedupPipeline {
       tau: Double = Dedup.ProductionEmbTau): DedupPipeline =
     new DedupPipeline(Some(docs), Some(embeddings), tau)
 
-  /** Media-modality pipeline (m03/m04 pair+cluster frames, m05 joint
-    * survivors) over (media_id, content) image and audio frames whose
-    * ids share the documents id space. */
-  def media(docs: DataFrame, images: DataFrame,
-      audio: DataFrame): DedupPipeline =
+  /** Media-modality pipeline (m03/m04/m06 pair+cluster frames, m05
+    * joint survivors) over (media_id, content) image, audio, and
+    * optional video frames whose ids share the documents id space. */
+  def media(docs: DataFrame, images: DataFrame, audio: DataFrame,
+      video: Option[DataFrame] = None): DedupPipeline =
     new DedupPipeline(Some(docs), None,
-      Dedup.ProductionEmbTau, Some(images), Some(audio))
+      Dedup.ProductionEmbTau, Some(images), Some(audio), video)
 }

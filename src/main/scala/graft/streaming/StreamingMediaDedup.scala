@@ -21,8 +21,9 @@ import graft.operators.Dedup
   *
   * The modality enters as a decode function `sigOf: (media_id,
   * content) → (media_id, sig)` ([[graft.multimodal.Multimodal
-  * .imageSigFrame]] / `audioSigFrame`) — the index and the scoring
-  * machinery are codec-agnostic, exactly as in the batch path. Decode
+  * .imageSigFrame]] / `audioSigFrame` / `videoSigFrame`) — the index
+  * and the scoring machinery are codec-agnostic, exactly as in the
+  * batch path. Decode
   * is the dominant cost at 100 TB and runs over THE BATCH ONLY; the
   * pair machinery sees 8-byte signatures.
   *
@@ -198,6 +199,34 @@ object StreamingMediaDedup {
     scorePlan(
       mm.imageSigFrame(
         mm.syntheticImageCorpus(delta.filter(col("doc_id") % 2 =!= 0))),
+      idxPath, lg, "")._1
+  }
+
+  /** [[benchScore]]'s VIDEO twin (sn05b — m06b's streaming ladder
+    * row): one micro-batch of AVI clips decoded inside the measured
+    * region (the RIFF walk + JPEG middle-frame decode is the cost the
+    * cadence exists to bound — strongest of the three modalities) and
+    * scored against the frozen video hash index, the other half-delta
+    * already committed in the pending log. Modality enters ONLY
+    * through `sigOf`/the corpus — the scoring dataflow is byte-for-
+    * byte the image path's, which is the family-symmetry contract. */
+  def benchScoreVideo(s: SparkSession, dir: String): DataFrame = {
+    val mm = graft.multimodal.Multimodal
+    val docs = graft.core.Tables.load(s, dir, "documents")
+    val isDelta = col("doc_id") % 3 === 0
+    val idxPath = mm.ensureIndex(s, dir, "vidhash-mod=3",
+      mm.videoSigFrame(mm.syntheticVideoCorpus(docs.filter(!isDelta))))
+    val logDir = graft.index.IndexCache.pathFor(
+      s, s"$dir/documents.parquet", "svideo-log")
+    val lg = log(s, logDir)
+    val delta = docs.filter(isDelta)
+    if (!lg.isCommitted("bench-b0"))
+      processBatch(
+        mm.syntheticVideoCorpus(delta.filter(col("doc_id") % 2 === 0)),
+        mm.videoSigFrame, "bench", 0L, idxPath, logDir)
+    scorePlan(
+      mm.videoSigFrame(
+        mm.syntheticVideoCorpus(delta.filter(col("doc_id") % 2 =!= 0))),
       idxPath, lg, "")._1
   }
 }

@@ -6,16 +6,19 @@ import org.apache.spark.sql.functions._
 /** Phase attribution for m05b's steady state (indexes pre-built):
   * per modality — delta decode+hash, incremental probe, cluster merge —
   * then the final decision join. Answers WHERE the maintained path's
-  * time goes, since the ladder row only shows the total. */
+  * time goes, since the ladder row only shows the total. One `mod`
+  * value (arg 2, default 30 = the driver binding) threads through the
+  * pre-build, the per-phase timers, AND the end-to-end call, so the
+  * phases reconcile with the total. */
 object M05bProfile {
   def main(args: Array[String]): Unit = {
     val dir = args.headOption.getOrElse("/tmp/graft_sf10")
+    val mod = args.drop(1).headOption.map(_.toInt).getOrElse(30)
     val spark = graft.core.GraftSession.local("m05bprofile",
       sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt)
     spark.sparkContext.setLogLevel("WARN")
     val mm = graft.multimodal.Multimodal
-    val mod = 3
-    mm.ensureJointMediaIndexes(spark, dir) // outside every timer
+    mm.ensureJointMediaIndexes(spark, dir, mod) // outside every timer
     val docs = graft.core.Tables.load(spark, dir, "documents")
     val deltaDocs = docs.filter(col("doc_id") % mod === 0)
 
@@ -27,7 +30,8 @@ object M05bProfile {
     }
 
     Seq(("img", mm.syntheticImageCorpus _, mm.imageSigFrame _),
-        ("aud", mm.syntheticAudioCorpus _, mm.audioSigFrame _)).foreach {
+        ("aud", mm.syntheticAudioCorpus _, mm.audioSigFrame _),
+        ("vid", mm.syntheticVideoCorpus _, mm.videoSigFrame _)).foreach {
       case (tag, corpus, sigf) =>
         val hashPath = graft.index.IndexCache.pathFor(
           spark, s"$dir/documents.parquet", s"${tag}hash-mod=$mod")
@@ -58,7 +62,7 @@ object M05bProfile {
     }
 
     t("full m05b steady (one call, end to end)") {
-      mm.jointMediaSurvivorsIndexed(spark, dir).count()
+      mm.jointMediaSurvivorsIndexedMod(spark, dir, mod).count()
     }
     graft.core.Caching.releaseAll(spark)
     t("full m05 (contrast)") {

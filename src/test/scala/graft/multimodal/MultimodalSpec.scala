@@ -284,7 +284,7 @@ class MultimodalSpec extends SparkSpec {
     assert(got.forall { case (a, b, _) => (a >> 2) == (b >> 2) })
   }
 
-  test("m05 joint media survivors = family mins (closure spans every family, both modalities)") {
+  test("m05 joint media survivors = family mins (closure spans every family, all three modalities)") {
     import org.apache.spark.sql.functions._
     // the m05 oracle's load-bearing claim: consecutive family members
     // differ by ONE planted patch/window, so the chain keeps every
@@ -348,7 +348,9 @@ class MultimodalSpec extends SparkSpec {
     val drops = bruteDrops(Multimodal.imageSigFrame(
         Multimodal.syntheticImageCorpus(docs))) ++
       bruteDrops(Multimodal.audioSigFrame(
-        Multimodal.syntheticAudioCorpus(docs)))
+        Multimodal.syntheticAudioCorpus(docs))) ++
+      bruteDrops(Multimodal.videoSigFrame(
+        Multimodal.syntheticVideoCorpus(docs)))
     val expected = docs.select(col("doc_id")).collect().map(_.getLong(0))
       .filterNot(drops).sorted.toSeq
     val got = Multimodal.jointMediaSurvivors(spark, Sf0001)
