@@ -21,24 +21,27 @@ import ProtoWire._
   * `application/grpc-web+proto`, body = 5-byte-framed protobuf
   * messages (1 flag byte + 4-byte big-endian length), response =
   * data frame(s) + a trailer frame (flag 0x80) carrying
-  * `grpc-status`/`grpc-message` — exactly what stock grpc-web client
-  * stubs generated from the reference's .proto speak. Wire codec:
+  * `grpc-status`/`grpc-message` — the BINARY grpc-web+proto mode of
+  * the protocol (stock browser stubs default to the base64-framed
+  * grpc-web-text mode and need CORS headers, neither of which this
+  * transport speaks; clients must request binary mode). Wire codec:
   * [[ProtoWire]] (hand-rolled proto3, field numbers cited per
   * message below).
   *
-  * Methods served (field numbers = the reference .proto):
+  * Methods served (field numbers = the reference .proto) — every
+  * unary verb, 19 of the reference's 20:
   *  - MinIODBService: WriteData, QueryData, UpdateData, DeleteData,
   *    StreamQuery (server-streaming: one DataRecord batch per frame),
-  *    CreateTable, ListTables, GetTable, DeleteTable, HealthCheck,
+  *    CreateTable, ListTables, GetTable, DeleteTable, BackupMetadata,
+  *    RestoreMetadata, ListBackups, GetMetadataStatus (the metadata
+  *    verbs ride the engine's table+dest backup surface at a fixed
+  *    default destination — the reference's shapes are bound to its
+  *    Redis metadata store and carry no dest on the wire), HealthCheck,
   *    GetStatus, GetMetrics.
   *  - AuthService: GetToken, RefreshToken, RevokeToken.
-  *  - NOT served, by protocol or by design: StreamWrite
-  *    (client-streaming — gRPC-Web cannot express it; REST POST
-  *    /v1/data and the streaming ingest cover the verb), and the
-  *    three metadata verbs (BackupMetadata/RestoreMetadata/
-  *    ListBackups shapes are bound to the reference's Redis metadata
-  *    store; the engine's backup surface — table+dest — is served
-  *    over REST `/v1/metadata/...`).
+  *  - NOT served, by protocol: StreamWrite (client-streaming —
+  *    gRPC-Web cannot express it; REST POST /v1/data and the
+  *    streaming ingest cover the verb).
   *
   * Auth mirrors [[RestServer]]: when the facade has auth enabled,
   * every MinIODBService method except HealthCheck requires
@@ -118,8 +121,12 @@ class GrpcWebServer(facade: ServiceFacade, host: String = "127.0.0.1",
     val trailer = {
       val sb = new StringBuilder(s"grpc-status: $status\r\n")
       if (statusMsg.nonEmpty)
+        // the gRPC spec requires percent-encoding; URLEncoder emits
+        // '+' for spaces, which spec-compliant clients (decoding only
+        // %XX escapes) would render literally
         sb.append("grpc-message: ")
-          .append(java.net.URLEncoder.encode(statusMsg, "UTF-8"))
+          .append(java.net.URLEncoder.encode(statusMsg, "UTF-8")
+            .replace("+", "%20"))
           .append("\r\n")
       sb.toString.getBytes(UTF_8)
     }
@@ -295,6 +302,94 @@ class GrpcWebServer(facade: ServiceFacade, host: String = "127.0.0.1",
           .msg(3, w.string(1, "total_writes").int64(2, m.totalWrites, keep = true))
           .msg(3, w.string(1, "cache_hits").int64(2, m.cacheHits, keep = true))
           .bytes)
+      // BackupMetadataRequest{force=1} -> BackupMetadataResponse{
+      // success=1, message=2, backup_id=3, timestamp=4}. Dest-less on
+      // the wire (the reference reads its bucket from node config):
+      // snapshots EVERY table — data + `_graft_config.txt` metadata —
+      // into the facade's fixed metadataBackupDest. `force` is
+      // honored trivially: the engine's backup() always overwrites
+      // the previous snapshot (there is no freshness short-circuit to
+      // skip), which is force semantics for both values.
+      case "BackupMetadata" =>
+        val now = System.currentTimeMillis()
+        val tables = facade.listTables()
+        tables.foreach(t => facade.backup(t, facade.metadataBackupDest))
+        Seq(w.bool(1, true).string(2, s"backed_up=${tables.size}")
+          .string(3, s"meta-$now")
+          .msg(4, writeTimestamp(new java.sql.Timestamp(now))).bytes)
+      // RestoreMetadataRequest{backup_file=1, from_latest=2, dry_run=3}
+      // -> RestoreMetadataResponse{success=1, message=2, backup_file=3,
+      // entries_total=4, entries_ok=5, entries_skipped=6,
+      // entries_error=7, duration=8}. backup_file names one backed-up
+      // table (the engine's backup objects are per-table directories);
+      // empty + from_latest restores every table present in the
+      // snapshot. dry_run counts without touching the store.
+      case "RestoreMetadata" =>
+        val t0 = System.nanoTime()
+        val dest = facade.metadataBackupDest
+        val named = str(req, 1)
+        val targets =
+          if (named.nonEmpty) Seq(named)
+          else if (bool(req, 2)) facade.listBackups(dest)
+          else fail(InvalidArgument,
+            "backup_file or from_latest=true is required")
+        if (targets.isEmpty) fail(NotFound, s"no backups at $dest")
+        val dryRun = bool(req, 3)
+        var ok = 0; var err = 0
+        val errors = Seq.newBuilder[String]
+        targets.foreach { t =>
+          try {
+            if (!dryRun) facade.restore(t, dest)
+            else if (facade.backupStatus(dest, t).isEmpty)
+              sys.error(s"no backup for $t at $dest")
+            ok += 1
+          } catch { case e: Exception => err += 1; errors += s"$t: ${e.getMessage}" }
+        }
+        val resp = w.bool(1, err == 0)
+          .string(2, if (dryRun) "dry_run" else "restored")
+          .string(3, named)
+          .int32(4, targets.size)
+          .int32(5, if (dryRun) 0 else ok)
+          .int32(6, if (dryRun) ok else 0)
+          .int32(7, err)
+          .string(8, s"${(System.nanoTime() - t0) / 1000000} ms")
+        errors.result().foreach(e => resp.string(9, e))
+        Seq(resp.bytes)
+      // ListBackupsRequest{days=1} -> ListBackupsResponse{backups=1
+      // repeated BackupInfo{object_name=1, node_id=2, timestamp=3,
+      // size=4, last_modified=5}, total=2}
+      case "ListBackups" =>
+        val dest = facade.metadataBackupDest
+        val days = i32(req, 1)
+        val cutoff =
+          if (days <= 0) 0L
+          else System.currentTimeMillis() - days * 86400000L
+        val infos = facade.listBackups(dest)
+          .flatMap(t => facade.backupStatus(dest, t))
+          .filter(_.modifiedAt >= cutoff)
+        val resp = w
+        infos.foreach { b =>
+          resp.msg(1, w.string(1, b.table).string(2, "local")
+            .msg(3, writeTimestamp(new java.sql.Timestamp(b.modifiedAt)))
+            .int64(4, b.bytes)
+            .msg(5, writeTimestamp(new java.sql.Timestamp(b.modifiedAt))))
+        }
+        Seq(resp.int32(2, infos.size).bytes)
+      // GetMetadataStatusRequest{} -> GetMetadataStatusResponse{
+      // node_id=1, backup_status=2 map<string,string>, last_backup=3,
+      // next_backup=4 (unset — the engine has no backup scheduler;
+      // proto3 absent-message reads as "none"), health_status=5}
+      case "GetMetadataStatus" =>
+        val dest = facade.metadataBackupDest
+        val statuses = facade.listBackups(dest)
+          .flatMap(t => facade.backupStatus(dest, t))
+        val resp = w.string(1, "local")
+        statuses.foreach(b => resp.msg(2,
+          w.string(1, b.table).string(2, s"bytes=${b.bytes} files=${b.files}")))
+        statuses.map(_.modifiedAt).maxOption.foreach(ts =>
+          resp.msg(3, writeTimestamp(new java.sql.Timestamp(ts))))
+        Seq(resp.string(5,
+          if (facade.healthCheck().ok) "healthy" else "unhealthy").bytes)
       case other => fail(Unimplemented, s"method $other")
     }
 

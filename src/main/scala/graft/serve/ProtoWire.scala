@@ -147,9 +147,13 @@ private[serve] object ProtoWire {
 
   // ------------------------------------- well-known types: Timestamp
 
-  /** google.protobuf.Timestamp: seconds=1, nanos=2. */
+  /** google.protobuf.Timestamp: seconds=1, nanos=2. Seconds use FLOOR
+    * division (protobuf.dev requires nanos non-negative even before
+    * the epoch): 1969-12-31T23:59:59.5 is seconds=-1/nanos=5e8, not
+    * the truncate-toward-zero seconds=0/nanos=5e8 that would read
+    * back one second late. `getNanos` is already 0..999999999. */
   def writeTimestamp(t: java.sql.Timestamp): W =
-    w.int64(1, t.getTime / 1000L).int32(2, t.getNanos)
+    w.int64(1, Math.floorDiv(t.getTime, 1000L)).int32(2, t.getNanos)
 
   def readTimestamp(m: PMsg): java.sql.Timestamp = {
     val t = new java.sql.Timestamp(i64(m, 1) * 1000L)

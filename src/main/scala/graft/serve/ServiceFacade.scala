@@ -336,6 +336,14 @@ class ServiceFacade(store: TableStore, authSecret: Option[String] = None,
   final case class BackupStatus(table: String, files: Long, bytes: Long,
       modifiedAt: Long, hasMetadata: Boolean)
 
+  /** Default backup destination for the DEST-LESS metadata verbs
+    * (gRPC `BackupMetadata`/`RestoreMetadata`/`ListBackups`,
+    * `miniodb.proto:30-32`): the reference reads its destination from
+    * node config (a fixed MinIO bucket), so the wire requests carry
+    * none — the engine's analogue is a fixed location under the store
+    * root. REST keeps the explicit `dest=` form for ad-hoc targets. */
+  val metadataBackupDest: String = s"${store.root}/_meta_backups"
+
   /** ListBackups: tables present under a backup destination. */
   def listBackups(dest: String): Seq[String] = {
     val p = new Path(dest)

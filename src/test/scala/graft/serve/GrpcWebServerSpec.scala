@@ -46,12 +46,28 @@ class GrpcWebServerSpec extends SparkSpec {
       if ((flag & 0x80) != 0) {
         val text = new String(payload, UTF_8)
         status = "grpc-status: (\\d+)".r.findFirstMatchIn(text).map(_.group(1).toInt).getOrElse(-1)
+        // strict per-spec decode: %XX escapes ONLY (URLDecoder would
+        // also turn '+' into space, masking a non-compliant encoder)
         statusMsg = "grpc-message: ([^\r\n]*)".r.findFirstMatchIn(text)
-          .map(m => java.net.URLDecoder.decode(m.group(1), "UTF-8")).getOrElse("")
+          .map(m => pctDecode(m.group(1))).getOrElse("")
       } else msgs += payload
       i += 5 + len
     }
     (status, statusMsg, msgs.result())
+  }
+
+  /** Percent-decode exactly the %XX escapes (the gRPC spec's
+    * grpc-message encoding); every other byte passes through. */
+  private def pctDecode(s: String): String = {
+    val out = new java.io.ByteArrayOutputStream()
+    var i = 0
+    while (i < s.length) {
+      if (s.charAt(i) == '%' && i + 2 < s.length) {
+        out.write(Integer.parseInt(s.substring(i + 1, i + 3), 16))
+        i += 3
+      } else { out.write(s.charAt(i).toInt); i += 1 }
+    }
+    new String(out.toByteArray, UTF_8)
   }
 
   private def withServer(authSecret: Option[String] = None,
@@ -80,6 +96,14 @@ class GrpcWebServerSpec extends SparkSpec {
     // parse round-trips a composite message
     val m = parse(w.string(1, "t").int64(2, 42).msg(3, w.bool(1, true)).bytes)
     assert(str(m, 1) == "t" && i64(m, 2) == 42L && bool(sub(m, 3).get, 1))
+    // Timestamp floor semantics (protobuf.dev): pre-epoch fractional
+    // instants carry NEGATIVE seconds and NON-NEGATIVE nanos —
+    // 1969-12-31T23:59:59.5Z is seconds=-1/nanos=5e8, not 0/5e8
+    val preEpoch = new java.sql.Timestamp(-1000L)
+    preEpoch.setNanos(500000000)          // getTime == -500 ms
+    val tsm = parse(writeTimestamp(preEpoch).bytes)
+    assert(i64(tsm, 1) == -1L && i32(tsm, 2) == 500000000)
+    assert(readTimestamp(tsm).getTime == -500L)
   }
 
   test("Struct round-trip preserves the DynRecord payload shape") {
@@ -151,7 +175,11 @@ class GrpcWebServerSpec extends SparkSpec {
       // duplicate without if_not_exists → INVALID_ARGUMENT
       val (sDup, msgDup, _) = call(port, "miniodb.v1.MinIODBService", "CreateTable",
         w.string(1, "cfg").bytes)
+      // multi-word message: spaces must arrive as %20 (never '+') and
+      // strict-decode back to spaces — pins the spec's percent-encoding
       assert(sDup == 3 && msgDup.contains("exists"))
+      assert(msgDup.contains(" ") && !msgDup.contains("+"),
+        s"grpc-message not percent-encoded per spec: '$msgDup'")
       val (s2, _, m2) = call(port, "miniodb.v1.MinIODBService", "GetTable",
         w.string(1, "cfg").bytes)
       assert(s2 == 0)
@@ -242,6 +270,61 @@ class GrpcWebServerSpec extends SparkSpec {
       val (s3, _, _) = call(port, "miniodb.v1.MinIODBService", "QueryData",
         Array[Byte](0x08, 0xFF.toByte)) // truncated varint
       assert(s3 == 3)
+    }
+  }
+
+  test("metadata verbs: backup → list → restore round-trip (reference field numbers)") {
+    withServer() { (port, facade) =>
+      facade.writeData("mt", graft.ingest.DynRecord("k1",
+        java.sql.Timestamp.valueOf("2024-01-01 00:00:00"), Map("v" -> 7L)))
+      // BackupMetadataRequest{force=1} -> {success=1, message=2,
+      // backup_id=3, timestamp=4}
+      val (s1, _, m1) = call(port, "miniodb.v1.MinIODBService", "BackupMetadata",
+        w.bool(1, true).bytes)
+      val b1 = parse(m1.head)
+      assert(s1 == 0 && bool(b1, 1) && str(b1, 3).startsWith("meta-"))
+      assert(i64(sub(b1, 4).get, 1) > 0, "timestamp seconds")
+      // ListBackupsRequest{days=1} -> {backups=1 repeated BackupInfo, total=2}
+      val (s2, _, m2) = call(port, "miniodb.v1.MinIODBService", "ListBackups",
+        w.int32(1, 7).bytes)
+      val l = parse(m2.head)
+      assert(s2 == 0 && i32(l, 2) >= 1)
+      val info = subs(l, 1).find(b => str(b, 1) == "mt").get
+      assert(str(info, 2) == "local" && i64(info, 4) > 0)
+      assert(i64(sub(info, 5).get, 1) > 0, "last_modified")
+      // a 0-day-old cutoff is "all" per the reference semantics (days<=0)
+      // mutate then restore FROM the snapshot: the pre-backup row wins
+      facade.deleteData("mt", "k1")
+      // dry_run counts but must not touch the store
+      val (sDry, _, mDry) = call(port, "miniodb.v1.MinIODBService", "RestoreMetadata",
+        w.string(1, "mt").bool(3, true).bytes)
+      val dr = parse(mDry.head)
+      assert(sDry == 0 && bool(dr, 1) && i32(dr, 4) == 1 && i32(dr, 6) == 1)
+      assert(facade.queryData("SELECT id FROM mt").exists(_ == "[]"),
+        "dry_run must not restore")
+      val (s3, _, m3) = call(port, "miniodb.v1.MinIODBService", "RestoreMetadata",
+        w.string(1, "mt").bytes)
+      val r = parse(m3.head)
+      assert(s3 == 0 && bool(r, 1) && i32(r, 4) == 1 && i32(r, 5) == 1)
+      assert(str(r, 8).endsWith("ms"), "duration")
+      assert(facade.queryData("SELECT id FROM mt").exists(_.contains("k1")))
+      // from_latest with nothing named restores every backed-up table
+      val (s4, _, m4) = call(port, "miniodb.v1.MinIODBService", "RestoreMetadata",
+        w.bool(2, true).bytes)
+      assert(s4 == 0 && i32(parse(m4.head), 4) >= 1)
+      // neither backup_file nor from_latest -> INVALID_ARGUMENT
+      val (s5, _, _) = call(port, "miniodb.v1.MinIODBService", "RestoreMetadata",
+        Array.emptyByteArray)
+      assert(s5 == 3)
+      // GetMetadataStatus{} -> {node_id=1, backup_status=2 map,
+      // last_backup=3, health_status=5}
+      val (s6, _, m6) = call(port, "miniodb.v1.MinIODBService",
+        "GetMetadataStatus", Array.emptyByteArray)
+      val st = parse(m6.head)
+      assert(s6 == 0 && str(st, 1) == "local" && str(st, 5) == "healthy")
+      val bs = subs(st, 2).map(e => str(e, 1) -> str(e, 2)).toMap
+      assert(bs.get("mt").exists(_.startsWith("bytes=")))
+      assert(i64(sub(st, 3).get, 1) > 0, "last_backup")
     }
   }
 }

@@ -63,6 +63,38 @@ def main() -> int:
             print(f"{path.name}: -> {repl}")
         else:
             print(f"{path.name}: already current ({repl})")
+    rc |= check_coverage_rows(repo / "COVERAGE.md", queries, oracles)
+    return rc
+
+
+def check_coverage_rows(coverage, queries, oracles) -> int:
+    """Diff per-query oracle status against COVERAGE.md's table rows so
+    a conversion can't go stale again (r14 verdict: the rows for d03/
+    d15/d15b/m03/m04 still said rows-only a round after they turned
+    oracle-green). A row's query cell names driver queries by their
+    short id (d03, m05b, ...); its status cell must say rows-only iff
+    NONE of those queries has a DuckDB oracle."""
+    short = lambda name: name.split("_")[0]
+    checkable = {short(k) for k in oracles}
+    rows_only = {short(q) for q in queries} - checkable
+    rc = 0
+    for lineno, line in enumerate(coverage.read_text().splitlines(), 1):
+        cells = [c.strip() for c in line.split("|")]
+        if len(cells) < 4 or not cells[1] or cells[1].startswith("-"):
+            continue
+        ids = set(re.findall(r"\b([a-z]\d{2}b?)\b", cells[2]))
+        status = cells[3]
+        if status.startswith("rows-only") and ids & checkable:
+            print(f"COVERAGE.md:{lineno}: says rows-only but "
+                  f"{sorted(ids & checkable)} have DuckDB oracles",
+                  file=sys.stderr)
+            rc = 1
+        if status.startswith("✓") and ids and not (ids & checkable) \
+                and ids <= rows_only:
+            print(f"COVERAGE.md:{lineno}: claims oracle-matched but "
+                  f"{sorted(ids)} are rows-only in oracle_sql.json",
+                  file=sys.stderr)
+            rc = 1
     return rc
 
 
