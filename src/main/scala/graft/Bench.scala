@@ -15,12 +15,24 @@ object Bench {
       .master(s"local[$cpus]")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // SPARK_GRAFT_BENCH_ONLY=a,b,c restricts the measured set (by short
+    // id) — for controlled pairs (e.g. the r14 t-family drift triage:
+    // time the t queries in a fresh JVM with and without the media
+    // family having run first) without perturbing the full-record
+    // path. Warmup is restricted too: an unrestricted warmup would
+    // re-run the very queries the controlled pair excludes.
+    val measured = sys.env.get("SPARK_GRAFT_BENCH_ONLY") match {
+      case Some(list) =>
+        val keep = list.split(',').map(_.trim).toSet
+        SparkEntry.queries.filter { case (n, _) => keep(n.split('_').head) }
+      case None => SparkEntry.queries
+    }
     // JIT/codegen warmup at the smallest SF: the first execution of each
     // plan pays janino compilation + JVM warmup (measured 3-4× on the
     // widest plans); steady-state is what the benchmark should report.
     val warmDir = "/root/testdata/sf0.001"
     if (new java.io.File(warmDir).isDirectory && warmDir != sfDir)
-      SparkEntry.queries.foreach { case (_, fn) =>
+      measured.foreach { case (_, fn) =>
         try fn(spark, warmDir).count() catch { case _: Throwable => () }
       }
     // pre-register the target-SF views (setup, not query work — the
@@ -35,7 +47,7 @@ object Bench {
     // co-running load on the box (the BENCH_r04 contamination, a 13×
     // phantom swing) must drag ALL N iterations to enter the record
     val Iterations = sys.env.getOrElse("SPARK_GRAFT_BENCH_ITERS", "3").toInt
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    val results = measured.toSeq.sortBy(_._1).map { case (name, fn) =>
       def once(): Double = {
         val t0 = System.nanoTime()
         val t = try { fn(spark, sfDir).count(); (System.nanoTime() - t0) / 1e9 }
@@ -63,11 +75,12 @@ object Bench {
     // so releaseAll always runs at a true query boundary — a plan built
     // eagerly up front would hold localCheckpoint blocks that the
     // previous entry's release had already dropped
-    val recalls = Seq(
+    val subsetRun = sys.env.contains("SPARK_GRAFT_BENCH_ONLY")
+    val recalls = (if (subsetRun) Seq.empty else Seq(
       "s02_ann_lsh" -> (() => graft.operators.Similarity.annLsh(spark, sfDir)),
       "s03_ann_ivf" -> (() => graft.operators.Similarity.annIvf(spark, sfDir)),
       "s04_ann_ivfpq" -> (() => graft.operators.Similarity.annIvfPq(spark, sfDir)),
-      "s05_ann_pq_index" -> (() => graft.operators.Similarity.annIvfPqIndexed(spark, sfDir)))
+      "s05_ann_pq_index" -> (() => graft.operators.Similarity.annIvfPqIndexed(spark, sfDir))))
       .flatMap { case (name, mk) =>
         val r = try Some(graft.operators.Similarity.recallVsBrute(spark, sfDir, mk()))
         catch { case e: Throwable =>
@@ -88,6 +101,8 @@ object Bench {
       def time(f: => Unit): Double =
         { val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9 }
       try {
+        if (subsetRun) throw new IllegalStateException(
+          "subset run: pipeline phase skipped")
         val docs = graft.core.Tables.load(spark, sfDir, "documents")
         val emb = graft.operators.Dedup.plantedDropCorpus(
           graft.core.Tables.load(spark, sfDir, "embeddings"))
@@ -107,10 +122,12 @@ object Bench {
     // repo where the round commit picks it up; stdout gets it too for
     // the human log.
     val detail = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"recall":$rs,$pipelineJson,"sf":"$sfDir"}"""
-    try java.nio.file.Files.writeString(
-      java.nio.file.Paths.get("BENCH_DETAIL.json"), detail + "\n")
-    catch { case e: Throwable =>
-      System.err.println(s"[bench] detail write failed: ${e.getMessage}") }
+    // a subset run must not overwrite the full record's detail file
+    if (!subsetRun)
+      try java.nio.file.Files.writeString(
+        java.nio.file.Paths.get("BENCH_DETAIL.json"), detail + "\n")
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] detail write failed: ${e.getMessage}") }
     // Compact ONE JSON line on stdout for the driver's tail parser
     // (the detail line stays off stdout so the tail holds exactly one
     // complete object): per-query seconds

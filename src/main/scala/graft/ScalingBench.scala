@@ -757,7 +757,10 @@ object ScalingBench {
       // maintained m05 decodes its delta third — the corpus decode is
       // the one-time index build the first attempt pays
       "m03b_image_delta", "m04b_audio_delta",
-      "m05b_joint_media_survivors_indexed")
+      "m05b_joint_media_survivors_indexed",
+      // r15: the video family at the decade — the delta probe decodes
+      // 1/30 of 5M AVIs, the streaming twin half of that per batch
+      "m06b_video_delta", "sn05b_stream_video_batch")
     if (only(docNames)(identity).nonEmpty) {
       val sf100dDir = sys.env.getOrElse("SPARK_GRAFT_SF100D_DIR", "/tmp/graft_sf100d")
       ensureSf100Docs(spark, sf10Dir, sf100dDir)

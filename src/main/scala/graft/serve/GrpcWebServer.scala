@@ -97,7 +97,11 @@ class GrpcWebServer(facade: ServiceFacade, host: String = "127.0.0.1",
       val flag = body(i) & 0xff
       val len = ((body(i + 1) & 0xff) << 24) | ((body(i + 2) & 0xff) << 16) |
         ((body(i + 3) & 0xff) << 8) | (body(i + 4) & 0xff)
-      if (i + 5 + len > body.length) fail(InvalidArgument, "truncated frame")
+      // signed-int wrap: a crafted length with the high bit set reads
+      // negative — without the explicit check it slips past the bounds
+      // test and `i += 5 + len` loops forever on a 5-byte body
+      if (len < 0 || i + 5 + len > body.length)
+        fail(InvalidArgument, "truncated frame")
       if ((flag & 0x80) == 0)
         return parse(java.util.Arrays.copyOfRange(body, i + 5, i + 5 + len))
       i += 5 + len
