@@ -1,0 +1,238 @@
+package graft.serve
+
+import java.nio.charset.StandardCharsets.UTF_8
+
+import io.netty.bootstrap.ServerBootstrap
+import io.netty.channel.{Channel, ChannelHandlerContext, ChannelInboundHandlerAdapter, ChannelInitializer}
+import io.netty.channel.nio.NioIoHandler
+import io.netty.channel.socket.SocketChannel
+import io.netty.channel.socket.nio.NioServerSocketChannel
+import io.netty.channel.MultiThreadIoEventLoopGroup
+import io.netty.handler.codec.http2._
+
+import GrpcDispatch._
+import ProtoWire._
+
+/** NATIVE gRPC transport (`application/grpc` over HTTP/2) for the
+  * reference's service surface — the transport the reference's own
+  * clients speak (`internal/transport/grpc/`), closing the one gap
+  * gRPC-Web could not: the client-streaming `StreamWrite`
+  * (`miniodb.proto:20`).
+  *
+  * HTTP/2 framing comes from netty-codec-http2, which SHIPS WITH the
+  * Spark 4 distribution on this project's unmanaged classpath — the
+  * earlier rounds' "no HTTP/2 server in the sandbox" blocker was a
+  * missed jar, not a real absence (no new dependency is introduced;
+  * this is the same already-on-classpath stance as importing Spark
+  * itself). The protobuf layer stays the hand-rolled [[ProtoWire]] —
+  * netty ships no protobuf runtime, and one message codec shared by
+  * both transports is the point.
+  *
+  * Wire shape (the public gRPC-over-HTTP/2 spec):
+  *  - request: HEADERS (`:method POST`, `:path /<Service>/<Method>`,
+  *    `content-type: application/grpc[+proto]`, optional
+  *    `authorization: Bearer …`) + DATA carrying length-prefixed
+  *    messages (1 compression flag byte + 4-byte big-endian length —
+  *    the SAME framing gRPC-Web uses, which is why [[GrpcDispatch]]
+  *    serves both unchanged).
+  *  - response: HEADERS (`:status 200`, `content-type:
+  *    application/grpc`) + DATA (framed messages) + trailers HEADERS
+  *    (`grpc-status`, percent-encoded `grpc-message`) with END_STREAM.
+  *
+  * Verb semantics are the shared [[GrpcDispatch]] (all 19 unary verbs
+  * + StreamQuery's batch framing), plus StreamWrite: each
+  * StreamWriteRequest is folded THE MOMENT its bytes complete on the
+  * wire ([[GrpcDispatch.StreamWriteFold]]), so an unbounded client
+  * stream holds O(1 message) of transport memory — the response
+  * (success, records_count, errors) goes out when the client half-
+  * closes. Flow-control credit is returned per consumed DATA frame,
+  * so a long stream never stalls on the connection window. */
+class GrpcServer(facade: ServiceFacade, host: String = "127.0.0.1",
+    port: Int = 0) {
+
+  private val dispatch = new GrpcDispatch(facade)
+  private var group: MultiThreadIoEventLoopGroup = _
+  private var channel: Channel = _
+
+  def start(): Int = synchronized {
+    require(channel == null, "already started")
+    group = new MultiThreadIoEventLoopGroup(2, NioIoHandler.newFactory())
+    val b = new ServerBootstrap()
+      .group(group)
+      .channel(classOf[NioServerSocketChannel])
+      .childHandler(new ChannelInitializer[SocketChannel] {
+        override def initChannel(ch: SocketChannel): Unit = {
+          // h2c with prior knowledge — what gRPC clients speak on
+          // plaintext (no TLS/ALPN in scope, like the reference's
+          // default insecure listener)
+          ch.pipeline.addLast(Http2FrameCodecBuilder.forServer().build())
+          ch.pipeline.addLast(new Http2MultiplexHandler(
+            new ChannelInitializer[Channel] {
+              override def initChannel(sc: Channel): Unit = {
+                sc.pipeline.addLast(new StreamHandler); ()
+              }
+            }))
+          ()
+        }
+      })
+    channel = b.bind(host, port).sync().channel()
+    channel.localAddress.asInstanceOf[java.net.InetSocketAddress].getPort
+  }
+
+  def stop(): Unit = synchronized {
+    if (channel != null) {
+      channel.close().sync()
+      group.shutdownGracefully(0, 1, java.util.concurrent.TimeUnit.SECONDS).sync()
+      channel = null
+      group = null
+    }
+  }
+
+  /** One handler instance per HTTP/2 stream (the multiplex child
+    * channel). Accumulates the request's gRPC frames across DATA
+    * frames; unary verbs dispatch at END_STREAM, StreamWrite folds
+    * each message as it completes. */
+  private final class StreamHandler extends ChannelInboundHandlerAdapter {
+    private var service: String = ""
+    private var method: String = ""
+    private var headerFail: GrpcStatus = null
+    // reassembly of length-prefixed messages across DATA frames
+    private val pending = new java.io.ByteArrayOutputStream()
+    private var consumed = 0 // bytes of `pending` already cut into messages
+    private var unaryMsg: PMsg = parse(Array.emptyByteArray)
+    private var sawMessage = false
+    private var fold: dispatch.StreamWriteFold = null
+
+    override def channelRead(ctx: ChannelHandlerContext, msg: AnyRef): Unit =
+      msg match {
+        case h: Http2HeadersFrame =>
+          try {
+            val path = String.valueOf(h.headers.path)
+            path.split("/").filter(_.nonEmpty).toList match {
+              case List(s, m) => service = s; method = m
+              case other => fail(Unimplemented, s"bad path ${other.mkString("/")}")
+            }
+            val ct = String.valueOf(h.headers.get("content-type"))
+            if (!ct.startsWith("application/grpc"))
+              fail(InvalidArgument, s"content-type $ct is not application/grpc")
+            if (dispatch.needsBearer(service, method))
+              dispatch.requireBearer(
+                Option(h.headers.get("authorization")).map(_.toString)
+                  .filter(_.startsWith("Bearer ")).map(_.stripPrefix("Bearer ")))
+            if (method == "StreamWrite") fold = new dispatch.StreamWriteFold
+          } catch {
+            // headers-phase failures must still drain the request body
+            // (flow control) before trailing out — remember, reply at
+            // END_STREAM
+            case g: GrpcStatus => headerFail = g
+            case e: Throwable => headerFail = new GrpcStatus(Internal,
+              e.getClass.getSimpleName)
+          }
+          if (h.isEndStream) finish(ctx)
+        case d: Http2DataFrame =>
+          val n = d.content.readableBytes
+          val bytes = new Array[Byte](n)
+          d.content.readBytes(bytes)
+          val end = d.isEndStream
+          d.release()
+          // return flow-control credit for what we consumed, so a long
+          // client stream never stalls on the window (stream channel
+          // routes the update to both stream and connection windows)
+          if (n > 0) { ctx.write(new DefaultHttp2WindowUpdateFrame(n)); () }
+          if (headerFail == null) {
+            pending.write(bytes, 0, n)
+            try cutMessages()
+            catch {
+              case g: GrpcStatus => headerFail = g
+              case e: IllegalArgumentException =>
+                headerFail = new GrpcStatus(InvalidArgument,
+                  String.valueOf(e.getMessage))
+            }
+          }
+          if (end) finish(ctx)
+        case other =>
+          // RST/priority/unknown stream frames: nothing to do
+          io.netty.util.ReferenceCountUtil.release(other)
+      }
+
+    override def channelReadComplete(ctx: ChannelHandlerContext): Unit = {
+      ctx.flush(); ()
+    }
+
+    /** Cut every COMPLETE length-prefixed message out of `pending`;
+      * partial tails stay buffered for the next DATA frame. Unary
+      * keeps only the first message; StreamWrite folds each one and
+      * lets the buffer reset so transport memory stays O(1 message). */
+    private def cutMessages(): Unit = {
+      val b = pending.toByteArray
+      var i = consumed
+      while (i + 5 <= b.length) {
+        val len = ((b(i + 1) & 0xff) << 24) | ((b(i + 2) & 0xff) << 16) |
+          ((b(i + 3) & 0xff) << 8) | (b(i + 4) & 0xff)
+        if ((b(i) & 0xff) != 0)
+          fail(Unimplemented, "compressed gRPC frames are not supported")
+        if (len < 0) fail(InvalidArgument, "bad frame length")
+        if (i + 5 + len > b.length) {
+          // partial message — wait for more DATA
+          retain(b, i); return
+        }
+        val m = parse(java.util.Arrays.copyOfRange(b, i + 5, i + 5 + len))
+        if (fold != null) fold.add(m)
+        else if (!sawMessage) { unaryMsg = m; sawMessage = true }
+        i += 5 + len
+      }
+      retain(b, i)
+    }
+
+    private def retain(b: Array[Byte], from: Int): Unit =
+      if (fold != null) {
+        // stream mode: drop consumed bytes so the buffer stays
+        // tail-sized no matter how long the client streams
+        pending.reset()
+        pending.write(b, from, b.length - from)
+        consumed = 0
+      } else consumed = from
+
+    private def finish(ctx: ChannelHandlerContext): Unit = {
+      val (messages, status, statusMsg) =
+        if (headerFail != null) (Nil, headerFail.code, headerFail.getMessage)
+        else try {
+          if (fold != null) {
+            if (pending.size - consumed > 0)
+              fail(InvalidArgument, "stream ended mid-message")
+            (Seq(fold.finish()), OK, "")
+          } else (dispatch.unary(service, method, unaryMsg), OK, "")
+        } catch {
+          case g: GrpcStatus => (Nil, g.code, g.getMessage)
+          case e: IllegalArgumentException =>
+            (Nil, InvalidArgument, String.valueOf(e.getMessage))
+          case e: IllegalStateException =>
+            (Nil, InvalidArgument, String.valueOf(e.getMessage))
+          case e: Throwable => (Nil, Internal, e.getClass.getSimpleName)
+        }
+      val hdrs = new DefaultHttp2Headers()
+      hdrs.status("200")
+      hdrs.set("content-type", "application/grpc")
+      ctx.write(new DefaultHttp2HeadersFrame(hdrs))
+      messages.foreach { m =>
+        val framed = ctx.alloc.buffer(5 + m.length)
+        framed.writeByte(0)
+        framed.writeInt(m.length)
+        framed.writeBytes(m)
+        ctx.write(new DefaultHttp2DataFrame(framed))
+      }
+      val trailers = new DefaultHttp2Headers()
+      trailers.set("grpc-status", status.toString)
+      if (statusMsg != null && statusMsg.nonEmpty)
+        trailers.set("grpc-message",
+          java.net.URLEncoder.encode(statusMsg, "UTF-8").replace("+", "%20"))
+      ctx.writeAndFlush(new DefaultHttp2HeadersFrame(trailers, true))
+      ()
+    }
+
+    override def exceptionCaught(ctx: ChannelHandlerContext,
+        cause: Throwable): Unit = {
+      ctx.close(); ()
+    }
+  }
+}

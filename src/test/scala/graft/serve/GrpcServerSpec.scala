@@ -1,0 +1,281 @@
+package graft.serve
+
+import java.util.concurrent.{CountDownLatch, TimeUnit}
+
+import io.netty.bootstrap.Bootstrap
+import io.netty.channel.{Channel, ChannelHandlerContext, ChannelInboundHandlerAdapter, ChannelInitializer}
+import io.netty.channel.nio.NioIoHandler
+import io.netty.channel.socket.SocketChannel
+import io.netty.channel.socket.nio.NioSocketChannel
+import io.netty.channel.MultiThreadIoEventLoopGroup
+import io.netty.handler.codec.http2._
+
+import graft.SparkSpec
+import graft.catalog.TableStore
+import ProtoWire._
+
+/** Drives the NATIVE gRPC transport over real loopback HTTP/2 with a
+  * netty h2c client — prior-knowledge cleartext, the framing a stock
+  * gRPC client library speaks on an insecure channel. The protobuf
+  * bytes are [[ProtoWire]]'s, already pinned against the public spec
+  * by GrpcWebServerSpec's golden vectors; what THIS spec pins is the
+  * HTTP/2 layer: headers, 5-byte message framing across DATA-frame
+  * boundaries, trailers, flow-control survival of a long client
+  * stream, and the one verb gRPC-Web cannot express — client-
+  * streaming StreamWrite. */
+class GrpcServerSpec extends SparkSpec {
+
+  private def withServer(authSecret: Option[String] = None,
+      apiSecret: Option[String] = None)(f: (Int, ServiceFacade) => Unit): Unit = {
+    val facade = new ServiceFacade(new TableStore(spark, tmpDir("grpch2")),
+      authSecret, apiSecret = apiSecret)
+    val srv = new GrpcServer(facade)
+    val port = srv.start()
+    try f(port, facade) finally srv.stop()
+  }
+
+  /** Collected response of one HTTP/2 stream. */
+  private final class Resp {
+    @volatile var status: String = _
+    @volatile var grpcStatus: Int = -1
+    @volatile var grpcMessage: String = ""
+    val body = new java.io.ByteArrayOutputStream()
+    val done = new CountDownLatch(1)
+    def messages: Seq[Array[Byte]] = {
+      val b = body.toByteArray
+      val out = Seq.newBuilder[Array[Byte]]
+      var i = 0
+      while (i + 5 <= b.length) {
+        val len = ((b(i + 1) & 0xff) << 24) | ((b(i + 2) & 0xff) << 16) |
+          ((b(i + 3) & 0xff) << 8) | (b(i + 4) & 0xff)
+        out += java.util.Arrays.copyOfRange(b, i + 5, i + 5 + len)
+        i += 5 + len
+      }
+      out.result()
+    }
+  }
+
+  /** Minimal h2c client: one connection per call-batch, one stream per
+    * request. `frames` are pre-cut DATA payload chunks — passing a
+    * message split across several chunks exercises the server's
+    * reassembly. */
+  private final class H2Client(port: Int) {
+    private val group = new MultiThreadIoEventLoopGroup(1, NioIoHandler.newFactory())
+    private val ch: Channel = {
+      val bs = new Bootstrap().group(group).channel(classOf[NioSocketChannel])
+        .handler(new ChannelInitializer[SocketChannel] {
+          override def initChannel(c: SocketChannel): Unit = {
+            c.pipeline.addLast(Http2FrameCodecBuilder.forClient().build())
+            // inbound (server-initiated) streams only; our streams get
+            // handlers from the stream bootstrap
+            c.pipeline.addLast(new Http2MultiplexHandler(
+              new ChannelInboundHandlerAdapter()))
+            ()
+          }
+        })
+      bs.connect("127.0.0.1", port).sync().channel()
+    }
+
+    def call(service: String, method: String, frames: Seq[Array[Byte]],
+        token: Option[String] = None,
+        contentType: String = "application/grpc"): Resp = {
+      val resp = new Resp
+      val sb = new Http2StreamChannelBootstrap(ch)
+        .handler(new ChannelInitializer[Channel] {
+          override def initChannel(sc: Channel): Unit = {
+            sc.pipeline.addLast(new ChannelInboundHandlerAdapter {
+              override def channelRead(ctx: ChannelHandlerContext,
+                  msg: AnyRef): Unit = msg match {
+                case h: Http2HeadersFrame =>
+                  if (h.headers.status != null)
+                    resp.status = h.headers.status.toString
+                  Option(h.headers.get("grpc-status")).foreach(s =>
+                    resp.grpcStatus = s.toString.toInt)
+                  Option(h.headers.get("grpc-message")).foreach(m =>
+                    resp.grpcMessage = m.toString)
+                  if (h.isEndStream) resp.done.countDown()
+                case d: Http2DataFrame =>
+                  val b = new Array[Byte](d.content.readableBytes)
+                  d.content.readBytes(b)
+                  resp.body.write(b, 0, b.length)
+                  val end = d.isEndStream
+                  d.release()
+                  if (end) resp.done.countDown()
+                case other =>
+                  io.netty.util.ReferenceCountUtil.release(other)
+              }
+            })
+            ()
+          }
+        })
+      val stream = sb.open().sync().getNow
+      val hdrs = new DefaultHttp2Headers()
+      hdrs.method("POST").scheme("http").path(s"/$service/$method")
+        .authority(s"127.0.0.1:$port")
+      hdrs.set("content-type", contentType)
+      hdrs.set("te", "trailers")
+      token.foreach(t => hdrs.set("authorization", s"Bearer $t"))
+      if (frames.isEmpty) {
+        stream.writeAndFlush(new DefaultHttp2HeadersFrame(hdrs, true))
+      } else {
+        stream.write(new DefaultHttp2HeadersFrame(hdrs))
+        frames.zipWithIndex.foreach { case (f, i) =>
+          val buf = stream.alloc.buffer(f.length)
+          buf.writeBytes(f)
+          stream.writeAndFlush(
+            new DefaultHttp2DataFrame(buf, i == frames.size - 1))
+        }
+      }
+      assert(resp.done.await(60, TimeUnit.SECONDS), "stream timed out")
+      resp
+    }
+
+    def close(): Unit = {
+      ch.close().sync()
+      group.shutdownGracefully(0, 1, TimeUnit.SECONDS).sync()
+      ()
+    }
+  }
+
+  /** 5-byte gRPC message framing. */
+  private def grpcFrame(msg: Array[Byte]): Array[Byte] = {
+    val out = new Array[Byte](5 + msg.length)
+    out(0) = 0
+    out(1) = (msg.length >>> 24).toByte
+    out(2) = (msg.length >>> 16).toByte
+    out(3) = (msg.length >>> 8).toByte
+    out(4) = msg.length.toByte
+    System.arraycopy(msg, 0, out, 5, msg.length)
+    out
+  }
+
+  test("unary verbs over native HTTP/2: write → query → health") {
+    withServer() { (port, _) =>
+      val c = new H2Client(port)
+      try {
+        val ts = writeTimestamp(java.sql.Timestamp.valueOf("2024-01-01 00:00:00"))
+        val rec = w.string(1, "u1").msg(2, ts)
+          .msg(3, writeStruct(Map("name" -> "ann", "score" -> 9.5)))
+        val r1 = c.call("miniodb.v1.MinIODBService", "WriteData",
+          Seq(grpcFrame(w.string(1, "users").msg(2, rec).bytes)))
+        assert(r1.status == "200" && r1.grpcStatus == 0, s"${r1.grpcMessage}")
+        assert(bool(parse(r1.messages.head), 1))
+        val r2 = c.call("miniodb.v1.MinIODBService", "QueryData",
+          Seq(grpcFrame(w.string(1, "SELECT id, name FROM users").bytes)))
+        assert(r2.grpcStatus == 0)
+        assert(str(parse(r2.messages.head), 1) == """[{"id":"u1","name":"ann"}]""")
+        // empty-body verb: HEADERS with END_STREAM only
+        val r3 = c.call("miniodb.v1.MinIODBService", "HealthCheck", Nil)
+        assert(r3.grpcStatus == 0 && str(parse(r3.messages.head), 1) == "healthy")
+      } finally c.close()
+    }
+  }
+
+  test("StreamWrite: client-streaming across DATA frames, split mid-message") {
+    withServer() { (port, facade) =>
+      val c = new H2Client(port)
+      try {
+        def swReq(table: String, ids: Seq[String]): Array[Byte] = {
+          val req = w.string(2, table)
+          ids.foreach { id =>
+            req.msg(1, w.string(1, id)
+              .msg(3, writeStruct(Map("v" -> id.length.toLong))))
+          }
+          req.bytes
+        }
+        // three request messages; the second is SPLIT across two DATA
+        // frames (reassembly) and the third shares a frame with the
+        // second's tail (multiple messages per frame)
+        val m1 = grpcFrame(swReq("sw", Seq("a1", "a2")))
+        val m2 = grpcFrame(swReq("sw", Seq("b1", "b2", "b3")))
+        val m3 = grpcFrame(swReq("sw", Seq("c1")))
+        val cut = m2.length / 2
+        val frames = Seq(
+          m1 ++ m2.take(cut),
+          m2.drop(cut) ++ m3)
+        val r = c.call("miniodb.v1.MinIODBService", "StreamWrite", frames)
+        assert(r.grpcStatus == 0, s"grpc-message=${r.grpcMessage}")
+        val resp = parse(r.messages.head)
+        assert(bool(resp, 1), "success")
+        assert(i64(resp, 2) == 6L, s"records_count=${i64(resp, 2)}")
+        // the stream's records are queryable
+        assert(facade.queryData("SELECT id FROM sw ORDER BY id")
+          .exists(_.contains("b3")))
+      } finally c.close()
+    }
+  }
+
+  test("StreamWrite per-record failures collect; stream does not abort") {
+    withServer() { (port, _) =>
+      val c = new H2Client(port)
+      try {
+        // invalid table name on the middle request → its records error,
+        // the rest of the stream still lands
+        val good = w.string(2, "ok").msg(1, w.string(1, "g1")
+          .msg(3, writeStruct(Map("v" -> 1L)))).bytes
+        val bad = w.string(2, "..").msg(1, w.string(1, "x1")
+          .msg(3, writeStruct(Map("v" -> 1L)))).bytes
+        val r = c.call("miniodb.v1.MinIODBService", "StreamWrite",
+          Seq(grpcFrame(good) ++ grpcFrame(bad) ++ grpcFrame(good)))
+        assert(r.grpcStatus == 0)
+        val resp = parse(r.messages.head)
+        assert(!bool(resp, 1) && i64(resp, 2) == 2L)
+        val errs = resp.getOrElse(3, Vector.empty).collect {
+          case PBytes(b) => new String(b, java.nio.charset.StandardCharsets.UTF_8)
+        }
+        assert(errs.size == 1 && errs.head.contains("invalid table name"))
+      } finally c.close()
+    }
+  }
+
+  test("bearer auth and error trailers on the native transport") {
+    withServer(Some("h2-signing-key-0123456789"),
+        apiSecret = Some("h2-api-credential")) { (port, facade) =>
+      val c = new H2Client(port)
+      try {
+        val denied = c.call("miniodb.v1.MinIODBService", "ListTables",
+          Seq(grpcFrame(Array.emptyByteArray)))
+        assert(denied.grpcStatus == 16)
+        val tok = c.call("miniodb.v1.AuthService", "GetToken",
+          Seq(grpcFrame(w.string(1, "alice").string(2, "h2-api-credential").bytes)))
+        assert(tok.grpcStatus == 0)
+        val access = str(parse(tok.messages.head), 1)
+        val ok = c.call("miniodb.v1.MinIODBService", "ListTables",
+          Seq(grpcFrame(Array.emptyByteArray)), token = Some(access))
+        assert(ok.grpcStatus == 0)
+        // wrong content-type → INVALID_ARGUMENT with percent-encoded
+        // multi-word grpc-message (no literal '+')
+        val badCt = c.call("miniodb.v1.MinIODBService", "HealthCheck",
+          Seq(grpcFrame(Array.emptyByteArray)), contentType = "text/plain")
+        assert(badCt.grpcStatus == 3)
+        assert(badCt.grpcMessage.contains("%20") && !badCt.grpcMessage.contains("+"),
+          s"grpc-message not percent-encoded: '${badCt.grpcMessage}'")
+        // unknown method → UNIMPLEMENTED
+        val nope = c.call("miniodb.v1.MinIODBService", "Nope",
+          Seq(grpcFrame(Array.emptyByteArray)), token = Some(access))
+        assert(nope.grpcStatus == 12)
+      } finally c.close()
+    }
+  }
+
+  test("long client stream: 2000 messages, flow-control credit returned") {
+    withServer() { (port, _) =>
+      val c = new H2Client(port)
+      try {
+        // well past the 64 KiB initial connection/stream windows — the
+        // stream only completes if the server returns WINDOW_UPDATE
+        // credit as it consumes; total body ≈ 2000 × ~60 B ≈ 120 KiB
+        val msgs = (1 to 2000).map { i =>
+          grpcFrame(w.string(2, "bulk").msg(1, w.string(1, s"r$i")
+            .msg(3, writeStruct(Map("i" -> i.toLong)))).bytes)
+        }
+        // batch into DATA frames of ~16 KiB so frames cross the
+        // window boundaries mid-stream
+        val frames = msgs.grouped(200).map(_.reduce(_ ++ _)).toSeq
+        val r = c.call("miniodb.v1.MinIODBService", "StreamWrite", frames)
+        assert(r.grpcStatus == 0, s"grpc-message=${r.grpcMessage}")
+        assert(i64(parse(r.messages.head), 2) == 2000L)
+      } finally c.close()
+    }
+  }
+}
