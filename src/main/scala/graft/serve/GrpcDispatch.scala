@@ -125,7 +125,12 @@ private[serve] final class GrpcDispatch(facade: ServiceFacade) {
         Seq(w.bool(1, n > 0).string(2, s"deleted=$n").int32(3, n.toInt).bytes)
       // StreamQueryRequest{sql=1, batch_size=2, cursor=3} -> stream of
       // StreamQueryResponse{records=1 repeated DataRecord, has_more=2,
-      // cursor=3}; rows ride as DataRecord payload Structs
+      // cursor=3}; rows ride as DataRecord payload Structs. TRUE
+      // server-streaming per the proto (`returns (stream ...)`): one
+      // response message PER BATCH from the request's cursor to
+      // exhaustion — each built batch-at-a-time (per-batch memory),
+      // each carrying the resume cursor so an interrupted client can
+      // re-enter mid-stream with request.cursor
       case "StreamQuery" =>
         val cursor = str(req, 3) match {
           case "" => 0L
@@ -133,20 +138,30 @@ private[serve] final class GrpcDispatch(facade: ServiceFacade) {
             catch { case _: NumberFormatException => fail(InvalidArgument, "bad cursor") }
         }
         val batch = math.max(1, i32(req, 2))
-        facade.streamQuery(str(req, 1), cursor, batch) match {
-          case Left(err) => fail(InvalidArgument, err)
-          case Right((rows, next)) =>
-            val resp = w
-            rows.foreach { rowJson =>
-              val m = jsonToMap(mapper.readTree(rowJson))
-              val rec = w
-              m.get("id").collect { case s: String => rec.string(1, s) }
-              rec.msg(3, writeStruct(m))
-              resp.msg(1, rec)
-            }
-            resp.bool(2, next > 0).string(3, if (next > 0) next.toString else "")
-            Seq(resp.bytes)
+        val out = Seq.newBuilder[Array[Byte]]
+        var cur = cursor
+        var more = true
+        while (more) {
+          facade.streamQuery(str(req, 1), cur, batch) match {
+            case Left(err) => fail(InvalidArgument, err)
+            case Right((rows, next)) =>
+              val resp = w
+              rows.foreach { rowJson =>
+                val m = jsonToMap(mapper.readTree(rowJson))
+                val rec = w
+                m.get("id").collect { case s: String => rec.string(1, s) }
+                rec.msg(3, writeStruct(m))
+                resp.msg(1, rec)
+              }
+              resp.bool(2, next > 0).string(3, if (next > 0) next.toString else "")
+              out += resp.bytes
+              // rows.isEmpty guards a facade that reports progress on
+              // an empty page — the stream must terminate regardless
+              more = next > 0 && rows.nonEmpty
+              cur = next
+          }
         }
+        out.result()
       // CreateTableRequest{table_name=1, config=2: TableConfig{
       // buffer_size=1, flush_interval_seconds=2, retention_days=3,
       // id_strategy=6, id_prefix=7, id_validation=9{pattern=2}},

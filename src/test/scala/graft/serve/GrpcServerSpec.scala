@@ -167,6 +167,21 @@ class GrpcServerSpec extends SparkSpec {
         // empty-body verb: HEADERS with END_STREAM only
         val r3 = c.call("miniodb.v1.MinIODBService", "HealthCheck", Nil)
         assert(r3.grpcStatus == 0 && str(parse(r3.messages.head), 1) == "healthy")
+        // server-streaming: StreamQuery emits one message per batch
+        (2 to 5).foreach { i =>
+          val rec = w.string(1, s"u$i")
+            .msg(3, writeStruct(Map("name" -> s"n$i", "score" -> 1.0)))
+          c.call("miniodb.v1.MinIODBService", "WriteData",
+            Seq(grpcFrame(w.string(1, "users").msg(2, rec).bytes)))
+        }
+        val r4 = c.call("miniodb.v1.MinIODBService", "StreamQuery",
+          Seq(grpcFrame(
+            w.string(1, "SELECT id FROM users ORDER BY id").int32(2, 2).bytes)))
+        assert(r4.grpcStatus == 0)
+        val pages = r4.messages.map(parse)
+        assert(pages.map(p => subs(p, 1).size) == Seq(2, 2, 1),
+          s"expected 3 streamed batches, got ${pages.size}")
+        assert(!bool(pages.last, 2), "last frame carries has_more=false")
       } finally c.close()
     }
   }

@@ -142,27 +142,37 @@ class GrpcWebServerSpec extends SparkSpec {
     }
   }
 
-  test("StreamQuery pages DataRecord batches with cursors") {
+  test("StreamQuery streams every batch; cursor resumes mid-stream") {
     withServer() { (port, facade) =>
       (1 to 5).foreach { i =>
         facade.writeData("t", graft.ingest.DynRecord(s"r$i",
           java.sql.Timestamp.valueOf("2024-01-01 00:00:00"),
           Map("i" -> i.toLong)))
       }
+      // true server-streaming (the proto's `returns (stream ...)`):
+      // one response message PER BATCH, to exhaustion — 5 rows at
+      // batch_size 2 = frames of 2/2/1
       val (s1, _, m1) = call(port, "miniodb.v1.MinIODBService", "StreamQuery",
         w.string(1, "SELECT id, i FROM t ORDER BY id").int32(2, 2).bytes)
       assert(s1 == 0)
-      val page1 = parse(m1.head)
-      val recs = subs(page1, 1)
-      assert(recs.size == 2 && bool(page1, 2), "2 records + has_more")
-      assert(str(recs.head, 1) == "r1") // id carried from the row
-      assert(readStruct(sub(recs.head, 3).get)("i") == 1L)
-      val cursor = str(page1, 3)
+      val pages = m1.map(parse)
+      assert(pages.map(p => subs(p, 1).size) == Seq(2, 2, 1))
+      val first = subs(pages.head, 1).head
+      assert(str(first, 1) == "r1") // id carried from the row
+      assert(readStruct(sub(first, 3).get)("i") == 1L)
+      assert(pages.init.forall(bool(_, 2)) && !bool(pages.last, 2),
+        "has_more on every frame but the last")
+      assert(subs(pages.last, 1).map(str(_, 1)) == Seq("r5"))
+      // an interrupted client re-enters mid-stream with the cursor the
+      // first frame carried
+      val cursor = str(pages.head, 3)
       assert(cursor.nonEmpty)
       val (s2, _, m2) = call(port, "miniodb.v1.MinIODBService", "StreamQuery",
         w.string(1, "SELECT id, i FROM t ORDER BY id").int32(2, 2)
           .string(3, cursor).bytes)
-      assert(s2 == 0 && str(subs(parse(m2.head), 1).head, 1) == "r3")
+      assert(s2 == 0)
+      assert(m2.map(parse).flatMap(subs(_, 1)).map(str(_, 1)) ==
+        Seq("r3", "r4", "r5"))
     }
   }
 
