@@ -317,6 +317,12 @@ private[serve] final class GrpcDispatch(facade: ServiceFacade) {
           resp.msg(3, writeTimestamp(new java.sql.Timestamp(ts))))
         Seq(resp.string(5,
           if (facade.healthCheck().ok) "healthy" else "unhealthy").bytes)
+      // reachable only from gRPC-Web (the native transport intercepts
+      // the verb before unary dispatch): client streaming is
+      // inexpressible in gRPC-Web by protocol, so point at the wire
+      // that serves it
+      case "StreamWrite" => fail(Unimplemented,
+        "StreamWrite is client-streaming: use the native gRPC (HTTP/2) endpoint")
       case other => fail(Unimplemented, s"method $other")
     }
 
