@@ -273,6 +273,33 @@ class GrpcServerSpec extends SparkSpec {
     }
   }
 
+  test("garbage bytes on the h2c port: connection refused cleanly, server stays alive") {
+    withServer() { (port, _) =>
+      // not an HTTP/2 preface — netty must reject the connection
+      // without wedging the event loop
+      (1 to 5).foreach { _ =>
+        val s = new java.net.Socket("127.0.0.1", port)
+        try {
+          s.setSoTimeout(5000)
+          s.getOutputStream.write(
+            "GET / HTTP/1.1\r\nHost: x\r\n\r\n ÿgarbage".getBytes("ISO-8859-1"))
+          s.getOutputStream.flush()
+          // read until the server closes (or returns anything) — must
+          // not hang past the socket timeout
+          try { while (s.getInputStream.read() != -1) () }
+          catch { case _: java.net.SocketTimeoutException =>
+            fail("server neither answered nor closed a garbage connection") }
+        } finally s.close()
+      }
+      // a real client still works afterwards
+      val c = new H2Client(port)
+      try {
+        val r = c.call("miniodb.v1.MinIODBService", "HealthCheck", Nil)
+        assert(r.grpcStatus == 0, "server wedged after garbage connections")
+      } finally c.close()
+    }
+  }
+
   test("long client stream: 2000 messages, flow-control credit returned") {
     withServer() { (port, _) =>
       val c = new H2Client(port)
