@@ -48,7 +48,8 @@ import ProtoWire._
   * closes. Flow-control credit is returned per consumed DATA frame,
   * so a long stream never stalls on the connection window. */
 class GrpcServer(facade: ServiceFacade, host: String = "127.0.0.1",
-    port: Int = 0) {
+    port: Int = 0,
+    maxInboundMessageBytes: Int = 4 * 1024 * 1024) {
 
   private val dispatch = new GrpcDispatch(facade)
   private var group: MultiThreadIoEventLoopGroup = _
@@ -172,6 +173,12 @@ class GrpcServer(facade: ServiceFacade, host: String = "127.0.0.1",
         if ((b(i) & 0xff) != 0)
           fail(Unimplemented, "compressed gRPC frames are not supported")
         if (len < 0) fail(InvalidArgument, "bad frame length")
+        // the standard gRPC inbound cap (stock servers default 4 MiB):
+        // without it a client could stream an unbounded message into
+        // the reassembly buffer — code 8 = RESOURCE_EXHAUSTED
+        if (len > maxInboundMessageBytes)
+          fail(8, s"message of $len bytes exceeds the " +
+            s"$maxInboundMessageBytes-byte inbound limit")
         if (i + 5 + len > b.length) {
           // partial message — wait for more DATA
           retain(b, i); return
@@ -184,14 +191,14 @@ class GrpcServer(facade: ServiceFacade, host: String = "127.0.0.1",
       retain(b, i)
     }
 
-    private def retain(b: Array[Byte], from: Int): Unit =
-      if (fold != null) {
-        // stream mode: drop consumed bytes so the buffer stays
-        // tail-sized no matter how long the client streams
-        pending.reset()
-        pending.write(b, from, b.length - from)
-        consumed = 0
-      } else consumed = from
+    private def retain(b: Array[Byte], from: Int): Unit = {
+      // drop consumed bytes so the buffer stays tail-sized no matter
+      // how long the client streams (unary keeps only its first
+      // message; the tail is at most one partial message ≤ the cap)
+      pending.reset()
+      pending.write(b, from, b.length - from)
+      consumed = 0
+    }
 
     private def finish(ctx: ChannelHandlerContext): Unit = {
       val (messages, status, statusMsg) =

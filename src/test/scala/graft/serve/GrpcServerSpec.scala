@@ -273,6 +273,23 @@ class GrpcServerSpec extends SparkSpec {
     }
   }
 
+  test("oversize inbound message → RESOURCE_EXHAUSTED (the stock 4 MiB cap, shrunk)") {
+    val facade = new ServiceFacade(new TableStore(spark, tmpDir("grpch2cap")))
+    val srv = new GrpcServer(facade, maxInboundMessageBytes = 1024)
+    val port = srv.start()
+    val c = new H2Client(port)
+    try {
+      val big = w.string(1, "users")
+        .msg(2, w.string(1, "x").msg(3, writeStruct(Map("blob" -> ("y" * 4096)))))
+        .bytes
+      val r = c.call("miniodb.v1.MinIODBService", "WriteData", Seq(grpcFrame(big)))
+      assert(r.grpcStatus == 8, s"expected RESOURCE_EXHAUSTED, got ${r.grpcStatus}")
+      // a fitting message still lands afterwards
+      val ok = c.call("miniodb.v1.MinIODBService", "HealthCheck", Nil)
+      assert(ok.grpcStatus == 0)
+    } finally { c.close(); srv.stop() }
+  }
+
   test("garbage bytes on the h2c port: connection refused cleanly, server stays alive") {
     withServer() { (port, _) =>
       // not an HTTP/2 preface — netty must reject the connection
