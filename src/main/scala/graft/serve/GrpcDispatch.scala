@@ -46,6 +46,46 @@ private[serve] final class GrpcDispatch(facade: ServiceFacade) {
       }
     }
 
+  /** TRUE server-streaming for StreamQuery (`miniodb.proto:21`,
+    * `returns (stream StreamQueryResponse)`): one
+    * StreamQueryResponse{records=1 repeated DataRecord, has_more=2,
+    * cursor=3} PER BATCH, `emit`ted as each batch is built — a
+    * transport that flushes per emit (the HTTP/2 path) holds O(batch)
+    * memory and gets first-byte latency of one page, and every frame
+    * carries the resume cursor so an interrupted client re-enters
+    * mid-stream with request.cursor. Rows ride as DataRecord payload
+    * Structs. */
+  def streamQueryBatches(req: PMsg)(emit: Array[Byte] => Unit): Unit = {
+    val cursor = str(req, 3) match {
+      case "" => 0L
+      case s => try s.toLong
+        catch { case _: NumberFormatException => fail(InvalidArgument, "bad cursor") }
+    }
+    val batch = math.max(1, i32(req, 2))
+    var cur = cursor
+    var more = true
+    while (more) {
+      facade.streamQuery(str(req, 1), cur, batch) match {
+        case Left(err) => fail(InvalidArgument, err)
+        case Right((rows, next)) =>
+          val resp = w
+          rows.foreach { rowJson =>
+            val m = jsonToMap(mapper.readTree(rowJson))
+            val rec = w
+            m.get("id").collect { case s: String => rec.string(1, s) }
+            rec.msg(3, writeStruct(m))
+            resp.msg(1, rec)
+          }
+          resp.bool(2, next > 0).string(3, if (next > 0) next.toString else "")
+          emit(resp.bytes)
+          // rows.isEmpty guards a facade that reports progress on an
+          // empty page — the stream must terminate regardless
+          more = next > 0 && rows.nonEmpty
+          cur = next
+      }
+    }
+  }
+
   /** The CLIENT-STREAMING verb (`miniodb.proto:20`): every
     * StreamWriteRequest{records=1 repeated DataRecord, table=2} of the
     * stream folds into one StreamWriteResponse{success=1,
@@ -124,43 +164,15 @@ private[serve] final class GrpcDispatch(facade: ServiceFacade) {
         val n = facade.deleteData(str(req, 1), str(req, 2))
         Seq(w.bool(1, n > 0).string(2, s"deleted=$n").int32(3, n.toInt).bytes)
       // StreamQueryRequest{sql=1, batch_size=2, cursor=3} -> stream of
-      // StreamQueryResponse{records=1 repeated DataRecord, has_more=2,
-      // cursor=3}; rows ride as DataRecord payload Structs. TRUE
-      // server-streaming per the proto (`returns (stream ...)`): one
-      // response message PER BATCH from the request's cursor to
-      // exhaustion — each built batch-at-a-time (per-batch memory),
-      // each carrying the resume cursor so an interrupted client can
-      // re-enter mid-stream with request.cursor
+      // server-streaming StreamQuery on the BUFFERING transport
+      // (gRPC-Web over the JDK HTTP server builds its whole body
+      // before responding): collect the per-batch messages, bounded
+      // by the serving layer's MaxStreamRows snapshot cap. The native
+      // HTTP/2 transport calls [[streamQueryBatches]] directly and
+      // flushes each frame as it is produced.
       case "StreamQuery" =>
-        val cursor = str(req, 3) match {
-          case "" => 0L
-          case s => try s.toLong
-            catch { case _: NumberFormatException => fail(InvalidArgument, "bad cursor") }
-        }
-        val batch = math.max(1, i32(req, 2))
         val out = Seq.newBuilder[Array[Byte]]
-        var cur = cursor
-        var more = true
-        while (more) {
-          facade.streamQuery(str(req, 1), cur, batch) match {
-            case Left(err) => fail(InvalidArgument, err)
-            case Right((rows, next)) =>
-              val resp = w
-              rows.foreach { rowJson =>
-                val m = jsonToMap(mapper.readTree(rowJson))
-                val rec = w
-                m.get("id").collect { case s: String => rec.string(1, s) }
-                rec.msg(3, writeStruct(m))
-                resp.msg(1, rec)
-              }
-              resp.bool(2, next > 0).string(3, if (next > 0) next.toString else "")
-              out += resp.bytes
-              // rows.isEmpty guards a facade that reports progress on
-              // an empty page — the stream must terminate regardless
-              more = next > 0 && rows.nonEmpty
-              cur = next
-          }
-        }
+        streamQueryBatches(req)(out += _)
         out.result()
       // CreateTableRequest{table_name=1, config=2: TableConfig{
       // buffer_size=1, flush_interval_seconds=2, retention_days=3,

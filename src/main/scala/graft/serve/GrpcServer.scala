@@ -97,9 +97,9 @@ class GrpcServer(facade: ServiceFacade, host: String = "127.0.0.1",
     private var service: String = ""
     private var method: String = ""
     private var headerFail: GrpcStatus = null
-    // reassembly of length-prefixed messages across DATA frames
+    // reassembly of length-prefixed messages across DATA frames;
+    // compacted to its (≤ one partial message) tail after every cut
     private val pending = new java.io.ByteArrayOutputStream()
-    private var consumed = 0 // bytes of `pending` already cut into messages
     private var unaryMsg: PMsg = parse(Array.emptyByteArray)
     private var sawMessage = false
     private var fold: dispatch.StreamWriteFold = null
@@ -166,7 +166,7 @@ class GrpcServer(facade: ServiceFacade, host: String = "127.0.0.1",
       * lets the buffer reset so transport memory stays O(1 message). */
     private def cutMessages(): Unit = {
       val b = pending.toByteArray
-      var i = consumed
+      var i = 0
       while (i + 5 <= b.length) {
         val len = ((b(i + 1) & 0xff) << 24) | ((b(i + 2) & 0xff) << 16) |
           ((b(i + 3) & 0xff) << 8) | (b(i + 4) & 0xff)
@@ -186,6 +186,12 @@ class GrpcServer(facade: ServiceFacade, host: String = "127.0.0.1",
         val m = parse(java.util.Arrays.copyOfRange(b, i + 5, i + 5 + len))
         if (fold != null) fold.add(m)
         else if (!sawMessage) { unaryMsg = m; sawMessage = true }
+        else
+          // gRPC unary cardinality: exactly one request message; a
+          // second one means the client and server disagree about the
+          // verb's shape — failing beats silently dropping its data
+          fail(InvalidArgument,
+            s"$method is unary: more than one request message")
         i += 5 + len
       }
       retain(b, i)
@@ -197,37 +203,53 @@ class GrpcServer(facade: ServiceFacade, host: String = "127.0.0.1",
       // message; the tail is at most one partial message ≤ the cap)
       pending.reset()
       pending.write(b, from, b.length - from)
-      consumed = 0
     }
 
     private def finish(ctx: ChannelHandlerContext): Unit = {
-      val (messages, status, statusMsg) =
-        if (headerFail != null) (Nil, headerFail.code, headerFail.getMessage)
-        else try {
-          if (fold != null) {
-            if (pending.size - consumed > 0)
-              fail(InvalidArgument, "stream ended mid-message")
-            (Seq(fold.finish()), OK, "")
-          } else (dispatch.unary(service, method, unaryMsg), OK, "")
-        } catch {
-          case g: GrpcStatus => (Nil, g.code, g.getMessage)
-          case e: IllegalArgumentException =>
-            (Nil, InvalidArgument, String.valueOf(e.getMessage))
-          case e: IllegalStateException =>
-            (Nil, InvalidArgument, String.valueOf(e.getMessage))
-          case e: Throwable => (Nil, Internal, e.getClass.getSimpleName)
-        }
-      val hdrs = new DefaultHttp2Headers()
-      hdrs.status("200")
-      hdrs.set("content-type", "application/grpc")
-      ctx.write(new DefaultHttp2HeadersFrame(hdrs))
-      messages.foreach { m =>
+      var wroteHeaders = false
+      def writeHeaders(): Unit = if (!wroteHeaders) {
+        val hdrs = new DefaultHttp2Headers()
+        hdrs.status("200")
+        hdrs.set("content-type", "application/grpc")
+        ctx.write(new DefaultHttp2HeadersFrame(hdrs))
+        wroteHeaders = true
+      }
+      def writeMsg(m: Array[Byte]): Unit = {
+        writeHeaders()
         val framed = ctx.alloc.buffer(5 + m.length)
         framed.writeByte(0)
         framed.writeInt(m.length)
         framed.writeBytes(m)
         ctx.write(new DefaultHttp2DataFrame(framed))
+        ()
       }
+      val (status, statusMsg) =
+        if (headerFail != null) (headerFail.code, headerFail.getMessage)
+        else try {
+          if (fold != null) {
+            if (pending.size > 0)
+              fail(InvalidArgument, "stream ended mid-message")
+            writeMsg(fold.finish())
+          } else if (method == "StreamQuery")
+            // TRUE server-streaming: each batch's frame is flushed as
+            // it is produced — O(batch) transport memory, first-byte
+            // latency of one page. A mid-stream failure surfaces in
+            // the trailers after the frames already delivered, which
+            // is exactly gRPC's partial-stream error semantics.
+            dispatch.streamQueryBatches(unaryMsg) { m =>
+              writeMsg(m); ctx.flush()
+            }
+          else dispatch.unary(service, method, unaryMsg).foreach(writeMsg)
+          (OK, "")
+        } catch {
+          case g: GrpcStatus => (g.code, g.getMessage)
+          case e: IllegalArgumentException =>
+            (InvalidArgument, String.valueOf(e.getMessage))
+          case e: IllegalStateException =>
+            (InvalidArgument, String.valueOf(e.getMessage))
+          case e: Throwable => (Internal, e.getClass.getSimpleName)
+        }
+      writeHeaders()
       val trailers = new DefaultHttp2Headers()
       trailers.set("grpc-status", status.toString)
       if (statusMsg != null && statusMsg.nonEmpty)

@@ -87,10 +87,11 @@ class GrpcWebServer(facade: ServiceFacade, host: String = "127.0.0.1",
       val flag = body(i) & 0xff
       val len = ((body(i + 1) & 0xff) << 24) | ((body(i + 2) & 0xff) << 16) |
         ((body(i + 3) & 0xff) << 8) | (body(i + 4) & 0xff)
-      // signed-int wrap: a crafted length with the high bit set reads
-      // negative — without the explicit check it slips past the bounds
-      // test and `i += 5 + len` loops forever on a 5-byte body
-      if (len < 0 || i + 5 + len > body.length)
+      // overflow-free bounds (the MediaCodecs.walk form): a crafted
+      // negative length would make `i += 5 + len` loop forever, and a
+      // large POSITIVE one would wrap `i + 5 + len` negative and slip
+      // past a naive `> body.length` test into an out-of-bounds read
+      if (len < 0 || len > body.length - i - 5)
         fail(InvalidArgument, "truncated frame")
       if ((flag & 0x80) == 0)
         return parse(java.util.Arrays.copyOfRange(body, i + 5, i + 5 + len))

@@ -340,9 +340,14 @@ class ServiceFacade(store: TableStore, authSecret: Option[String] = None,
     * (gRPC `BackupMetadata`/`RestoreMetadata`/`ListBackups`,
     * `miniodb.proto:30-32`): the reference reads its destination from
     * node config (a fixed MinIO bucket), so the wire requests carry
-    * none — the engine's analogue is a fixed location under the store
-    * root. REST keeps the explicit `dest=` form for ad-hoc targets. */
-  val metadataBackupDest: String = s"${store.root}/_meta_backups"
+    * none. A SIBLING of the store root, not a child: `_meta_backups`
+    * is a valid table name, so a child path would collide with a user
+    * table of that name — BackupMetadata would then write snapshots
+    * into the live table's data directory, and backing the table
+    * itself up would be a copy-into-own-subdirectory error. REST
+    * keeps the explicit `dest=` form for ad-hoc targets. */
+  val metadataBackupDest: String =
+    store.root.stripSuffix("/") + "_meta_backups"
 
   /** ListBackups: tables present under a backup destination. */
   def listBackups(dest: String): Seq[String] = {

@@ -273,6 +273,21 @@ class GrpcServerSpec extends SparkSpec {
     }
   }
 
+  test("two request messages on a unary verb → INVALID_ARGUMENT, not silent drop") {
+    withServer() { (port, facade) =>
+      val c = new H2Client(port)
+      try {
+        def wd(id: String) = grpcFrame(w.string(1, "card")
+          .msg(2, w.string(1, id).msg(3, writeStruct(Map("v" -> 1L)))).bytes)
+        val r = c.call("miniodb.v1.MinIODBService", "WriteData",
+          Seq(wd("a") ++ wd("b")))
+        assert(r.grpcStatus == 3, s"got ${r.grpcStatus}")
+        // neither write may have been acknowledged as a success
+        assert(r.messages.isEmpty)
+      } finally c.close()
+    }
+  }
+
   test("oversize inbound message → RESOURCE_EXHAUSTED (the stock 4 MiB cap, shrunk)") {
     val facade = new ServiceFacade(new TableStore(spark, tmpDir("grpch2cap")))
     val srv = new GrpcServer(facade, maxInboundMessageBytes = 1024)

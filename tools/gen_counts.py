@@ -82,7 +82,7 @@ def check_coverage_rows(coverage, queries, oracles) -> int:
         cells = [c.strip() for c in line.split("|")]
         if len(cells) < 4 or not cells[1] or cells[1].startswith("-"):
             continue
-        ids = set(re.findall(r"\b([a-z]\d{2}b?)\b", cells[2]))
+        ids = set(re.findall(r"\b([a-z]{1,2}\d{2}b?)\b", cells[2]))
         status = cells[3]
         if status.startswith("rows-only") and ids & checkable:
             print(f"COVERAGE.md:{lineno}: says rows-only but "
