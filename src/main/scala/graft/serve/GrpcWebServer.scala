@@ -20,10 +20,11 @@ import ProtoWire._
   * `application/grpc-web+proto`, body = 5-byte-framed protobuf
   * messages (1 flag byte + 4-byte big-endian length), response =
   * data frame(s) + a trailer frame (flag 0x80) carrying
-  * `grpc-status`/`grpc-message` — the BINARY grpc-web+proto mode of
-  * the protocol (stock browser stubs default to the base64-framed
-  * grpc-web-text mode and need CORS headers, neither of which this
-  * transport speaks; clients must request binary mode). Wire codec:
+  * `grpc-status`/`grpc-message` — BOTH protocol modes: binary
+  * `application/grpc-web+proto` and the base64 `grpc-web-text` mode
+  * stock browser stubs default to (request body base64-decoded,
+  * response body base64-encoded, keyed on Content-Type), with CORS
+  * preflight + headers for cross-origin browser clients. Wire codec:
   * [[ProtoWire]] (hand-rolled proto3, field numbers cited per
   * message below).
   *
@@ -112,7 +113,7 @@ class GrpcWebServer(facade: ServiceFacade, host: String = "127.0.0.1",
   }
 
   private def respond(ex: HttpExchange, messages: Seq[Array[Byte]],
-      status: Int, statusMsg: String): Unit = {
+      status: Int, statusMsg: String, textMode: Boolean = false): Unit = {
     val trailer = {
       val sb = new StringBuilder(s"grpc-status: $status\r\n")
       if (statusMsg.nonEmpty)
@@ -128,8 +129,18 @@ class GrpcWebServer(facade: ServiceFacade, host: String = "127.0.0.1",
     val body = new java.io.ByteArrayOutputStream()
     messages.foreach(m => body.write(frame(0x00, m)))
     body.write(frame(0x80, trailer))
-    val b = body.toByteArray
-    ex.getResponseHeaders.set("Content-Type", "application/grpc-web+proto")
+    // text mode: one base64 blob of the whole framed stream — the
+    // stock JS client's streaming decoder accepts any chunking,
+    // including a single chunk
+    val b =
+      if (textMode) java.util.Base64.getEncoder.encode(body.toByteArray)
+      else body.toByteArray
+    val h = ex.getResponseHeaders
+    h.set("Content-Type",
+      if (textMode) "application/grpc-web-text+proto"
+      else "application/grpc-web+proto")
+    h.set("Access-Control-Allow-Origin", "*")
+    h.set("Access-Control-Expose-Headers", "grpc-status, grpc-message")
     ex.sendResponseHeaders(200, b.length.toLong)
     ex.getResponseBody.write(b)
   }
@@ -137,11 +148,25 @@ class GrpcWebServer(facade: ServiceFacade, host: String = "127.0.0.1",
   // ------------------------------------------------------------ dispatch
 
   private def handle(ex: HttpExchange): Unit = {
+    // grpcwebtext mode (what stock browser stubs default to): request
+    // body arrives base64-encoded, response body leaves base64-encoded,
+    // content-type application/grpc-web-text[+proto]. Decided up front
+    // so the error paths answer in the caller's own encoding.
+    val textMode = Option(ex.getRequestHeaders.getFirst("Content-Type"))
+      .exists(_.startsWith("application/grpc-web-text"))
     try {
       try {
+        if (ex.getRequestMethod == "OPTIONS") { corsPreflight(ex); return }
         if (ex.getRequestMethod != "POST") fail(Unimplemented, "POST only")
         val path = ex.getRequestURI.getPath.split("/").filter(_.nonEmpty).toList
-        val body = ex.getRequestBody.readAllBytes()
+        val raw = ex.getRequestBody.readAllBytes()
+        // a malformed base64 body throws IllegalArgumentException →
+        // INVALID_ARGUMENT, per the never-500 contract
+        val body =
+          if (textMode)
+            java.util.Base64.getDecoder.decode(
+              new String(raw, UTF_8).filterNot(_.isWhitespace))
+          else raw
         val req = requestMessage(body)
         val out: Seq[Array[Byte]] = path match {
           case List(service, method) =>
@@ -153,17 +178,29 @@ class GrpcWebServer(facade: ServiceFacade, host: String = "127.0.0.1",
             dispatch.unary(service, method, req)
           case other => fail(Unimplemented, s"unknown service ${other.mkString("/")}")
         }
-        respond(ex, out, OK, "")
+        respond(ex, out, OK, "", textMode)
       } catch {
-        case g: GrpcStatus => respond(ex, Nil, g.code, g.getMessage)
+        case g: GrpcStatus => respond(ex, Nil, g.code, g.getMessage, textMode)
         case e: IllegalArgumentException =>
-          respond(ex, Nil, InvalidArgument, String.valueOf(e.getMessage))
+          respond(ex, Nil, InvalidArgument, String.valueOf(e.getMessage), textMode)
         case e: IllegalStateException =>
-          respond(ex, Nil, InvalidArgument, String.valueOf(e.getMessage))
+          respond(ex, Nil, InvalidArgument, String.valueOf(e.getMessage), textMode)
         case e: Throwable =>
-          respond(ex, Nil, Internal, e.getClass.getSimpleName)
+          respond(ex, Nil, Internal, e.getClass.getSimpleName, textMode)
       }
     } finally ex.close()
+  }
+
+  /** CORS preflight for browser clients (the stock grpc-web stub's
+    * first request on a cross-origin call). */
+  private def corsPreflight(ex: HttpExchange): Unit = {
+    val h = ex.getResponseHeaders
+    h.set("Access-Control-Allow-Origin", "*")
+    h.set("Access-Control-Allow-Methods", "POST, OPTIONS")
+    h.set("Access-Control-Allow-Headers",
+      "content-type, x-grpc-web, x-user-agent, authorization")
+    h.set("Access-Control-Max-Age", "86400")
+    ex.sendResponseHeaders(204, -1L)
   }
 
 }

@@ -283,6 +283,68 @@ class GrpcWebServerSpec extends SparkSpec {
     }
   }
 
+  test("grpc-web-text mode: base64 request/response round-trip + CORS") {
+    withServer() { (port, _) =>
+      // the stock browser stub's default wire: body = base64(framed),
+      // content-type application/grpc-web-text
+      val msg = w.string(1, "SELECT 1 AS one").bytes
+      val framed = new java.io.ByteArrayOutputStream()
+      framed.write(0x00)
+      framed.write(msg.length >>> 24); framed.write(msg.length >>> 16)
+      framed.write(msg.length >>> 8); framed.write(msg.length)
+      framed.write(msg, 0, msg.length)
+      val b64 = java.util.Base64.getEncoder.encode(framed.toByteArray)
+      val resp = client.send(
+        HttpRequest.newBuilder(URI.create(
+            s"http://127.0.0.1:$port/miniodb.v1.MinIODBService/QueryData"))
+          .header("Content-Type", "application/grpc-web-text")
+          .POST(HttpRequest.BodyPublishers.ofByteArray(b64))
+          .build(),
+        HttpResponse.BodyHandlers.ofByteArray())
+      assert(resp.statusCode() == 200)
+      assert(resp.headers().firstValue("Content-Type").orElse("")
+        .startsWith("application/grpc-web-text"))
+      assert(resp.headers().firstValue("Access-Control-Allow-Origin")
+        .orElse("") == "*")
+      // body is ONE base64 blob of the framed stream
+      val raw = java.util.Base64.getDecoder.decode(resp.body())
+      val len = ((raw(1) & 0xff) << 24) | ((raw(2) & 0xff) << 16) |
+        ((raw(3) & 0xff) << 8) | (raw(4) & 0xff)
+      assert((raw(0) & 0xff) == 0)
+      assert(str(parse(java.util.Arrays.copyOfRange(raw, 5, 5 + len)), 1)
+        == """[{"one":1}]""")
+      // trailer frame carries grpc-status 0
+      val t = 5 + len
+      assert((raw(t) & 0xff) == 0x80)
+      assert(new String(raw, t + 5, raw.length - t - 5, UTF_8)
+        .contains("grpc-status: 0"))
+      // malformed base64 → INVALID_ARGUMENT in a text-mode trailer
+      val bad = client.send(
+        HttpRequest.newBuilder(URI.create(
+            s"http://127.0.0.1:$port/miniodb.v1.MinIODBService/QueryData"))
+          .header("Content-Type", "application/grpc-web-text")
+          .POST(HttpRequest.BodyPublishers.ofString("!!!not-base64!!!"))
+          .build(),
+        HttpResponse.BodyHandlers.ofByteArray())
+      assert(bad.statusCode() == 200)
+      val badRaw = java.util.Base64.getDecoder.decode(bad.body())
+      assert(new String(badRaw, 5, badRaw.length - 5, UTF_8)
+        .contains("grpc-status: 3"))
+      // CORS preflight
+      val pre = client.send(
+        HttpRequest.newBuilder(URI.create(
+            s"http://127.0.0.1:$port/miniodb.v1.MinIODBService/QueryData"))
+          .method("OPTIONS", HttpRequest.BodyPublishers.noBody())
+          .header("Origin", "http://example.test")
+          .header("Access-Control-Request-Method", "POST")
+          .build(),
+        HttpResponse.BodyHandlers.ofByteArray())
+      assert(pre.statusCode() == 204)
+      assert(pre.headers().firstValue("Access-Control-Allow-Headers")
+        .orElse("").contains("authorization"))
+    }
+  }
+
   test("metadata verbs: backup → list → restore round-trip (reference field numbers)") {
     withServer() { (port, facade) =>
       facade.writeData("mt", graft.ingest.DynRecord("k1",
