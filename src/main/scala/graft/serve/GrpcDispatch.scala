@@ -56,33 +56,46 @@ private[serve] final class GrpcDispatch(facade: ServiceFacade) {
     * mid-stream with request.cursor. Rows ride as DataRecord payload
     * Structs. */
   def streamQueryBatches(req: PMsg)(emit: Array[Byte] => Unit): Unit = {
+    val it = streamQueryIterator(req)
+    while (it.hasNext) emit(it.next())
+  }
+
+  /** [[streamQueryBatches]] as a LAZY pull: each `next()` fetches and
+    * encodes exactly one page. The HTTP/2 transport drives this from
+    * write-completion callbacks, so a slow reader exerts genuine
+    * backpressure — no page is fetched until the previous frame's
+    * bytes left the flow controller. */
+  def streamQueryIterator(req: PMsg): Iterator[Array[Byte]] = {
     val cursor = str(req, 3) match {
       case "" => 0L
       case s => try s.toLong
         catch { case _: NumberFormatException => fail(InvalidArgument, "bad cursor") }
     }
+    val sql = str(req, 1)
     val batch = math.max(1, i32(req, 2))
-    var cur = cursor
-    var more = true
-    while (more) {
-      facade.streamQuery(str(req, 1), cur, batch) match {
-        case Left(err) => fail(InvalidArgument, err)
-        case Right((rows, next)) =>
-          val resp = w
-          rows.foreach { rowJson =>
-            val m = jsonToMap(mapper.readTree(rowJson))
-            val rec = w
-            m.get("id").collect { case s: String => rec.string(1, s) }
-            rec.msg(3, writeStruct(m))
-            resp.msg(1, rec)
-          }
-          resp.bool(2, next > 0).string(3, if (next > 0) next.toString else "")
-          emit(resp.bytes)
-          // rows.isEmpty guards a facade that reports progress on an
-          // empty page — the stream must terminate regardless
-          more = next > 0 && rows.nonEmpty
-          cur = next
-      }
+    new Iterator[Array[Byte]] {
+      private var cur = cursor
+      private var more = true
+      def hasNext: Boolean = more
+      def next(): Array[Byte] =
+        facade.streamQuery(sql, cur, batch) match {
+          case Left(err) => fail(InvalidArgument, err)
+          case Right((rows, nxt)) =>
+            val resp = w
+            rows.foreach { rowJson =>
+              val m = jsonToMap(mapper.readTree(rowJson))
+              val rec = w
+              m.get("id").collect { case s: String => rec.string(1, s) }
+              rec.msg(3, writeStruct(m))
+              resp.msg(1, rec)
+            }
+            resp.bool(2, nxt > 0).string(3, if (nxt > 0) nxt.toString else "")
+            // rows.isEmpty guards a facade that reports progress on an
+            // empty page — the stream must terminate regardless
+            more = nxt > 0 && rows.nonEmpty
+            cur = nxt
+            resp.bytes
+        }
     }
   }
 

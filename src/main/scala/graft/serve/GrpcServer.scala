@@ -116,11 +116,20 @@ class GrpcServer(facade: ServiceFacade, host: String = "127.0.0.1",
             val ct = String.valueOf(h.headers.get("content-type"))
             if (!ct.startsWith("application/grpc"))
               fail(InvalidArgument, s"content-type $ct is not application/grpc")
+            // service gate BEFORE any method-keyed dispatch: auth
+            // (needsBearer) is service-keyed, so a streaming verb
+            // reached under a bogus service name would otherwise skip
+            // the bearer check yet still execute
+            if (service != "miniodb.v1.MinIODBService" &&
+                service != "miniodb.v1.AuthService")
+              fail(Unimplemented, s"unknown service $service")
             if (dispatch.needsBearer(service, method))
               dispatch.requireBearer(
                 Option(h.headers.get("authorization")).map(_.toString)
                   .filter(_.startsWith("Bearer ")).map(_.stripPrefix("Bearer ")))
-            if (method == "StreamWrite") fold = new dispatch.StreamWriteFold
+            if (service == "miniodb.v1.MinIODBService" &&
+                method == "StreamWrite")
+              fold = new dispatch.StreamWriteFold
           } catch {
             // headers-phase failures must still drain the request body
             // (flow control) before trailing out — remember, reply at
@@ -214,49 +223,71 @@ class GrpcServer(facade: ServiceFacade, host: String = "127.0.0.1",
         ctx.write(new DefaultHttp2HeadersFrame(hdrs))
         wroteHeaders = true
       }
-      def writeMsg(m: Array[Byte]): Unit = {
+      def writeMsg(m: Array[Byte]): io.netty.channel.ChannelFuture = {
         writeHeaders()
         val framed = ctx.alloc.buffer(5 + m.length)
         framed.writeByte(0)
         framed.writeInt(m.length)
         framed.writeBytes(m)
         ctx.write(new DefaultHttp2DataFrame(framed))
+      }
+      def trailersOut(status: Int, statusMsg: String): Unit = {
+        writeHeaders()
+        val trailers = new DefaultHttp2Headers()
+        trailers.set("grpc-status", status.toString)
+        if (statusMsg != null && statusMsg.nonEmpty)
+          trailers.set("grpc-message",
+            java.net.URLEncoder.encode(statusMsg, "UTF-8").replace("+", "%20"))
+        ctx.writeAndFlush(new DefaultHttp2HeadersFrame(trailers, true))
         ()
       }
-      val (status, statusMsg) =
-        if (headerFail != null) (headerFail.code, headerFail.getMessage)
-        else try {
-          if (fold != null) {
-            if (pending.size > 0)
-              fail(InvalidArgument, "stream ended mid-message")
-            writeMsg(fold.finish())
-          } else if (method == "StreamQuery")
-            // TRUE server-streaming: each batch's frame is flushed as
-            // it is produced — O(batch) transport memory, first-byte
-            // latency of one page. A mid-stream failure surfaces in
-            // the trailers after the frames already delivered, which
-            // is exactly gRPC's partial-stream error semantics.
-            dispatch.streamQueryBatches(unaryMsg) { m =>
-              writeMsg(m); ctx.flush()
-            }
-          else dispatch.unary(service, method, unaryMsg).foreach(writeMsg)
-          (OK, "")
-        } catch {
-          case g: GrpcStatus => (g.code, g.getMessage)
-          case e: IllegalArgumentException =>
-            (InvalidArgument, String.valueOf(e.getMessage))
-          case e: IllegalStateException =>
-            (InvalidArgument, String.valueOf(e.getMessage))
-          case e: Throwable => (Internal, e.getClass.getSimpleName)
+      def mapped(e: Throwable): (Int, String) = e match {
+        case g: GrpcStatus => (g.code, g.getMessage)
+        case e: IllegalArgumentException =>
+          (InvalidArgument, String.valueOf(e.getMessage))
+        case e: IllegalStateException =>
+          (InvalidArgument, String.valueOf(e.getMessage))
+        case e => (Internal, e.getClass.getSimpleName)
+      }
+
+      if (headerFail != null) {
+        trailersOut(headerFail.code, headerFail.getMessage); return
+      }
+      try {
+        if (fold != null) {
+          if (pending.size > 0)
+            fail(InvalidArgument, "stream ended mid-message")
+          writeMsg(fold.finish())
+          trailersOut(OK, "")
+        } else if (method == "StreamQuery") {
+          // TRUE server-streaming with BACKPRESSURE: the lazy iterator
+          // fetches one page per pump step, and the next step only
+          // runs from the previous frame's write-completion callback —
+          // a stalled reader stalls the pump at one in-flight frame
+          // instead of letting netty buffer the whole (MaxStreamRows-
+          // capped) result. Mid-stream failures surface in the
+          // trailers after the frames already delivered — gRPC's
+          // partial-stream error semantics.
+          val it = dispatch.streamQueryIterator(unaryMsg)
+          def pump(): Unit =
+            try {
+              if (!it.hasNext) trailersOut(OK, "")
+              else {
+                val f = writeMsg(it.next())
+                ctx.flush()
+                f.addListener((done: io.netty.util.concurrent.Future[_ >: Void]) =>
+                  if (done.isSuccess) pump() else { ctx.close(); () })
+                ()
+              }
+            } catch { case e: Throwable =>
+              val (c, m) = mapped(e); trailersOut(c, m) }
+          pump()
+        } else {
+          dispatch.unary(service, method, unaryMsg).foreach(writeMsg)
+          trailersOut(OK, "")
         }
-      writeHeaders()
-      val trailers = new DefaultHttp2Headers()
-      trailers.set("grpc-status", status.toString)
-      if (statusMsg != null && statusMsg.nonEmpty)
-        trailers.set("grpc-message",
-          java.net.URLEncoder.encode(statusMsg, "UTF-8").replace("+", "%20"))
-      ctx.writeAndFlush(new DefaultHttp2HeadersFrame(trailers, true))
-      ()
+      } catch { case e: Throwable =>
+        val (c, m) = mapped(e); trailersOut(c, m) }
     }
 
     override def exceptionCaught(ctx: ChannelHandlerContext,

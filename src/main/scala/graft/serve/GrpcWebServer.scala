@@ -129,20 +129,26 @@ class GrpcWebServer(facade: ServiceFacade, host: String = "127.0.0.1",
     val body = new java.io.ByteArrayOutputStream()
     messages.foreach(m => body.write(frame(0x00, m)))
     body.write(frame(0x80, trailer))
-    // text mode: one base64 blob of the whole framed stream — the
-    // stock JS client's streaming decoder accepts any chunking,
-    // including a single chunk
-    val b =
-      if (textMode) java.util.Base64.getEncoder.encode(body.toByteArray)
-      else body.toByteArray
+    val b = body.toByteArray
     val h = ex.getResponseHeaders
     h.set("Content-Type",
       if (textMode) "application/grpc-web-text+proto"
       else "application/grpc-web+proto")
     h.set("Access-Control-Allow-Origin", "*")
     h.set("Access-Control-Expose-Headers", "grpc-status, grpc-message")
-    ex.sendResponseHeaders(200, b.length.toLong)
-    ex.getResponseBody.write(b)
+    if (textMode) {
+      // one base64 blob of the whole framed stream (the stock JS
+      // streaming decoder accepts any chunking, including a single
+      // chunk), STREAMED through the encoder — computing the encoded
+      // length arithmetically avoids a second full copy of the body
+      ex.sendResponseHeaders(200, 4L * ((b.length + 2) / 3))
+      val enc = java.util.Base64.getEncoder.wrap(ex.getResponseBody)
+      enc.write(b)
+      enc.close()
+    } else {
+      ex.sendResponseHeaders(200, b.length.toLong)
+      ex.getResponseBody.write(b)
+    }
   }
 
   // ------------------------------------------------------------ dispatch
@@ -164,8 +170,7 @@ class GrpcWebServer(facade: ServiceFacade, host: String = "127.0.0.1",
         // INVALID_ARGUMENT, per the never-500 contract
         val body =
           if (textMode)
-            java.util.Base64.getDecoder.decode(
-              new String(raw, UTF_8).filterNot(_.isWhitespace))
+            b64DecodeChunks(new String(raw, UTF_8).filterNot(_.isWhitespace))
           else raw
         val req = requestMessage(body)
         val out: Seq[Array[Byte]] = path match {
@@ -189,6 +194,30 @@ class GrpcWebServer(facade: ServiceFacade, host: String = "127.0.0.1",
           respond(ex, Nil, Internal, e.getClass.getSimpleName, textMode)
       }
     } finally ex.close()
+  }
+
+  /** Decode a grpc-web-text body that may be a CONCATENATION of
+    * independently padded base64 chunks (the protocol streams each
+    * frame as its own chunk, so '=' padding can appear mid-body; the
+    * strict single-blob decoder rejects it, and the MIME decoder
+    * treats the first '=' as end-of-data and silently drops the
+    * rest). Splits after each padding run and decodes chunk-wise. */
+  private def b64DecodeChunks(s: String): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    var start = 0
+    var i = 0
+    while (i < s.length) {
+      if (s.charAt(i) == '=') {
+        var j = i
+        while (j < s.length && s.charAt(j) == '=') j += 1
+        out.write(java.util.Base64.getDecoder.decode(s.substring(start, j)))
+        start = j
+        i = j
+      } else i += 1
+    }
+    if (start < s.length)
+      out.write(java.util.Base64.getDecoder.decode(s.substring(start)))
+    out.toByteArray
   }
 
   /** CORS preflight for browser clients (the stock grpc-web stub's

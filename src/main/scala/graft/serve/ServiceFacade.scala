@@ -340,14 +340,15 @@ class ServiceFacade(store: TableStore, authSecret: Option[String] = None,
     * (gRPC `BackupMetadata`/`RestoreMetadata`/`ListBackups`,
     * `miniodb.proto:30-32`): the reference reads its destination from
     * node config (a fixed MinIO bucket), so the wire requests carry
-    * none. A SIBLING of the store root, not a child: `_meta_backups`
-    * is a valid table name, so a child path would collide with a user
-    * table of that name — BackupMetadata would then write snapshots
-    * into the live table's data directory, and backing the table
-    * itself up would be a copy-into-own-subdirectory error. REST
+    * none. A DOT-prefixed child of the store root: `requireValidTable`
+    * rejects a leading dot, so the name can NEVER be a user table —
+    * a plain-word child (`_meta_backups` is a valid table name) would
+    * collide with a table of that name and write snapshots into its
+    * live data directory, while a concatenated sibling path breaks on
+    * degenerate roots (`/`, `s3a://bucket` → a different bucket). REST
     * keeps the explicit `dest=` form for ad-hoc targets. */
   val metadataBackupDest: String =
-    store.root.stripSuffix("/") + "_meta_backups"
+    s"${store.root.stripSuffix("/")}/.meta_backups"
 
   /** ListBackups: tables present under a backup destination. */
   def listBackups(dest: String): Seq[String] = {

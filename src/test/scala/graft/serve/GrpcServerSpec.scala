@@ -269,6 +269,20 @@ class GrpcServerSpec extends SparkSpec {
         val nope = c.call("miniodb.v1.MinIODBService", "Nope",
           Seq(grpcFrame(Array.emptyByteArray)), token = Some(access))
         assert(nope.grpcStatus == 12)
+        // the streaming verbs under a BOGUS service name must NOT
+        // execute: auth is service-keyed, so method-keyed dispatch
+        // would otherwise run them unauthenticated (the r15 review's
+        // bypass finding)
+        val sqBypass = c.call("evil.FakeService", "StreamQuery",
+          Seq(grpcFrame(w.string(1, "SELECT 1 AS x").bytes)))
+        assert(sqBypass.grpcStatus == 12 && sqBypass.messages.isEmpty,
+          s"StreamQuery executed under a bogus service: ${sqBypass.grpcStatus}")
+        val swBypass = c.call("evil.FakeService", "StreamWrite",
+          Seq(grpcFrame(w.string(2, "evil").msg(1, w.string(1, "x")
+            .msg(3, writeStruct(Map("v" -> 1L)))).bytes)))
+        assert(swBypass.grpcStatus == 12, s"got ${swBypass.grpcStatus}")
+        assert(facade.getTable("evil").isEmpty,
+          "StreamWrite under a bogus service wrote data unauthenticated")
       } finally c.close()
     }
   }

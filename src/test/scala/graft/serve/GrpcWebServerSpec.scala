@@ -318,6 +318,26 @@ class GrpcWebServerSpec extends SparkSpec {
       assert((raw(t) & 0xff) == 0x80)
       assert(new String(raw, t + 5, raw.length - t - 5, UTF_8)
         .contains("grpc-status: 0"))
+      // CHUNKED base64 (padding mid-body — each frame its own chunk,
+      // as the protocol allows): must decode identically
+      val chunked = java.util.Base64.getEncoder.encodeToString(
+          java.util.Arrays.copyOfRange(framed.toByteArray, 0, 7)) +
+        java.util.Base64.getEncoder.encodeToString(
+          java.util.Arrays.copyOfRange(framed.toByteArray, 7,
+            framed.toByteArray.length))
+      assert(chunked.indexOf('=') >= 0 &&
+        chunked.indexOf('=') < chunked.length - 2,
+        "test setup: need mid-body padding to exercise chunked decode")
+      val respC = client.send(
+        HttpRequest.newBuilder(URI.create(
+            s"http://127.0.0.1:$port/miniodb.v1.MinIODBService/QueryData"))
+          .header("Content-Type", "application/grpc-web-text")
+          .POST(HttpRequest.BodyPublishers.ofString(chunked))
+          .build(),
+        HttpResponse.BodyHandlers.ofByteArray())
+      val rawC = java.util.Base64.getDecoder.decode(respC.body())
+      assert(new String(rawC, UTF_8).contains("grpc-status: 0"),
+        "chunked-base64 request body not decoded")
       // malformed base64 → INVALID_ARGUMENT in a text-mode trailer
       val bad = client.send(
         HttpRequest.newBuilder(URI.create(
