@@ -355,7 +355,7 @@ class GrpcWebServerSpec extends SparkSpec {
         HttpRequest.newBuilder(URI.create(
             s"http://127.0.0.1:$port/miniodb.v1.MinIODBService/QueryData"))
           .method("OPTIONS", HttpRequest.BodyPublishers.noBody())
-          .header("Origin", "http://example.test")
+          .header("Origin", "http://localhost:8080")
           .header("Access-Control-Request-Method", "POST")
           .build(),
         HttpResponse.BodyHandlers.ofByteArray())
