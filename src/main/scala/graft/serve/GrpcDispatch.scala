@@ -10,7 +10,8 @@ import ProtoWire._
 /** Transport-agnostic gRPC verb dispatch for the reference's protobuf
   * service surface (`miniodb.proto:12-46`) — the single codec both
   * transports share: [[GrpcWebServer]] (gRPC-Web over HTTP/1.1) and
-  * [[GrpcServer]] (native gRPC over the hand-rolled h2c [[Http2Server]]).
+  * [[GrpcServer]] (native gRPC over h2c — netty's `Http2FrameCodec` +
+  * `Http2MultiplexHandler` from the Spark distribution's own jars).
   * One dispatch, two framings: a verb fixed here is fixed on both
   * wires, and the two transports can never drift apart on field
   * numbers or semantics.
@@ -121,6 +122,11 @@ private[serve] final class GrpcDispatch(facade: ServiceFacade) {
     private var count = 0L
     private val errors = Seq.newBuilder[String]
     private var nErrors = 0
+
+    /** Records applied so far — surfaced in the error trailer when the
+      * client's stream ends mid-message, so the partial effect of a
+      * truncated stream is reconcilable. */
+    def records: Long = count
 
     def add(m: PMsg): Unit = {
       val table = str(m, 2)

@@ -46,7 +46,19 @@ import ProtoWire._
   * stream holds O(1 message) of transport memory — the response
   * (success, records_count, errors) goes out when the client half-
   * closes. Flow-control credit is returned per consumed DATA frame,
-  * so a long stream never stalls on the connection window. */
+  * so a long stream never stalls on the connection window.
+  *
+  * Threading: facade work (query execution, per-record writes) runs on
+  * a dedicated dispatch pool, NOT on the netty event loop — one slow
+  * query must not stall HealthCheck or stream setup for every other
+  * connection multiplexed onto the same loop (the gRPC-Web transport
+  * already gets this from the JDK HttpServer's pool; the two
+  * transports now match in availability behavior). Per-stream order is
+  * preserved by a serial executor per HTTP/2 stream, and for the
+  * client-streaming fold the flow-control credit of a DATA frame is
+  * returned only after its messages are folded, so a fast sender
+  * cannot outrun the fold by more than the connection window — the
+  * O(1 message) transport-memory claim survives the offload. */
 class GrpcServer(facade: ServiceFacade, host: String = "127.0.0.1",
     port: Int = 0,
     maxInboundMessageBytes: Int = 4 * 1024 * 1024) {
@@ -54,10 +66,20 @@ class GrpcServer(facade: ServiceFacade, host: String = "127.0.0.1",
   private val dispatch = new GrpcDispatch(facade)
   private var group: MultiThreadIoEventLoopGroup = _
   private var channel: Channel = _
+  private var dispatchPool: java.util.concurrent.ExecutorService = _
 
   def start(): Int = synchronized {
     require(channel == null, "already started")
     group = new MultiThreadIoEventLoopGroup(2, NioIoHandler.newFactory())
+    dispatchPool = java.util.concurrent.Executors.newFixedThreadPool(
+      math.max(4, Runtime.getRuntime.availableProcessors() / 4),
+      new java.util.concurrent.ThreadFactory {
+        private val n = new java.util.concurrent.atomic.AtomicInteger
+        def newThread(r: Runnable): Thread = {
+          val t = new Thread(r, s"grpc-dispatch-${n.getAndIncrement()}")
+          t.setDaemon(true); t
+        }
+      })
     val b = new ServerBootstrap()
       .group(group)
       .channel(classOf[NioServerSocketChannel])
@@ -84,19 +106,52 @@ class GrpcServer(facade: ServiceFacade, host: String = "127.0.0.1",
     if (channel != null) {
       channel.close().sync()
       group.shutdownGracefully(0, 1, java.util.concurrent.TimeUnit.SECONDS).sync()
+      dispatchPool.shutdownNow()
       channel = null
       group = null
+      dispatchPool = null
+    }
+  }
+
+  /** Runs tasks on the shared dispatch pool one at a time, in
+    * submission order — per-stream FIFO without dedicating a thread
+    * per stream. The submission handoff (synchronized queue) also
+    * publishes the handler's header-phase fields to the pool thread. */
+  private final class SerialExecutor extends java.util.concurrent.Executor {
+    private val tasks = new java.util.concurrent.ConcurrentLinkedQueue[Runnable]()
+    private val scheduled = new java.util.concurrent.atomic.AtomicBoolean(false)
+    def execute(r: Runnable): Unit = {
+      tasks.add(r)
+      if (scheduled.compareAndSet(false, true)) dispatchPool.execute(() => drain())
+    }
+    private def drain(): Unit = {
+      var r = tasks.poll()
+      while (r != null) {
+        // tasks carry their own error handling (trailers out); anything
+        // escaping must not kill the drain loop for the stream's tail
+        try r.run() catch { case _: Throwable => () }
+        r = tasks.poll()
+      }
+      scheduled.set(false)
+      // close the add-after-poll/clear-before race: re-arm if a task
+      // slipped in between the final poll and the flag clear
+      if (!tasks.isEmpty && scheduled.compareAndSet(false, true))
+        dispatchPool.execute(() => drain())
     }
   }
 
   /** One handler instance per HTTP/2 stream (the multiplex child
     * channel). Accumulates the request's gRPC frames across DATA
     * frames; unary verbs dispatch at END_STREAM, StreamWrite folds
-    * each message as it completes. */
+    * each message as it completes. All facade-touching work (unary
+    * dispatch, fold adds, StreamQuery page fetches) runs on the
+    * dispatch pool via the stream's [[SerialExecutor]]; netty
+    * marshals the resulting writes back to the event loop itself. */
   private final class StreamHandler extends ChannelInboundHandlerAdapter {
+    private val serial = new SerialExecutor
     private var service: String = ""
     private var method: String = ""
-    private var headerFail: GrpcStatus = null
+    @volatile private var headerFail: GrpcStatus = null
     // reassembly of length-prefixed messages across DATA frames;
     // compacted to its (≤ one partial message) tail after every cut
     private val pending = new java.io.ByteArrayOutputStream()
@@ -138,28 +193,44 @@ class GrpcServer(facade: ServiceFacade, host: String = "127.0.0.1",
             case e: Throwable => headerFail = new GrpcStatus(Internal,
               e.getClass.getSimpleName)
           }
-          if (h.isEndStream) finish(ctx)
+          if (h.isEndStream) serial.execute(() => finish(ctx))
         case d: Http2DataFrame =>
           val n = d.content.readableBytes
           val bytes = new Array[Byte](n)
           d.content.readBytes(bytes)
           val end = d.isEndStream
           d.release()
-          // return flow-control credit for what we consumed, so a long
-          // client stream never stalls on the window (stream channel
-          // routes the update to both stream and connection windows)
-          if (n > 0) { ctx.write(new DefaultHttp2WindowUpdateFrame(n)); () }
-          if (headerFail == null) {
-            pending.write(bytes, 0, n)
-            try cutMessages()
-            catch {
-              case g: GrpcStatus => headerFail = g
-              case e: IllegalArgumentException =>
-                headerFail = new GrpcStatus(InvalidArgument,
-                  String.valueOf(e.getMessage))
+          def consume(): Unit = {
+            if (headerFail == null) {
+              pending.write(bytes, 0, n)
+              try cutMessages()
+              catch {
+                case g: GrpcStatus => headerFail = g
+                case e: IllegalArgumentException =>
+                  headerFail = new GrpcStatus(InvalidArgument,
+                    String.valueOf(e.getMessage))
+              }
+            }
+            // return flow-control credit for what we consumed, so a
+            // long client stream never stalls on the window (stream
+            // channel routes the update to both stream and connection
+            // windows). On the fold path this runs AFTER the frame's
+            // messages folded — credit is the fold's backpressure, so
+            // a fast sender can outrun a slow fold by at most the
+            // connection window, never by unbounded queued tasks.
+            if (n > 0) {
+              ctx.write(new DefaultHttp2WindowUpdateFrame(n)); ctx.flush(); ()
             }
           }
-          if (end) finish(ctx)
+          if (fold != null)
+            serial.execute(() => { consume(); if (end) finish(ctx) })
+          else {
+            // unary/server-streaming: cutting is cheap (keeps at most
+            // one ≤4 MiB message) — stay on the loop, credit
+            // immediately; only the facade-touching finish leaves it
+            consume()
+            if (end) serial.execute(() => finish(ctx))
+          }
         case other =>
           // RST/priority/unknown stream frames: nothing to do
           io.netty.util.ReferenceCountUtil.release(other)
@@ -256,10 +327,19 @@ class GrpcServer(facade: ServiceFacade, host: String = "127.0.0.1",
       try {
         if (fold != null) {
           if (pending.size > 0)
-            fail(InvalidArgument, "stream ended mid-message")
+            // records already folded ARE committed (per-record write
+            // semantics); carry the applied count so a client can
+            // reconcile the partial effect of its truncated stream
+            fail(InvalidArgument,
+              s"stream ended mid-message after ${fold.records} records applied")
           writeMsg(fold.finish())
           trailersOut(OK, "")
-        } else if (method == "StreamQuery") {
+        } else if (service == "miniodb.v1.MinIODBService" &&
+            method == "StreamQuery") {
+          // the service gate here is auth-critical: needsBearer() is
+          // false for AuthService, so AuthService/StreamQuery must fall
+          // through to dispatch.unary → auth() → UNIMPLEMENTED instead
+          // of executing SQL without a bearer check
           // TRUE server-streaming with BACKPRESSURE: the lazy iterator
           // fetches one page per pump step, and the next step only
           // runs from the previous frame's write-completion callback —
@@ -275,8 +355,11 @@ class GrpcServer(facade: ServiceFacade, host: String = "127.0.0.1",
               else {
                 val f = writeMsg(it.next())
                 ctx.flush()
+                // the completion listener fires on the event loop; the
+                // next page fetch is facade work → back onto the pool
                 f.addListener((done: io.netty.util.concurrent.Future[_ >: Void]) =>
-                  if (done.isSuccess) pump() else { ctx.close(); () })
+                  if (done.isSuccess) serial.execute(() => pump())
+                  else { ctx.close(); () })
                 ()
               }
             } catch { case e: Throwable =>

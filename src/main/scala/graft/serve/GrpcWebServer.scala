@@ -55,9 +55,17 @@ import ProtoWire._
   * codes in the trailer (INVALID_ARGUMENT for bad input / facade
   * rejections, UNAUTHENTICATED for auth, NOT_FOUND for absent
   * tables, UNIMPLEMENTED for unknown methods, INTERNAL otherwise) —
-  * the HTTP status stays 200, per the gRPC-Web spec. */
+  * the HTTP status stays 200, per the gRPC-Web spec.
+  *
+  * CORS: `allowedOrigins` defaults to the open `Seq("*")` — safe ONLY
+  * because auth rides the Authorization header, never cookies, so a
+  * foreign origin cannot ride ambient credentials. An operator who
+  * wants origin restriction passes an explicit allowlist; matching
+  * requests get their own Origin echoed back (the form that also
+  * composes with credentialed requests, which the `*` wildcard never
+  * can), non-matching ones get no CORS grant at all. */
 class GrpcWebServer(facade: ServiceFacade, host: String = "127.0.0.1",
-    port: Int = 0) {
+    port: Int = 0, allowedOrigins: Seq[String] = Seq("*")) {
 
   private val dispatch = new GrpcDispatch(facade)
   private var server: HttpServer = _
@@ -134,7 +142,7 @@ class GrpcWebServer(facade: ServiceFacade, host: String = "127.0.0.1",
     h.set("Content-Type",
       if (textMode) "application/grpc-web-text+proto"
       else "application/grpc-web+proto")
-    h.set("Access-Control-Allow-Origin", "*")
+    corsGrant(ex).foreach(h.set("Access-Control-Allow-Origin", _))
     h.set("Access-Control-Expose-Headers", "grpc-status, grpc-message")
     if (textMode) {
       // one base64 blob of the whole framed stream (the stock JS
@@ -224,12 +232,25 @@ class GrpcWebServer(facade: ServiceFacade, host: String = "127.0.0.1",
     * first request on a cross-origin call). */
   private def corsPreflight(ex: HttpExchange): Unit = {
     val h = ex.getResponseHeaders
-    h.set("Access-Control-Allow-Origin", "*")
+    corsGrant(ex).foreach(h.set("Access-Control-Allow-Origin", _))
     h.set("Access-Control-Allow-Methods", "POST, OPTIONS")
     h.set("Access-Control-Allow-Headers",
       "content-type, x-grpc-web, x-user-agent, authorization")
     h.set("Access-Control-Max-Age", "86400")
     ex.sendResponseHeaders(204, -1L)
   }
+
+  /** The Access-Control-Allow-Origin value for this request: `*` when
+    * the allowlist is open; the request's own Origin echoed back when
+    * it matches; None otherwise — no grant header at all, so the
+    * browser refuses the cross-origin read. Echoed grants carry
+    * `Vary: Origin` so a shared cache never serves one origin's grant
+    * to another. */
+  private def corsGrant(ex: HttpExchange): Option[String] =
+    if (allowedOrigins.contains("*")) Some("*")
+    else
+      Option(ex.getRequestHeaders.getFirst("Origin"))
+        .filter(allowedOrigins.contains)
+        .map { o => ex.getResponseHeaders.set("Vary", "Origin"); o }
 
 }

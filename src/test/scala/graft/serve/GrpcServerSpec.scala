@@ -79,6 +79,16 @@ class GrpcServerSpec extends SparkSpec {
     def call(service: String, method: String, frames: Seq[Array[Byte]],
         token: Option[String] = None,
         contentType: String = "application/grpc"): Resp = {
+      val resp = callAsync(service, method, frames, token, contentType)
+      assert(resp.done.await(60, TimeUnit.SECONDS), "stream timed out")
+      resp
+    }
+
+    /** [[call]] without awaiting — for asserting that an in-flight slow
+      * call does not block other streams on the same connection. */
+    def callAsync(service: String, method: String, frames: Seq[Array[Byte]],
+        token: Option[String] = None,
+        contentType: String = "application/grpc"): Resp = {
       val resp = new Resp
       val sb = new Http2StreamChannelBootstrap(ch)
         .handler(new ChannelInitializer[Channel] {
@@ -126,7 +136,6 @@ class GrpcServerSpec extends SparkSpec {
             new DefaultHttp2DataFrame(buf, i == frames.size - 1))
         }
       }
-      assert(resp.done.await(60, TimeUnit.SECONDS), "stream timed out")
       resp
     }
 
@@ -344,6 +353,90 @@ class GrpcServerSpec extends SparkSpec {
         assert(r.grpcStatus == 0, "server wedged after garbage connections")
       } finally c.close()
     }
+  }
+
+  test("StreamQuery under the KNOWN-but-wrong AuthService: UNIMPLEMENTED, no rows") {
+    // the r15 review's second bypass shape: AuthService passes the
+    // known-service gate and needsBearer() is false for it, so a
+    // method-keyed streaming branch would run SQL with no bearer
+    // check. The branch must be service-gated so this falls through
+    // to dispatch.unary → auth() → UNIMPLEMENTED.
+    withServer(Some("h2-signing-key-0123456789"),
+        apiSecret = Some("h2-api-credential")) { (port, _) =>
+      val c = new H2Client(port)
+      try {
+        val r = c.call("miniodb.v1.AuthService", "StreamQuery",
+          Seq(grpcFrame(w.string(1, "SELECT 1 AS x").int32(2, 10).bytes)))
+        assert(r.grpcStatus == 12 && r.messages.isEmpty,
+          s"AuthService/StreamQuery executed unauthenticated: " +
+            s"status=${r.grpcStatus} messages=${r.messages.size}")
+        // same shape for the client-streaming verb: the fold is only
+        // armed for MinIODBService, so this must be UNIMPLEMENTED too
+        val sw = c.call("miniodb.v1.AuthService", "StreamWrite",
+          Seq(grpcFrame(w.string(2, "evil").msg(1, w.string(1, "x")
+            .msg(3, writeStruct(Map("v" -> 1L)))).bytes)))
+        assert(sw.grpcStatus == 12, s"got ${sw.grpcStatus}")
+      } finally c.close()
+    }
+  }
+
+  test("stream ended mid-message: records already applied are reported") {
+    withServer() { (port, facade) =>
+      val c = new H2Client(port)
+      try {
+        def m(id: String) = grpcFrame(w.string(2, "partial")
+          .msg(1, w.string(1, id).msg(3, writeStruct(Map("v" -> 1L)))).bytes)
+        // two complete messages, then a third truncated mid-frame —
+        // the client half-closes anyway (a crashed writer's shape)
+        val truncated = m("p3").dropRight(4)
+        val r = c.call("miniodb.v1.MinIODBService", "StreamWrite",
+          Seq(m("p1") ++ m("p2") ++ truncated))
+        assert(r.grpcStatus == 3, s"got ${r.grpcStatus}")
+        // the trailer must carry the applied count so the client can
+        // reconcile the partial write
+        val decoded = java.net.URLDecoder.decode(r.grpcMessage, "UTF-8")
+        assert(decoded.contains("after 2 records applied"),
+          s"no applied-count in '$decoded'")
+        assert(facade.queryData("SELECT id FROM partial ORDER BY id")
+          .exists(j => j.contains("p1") && j.contains("p2") && !j.contains("p3")))
+      } finally c.close()
+    }
+  }
+
+  test("a slow StreamQuery does not block HealthCheck on the same connection") {
+    // dispatch work must run OFF the netty event loop: with both
+    // streams multiplexed onto one connection (hence one loop), a
+    // facade-blocking query on stream A stalls stream B forever if
+    // dispatch runs inline. 10 s of latch headroom ≫ the async hop.
+    val gate = new CountDownLatch(1)
+    val entered = new CountDownLatch(1)
+    val store = new TableStore(spark, tmpDir("grpcslow"))
+    val facade = new ServiceFacade(store) {
+      override def streamQuery(sql: String, cursor: Long,
+          pageSize: Int): Either[String, (Array[String], Long)] = {
+        entered.countDown()
+        assert(gate.await(60, TimeUnit.SECONDS))
+        super.streamQuery(sql, cursor, pageSize)
+      }
+    }
+    val srv = new GrpcServer(facade)
+    val port = srv.start()
+    val c = new H2Client(port)
+    try {
+      facade.writeData("slowt", graft.ingest.DynRecord("s1",
+        new java.sql.Timestamp(0L), Map("v" -> 1L)))
+      val slow = c.callAsync("miniodb.v1.MinIODBService", "StreamQuery",
+        Seq(grpcFrame(w.string(1, "SELECT id FROM slowt").int32(2, 10).bytes)))
+      assert(entered.await(30, TimeUnit.SECONDS), "slow query never started")
+      // while the slow query holds its dispatch thread, the loop must
+      // still serve new streams on the SAME connection
+      val health = c.call("miniodb.v1.MinIODBService", "HealthCheck", Nil)
+      assert(health.grpcStatus == 0,
+        "HealthCheck blocked behind a slow StreamQuery: event loop not offloaded")
+      gate.countDown()
+      assert(slow.done.await(60, TimeUnit.SECONDS), "slow stream never finished")
+      assert(slow.grpcStatus == 0, s"slow query failed: ${slow.grpcMessage}")
+    } finally { gate.countDown(); c.close(); srv.stop() }
   }
 
   test("long client stream: 2000 messages, flow-control credit returned") {

@@ -365,6 +365,44 @@ class GrpcWebServerSpec extends SparkSpec {
     }
   }
 
+  test("CORS origin allowlist: echo on match + Vary, no grant on mismatch, * default") {
+    val facade = new ServiceFacade(new TableStore(spark, tmpDir("grpcors")))
+    val srv = new GrpcWebServer(facade,
+      allowedOrigins = Seq("http://app.example"))
+    val port = srv.start()
+    try {
+      def preflight(origin: String): java.net.http.HttpResponse[Array[Byte]] =
+        client.send(
+          HttpRequest.newBuilder(URI.create(
+              s"http://127.0.0.1:$port/miniodb.v1.MinIODBService/QueryData"))
+            .method("OPTIONS", HttpRequest.BodyPublishers.noBody())
+            .header("Origin", origin)
+            .header("Access-Control-Request-Method", "POST")
+            .build(),
+          HttpResponse.BodyHandlers.ofByteArray())
+      val ok = preflight("http://app.example")
+      assert(ok.headers().firstValue("Access-Control-Allow-Origin")
+        .orElse("") == "http://app.example", "allowlisted origin not echoed")
+      assert(ok.headers().firstValue("Vary").orElse("") == "Origin",
+        "echoed grant must carry Vary: Origin for shared caches")
+      val no = preflight("http://evil.example")
+      assert(!no.headers().firstValue("Access-Control-Allow-Origin").isPresent,
+        "non-allowlisted origin received a CORS grant")
+      // the POST path applies the same gate (the preflight-less
+      // same-origin-policy escape hatches, e.g. simple requests)
+      val body = Array[Byte](0, 0, 0, 0, 0)
+      val post = client.send(
+        HttpRequest.newBuilder(URI.create(
+            s"http://127.0.0.1:$port/miniodb.v1.MinIODBService/HealthCheck"))
+          .header("Content-Type", "application/grpc-web+proto")
+          .header("Origin", "http://evil.example")
+          .POST(HttpRequest.BodyPublishers.ofByteArray(body)).build(),
+        HttpResponse.BodyHandlers.ofByteArray())
+      assert(post.statusCode() == 200 &&
+        !post.headers().firstValue("Access-Control-Allow-Origin").isPresent)
+    } finally srv.stop()
+  }
+
   test("metadata verbs: backup → list → restore round-trip (reference field numbers)") {
     withServer() { (port, facade) =>
       facade.writeData("mt", graft.ingest.DynRecord("k1",
