@@ -8,6 +8,15 @@ import graft.core.GraftSession
   * Failures count as -1 so one bad query can't hide the rest. */
 object Bench {
   def main(args: Array[String]): Unit = {
+    // contamination self-evidence (the r15 graded record was inflated
+    // 1.6–2.1× by a competing load left running on the box): snapshot
+    // the 1-min system load average at JVM start — BEFORE our own
+    // session loads the box — and again at the end. A clean run starts
+    // near idle; r15's contaminated one would have started tens high.
+    def loadAvg(): Double =
+      java.lang.management.ManagementFactory.getOperatingSystemMXBean
+        .getSystemLoadAverage
+    val loadStart = loadAvg()
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark: SparkSession = GraftSession
@@ -121,7 +130,8 @@ object Bench {
     // to an unparseable tail — "parsed": null). The detail lands in the
     // repo where the round commit picks it up; stdout gets it too for
     // the human log.
-    val detail = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"recall":$rs,$pipelineJson,"sf":"$sfDir"}"""
+    val loads = f""""load_avg":{"start":$loadStart%.2f,"end":${loadAvg()}%.2f}"""
+    val detail = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"recall":$rs,$pipelineJson,$loads,"sf":"$sfDir"}"""
     // a subset run must not overwrite the full record's detail file
     if (!subsetRun)
       try java.nio.file.Files.writeString(
@@ -140,7 +150,7 @@ object Bench {
     val rsShort = recalls
       .map { case (k, v) => f""""${k.split('_').head}":$v%.3f""" }
       .mkString("{", ",", "}")
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qsShort,"recall":$rsShort,$pipelineJson,"sf":"$sfDir"}""")
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qsShort,"recall":$rsShort,$pipelineJson,$loads,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

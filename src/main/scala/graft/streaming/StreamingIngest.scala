@@ -201,13 +201,13 @@ class StreamingIngest(store: TableStore) {
     * shared CdcLog clock — see [[startJsonIngest]]). */
   private def emitInsertCdc(table: String, sid: String, batchId: Long,
       dated: DataFrame): Unit =
-    dated.select(
-      lit("INSERT").as("op"),
-      col("id"),
-      col("timestamp"),
-      lit(batchId).as("batch_id"),
-      lit(CdcLog.nextEmittedAt()).as("emitted_at"))
-      .write.mode("overwrite").parquet(s"${cdcPath(table)}/$sid-b$batchId")
+    CdcTransport.active.publishBatch(store, table, s"$sid-b$batchId",
+      dated.select(
+        lit("INSERT").as("op"),
+        col("id"),
+        col("timestamp"),
+        lit(batchId).as("batch_id"),
+        lit(CdcLog.nextEmittedAt()).as("emitted_at")))
 
   /** Shared keyed-dedup ingest: watermark + dropDuplicates on the key,
     * then the idempotent batch commit + CDC INSERT events — one plumbing

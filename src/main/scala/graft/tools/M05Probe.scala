@@ -14,10 +14,15 @@ object M05Probe {
       .filter(shiftRight(col("media_a"), 2) =!= shiftRight(col("media_b"), 2))
     val aud = graft.multimodal.Multimodal.audioNeardup(spark, dir)
       .filter(shiftRight(col("media_a"), 2) =!= shiftRight(col("media_b"), 2))
+    // video families are the coarser doc_id/8 partition (r16 geometry)
+    val vid = graft.multimodal.Multimodal.videoNeardup(spark, dir)
+      .filter(shiftRight(col("media_a"), 3) =!= shiftRight(col("media_b"), 3))
     println(s"[m05probe] cross-family image pairs: ${img.count()}")
     img.show(10, false)
     println(s"[m05probe] cross-family audio pairs: ${aud.count()}")
     aud.show(10, false)
+    println(s"[m05probe] cross-family video pairs: ${vid.count()}")
+    vid.show(10, false)
     spark.stop()
   }
 }

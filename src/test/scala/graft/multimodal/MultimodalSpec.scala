@@ -158,18 +158,31 @@ class MultimodalSpec extends SparkSpec {
     assert(MediaCodecs.videoInfo(wavBytes(440.0, 8000f, 0.1)).isEmpty)
   }
 
-  test("vHash64 family geometry: same family within 5 bits, strangers ~32") {
+  test("vHash64 family geometry: doc_id/8 families, parity twins identical, strangers far") {
+    // r16 geometry: the clip's hashed middle frame renders from the
+    // HALVED id, so video families span 8 docs (two image families) —
+    // what makes videoDropIds non-redundant in the m05 decision
     val sigs = (0L until 16L).flatMap(id =>
       MediaCodecs.vHash64(Multimodal.renderFamilyAvi(id)).map(id -> _)).toMap
     assert(sigs.size == 16)
     def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
-    for (f <- 0 until 4; m <- 1 until 4) {
-      val d = ham(sigs(f * 4L), sigs(f * 4L + m))
-      assert(d <= 5, s"family $f member $m drifted $d bits (JPEG loss?)")
+    // id-parity twins share a middle frame → identical hash, yet the
+    // clips must not be byte-identical (flank shift keys on parity)
+    for (j <- 0L until 8L) {
+      assert(ham(sigs(2 * j), sigs(2 * j + 1)) == 0,
+        s"parity twins $j drifted")
+      assert(!java.util.Arrays.equals(Multimodal.renderFamilyAvi(2 * j),
+        Multimodal.renderFamilyAvi(2 * j + 1)),
+        "twin clips must differ in bytes (perceptual, not exact, dups)")
     }
-    val cross = for (a <- 0 until 4; b <- (a + 1) until 4)
-      yield ham(sigs(a * 4L), sigs(b * 4L))
-    assert(cross.forall(_ > 10), s"cross-family too close: $cross")
+    // within an 8-family the hashes follow the mapped image family's
+    // chain: member base vs member m within 5 bits
+    for (f <- 0 until 2; m <- 1 until 8) {
+      val d = ham(sigs(f * 8L), sigs(f * 8L + m))
+      assert(d <= 5, s"8-family $f member $m drifted $d bits (JPEG loss?)")
+    }
+    val cross = ham(sigs(0L), sigs(8L))
+    assert(cross > 10, s"cross-family too close: $cross")
   }
 
   test("m06 video near-dup pairs ≡ brute hamming≤5 over decoded vHashes") {
@@ -284,20 +297,31 @@ class MultimodalSpec extends SparkSpec {
     assert(got.forall { case (a, b, _) => (a >> 2) == (b >> 2) })
   }
 
-  test("m05 joint media survivors = family mins (closure spans every family, all three modalities)") {
+  test("m05 joint media survivors = 8-family mins; video is decision-effective") {
     import org.apache.spark.sql.functions._
-    // the m05 oracle's load-bearing claim: consecutive family members
-    // differ by ONE planted patch/window, so the chain keeps every
-    // multi-member family one component even when non-consecutive
-    // members exceed the hamming-5 radius — and cross-family pairs
-    // never enter (pinned by the set-equality tests above). Survivors
-    // must therefore be exactly the per-family min ids.
+    // the m05 oracle's load-bearing claim: image/audio closures are
+    // the doc_id/4 partition, video's the coarser doc_id/8 one, so
+    // survivors are exactly the per-8-family min ids. The second
+    // assertion is the r15 verdict's observability fix: the video-less
+    // decision (image∪audio drops only) keeps BOTH 4-family mins of
+    // each 8-family, so silently dropping videoDropIds from the union
+    // provably changes the result.
     val docs = graft.core.Tables.load(spark, Sf0001, "documents")
     val got = Multimodal.jointMediaSurvivors(spark, Sf0001)
       .collect().map(_.getLong(0)).toSeq
     val ids = docs.select(col("doc_id")).collect().map(_.getLong(0))
-    val expected = ids.groupBy(_ >> 2).values.map(_.min).toSeq.sorted
+    val expected = ids.groupBy(_ >> 3).values.map(_.min).toSeq.sorted
     assert(got === expected)
+    val withoutVideo = ids.groupBy(_ >> 2).values.map(_.min).toSet
+    assert(got.toSet != withoutVideo && (got.toSet -- withoutVideo).isEmpty,
+      "video modality contributed no drops — decision join lost videoDropIds?")
+    // the two-modality pipeline (no video frame) must reproduce the
+    // video-less decision — the pipeline honors modality absence
+    val images = Multimodal.syntheticImageCorpus(docs)
+    val audio = Multimodal.syntheticAudioCorpus(docs)
+    val twoWay = graft.operators.DedupPipeline.media(docs, images, audio)
+      .jointMediaSurvivors.collect().map(_.getLong(0)).toSet
+    assert(twoWay === withoutVideo)
   }
 
   test("m03b/m04b incremental delta ≡ batch pairs restricted to the delta (real decode)") {

@@ -51,6 +51,39 @@ class DedupPipelineSpec extends SparkSpec {
     } finally spark.sparkContext.removeSparkListener(listener)
   }
 
+  test("video-only near-dup pair: the third modality shrinks the survivor set") {
+    // the r15 verdict's observability fixture: a pipeline WITH a video
+    // frame, planted so the video pairs link docs whose images and
+    // audio do NOT pair — if the decision join silently lost
+    // videoDropIds (the failure every earlier check was blind to),
+    // the three-modality survivor set would equal the two-modality one
+    // and this test fails.
+    val mm = graft.multimodal.Multimodal
+    // docs 0,1 and 4,5: image/audio families {0,1} vs {4,5} (doc_id/4
+    // partition — far apart across, chained within); video clips map
+    // through the halved id onto ONE image family {0,0,2,2}, so all
+    // four clips chain into a single video cluster
+    val fixture = Seq((0L, 10L), (1L, 11L), (4L, 14L), (5L, 15L))
+      .toDF("doc_id", "n_chars")
+    val images = mm.syntheticImageCorpus(fixture)
+    val audio = mm.syntheticAudioCorpus(fixture)
+    val video = mm.syntheticVideoCorpus(fixture)
+
+    val twoWay = DedupPipeline.media(fixture, images, audio)
+    assert(twoWay.jointMediaSurvivors.collect().map(_.getLong(0)).toSeq
+      === Seq(0L, 4L), "image/audio must each keep their family min")
+
+    val threeWay = DedupPipeline.media(fixture, images, audio, Some(video))
+    // (0,4) and (1,5) are video-ONLY near-dup pairs: clips match,
+    // images/audio don't — so video alone is why 4 now drops
+    val videoPairs = threeWay.videoPairs.collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(videoPairs.contains((0L, 4L)) || videoPairs.contains((1L, 4L)),
+      s"planted video-only pair missing from $videoPairs")
+    assert(threeWay.jointMediaSurvivors.collect().map(_.getLong(0)).toSeq
+      === Seq(0L), "video drop set did not reach the joint decision")
+  }
+
   test("cc durable-checkpoint path produces identical clusters") {
     val pairs = Seq(
       (1L, 2L), (2L, 3L), (3L, 4L), // one chain component

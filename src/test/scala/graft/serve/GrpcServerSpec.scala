@@ -2,17 +2,10 @@ package graft.serve
 
 import java.util.concurrent.{CountDownLatch, TimeUnit}
 
-import io.netty.bootstrap.Bootstrap
-import io.netty.channel.{Channel, ChannelHandlerContext, ChannelInboundHandlerAdapter, ChannelInitializer}
-import io.netty.channel.nio.NioIoHandler
-import io.netty.channel.socket.SocketChannel
-import io.netty.channel.socket.nio.NioSocketChannel
-import io.netty.channel.MultiThreadIoEventLoopGroup
-import io.netty.handler.codec.http2._
-
 import graft.SparkSpec
 import graft.catalog.TableStore
 import ProtoWire._
+import H2TestClient.grpcFrame
 
 /** Drives the NATIVE gRPC transport over real loopback HTTP/2 with a
   * netty h2c client — prior-knowledge cleartext, the framing a stock
@@ -34,133 +27,9 @@ class GrpcServerSpec extends SparkSpec {
     try f(port, facade) finally srv.stop()
   }
 
-  /** Collected response of one HTTP/2 stream. */
-  private final class Resp {
-    @volatile var status: String = _
-    @volatile var grpcStatus: Int = -1
-    @volatile var grpcMessage: String = ""
-    val body = new java.io.ByteArrayOutputStream()
-    val done = new CountDownLatch(1)
-    def messages: Seq[Array[Byte]] = {
-      val b = body.toByteArray
-      val out = Seq.newBuilder[Array[Byte]]
-      var i = 0
-      while (i + 5 <= b.length) {
-        val len = ((b(i + 1) & 0xff) << 24) | ((b(i + 2) & 0xff) << 16) |
-          ((b(i + 3) & 0xff) << 8) | (b(i + 4) & 0xff)
-        out += java.util.Arrays.copyOfRange(b, i + 5, i + 5 + len)
-        i += 5 + len
-      }
-      out.result()
-    }
-  }
-
-  /** Minimal h2c client: one connection per call-batch, one stream per
-    * request. `frames` are pre-cut DATA payload chunks — passing a
-    * message split across several chunks exercises the server's
-    * reassembly. */
-  private final class H2Client(port: Int) {
-    private val group = new MultiThreadIoEventLoopGroup(1, NioIoHandler.newFactory())
-    private val ch: Channel = {
-      val bs = new Bootstrap().group(group).channel(classOf[NioSocketChannel])
-        .handler(new ChannelInitializer[SocketChannel] {
-          override def initChannel(c: SocketChannel): Unit = {
-            c.pipeline.addLast(Http2FrameCodecBuilder.forClient().build())
-            // inbound (server-initiated) streams only; our streams get
-            // handlers from the stream bootstrap
-            c.pipeline.addLast(new Http2MultiplexHandler(
-              new ChannelInboundHandlerAdapter()))
-            ()
-          }
-        })
-      bs.connect("127.0.0.1", port).sync().channel()
-    }
-
-    def call(service: String, method: String, frames: Seq[Array[Byte]],
-        token: Option[String] = None,
-        contentType: String = "application/grpc"): Resp = {
-      val resp = callAsync(service, method, frames, token, contentType)
-      assert(resp.done.await(60, TimeUnit.SECONDS), "stream timed out")
-      resp
-    }
-
-    /** [[call]] without awaiting — for asserting that an in-flight slow
-      * call does not block other streams on the same connection. */
-    def callAsync(service: String, method: String, frames: Seq[Array[Byte]],
-        token: Option[String] = None,
-        contentType: String = "application/grpc"): Resp = {
-      val resp = new Resp
-      val sb = new Http2StreamChannelBootstrap(ch)
-        .handler(new ChannelInitializer[Channel] {
-          override def initChannel(sc: Channel): Unit = {
-            sc.pipeline.addLast(new ChannelInboundHandlerAdapter {
-              override def channelRead(ctx: ChannelHandlerContext,
-                  msg: AnyRef): Unit = msg match {
-                case h: Http2HeadersFrame =>
-                  if (h.headers.status != null)
-                    resp.status = h.headers.status.toString
-                  Option(h.headers.get("grpc-status")).foreach(s =>
-                    resp.grpcStatus = s.toString.toInt)
-                  Option(h.headers.get("grpc-message")).foreach(m =>
-                    resp.grpcMessage = m.toString)
-                  if (h.isEndStream) resp.done.countDown()
-                case d: Http2DataFrame =>
-                  val b = new Array[Byte](d.content.readableBytes)
-                  d.content.readBytes(b)
-                  resp.body.write(b, 0, b.length)
-                  val end = d.isEndStream
-                  d.release()
-                  if (end) resp.done.countDown()
-                case other =>
-                  io.netty.util.ReferenceCountUtil.release(other)
-              }
-            })
-            ()
-          }
-        })
-      val stream = sb.open().sync().getNow
-      val hdrs = new DefaultHttp2Headers()
-      hdrs.method("POST").scheme("http").path(s"/$service/$method")
-        .authority(s"127.0.0.1:$port")
-      hdrs.set("content-type", contentType)
-      hdrs.set("te", "trailers")
-      token.foreach(t => hdrs.set("authorization", s"Bearer $t"))
-      if (frames.isEmpty) {
-        stream.writeAndFlush(new DefaultHttp2HeadersFrame(hdrs, true))
-      } else {
-        stream.write(new DefaultHttp2HeadersFrame(hdrs))
-        frames.zipWithIndex.foreach { case (f, i) =>
-          val buf = stream.alloc.buffer(f.length)
-          buf.writeBytes(f)
-          stream.writeAndFlush(
-            new DefaultHttp2DataFrame(buf, i == frames.size - 1))
-        }
-      }
-      resp
-    }
-
-    def close(): Unit = {
-      ch.close().sync()
-      group.shutdownGracefully(0, 1, TimeUnit.SECONDS).sync()
-      ()
-    }
-  }
-
-  /** 5-byte gRPC message framing. */
-  private def grpcFrame(msg: Array[Byte]): Array[Byte] = {
-    val out = new Array[Byte](5 + msg.length)
-    out(0) = 0
-    out(1) = (msg.length >>> 24).toByte
-    out(2) = (msg.length >>> 16).toByte
-    out(3) = (msg.length >>> 8).toByte
-    out(4) = msg.length.toByte
-    System.arraycopy(msg, 0, out, 5, msg.length)
-    out
-  }
-
   test("unary verbs over native HTTP/2: write → query → health") {
     withServer() { (port, _) =>
-      val c = new H2Client(port)
+      val c = new H2TestClient(port)
       try {
         val ts = writeTimestamp(java.sql.Timestamp.valueOf("2024-01-01 00:00:00"))
         val rec = w.string(1, "u1").msg(2, ts)
@@ -197,7 +66,7 @@ class GrpcServerSpec extends SparkSpec {
 
   test("StreamWrite: client-streaming across DATA frames, split mid-message") {
     withServer() { (port, facade) =>
-      val c = new H2Client(port)
+      val c = new H2TestClient(port)
       try {
         def swReq(table: String, ids: Seq[String]): Array[Byte] = {
           val req = w.string(2, table)
@@ -231,7 +100,7 @@ class GrpcServerSpec extends SparkSpec {
 
   test("StreamWrite per-record failures collect; stream does not abort") {
     withServer() { (port, _) =>
-      val c = new H2Client(port)
+      val c = new H2TestClient(port)
       try {
         // invalid table name on the middle request → its records error,
         // the rest of the stream still lands
@@ -255,7 +124,7 @@ class GrpcServerSpec extends SparkSpec {
   test("bearer auth and error trailers on the native transport") {
     withServer(Some("h2-signing-key-0123456789"),
         apiSecret = Some("h2-api-credential")) { (port, facade) =>
-      val c = new H2Client(port)
+      val c = new H2TestClient(port)
       try {
         val denied = c.call("miniodb.v1.MinIODBService", "ListTables",
           Seq(grpcFrame(Array.emptyByteArray)))
@@ -298,7 +167,7 @@ class GrpcServerSpec extends SparkSpec {
 
   test("two request messages on a unary verb → INVALID_ARGUMENT, not silent drop") {
     withServer() { (port, facade) =>
-      val c = new H2Client(port)
+      val c = new H2TestClient(port)
       try {
         def wd(id: String) = grpcFrame(w.string(1, "card")
           .msg(2, w.string(1, id).msg(3, writeStruct(Map("v" -> 1L)))).bytes)
@@ -315,7 +184,7 @@ class GrpcServerSpec extends SparkSpec {
     val facade = new ServiceFacade(new TableStore(spark, tmpDir("grpch2cap")))
     val srv = new GrpcServer(facade, maxInboundMessageBytes = 1024)
     val port = srv.start()
-    val c = new H2Client(port)
+    val c = new H2TestClient(port)
     try {
       val big = w.string(1, "users")
         .msg(2, w.string(1, "x").msg(3, writeStruct(Map("blob" -> ("y" * 4096)))))
@@ -347,7 +216,7 @@ class GrpcServerSpec extends SparkSpec {
         } finally s.close()
       }
       // a real client still works afterwards
-      val c = new H2Client(port)
+      val c = new H2TestClient(port)
       try {
         val r = c.call("miniodb.v1.MinIODBService", "HealthCheck", Nil)
         assert(r.grpcStatus == 0, "server wedged after garbage connections")
@@ -363,7 +232,7 @@ class GrpcServerSpec extends SparkSpec {
     // to dispatch.unary → auth() → UNIMPLEMENTED.
     withServer(Some("h2-signing-key-0123456789"),
         apiSecret = Some("h2-api-credential")) { (port, _) =>
-      val c = new H2Client(port)
+      val c = new H2TestClient(port)
       try {
         val r = c.call("miniodb.v1.AuthService", "StreamQuery",
           Seq(grpcFrame(w.string(1, "SELECT 1 AS x").int32(2, 10).bytes)))
@@ -382,7 +251,7 @@ class GrpcServerSpec extends SparkSpec {
 
   test("stream ended mid-message: records already applied are reported") {
     withServer() { (port, facade) =>
-      val c = new H2Client(port)
+      val c = new H2TestClient(port)
       try {
         def m(id: String) = grpcFrame(w.string(2, "partial")
           .msg(1, w.string(1, id).msg(3, writeStruct(Map("v" -> 1L)))).bytes)
@@ -421,7 +290,7 @@ class GrpcServerSpec extends SparkSpec {
     }
     val srv = new GrpcServer(facade)
     val port = srv.start()
-    val c = new H2Client(port)
+    val c = new H2TestClient(port)
     try {
       facade.writeData("slowt", graft.ingest.DynRecord("s1",
         new java.sql.Timestamp(0L), Map("v" -> 1L)))
@@ -441,7 +310,7 @@ class GrpcServerSpec extends SparkSpec {
 
   test("long client stream: 2000 messages, flow-control credit returned") {
     withServer() { (port, _) =>
-      val c = new H2Client(port)
+      val c = new H2TestClient(port)
       try {
         // well past the 64 KiB initial connection/stream windows — the
         // stream only completes if the server returns WINDOW_UPDATE

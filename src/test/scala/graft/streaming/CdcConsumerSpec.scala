@@ -48,6 +48,46 @@ class CdcConsumerSpec extends SparkSpec {
     assert(g1b.poll().count() == 0)
   }
 
+  test("CdcTransport seam: rebinding reroutes every producer, no call-site edits") {
+    // the reference's subscription-manager seam: a deployment with a
+    // kafka client binds its transport here and mutations/ingest
+    // publish through it untouched. A recording binding proves the
+    // call sites read the seam (and the file log stays silent).
+    val store = new TableStore(spark, tmpDir("cdcseam"))
+    store.write("t", Seq(rec("a", 1), rec("b", 2), rec("c", 3)))
+    store.flush("t")
+    val seen = scala.collection.mutable.ArrayBuffer[(String, String, String)]()
+    val recording = new CdcTransport {
+      def publish(s: TableStore, table: String, op: String,
+          rows: Seq[(String, Timestamp)], batchId: Long): Unit =
+        rows.foreach { case (id, _) => seen += ((table, op, id)) }
+      def publishFrame(s: TableStore, table: String, op: String,
+          rows: org.apache.spark.sql.DataFrame, batchId: Long): Unit =
+        rows.collect().foreach(r => seen += ((table, op, r.getString(0))))
+      def publishBatch(s: TableStore, table: String, sliceKey: String,
+          events: org.apache.spark.sql.DataFrame): Unit =
+        events.collect().foreach(r =>
+          seen += ((table, r.getString(0), r.getString(1))))
+    }
+    val prior = CdcTransport.active
+    CdcTransport.active = recording
+    try {
+      val mut = new Mutations(store)
+      mut.deleteById("t", "a")
+      mut.updateById("t", rec("b", 20))
+      mut.deleteWhere("t", org.apache.spark.sql.functions.col("id") === "c")
+      assert(seen.toSet === Set(
+        ("t", "DELETE", "a"), ("t", "UPDATE", "b"), ("t", "DELETE", "c")))
+      // nothing leaked into the file log past the rebound seam
+      assert(CdcLog.read(store, "t").count() == 0,
+        "a producer bypassed CdcTransport.active")
+    } finally CdcTransport.active = prior
+    // the default binding is the file log and still works after restore
+    new Mutations(store).deleteById("t", "b")
+    val events = CdcLog.read(store, "t").collect()
+    assert(events.length == 1 && events.head.getAs[String]("id") == "b")
+  }
+
   test("retention drops slices all groups committed past; lagging cursors stay valid") {
     val store = new TableStore(spark, tmpDir("cdcret"))
     store.write("t", Seq(rec("a", 1)))
