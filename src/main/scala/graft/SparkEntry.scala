@@ -194,8 +194,8 @@ object SparkEntry {
     // m03+m04+m06 cluster frames — ALL THREE perceptual modalities.
     // Oracle-checkable (unlike the raw pair frames): image/audio
     // closures equal the doc_id/4 family partition, video's the
-    // COARSER doc_id/8 one (r16 geometry — renderFamilyAvi hashes the
-    // halved id's family image), so survivors = per-8-family mins and
+    // COARSER doc_id/8 one (r16 geometry — renderFamilyAvi renders
+    // 8-member one-patch-step families), so survivors = per-8-family mins and
     // the oracle provably flips if the video drop set is lost
     "m05_joint_media_survivors" ->
       ((s, dir) => graft.multimodal.Multimodal.jointMediaSurvivors(s, dir)),
@@ -561,8 +561,8 @@ object SparkEntry {
     *
     * m05: the id-structural family-min oracle assumes the perceptual
     * pair closures equal their family partitions (doc_id/4 for
-    * image/audio, doc_id/8 for video — whose hashes live at HALF the
-    * image density, so image sets the binding constraint). Measured
+    * image/audio, doc_id/8 for video — half as many base patterns, so
+    * image sets the binding cross-family-collision constraint). Measured
     * (graft.tools.M05Probe): exact through the driver gate's SFs, but
     * at 500k docs the hash space is dense enough that 12 REAL
     * cross-family hamming-5 pairs merge families — engine right,
@@ -1221,8 +1221,8 @@ object SparkEntry {
         |FROM documents GROUP BY 1 ORDER BY keep_id""".stripMargin,
     // m05: the perceptual pair closure equals the doc_id/4 family
     // partition in the image and audio modalities, and the COARSER
-    // doc_id/8 partition in video (the clip's hashed middle frame
-    // renders from the halved id — Multimodal.renderFamilyAvi), so
+    // doc_id/8 partition in video (8-member one-patch-step families —
+    // Multimodal.renderFamilyAvi), so
     // joint survivors = per-8-family mins. Video is decision-effective
     // by construction: each 8-family's upper image-family min (doc_id
     // ≡ 4 mod 8) survives image and audio but is dropped by video, so

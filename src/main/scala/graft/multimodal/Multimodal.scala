@@ -275,9 +275,22 @@ object Multimodal {
     * corpora: the PNG corpus (m03) encodes it directly, the MJPEG-AVI
     * corpus (m06) carries it as the clip's MIDDLE frame — the frame
     * [[MediaCodecs.vHash64]] hashes. */
-  private def renderFamilyImage(id: Long): java.awt.image.BufferedImage = {
-    val family = id >>> 2
-    val member = (id & 3).toInt
+  private def renderFamilyImage(id: Long): java.awt.image.BufferedImage =
+    renderFamilyImageFM(id >>> 2, (id & 3).toInt)
+
+  /** [[renderFamilyImage]] with (family, member) explicit — the video
+    * corpus reuses the base-pattern + member-patch machinery with
+    * 8-member families (member ∈ 0..7), where the image corpus uses
+    * 4. Consecutive members differ by exactly one hash-picked patch
+    * in BOTH uses; only the family width and the patch shape differ:
+    * the video path (`widePatch`) uses an 8×4 dHash-row-aligned patch
+    * at ±112, because its frames survive JPEG (MJPEG-AVI), which
+    * smears the image path's unaligned 4×4 ±96 patches below the
+    * dHash grid's sensitivity — one-patch steps must reliably flip
+    * ≥1 gradient bit or family members collapse onto duplicate sigs
+    * and corpus bucket density doubles (the rejected r16 drafts). */
+  private def renderFamilyImageFM(family: Long, member: Int,
+      widePatch: Boolean = false): java.awt.image.BufferedImage = {
     val img = new java.awt.image.BufferedImage(32, 32,
       java.awt.image.BufferedImage.TYPE_INT_RGB)
     var cy = 0
@@ -301,13 +314,23 @@ object Multimodal {
     var k = 0
     while (k < member) {
       val h = mix64(family * 1021 + 7919L * (k + 1))
-      val px = ((h & 0xFF) % 29).toInt // 4×4 patch origin in [0,28]
-      val py = (((h >>> 8) & 0xFF) % 29).toInt
-      val delta = if (((h >>> 16) & 1) == 0) 96 else -96
+      // image path: unaligned 4×4 at ±96 (frozen — the m03 corpus'
+      // bytes must not change). Video path: 8×4 aligned to a dHash
+      // grid row at ±112, JPEG-robust.
+      val pw = if (widePatch) 8 else 4
+      val ph = 4
+      val px =
+        if (widePatch) ((h & 0xFF) % 25).toInt
+        else ((h & 0xFF) % 29).toInt
+      val py =
+        if (widePatch) ((((h >>> 8) & 0xFF) % 8) * 4).toInt
+        else (((h >>> 8) & 0xFF) % 29).toInt
+      val delta0 = if (widePatch) 112 else 96
+      val delta = if (((h >>> 16) & 1) == 0) delta0 else -delta0
       var dy = 0
-      while (dy < 4) {
+      while (dy < ph) {
         var dx = 0
-        while (dx < 4) {
+        while (dx < pw) {
           val old = img.getRGB(px + dx, py + dy) & 0xFF
           val v = math.min(255, math.max(0, old + delta))
           img.setRGB(px + dx, py + dy, (v << 16) | (v << 8) | v)
@@ -321,26 +344,31 @@ object Multimodal {
   }
 
   /** Render one REAL MJPEG-AVI clip for the video-dedup corpus: three
-    * 32×32 frames, the middle one — the frame [[MediaCodecs.vHash64]]
-    * hashes — rendered from the HALVED id ([[renderFamilyImage]] of
-    * `id >>> 1`), flanked by two deterministic brightness-shifted
-    * variants (the first flank's shift keyed on id parity so the two
-    * clips sharing a middle frame are perceptually identical but never
-    * byte-identical).
+    * 32×32 frames, the middle one the frame [[MediaCodecs.vHash64]]
+    * hashes, flanked by two deterministic brightness-shifted variants.
     *
-    * The halved id makes the video modality's near-dup closure the
-    * COARSER doc_id/8 partition: docs 8f..8f+7 map onto image family
-    * f's four members, so their clips chain exactly like that image
-    * family (consecutive ≤5 bits, id-parity twins at hamming 0) while
-    * distinct 8-families stay ~32 bits apart. Until r15 the middle
-    * frame was the doc's own family image, which made videoDropIds a
-    * subset of imageDropIds by construction — the r15 verdict's "video
-    * branch untestable" finding. With the coarser closure the video
-    * modality drops ids no other modality drops (each 8-family's
-    * second image-family min), so every m05/m05b check now fails if
-    * the decision join loses the video modality. */
+    * The middle frame renders from the WIDER family split —
+    * family = doc_id/8, member = doc_id%8, through the same
+    * base-pattern + one-patch-per-member-step machinery the image
+    * corpus uses at doc_id/4 ([[renderFamilyImageFM]]) — so the video
+    * modality's near-dup closure is the COARSER doc_id/8 partition:
+    * consecutive members differ by one hash-picked patch (within the
+    * hamming-5 verify radius, chaining all 8), while distinct
+    * 8-families stay ~32 bits apart. Until r15 the middle frame was
+    * the doc's own family image, which made videoDropIds a subset of
+    * imageDropIds by construction — the r15 verdict's "video branch
+    * untestable" finding. With the coarser closure the video modality
+    * drops ids no other modality drops (each 8-family's upper
+    * image-family min, doc_id ≡ 4 mod 8), so every m05/m05b check now
+    * fails if the decision join loses the video modality. All 8
+    * member sigs are DISTINCT (one-patch steps, never duplicates) —
+    * an earlier r16 draft mapped pairs of docs onto ONE frame, and
+    * the duplicated sigs doubled corpus-wide bucket density: the
+    * 5M-doc m06b probe went 21.8 → 80.7 s and m05b past its 300 s
+    * budget. Distinct-sig chaining keeps per-doc pair volume at the
+    * image family's rate. */
   private[multimodal] def renderFamilyAvi(id: Long): Array[Byte] = {
-    val mid = renderFamilyImage(id >>> 1)
+    val mid = renderFamilyImageFM(id >>> 3, (id & 7).toInt, widePatch = true)
     def flank(shift: Int): java.awt.image.BufferedImage = {
       val img = new java.awt.image.BufferedImage(32, 32,
         java.awt.image.BufferedImage.TYPE_INT_RGB)
@@ -356,8 +384,7 @@ object Multimodal {
       }
       img
     }
-    MediaCodecs.writeMjpegAvi(
-      Seq(flank(24 + 8 * (id & 1).toInt), mid, flank(48)), fps = 10)
+    MediaCodecs.writeMjpegAvi(Seq(flank(24), mid, flank(48)), fps = 10)
   }
 
   /** Render one REAL WAV clip for the audio-dedup corpus: a 4 kHz mono
@@ -547,8 +574,8 @@ object Multimodal {
     * patch/window — within the hamming-5 verify radius and the
     * combination-LSH's deterministic recall — while distinct families
     * sit ~32 bits apart. The video corpus is the COARSER doc_id/8
-    * partition (the clip's hashed middle frame renders from the
-    * halved id — [[renderFamilyAvi]]), so the video modality drops
+    * partition (8-member one-patch-step families —
+    * [[renderFamilyAvi]]), so the video modality drops
     * ids neither image nor audio drops: each 8-family's upper
     * image-family min survives both finer modalities but not video.
     * The joint survivor set is therefore the per-8-family min — video
@@ -608,9 +635,9 @@ object Multimodal {
   private[graft] def ensureVideoIndexMod(s: SparkSession, dir: String,
       mod: Int): String = {
     val docs = graft.core.Tables.load(s, dir, "documents")
-    // the vid8 tag names the r16 doc_id/8 video geometry — a new cache
+    // the vid8b tag names the r16 doc_id/8 video geometry — a new cache
     // key, so pre-r16 persisted video indexes can never be read back
-    ensureIndex(s, dir, s"vid8hash-mod=$mod",
+    ensureIndex(s, dir, s"vid8bhash-mod=$mod",
       videoSigFrame(syntheticVideoCorpus(docs.filter(col("doc_id") % mod =!= 0))))
   }
 
@@ -692,7 +719,7 @@ object Multimodal {
       dir: String, mod: Int = 3): Unit = {
     Seq(("img", ensureImageIndexMod(s, dir, mod)),
         ("aud", ensureAudioIndexMod(s, dir, mod)),
-        ("vid8", ensureVideoIndexMod(s, dir, mod))).foreach {
+        ("vid8b", ensureVideoIndexMod(s, dir, mod))).foreach {
       case (tag, hashPath) =>
         val ccPath = graft.index.IndexCache.pathFor(
           s, s"$dir/documents.parquet", s"${tag}cc-mod=$mod")
@@ -745,7 +772,7 @@ object Multimodal {
 
     val imgC = modalityClusters("img", syntheticImageCorpus, imageSigFrame)
     val audC = modalityClusters("aud", syntheticAudioCorpus, audioSigFrame)
-    val vidC = modalityClusters("vid8", syntheticVideoCorpus, videoSigFrame)
+    val vidC = modalityClusters("vid8b", syntheticVideoCorpus, videoSigFrame)
     def dropIds(c: DataFrame) =
       c.filter(col("doc_id") =!= col("cluster_id")).select(col("doc_id"))
     // materialize the decision-sized drop set once and size the join

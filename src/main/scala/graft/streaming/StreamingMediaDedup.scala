@@ -214,10 +214,10 @@ object StreamingMediaDedup {
     val mm = graft.multimodal.Multimodal
     val docs = graft.core.Tables.load(s, dir, "documents")
     val isDelta = col("doc_id") % 3 === 0
-    val idxPath = mm.ensureIndex(s, dir, "vid8hash-mod=3",
+    val idxPath = mm.ensureIndex(s, dir, "vid8bhash-mod=3",
       mm.videoSigFrame(mm.syntheticVideoCorpus(docs.filter(!isDelta))))
     val logDir = graft.index.IndexCache.pathFor(
-      s, s"$dir/documents.parquet", "svideo8-log")
+      s, s"$dir/documents.parquet", "svideo8b-log")
     val lg = log(s, logDir)
     val delta = docs.filter(isDelta)
     if (!lg.isCommitted("bench-b0"))

@@ -31,7 +31,7 @@ object M05bProfile {
 
     Seq(("img", mm.syntheticImageCorpus _, mm.imageSigFrame _),
         ("aud", mm.syntheticAudioCorpus _, mm.audioSigFrame _),
-        ("vid8", mm.syntheticVideoCorpus _, mm.videoSigFrame _)).foreach {
+        ("vid8b", mm.syntheticVideoCorpus _, mm.videoSigFrame _)).foreach {
       case (tag, corpus, sigf) =>
         val hashPath = graft.index.IndexCache.pathFor(
           spark, s"$dir/documents.parquet", s"${tag}hash-mod=$mod")

@@ -59,11 +59,12 @@ class DedupPipelineSpec extends SparkSpec {
     // the three-modality survivor set would equal the two-modality one
     // and this test fails.
     val mm = graft.multimodal.Multimodal
-    // docs 0,1 and 4,5: image/audio families {0,1} vs {4,5} (doc_id/4
-    // partition — far apart across, chained within); video clips map
-    // through the halved id onto ONE image family {0,0,2,2}, so all
-    // four clips chain into a single video cluster
-    val fixture = Seq((0L, 10L), (1L, 11L), (4L, 14L), (5L, 15L))
+    // docs 0..4: image/audio families {0,1,2,3} vs {4} (doc_id/4
+    // partition — doc 4 is alone in its family, no image/audio pair);
+    // the video clips are members 0..4 of ONE 8-member video family
+    // (doc_id/8), chained by consecutive one-patch steps, so all five
+    // clips fall into a single video cluster
+    val fixture = Seq((0L, 10L), (1L, 11L), (2L, 12L), (3L, 13L), (4L, 14L))
       .toDF("doc_id", "n_chars")
     val images = mm.syntheticImageCorpus(fixture)
     val audio = mm.syntheticAudioCorpus(fixture)
@@ -74,11 +75,12 @@ class DedupPipelineSpec extends SparkSpec {
       === Seq(0L, 4L), "image/audio must each keep their family min")
 
     val threeWay = DedupPipeline.media(fixture, images, audio, Some(video))
-    // (0,4) and (1,5) are video-ONLY near-dup pairs: clips match,
-    // images/audio don't — so video alone is why 4 now drops
+    // (3,4) is a video-ONLY near-dup pair: clips chain (consecutive
+    // members of one video family), images/audio don't (different
+    // doc_id/4 families) — so video alone is why 4 now drops
     val videoPairs = threeWay.videoPairs.collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
-    assert(videoPairs.contains((0L, 4L)) || videoPairs.contains((1L, 4L)),
+    assert(videoPairs.contains((3L, 4L)),
       s"planted video-only pair missing from $videoPairs")
     assert(threeWay.jointMediaSurvivors.collect().map(_.getLong(0)).toSeq
       === Seq(0L), "video drop set did not reach the joint decision")
