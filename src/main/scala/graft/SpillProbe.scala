@@ -127,6 +127,14 @@ object SpillProbe {
       val ctx = org.apache.logging.log4j.LogManager.getContext(false)
         .asInstanceOf[org.apache.logging.log4j.core.LoggerContext]
       ctx.getConfiguration.getRootLogger.addAppender(counter, Level.ALL, null)
+      // the counters must not depend on whatever level the session's
+      // log4j2 config left the root at — a quieter config would
+      // silently zero tmm_warns/tmm_errors and rest the escalation
+      // watch on failed_tasks alone. Force the TaskMemoryManager
+      // logger itself to WARN so its retry/failure events always
+      // reach the appender, config notwithstanding.
+      org.apache.logging.log4j.core.config.Configurator.setLevel(
+        "org.apache.spark.memory.TaskMemoryManager", Level.WARN)
       ctx.updateLoggers()
     }
 

@@ -89,7 +89,7 @@ class Mutations(store: TableStore) {
   def deleteById(table: String, id: String): Long = store.withTableLock(table) {
     val removed = removeWhere(table, col("id") <=> id) // null-safe: NULL ids survive
     if (removed > 0)
-      graft.streaming.CdcTransport.active.publish(store, table, "DELETE",
+      graft.streaming.CdcTransport.forStore(store).publish(store, table, "DELETE",
         Seq(id -> (null: java.sql.Timestamp)))
     removed
   }
@@ -115,7 +115,7 @@ class Mutations(store: TableStore) {
     ).localCheckpoint(true)
     val removed = removeWhere(table, victim)
     if (removed > 0)
-      graft.streaming.CdcTransport.active.publishFrame(
+      graft.streaming.CdcTransport.forStore(store).publishFrame(
         store, table, "DELETE", victims)
     removed
   }
@@ -128,7 +128,7 @@ class Mutations(store: TableStore) {
     val removed = removeWhere(table, col("id") <=> record.id)
     store.write(table, Seq(record))
     store.flush(table)
-    graft.streaming.CdcTransport.active.publish(store, table, "UPDATE",
+    graft.streaming.CdcTransport.forStore(store).publish(store, table, "UPDATE",
       Seq((record.id, record.timestamp)))
     removed
   }

@@ -113,30 +113,61 @@ class GrpcServer(facade: ServiceFacade, host: String = "127.0.0.1",
     }
   }
 
+  /** Tasks that escaped their own error handling and were swallowed by a
+    * stream's drain loop (observable for tests and operators: a nonzero
+    * count means some stream never got its trailers). */
+  private[serve] val swallowedTaskFailures =
+    new java.util.concurrent.atomic.AtomicLong
+
   /** Runs tasks on the shared dispatch pool one at a time, in
     * submission order — per-stream FIFO without dedicating a thread
     * per stream. The submission handoff (synchronized queue) also
     * publishes the handler's header-phase fields to the pool thread. */
-  private final class SerialExecutor extends java.util.concurrent.Executor {
+  private[serve] final class SerialExecutor extends java.util.concurrent.Executor {
     private val tasks = new java.util.concurrent.ConcurrentLinkedQueue[Runnable]()
     private val scheduled = new java.util.concurrent.atomic.AtomicBoolean(false)
     def execute(r: Runnable): Unit = {
       tasks.add(r)
-      if (scheduled.compareAndSet(false, true)) dispatchPool.execute(() => drain())
+      if (scheduled.compareAndSet(false, true)) schedule()
+    }
+    /** Hand the drain to the pool; during/after [[stop]] the pool may be
+      * shut down or already nulled — drop the queued tail cleanly (the
+      * connection is closing anyway) instead of surfacing an NPE or
+      * RejectedExecutionException as an abrupt channel reset. */
+    private def schedule(): Unit = {
+      val pool = dispatchPool
+      if (pool == null) { tasks.clear(); scheduled.set(false) }
+      else
+        try pool.execute(() => drain())
+        catch {
+          case _: java.util.concurrent.RejectedExecutionException =>
+            tasks.clear(); scheduled.set(false)
+        }
     }
     private def drain(): Unit = {
       var r = tasks.poll()
       while (r != null) {
-        // tasks carry their own error handling (trailers out); anything
-        // escaping must not kill the drain loop for the stream's tail
-        try r.run() catch { case _: Throwable => () }
+        // tasks carry their own error handling (trailers out); an
+        // ORDINARY exception escaping must not kill the drain loop for
+        // the stream's tail — but it is a bug worth a trace, so count
+        // and log it rather than discarding silently. Fatal VM errors
+        // (OOM &c.) and interrupts are NOT survivable stream state:
+        // rethrow the former, restore the latter.
+        try r.run() catch {
+          case ie: InterruptedException =>
+            swallowedTaskFailures.incrementAndGet()
+            Thread.currentThread().interrupt()
+          case scala.util.control.NonFatal(e) =>
+            swallowedTaskFailures.incrementAndGet()
+            org.slf4j.LoggerFactory.getLogger(classOf[GrpcServer])
+              .warn("stream task escaped its error handling", e)
+        }
         r = tasks.poll()
       }
       scheduled.set(false)
       // close the add-after-poll/clear-before race: re-arm if a task
       // slipped in between the final poll and the flag clear
-      if (!tasks.isEmpty && scheduled.compareAndSet(false, true))
-        dispatchPool.execute(() => drain())
+      if (!tasks.isEmpty && scheduled.compareAndSet(false, true)) schedule()
     }
   }
 

@@ -243,14 +243,17 @@ class GrpcWebServer(facade: ServiceFacade, host: String = "127.0.0.1",
   /** The Access-Control-Allow-Origin value for this request: `*` when
     * the allowlist is open; the request's own Origin echoed back when
     * it matches; None otherwise — no grant header at all, so the
-    * browser refuses the cross-origin read. Echoed grants carry
-    * `Vary: Origin` so a shared cache never serves one origin's grant
-    * to another. */
+    * browser refuses the cross-origin read. In allowlist mode EVERY
+    * response carries `Vary: Origin` — including mismatched or
+    * absent-Origin ones — so a shared cache never stores a grant-less
+    * response under the bare URL and replays it to an allowlisted
+    * origin (which would break that origin's CORS reads). */
   private def corsGrant(ex: HttpExchange): Option[String] =
     if (allowedOrigins.contains("*")) Some("*")
-    else
+    else {
+      ex.getResponseHeaders.set("Vary", "Origin")
       Option(ex.getRequestHeaders.getFirst("Origin"))
         .filter(allowedOrigins.contains)
-        .map { o => ex.getResponseHeaders.set("Vary", "Origin"); o }
+    }
 
 }

@@ -51,11 +51,41 @@ trait CdcTransport {
 }
 
 object CdcTransport {
-  /** The process-wide binding, defaulting to the parquet-backed log.
-    * Rebind at deployment wiring time (or in a test's try/finally) —
-    * call sites read it per publish, so a rebind takes effect without
-    * restarting streams. */
-  @volatile var active: CdcTransport = FileCdcTransport
+  /** The deployment-wide DEFAULT binding — what a store publishes
+    * through unless it has its own [[bind]]ing. Rebind at deployment
+    * wiring time (or in a test's try/finally) — call sites resolve per
+    * publish, so a rebind takes effect without restarting streams. */
+  @volatile var default: CdcTransport = FileCdcTransport
+
+  /** Per-store bindings keyed by the store's root path (its durable
+    * identity across re-instantiation), so one JVM hosting two stores
+    * can route their CDC to different backends — the r16 process-global
+    * binding could not. */
+  private val perStore =
+    scala.collection.concurrent.TrieMap[String, CdcTransport]()
+
+  /** Bind `store`'s CDC publishing to `t` (overriding [[default]]). */
+  def bind(store: TableStore, t: CdcTransport): Unit = {
+    perStore.put(store.root, t); ()
+  }
+
+  /** Drop `store`'s own binding; it falls back to [[default]]. */
+  def unbind(store: TableStore): Unit = {
+    perStore.remove(store.root); ()
+  }
+
+  /** The transport `store` publishes through: its own binding if one
+    * exists, else the process [[default]]. Every producer call site
+    * resolves through here. */
+  def forStore(store: TableStore): CdcTransport =
+    perStore.getOrElse(store.root, default)
+
+  /** Pre-r17 process-global binding, now an alias for [[default]] —
+    * per-store routing goes through [[bind]]/[[forStore]]. */
+  @deprecated("use default / bind(store, t)", "r17")
+  def active: CdcTransport = default
+  @deprecated("use default / bind(store, t)", "r17")
+  def active_=(t: CdcTransport): Unit = { default = t }
 }
 
 /** The parquet-directory binding — [[CdcLog]]'s emission layout,

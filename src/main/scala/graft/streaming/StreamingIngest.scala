@@ -201,7 +201,7 @@ class StreamingIngest(store: TableStore) {
     * shared CdcLog clock — see [[startJsonIngest]]). */
   private def emitInsertCdc(table: String, sid: String, batchId: Long,
       dated: DataFrame): Unit =
-    CdcTransport.active.publishBatch(store, table, s"$sid-b$batchId",
+    CdcTransport.forStore(store).publishBatch(store, table, s"$sid-b$batchId",
       dated.select(
         lit("INSERT").as("op"),
         col("id"),

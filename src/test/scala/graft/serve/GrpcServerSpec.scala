@@ -328,4 +328,48 @@ class GrpcServerSpec extends SparkSpec {
       } finally c.close()
     }
   }
+
+  test("SerialExecutor: an ordinary task failure keeps the tail draining; a fatal error propagates") {
+    val facade = new ServiceFacade(new TableStore(spark, tmpDir("serexec")))
+    val srv = new GrpcServer(facade)
+    srv.start()
+    try {
+      val serial = new srv.SerialExecutor
+      val ran = new CountDownLatch(1)
+      serial.execute(() => throw new RuntimeException("task bug"))
+      serial.execute(() => ran.countDown())
+      // the tail task after a throwing one still runs (trailers for
+      // other work keep flowing), and the failure is counted, not
+      // silently discarded
+      assert(ran.await(5, TimeUnit.SECONDS), "tail task must drain after a failure")
+      assert(srv.swallowedTaskFailures.get() == 1L)
+      // a FATAL error must escape the drain (kill the pool thread),
+      // never be swallowed as recoverable stream state
+      val fatalSeen = new CountDownLatch(1)
+      val prior = Thread.getDefaultUncaughtExceptionHandler
+      Thread.setDefaultUncaughtExceptionHandler((_, e) =>
+        if (e.isInstanceOf[OutOfMemoryError]) fatalSeen.countDown())
+      try {
+        val serial2 = new srv.SerialExecutor
+        serial2.execute(() => throw new OutOfMemoryError("simulated"))
+        assert(fatalSeen.await(5, TimeUnit.SECONDS),
+          "fatal error must propagate out of the drain loop")
+        assert(srv.swallowedTaskFailures.get() == 1L,
+          "fatal errors are not 'swallowed task failures'")
+      } finally Thread.setDefaultUncaughtExceptionHandler(prior)
+    } finally srv.stop()
+  }
+
+  test("stop() drops late stream tasks cleanly (no NPE/rejection surfacing)") {
+    val facade = new ServiceFacade(new TableStore(spark, tmpDir("latetask")))
+    val srv = new GrpcServer(facade)
+    srv.start()
+    val serial = new srv.SerialExecutor
+    srv.stop()
+    // a frame arriving on a not-yet-closed stream after stop() must be
+    // dropped, not throw through the netty pipeline
+    serial.execute(() => fail("must not run after stop"))
+    Thread.sleep(100)
+    assert(srv.swallowedTaskFailures.get() == 0L)
+  }
 }

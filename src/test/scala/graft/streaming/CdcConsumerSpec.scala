@@ -69,8 +69,7 @@ class CdcConsumerSpec extends SparkSpec {
         events.collect().foreach(r =>
           seen += ((table, r.getString(0), r.getString(1))))
     }
-    val prior = CdcTransport.active
-    CdcTransport.active = recording
+    CdcTransport.bind(store, recording)
     try {
       val mut = new Mutations(store)
       mut.deleteById("t", "a")
@@ -80,12 +79,43 @@ class CdcConsumerSpec extends SparkSpec {
         ("t", "DELETE", "a"), ("t", "UPDATE", "b"), ("t", "DELETE", "c")))
       // nothing leaked into the file log past the rebound seam
       assert(CdcLog.read(store, "t").count() == 0,
-        "a producer bypassed CdcTransport.active")
-    } finally CdcTransport.active = prior
-    // the default binding is the file log and still works after restore
+        "a producer bypassed the bound CdcTransport")
+    } finally CdcTransport.unbind(store)
+    // unbound, the store falls back to the default file binding
     new Mutations(store).deleteById("t", "b")
     val events = CdcLog.read(store, "t").collect()
     assert(events.length == 1 && events.head.getAs[String]("id") == "b")
+  }
+
+  test("CdcTransport bindings are per store: two stores in one JVM route independently") {
+    // the r16 verdict's deployment-shaped seam: a JVM hosting two
+    // stores must be able to bind different transports — a
+    // process-global binding cannot (rebinding for one store would
+    // hijack the other's events).
+    val storeA = new TableStore(spark, tmpDir("cdcA"))
+    val storeB = new TableStore(spark, tmpDir("cdcB"))
+    Seq(storeA, storeB).foreach { st =>
+      st.write("t", Seq(rec("a", 1))); st.flush("t")
+    }
+    val seenA = scala.collection.mutable.ArrayBuffer[String]()
+    val recording = new CdcTransport {
+      def publish(s: TableStore, table: String, op: String,
+          rows: Seq[(String, Timestamp)], batchId: Long): Unit =
+        rows.foreach { case (id, _) => seenA += s"$op:$id" }
+      def publishFrame(s: TableStore, table: String, op: String,
+          rows: org.apache.spark.sql.DataFrame, batchId: Long): Unit = ()
+      def publishBatch(s: TableStore, table: String, sliceKey: String,
+          events: org.apache.spark.sql.DataFrame): Unit = ()
+    }
+    CdcTransport.bind(storeA, recording)
+    try {
+      new Mutations(storeA).deleteById("t", "a")
+      new Mutations(storeB).deleteById("t", "a")
+      // A went to its binding; B stayed on the default file log
+      assert(seenA.toSeq == Seq("DELETE:a"))
+      assert(CdcLog.read(storeA, "t").count() == 0)
+      assert(CdcLog.read(storeB, "t").count() == 1)
+    } finally CdcTransport.unbind(storeA)
   }
 
   test("retention drops slices all groups committed past; lagging cursors stay valid") {
