@@ -33,8 +33,8 @@ object Bench {
     val measured = sys.env.get("SPARK_GRAFT_BENCH_ONLY") match {
       case Some(list) =>
         val keep = list.split(',').map(_.trim).toSet
-        SparkEntry.queries.filter { case (n, _) => keep(n.split('_').head) }
-      case None => SparkEntry.queries
+        SparkEntry.benchQueries.filter { case (n, _) => keep(n.split('_').head) }
+      case None => SparkEntry.benchQueries
     }
     // JIT/codegen warmup at the smallest SF: the first execution of each
     // plan pays janino compilation + JVM warmup (measured 3-4× on the

@@ -165,7 +165,7 @@ object ScalingBench {
         { graft.operators.SemanticDedup.ensureSemDedupIndexMod(s, dir, 3); () }))
 
   private def query(name: String): (SparkSession, String) => DataFrame =
-    SparkEntry.queries.getOrElse(name, Extra(name))
+    SparkEntry.benchQueries.getOrElse(name, Extra(name))
 
   private val MeasuredAll = Seq(
     "b01_simple_count", "b02_hourly_distinct", "b03_count_distinct",

@@ -153,24 +153,44 @@ object SparkEntry {
     // p01 under the TEMPERATURE mixture: t27's √share weights replace
     // the hand-weight table inside the composed assembly
     "p05_temperature_corpus" -> (TrainingCorpus.assembleTemperature _),
-    // training-data pipeline: similarity search
+    // training-data pipeline: similarity search. s02–s05 are the
+    // CHECKED forms as of r17 (oracle-green via the recall
+    // bound-assertion: per query, recall vs the exact brute top-k +
+    // the 0/1 above-floor gate; the oracle re-derives recall in SQL
+    // from the exported approx neighbor sets against its own brute
+    // top-k and pins the gate to 1). The raw top-k serving paths stay
+    // the library API and the BENCH/SCALING timing forms
+    // ([[benchQueries]]) so ladder rows remain cross-round comparable.
     "s01_ann_brute"       -> (Similarity.annBrute _),
-    "s02_ann_lsh"         -> (Similarity.annLsh _),
-    "s03_ann_ivf"         -> (Similarity.annIvf _),
-    "s04_ann_ivfpq"       -> (Similarity.annIvfPq _),
+    "s02_ann_lsh"         -> (Similarity.annLshChecked _),
+    "s03_ann_ivf"         -> (Similarity.annIvfChecked _),
+    "s04_ann_ivfpq"       -> (Similarity.annIvfPqChecked _),
     // s04 served from the persisted cell-partitioned PQ index (same
     // plan tail - the indexed path reproduces the batch path)
-    "s05_ann_pq_index"    -> (Similarity.annIvfPqIndexed _),
-    // approximate/sketch operators (engine-specific estimates: rows-only)
+    "s05_ann_pq_index"    -> (Similarity.annIvfPqIndexedChecked _),
+    // approximate/sketch operators — oracle-green as of r17 via the
+    // bound-assertion encoding: the estimate itself is engine-specific,
+    // so the query emits (exact side, 0/1 within-3σ gate) and the
+    // oracle recomputes the exact side + pins the gate to literal 1; a
+    // sketch regression flips a CORRECTNESS row, not a bench footnote
     "a01_approx_distinct" -> (Approx.approxDistinct _),
     "a02_hll_merge"       -> (Approx.hllMerge _),
-    // multimodal plumbing (stubbed decode, real batching: rows-only)
+    // multimodal plumbing (stubbed decode, real batching).
+    // Oracle-green as of r17: the stub "decode" is a byte histogram of
+    // the utf8 text stand-in content, which DuckDB re-derives in FULL
+    // from the documents table (pure-ASCII corpus: regex char-class
+    // counts = byte-bin masses) — no export needed
     "m01_multimodal_features" ->
       ((s, dir) => graft.multimodal.Multimodal.featureSummary(s, dir)),
     // real JDK codecs over synthesized containers for ALL THREE
     // modalities as of r14: ImageIO PNG, sampled-audio WAV, and
     // MJPEG-in-AVI video (RIFF walk + ImageIO JPEG frames); other
-    // video containers stay the declared stub (rows-only)
+    // video containers stay the declared stub. Oracle-green as of r17:
+    // the oracle re-derives counts + planted geometry
+    // (dims/rates/durations) from documents, the image rows' decoded
+    // bin-1 luma mass EXACTLY from the text bytes (PNG lossless, gray
+    // luma = byte), and pins the per-modality feature-sanity gate to 1
+    // (JPEG-lossy video rides the gate; see Multimodal.decodeSummary)
     "m02_media_decode" ->
       ((s, dir) => graft.multimodal.Multimodal.decodeSummary(s, dir)),
     // perceptual image dedup: real PNG decode → 64-bit dHash → the d03
@@ -218,6 +238,20 @@ object SparkEntry {
     // semanticDedupWithCents over corpus ∪ delta at every scale
     "d15b_semantic_dedup_indexed" ->
       ((s, dir) => SemanticDedup.semanticDedupIncrementalMod(s, dir, 3)),
+  )
+
+  /** Timing forms for Bench/ScalingBench. Where the driver-gate form
+    * wraps the serving path in a gate-only checker (s02–s05's recall
+    * bound-assertion adds an exact brute top-k + a tiny join that is
+    * NOT part of the served query), the graded timing stays the RAW
+    * serving path — ladder rows keep measuring the thing that scales,
+    * and stay comparable with pre-r17 records. Everything else times
+    * its [[queries]] form unchanged. */
+  def benchQueries: Map[String, Q] = queries ++ Map[String, Q](
+    "s02_ann_lsh"      -> (Similarity.annLsh _),
+    "s03_ann_ivf"      -> (Similarity.annIvf _),
+    "s04_ann_ivfpq"    -> (Similarity.annIvfPq _),
+    "s05_ann_pq_index" -> (Similarity.annIvfPqIndexed _),
   )
 
   /** d08/d14 oracle — transitive closure of the exact jaccard≥0.8
@@ -559,37 +593,39 @@ object SparkEntry {
     * oracle_sql.json (the query degrades to a rows-only check) instead
     * of failing spuriously against a right answer.
     *
-    * m05: the id-structural family-min oracle assumes the perceptual
-    * pair closures equal their family partitions (doc_id/4 for
-    * image/audio, doc_id/8 for video — half as many base patterns, so
-    * image sets the binding cross-family-collision constraint). Measured
-    * (graft.tools.M05Probe): exact through the driver gate's SFs, but
-    * at 500k docs the hash space is dense enough that 12 REAL
-    * cross-family hamming-5 pairs merge families — engine right,
-    * oracle wrong, 5/125k rows. Bound set at the largest corpus where
-    * exactness was verified (the 50k-doc sf0.1 bench corpus), below
-    * the 500k point where the divergence is measured. */
+    * m05 (r17): the family-min oracle is REFINED by banded
+    * cross-family edge discovery over the exported sig frames
+    * ([[m05OracleSql]]), so the r16 divergence point — 12 real
+    * cross-family hamming-5 pairs at 500k docs merging families,
+    * engine right / unrefined oracle wrong — is now inside the
+    * oracle's model. Validity through the Tier-2 sf10 corpus (500k
+    * docs, r17-verified row-exact); the remaining model assumption is
+    * within-family closure = the family itself (geometry invariant,
+    * closure-level specs) and bucket-cap non-engagement (below). */
   val oracleValidMaxDocs: Map[String, Long] = Map(
-    "m05_joint_media_survivors" -> 100000L,
-    "m05b_joint_media_survivors_indexed" -> 100000L,
-    // d03/m03/m04's brute hamming≤5 oracles share m05's bound flavor:
-    // exact only below the BUCKET-CAP regime. The engine's over-cap
-    // buckets (>MaxBucket=64 members — skewed key, the 100 TB skew
-    // contract) emit chain+star CONNECTIVITY pairs, not all pairs, so
-    // above cap engagement the engine correctly drops some true
-    // boundary pairs the brute join keeps (measured: d03 at the
-    // 5k-doc sf0.1 loses exactly 39 hamming-5 pairs, every one inside
-    // a single shared 68–100-wide bucket — verified by recomputing
-    // the combination-key widths in DuckDB). Bounds = the largest
-    // corpus where brute equality was VERIFIED: d03 at 500 docs
-    // (sf0.01 — its text families collide into wide 3-block buckets
-    // well before the media hashes do), m03/m04 at 5k docs (sf0.1,
-    // measured bit-exact). The engine-side contract above the bound
-    // stays pinned by the in-suite closure-level specs.
+    "m05_joint_media_survivors" -> 500000L,
+    "m05b_joint_media_survivors_indexed" -> 500000L,
+    // d03/m03/m04/m06's hamming≤5 pair oracles are exact only below
+    // the BUCKET-CAP regime. The engine's over-cap buckets
+    // (>MaxBucket=64 members — skewed key, the 100 TB skew contract)
+    // emit chain+star CONNECTIVITY pairs, not all pairs, so above cap
+    // engagement the engine correctly drops some true boundary pairs
+    // the oracle's exhaustive join keeps (measured: d03 at the 5k-doc
+    // sf0.1 loses exactly 39 hamming-5 pairs, every one inside a
+    // single shared 68–100-wide bucket — verified by recomputing the
+    // combination-key widths in DuckDB). Bounds = the largest corpus
+    // where oracle equality was VERIFIED: d03 at 500 docs (sf0.01 —
+    // its text families collide into wide 3-block buckets well before
+    // the media hashes do); m03/m04/m06 at 500k docs (the Tier-2 sf10
+    // corpus, r17: the banded — pigeonhole-exhaustive, = brute —
+    // oracle made the check feasible there, and the media combo-key
+    // buckets stay far below the cap at that density). The
+    // engine-side contract above each bound stays pinned by the
+    // in-suite closure-level specs.
     "d03_simhash" -> 500L,
-    "m03_image_neardup" -> 5000L,
-    "m04_audio_neardup" -> 5000L,
-    "m06_video_neardup" -> 5000L,
+    "m03_image_neardup" -> 500000L,
+    "m04_audio_neardup" -> 500000L,
+    "m06_video_neardup" -> 500000L,
     // d15/d15b oracles re-derive cell assignment with a FLAT argmax —
     // valid only in the single-level centroid regime (subPerCell = 1,
     // i.e. n ≤ DeepCellWidth·coarseCap ≈ 524k vectors); above it the
@@ -634,7 +670,20 @@ object SparkEntry {
     "d15_cents" -> (("d15_semantic_dedup",
       (s, dir) => SemanticDedup.trainedCentFrame(s, dir))),
     "d15b_cents" -> (("d15b_semantic_dedup_indexed",
-      (s, dir) => SemanticDedup.indexCentFrame(s, dir, 3))))
+      (s, dir) => SemanticDedup.indexCentFrame(s, dir, 3))),
+    // s02–s05: the approximate top-k NEIGHBOR SETS (the part SQL
+    // cannot re-derive — LSH probing / IVF training), deterministic by
+    // construction (hash-derived planes, seeded k-center training —
+    // pinned in PipelineOpsSpec), re-scored by the oracle against ITS
+    // OWN brute top-k to recompute each query's recall independently
+    "s02_ann" -> (("s02_ann_lsh",
+      (s, dir) => Similarity.annLsh(s, dir).select("query_id", "neighbor_id"))),
+    "s03_ann" -> (("s03_ann_ivf",
+      (s, dir) => Similarity.annIvf(s, dir).select("query_id", "neighbor_id"))),
+    "s04_ann" -> (("s04_ann_ivfpq",
+      (s, dir) => Similarity.annIvfPq(s, dir).select("query_id", "neighbor_id"))),
+    "s05_ann" -> (("s05_ann_pq_index",
+      (s, dir) => Similarity.annIvfPqIndexed(s, dir).select("query_id", "neighbor_id"))))
 
   /** DuckDB-runnable equivalents (same parquet tables registered under
     * their bare names). Keys absent here get a rows-only check. */
@@ -1236,20 +1285,10 @@ object SparkEntry {
     // driver gate's SF and diverges by 5 rows in 125k at sf10. The
     // boundary is machine-enforced: [[oracleValidMaxDocs]] makes
     // Verify omit this oracle above the verified corpus size.
-    "m05_joint_media_survivors" ->
-      """SELECT doc_id, n_chars FROM (
-        | SELECT doc_id, n_chars,
-        |  min(doc_id) OVER (PARTITION BY doc_id // 8) AS fam_min
-        | FROM documents)
-        |WHERE doc_id = fam_min ORDER BY doc_id""".stripMargin,
+    "m05_joint_media_survivors" -> m05OracleSql,
     // m05b: the maintained (index + mergeClusters) path must equal the
     // full-recompute m05 — same oracle, same validity bound
-    "m05b_joint_media_survivors_indexed" ->
-      """SELECT doc_id, n_chars FROM (
-        | SELECT doc_id, n_chars,
-        |  min(doc_id) OVER (PARTITION BY doc_id // 8) AS fam_min
-        | FROM documents)
-        |WHERE doc_id = fam_min ORDER BY doc_id""".stripMargin,
+    "m05b_joint_media_survivors_indexed" -> m05OracleSql,
     "d02_minhash_lsh" ->
       """WITH sh AS (
         | SELECT doc_id,
@@ -1293,32 +1332,14 @@ object SparkEntry {
         | ON a.doc_id < b.doc_id
         |WHERE bit_count(xor(a.simhash, b.simhash)) <= 5
         |ORDER BY doc_a, doc_b""".stripMargin,
-    // m03/m04: same conversion — the decode+hash pass is the export
-    // (no DuckDB image/audio codec), the pair machinery is the oracle.
-    "m03_image_neardup" ->
-      """SELECT a.media_id AS media_a, b.media_id AS media_b,
-        | CAST(bit_count(xor(a.sig, b.sig)) AS BIGINT) AS hamming
-        |FROM read_parquet('__EXPORTS__/m03_sigs/*.parquet') a
-        |JOIN read_parquet('__EXPORTS__/m03_sigs/*.parquet') b
-        | ON a.media_id < b.media_id
-        |WHERE bit_count(xor(a.sig, b.sig)) <= 5
-        |ORDER BY media_a, media_b""".stripMargin,
-    "m04_audio_neardup" ->
-      """SELECT a.media_id AS media_a, b.media_id AS media_b,
-        | CAST(bit_count(xor(a.sig, b.sig)) AS BIGINT) AS hamming
-        |FROM read_parquet('__EXPORTS__/m04_sigs/*.parquet') a
-        |JOIN read_parquet('__EXPORTS__/m04_sigs/*.parquet') b
-        | ON a.media_id < b.media_id
-        |WHERE bit_count(xor(a.sig, b.sig)) <= 5
-        |ORDER BY media_a, media_b""".stripMargin,
-    "m06_video_neardup" ->
-      """SELECT a.media_id AS media_a, b.media_id AS media_b,
-        | CAST(bit_count(xor(a.sig, b.sig)) AS BIGINT) AS hamming
-        |FROM read_parquet('__EXPORTS__/m06_sigs/*.parquet') a
-        |JOIN read_parquet('__EXPORTS__/m06_sigs/*.parquet') b
-        | ON a.media_id < b.media_id
-        |WHERE bit_count(xor(a.sig, b.sig)) <= 5
-        |ORDER BY media_a, media_b""".stripMargin,
+    // m03/m04/m06: same conversion — the decode+hash pass is the
+    // export (no DuckDB image/audio/video codec), the pair machinery
+    // is the oracle. As of r17 the oracle join is the BANDED
+    // (pigeonhole-exhaustive, provably = brute within hamming ≤5)
+    // form, so it stays linear-ish and runs at the Tier-2 sf10 scale.
+    "m03_image_neardup" -> bandedPairOracleSql("m03_sigs"),
+    "m04_audio_neardup" -> bandedPairOracleSql("m04_sigs"),
+    "m06_video_neardup" -> bandedPairOracleSql("m06_sigs"),
     "d05_embedding_neardup" ->
       """SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
         | round(CAST(list_cosine_similarity(a.embedding, b.embedding) AS DOUBLE), 2) AS cosine
@@ -1591,6 +1612,64 @@ object SparkEntry {
         |WHERE (a.vec_id % 3 = 0 OR b.vec_id % 3 = 0)
         |  AND list_cosine_similarity(a.embedding, b.embedding) >= 0.8
         |ORDER BY vec_a, vec_b""".stripMargin,
+    // m01 — the stub-decode feature summary, re-derived in FULL by the
+    // oracle: the stub's 8-bin byte histogram over the utf8 text
+    // stand-in content reduces, on this pure-ASCII corpus, to regex
+    // char-class counts (bin1 = bytes 0x20–0x3f, bin3 = 0x60–0x7f;
+    // the corpus contains no other byte — probed at sf0.01/sf0.1)
+    "m01_multimodal_features" ->
+      """SELECT modality, count(*) AS n,
+        | round(avg(CAST(strlen(text) AS DOUBLE)), 2) AS avg_bytes,
+        | round(avg(length(regexp_replace(text, '[^\x20-\x3f]', '', 'g'))
+        |           / CAST(strlen(text) AS DOUBLE)), 4) AS avg_f1,
+        | round(avg(length(regexp_replace(text, '[^\x60-\x7f]', '', 'g'))
+        |           / CAST(strlen(text) AS DOUBLE)), 4) AS avg_f3
+        |FROM (SELECT CASE CAST(doc_id % 3 AS INT)
+        |        WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END
+        |        AS modality, text
+        |      FROM documents) t
+        |GROUP BY modality ORDER BY modality""".stripMargin,
+    // m02 — real-codec decode summary: counts + planted geometry
+    // re-derived from documents; the image rows' decoded bin-1 luma
+    // mass recomputed EXACTLY from the text bytes the synthesizer
+    // cycled into the 256 gray pixels (PNG lossless; BT.601 integer
+    // luma of (v,v,v) = v); the lossy/analytic parts (JPEG video
+    // histograms, sine RMS) ride the feat_ok gate pinned to 1
+    "m02_media_decode" ->
+      """WITH m AS (
+        | SELECT doc_id, text,
+        |  CASE CAST(doc_id % 3 AS INT)
+        |   WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS modality
+        | FROM documents),
+        |imgf AS (
+        | SELECT doc_id,
+        |  len(list_filter(range(0, 256),
+        |      i -> substr(text, CAST(i % strlen(text) AS INT) + 1, 1) <= '?'))
+        |    / 256.0 AS f1
+        | FROM m WHERE modality = 'image')
+        |SELECT m.modality, count(*) AS n, count(*) AS n_decoded,
+        | round(CASE m.modality WHEN 'audio' THEN 0.0 ELSE 16.0 END, 2) AS avg_width,
+        | round(CASE m.modality WHEN 'audio' THEN 8000.0 ELSE 0.0 END, 2) AS avg_rate,
+        | round(CASE m.modality WHEN 'image' THEN 0.0
+        |        WHEN 'audio' THEN 0.05 ELSE 0.3 END, 4) AS avg_duration,
+        | round(avg(imgf.f1), 4) AS img_f1,
+        | CAST(1 AS BIGINT) AS feat_ok
+        |FROM m LEFT JOIN imgf USING (doc_id)
+        |GROUP BY m.modality ORDER BY m.modality""".stripMargin,
+    // a01/a02 — bound-assertion encoding (r16 verdict #1): the oracle
+    // recomputes the EXACT side and pins the within-3σ gate to literal
+    // 1. If the engine's HLL estimate drifts past 3·rsd (p=12 →
+    // 4.875 %), the engine emits 0, the oracle says 1, the row fails.
+    "a01_approx_distinct" ->
+      """SELECT event_type,
+        | count(DISTINCT user_id) AS exact_users,
+        | CAST(1 AS BIGINT) AS within_bound
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "a02_hll_merge" ->
+      """SELECT count(DISTINCT user_id) AS exact_users,
+        | count(DISTINCT event_type) AS n_sketches,
+        | CAST(1 AS BIGINT) AS within_bound
+        |FROM events""".stripMargin,
     "s01_ann_brute" ->
       """SELECT query_id, rank, neighbor_id, cosine FROM (
         | SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
@@ -1601,5 +1680,139 @@ object SparkEntry {
         | FROM embeddings q JOIN embeddings e ON e.vec_id != q.vec_id
         | WHERE q.vec_id < 5) t
         |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
+    // s02–s05 — recall bound-assertion (r16 verdict #2): DuckDB
+    // recomputes the exact brute top-k itself (s01's machinery),
+    // re-scores the engine's exported approx neighbor sets against it,
+    // and pins the above-floor gate to literal 1. A recall regression
+    // below 0.8 — or a buggy engine-side recall computation — fails
+    // the row. Ties in the brute ranking are exact-equality ties
+    // (planted duplicate vectors), broken by vec_id identically on
+    // both engines (the 16-round-green s01 hash pins that agreement).
+    "s02_ann_lsh" -> annRecallOracleSql("s02_ann"),
+    "s03_ann_ivf" -> annRecallOracleSql("s03_ann"),
+    "s04_ann_ivfpq" -> annRecallOracleSql("s04_ann"),
+    "s05_ann_pq_index" -> annRecallOracleSql("s05_ann"),
   )
+
+  /** The 56 combination-LSH bucket keys as DuckDB SQL — the EXACT
+    * mirror of [[graft.operators.Dedup.hammingBlockKeys]] (8×8-bit
+    * blocks, 3-of-8 combos, combo index disambiguating the key space).
+    * By the pigeonhole argument (≤5 flips leave ≥3 of 8 blocks intact)
+    * the banded self-join below is EXHAUSTIVE within hamming ≤5 — it
+    * equals the brute all-pairs join at ANY corpus size (verified
+    * empirically: identical row sets at sf0.01/sf0.1) while costing
+    * O(n·56 + candidates) instead of O(n²), which is what lets the
+    * media oracles ride the Tier-2 sf10 gate (500k docs) where a brute
+    * join is 2.5e11 comparisons. `>>` sign-extension is masked off per
+    * block, so signed 64-bit sigs key identically on both engines. */
+  private def bandedKeysSql: String = {
+    val combos = for {
+      i <- 0 until 8; j <- i + 1 until 8; k <- j + 1 until 8
+    } yield (i, j, k)
+    combos.zipWithIndex.map { case ((i, j, k), t) =>
+      s"(((sig >> ${8 * i}) & 255) | (((sig >> ${8 * j}) & 255) << 8)" +
+        s" | (((sig >> ${8 * k}) & 255) << 16) | (CAST($t AS BIGINT) << 24))"
+    }.mkString("[", ", ", "]")
+  }
+
+  /** Banded hamming-≤5 pair oracle over an exported 64-bit sig frame —
+    * the m03/m04/m06 shape (media_a, media_b, hamming). */
+  private def bandedPairOracleSql(export: String): String =
+    s"""WITH k AS (
+       | SELECT media_id, sig, unnest($bandedKeysSql) AS key
+       | FROM read_parquet('__EXPORTS__/$export/*.parquet'))
+       |SELECT DISTINCT a.media_id AS media_a, b.media_id AS media_b,
+       | CAST(bit_count(xor(a.sig, b.sig)) AS BIGINT) AS hamming
+       |FROM k a JOIN k b ON a.key = b.key AND a.media_id < b.media_id
+       |WHERE bit_count(xor(a.sig, b.sig)) <= 5
+       |ORDER BY media_a, media_b""".stripMargin
+
+  /** One modality's per-doc KEEP set for the m05 oracle: its base
+    * partition (doc_id//div — /4 families for image/audio, /8 for
+    * video) REFINED by the cross-group hamming-≤5 edges the hash
+    * density produces at scale (discovered from the exported sig frame
+    * via the exhaustive banding), closed at the GROUP level (edges are
+    * rare — 2 at 500k docs — so the recursion is family-count-sized),
+    * keep = docs equal to their component's min doc. Group mins come
+    * from the documents table itself, never from id arithmetic, so
+    * partial/unaligned id ranges stay correct. */
+  private def modalityKeepSql(name: String, export: String, div: Int): String =
+    s"""xe_$name AS (
+       | SELECT DISTINCT least(a.media_id // $div, b.media_id // $div) AS u,
+       |        greatest(a.media_id // $div, b.media_id // $div) AS v
+       | FROM (SELECT media_id, sig, unnest($bandedKeysSql) AS key
+       |       FROM read_parquet('__EXPORTS__/$export/*.parquet')) a
+       | JOIN (SELECT media_id, sig, unnest($bandedKeysSql) AS key
+       |       FROM read_parquet('__EXPORTS__/$export/*.parquet')) b
+       |  ON a.key = b.key AND a.media_id < b.media_id
+       | WHERE bit_count(xor(a.sig, b.sig)) <= 5
+       |   AND a.media_id // $div != b.media_id // $div),
+       |gm_$name AS (SELECT doc_id // $div AS g, min(doc_id) AS gmin
+       |             FROM documents GROUP BY 1),
+       |e2_$name AS (SELECT u, v FROM xe_$name
+       |             UNION SELECT v AS u, u AS v FROM xe_$name),
+       |r_$name AS (
+       | SELECT g AS u, g AS r FROM gm_$name
+       | UNION
+       | SELECT e.u, r_$name.r FROM e2_$name e JOIN r_$name ON e.v = r_$name.u),
+       |c_$name AS (SELECT u AS g, min(r) AS root FROM r_$name GROUP BY u),
+       |rootmin_$name AS (
+       | SELECT c.root, min(gm.gmin) AS cmin
+       | FROM c_$name c JOIN gm_$name gm ON c.g = gm.g GROUP BY c.root),
+       |keep_$name AS (
+       | SELECT d.doc_id FROM documents d
+       | JOIN c_$name c ON d.doc_id // $div = c.g
+       | JOIN rootmin_$name rm ON c.root = rm.root
+       | WHERE d.doc_id = rm.cmin)""".stripMargin
+
+  /** m05/m05b oracle — the engine's joint decision re-derived
+    * per modality: a document survives iff it is the min member (or
+    * unpaired) of its near-dup closure in EVERY modality — image and
+    * audio close over the doc_id//4 base families, video over the
+    * COARSER doc_id//8 chains, each refined by that modality's OWN
+    * cross-family edges ([[modalityKeepSql]]). The union-graph
+    * closure is NOT the decision semantics: an audio edge into the
+    * far half of a /8 family must not drop the near half's min (the
+    * one-row sf10 divergence that falsified the first r17 draft —
+    * engine right, union-closure oracle wrong). At driver SFs the
+    * edge sets are empty and this reduces to the r16 family-min
+    * oracle; at the Tier-2 sf10 corpus (500k docs, 2 real
+    * cross-family audio edges) it is r17-verified row-exact.
+    * Within-family closure = the family itself remains the geometry
+    * invariant the in-suite closure specs pin. */
+  private def m05OracleSql: String =
+    s"""WITH RECURSIVE
+       |${modalityKeepSql("img", "m03_sigs", 4)},
+       |${modalityKeepSql("aud", "m04_sigs", 4)},
+       |${modalityKeepSql("vid", "m06_sigs", 8)}
+       |SELECT d.doc_id, d.n_chars FROM documents d
+       |JOIN keep_img USING (doc_id)
+       |JOIN keep_aud USING (doc_id)
+       |JOIN keep_vid USING (doc_id)
+       |ORDER BY d.doc_id""".stripMargin
+
+  /** The shared s02–s05 oracle: brute top-10 per query in SQL, recall
+    * of the exported approx set against it, gate pinned to 1. */
+  private def annRecallOracleSql(export: String): String =
+    s"""WITH brute AS (
+       | SELECT query_id, neighbor_id FROM (
+       |  SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+       |   row_number() OVER (PARTITION BY q.vec_id
+       |     ORDER BY list_cosine_similarity(q.embedding, e.embedding) DESC,
+       |              e.vec_id) AS rank
+       |  FROM embeddings q JOIN embeddings e ON e.vec_id != q.vec_id
+       |  WHERE q.vec_id < 5) t
+       | WHERE rank <= 10),
+       |ap AS (
+       | SELECT query_id, neighbor_id
+       | FROM read_parquet('__EXPORTS__/$export/*.parquet')),
+       |hit AS (
+       | SELECT query_id, count(*) AS n_hit
+       | FROM brute JOIN ap USING (query_id, neighbor_id) GROUP BY 1),
+       |n AS (SELECT query_id, count(*) AS n_exact FROM brute GROUP BY 1)
+       |SELECT n.query_id,
+       | round(coalesce(n_hit, 0) / CAST(n_exact AS DOUBLE), 2) AS recall,
+       | CAST(1 AS BIGINT) AS above_floor
+       |FROM n LEFT JOIN hit USING (query_id)
+       |ORDER BY query_id""".stripMargin
 }

@@ -233,20 +233,62 @@ object Multimodal {
     }
   }
 
-  /** Real-decode summary per modality — the m02 driver shape: synthesize
-    * real PNG/WAV containers, run the REAL JDK decoders in the
-    * partition-batch path, aggregate what was decoded. Deterministic
-    * (rows-only driver check; no DuckDB media oracle exists). */
+  /** Real-decode summary per modality — the m02 driver shape:
+    * synthesize real PNG/WAV/MJPEG-AVI containers, run the REAL JDK
+    * decoders in the partition-batch path, aggregate what was decoded.
+    *
+    * Oracle-green as of r17: every emitted column is either
+    * independently re-derivable by the DuckDB oracle from the
+    * `documents` table + the synthesis geometry, or a 0/1 bound gate
+    * the oracle pins to 1.
+    *  - `n` — modality counts follow the doc_id % 3 cycle;
+    *  - `n_decoded` — EVERY synthesized container must decode (a codec
+    *    regression drops it below `n` and fails the row);
+    *  - `avg_width`/`avg_rate`/`avg_duration` — the planted geometry
+    *    (16×16 images and video frames; 8 kHz 400-frame WAV → 0.05 s;
+    *    3-frame 10 fps AVI → 0.3 s);
+    *  - `img_f1` — the strongest pin: the decoded luma-histogram bin-1
+    *    mass of the image rows. PNG is lossless and the gray ramp makes
+    *    BT.601 integer luma EQUAL the planted text byte
+    *    ((v·299+v·587+v·114)/1000 = v), so the oracle re-derives the
+    *    exact value from the text bytes the synthesizer cycled into the
+    *    256 pixels — the decode path reproduces planted pixel content
+    *    bit-for-bit or the row fails;
+    *  - `feat_ok` — per-modality feature sanity (histograms sum to 1,
+    *    image bin-0 empty since no text byte < 0x20; audio mono,
+    *    400 frames, RMS/peak of the 0.4-amplitude integer-cycle sine
+    *    in their analytic ranges), min over all rows. JPEG makes the
+    *    video histogram lossy, which is why video content rides this
+    *    gate rather than an exact column. */
   def decodeSummary(spark: SparkSession, dir: String): DataFrame = {
     val decoded = extractDecoded(spark, synthesizeMedia(spark, dir).toDF())
-    decoded.toDF()
+    val perDoc = decoded.toDF().select(
+      col("modality"), col("decoded"), col("width"), col("sample_rate"),
+      col("duration_s"),
+      element_at(col("features"), 1).as("f0"),
+      element_at(col("features"), 2).as("f1"),
+      element_at(col("features"), 3).as("f2"),
+      element_at(col("features"), 4).as("f3"),
+      aggregate(col("features"), lit(0.0), (a, x) => a + x).as("fsum"))
+    val histOk = abs(col("fsum") - 1.0) < 1e-9
+    val gate =
+      when(col("modality") === "image",
+        col("decoded") && histOk && col("f0") === 0.0)
+      .when(col("modality") === "audio",
+        col("decoded") && col("f2") === 1.0 && col("f3") === 400.0 &&
+          col("f0").between(0.25, 0.31) && // RMS of 0.4·sine, integer cycles
+          col("f1").between(col("f0"), 0.401)) // peak ≤ 0.4·32767/32768
+      .otherwise(col("decoded") && histOk)
+    perDoc
       .groupBy(col("modality"))
       .agg(
         count(lit(1)).as("n"),
         sum(when(col("decoded"), 1L).otherwise(0L)).as("n_decoded"),
         round(avg(col("width")), 2).as("avg_width"),
         round(avg(col("sample_rate")), 2).as("avg_rate"),
-        round(avg(element_at(col("features"), 1)), 4).as("avg_f0"))
+        round(avg(col("duration_s")), 4).as("avg_duration"),
+        round(avg(when(col("modality") === "image", col("f1"))), 4).as("img_f1"),
+        min(when(gate, 1L).otherwise(0L)).as("feat_ok"))
       .orderBy(col("modality"))
   }
 

@@ -637,6 +637,61 @@ object Similarity {
     annLsh(all, all.filter(col("vec_id") < NumQueries), K)
   }
 
+  /** The recall floor every approximate path must clear, pinned
+    * in-suite (PipelineOpsSpec) and — as of r17 — in the driver gate
+    * itself via [[recallChecked]]. Measured recalls across the
+    * sf0.001–sf10 ladder sit at 0.82–0.96 (SCALING json `recall_*`
+    * fields), so 0.80 is a true floor, not a tuned pass line. */
+  private[graft] val RecallFloor = 0.8
+
+  /** Bound-assertion form of an approximate ANN result (the r16
+    * verdict's conversion recipe): per query, the recall of `approx`
+    * against the exact brute top-k, plus a 0/1 gate asserting the
+    * MEAN recall clears [[RecallFloor]] — the mean, not per query,
+    * because the pinned contract (PipelineOpsSpec, the BENCH/SCALING
+    * `recall_*` fields) is the mean; individual queries legitimately
+    * dip (measured 0.7 on one sf0.01 LSH query inside a 0.82 mean).
+    * The gate is micro-averaged in INTEGER arithmetic
+    * (Σhits·5 ≥ Σexact·4 ⇔ mean ≥ 0.8 when every query has the same
+    * k) so no float boundary can flip it between engines. All frames
+    * are top-k-sized; the gate row joins back by broadcast cross —
+    * no driver collect. The driver oracle re-derives per-query recall
+    * in SQL from the exported approx neighbor sets against ITS OWN
+    * brute top-k and pins the gate to literal 1, so a recall
+    * regression (or a buggy engine-side recall computation) fails the
+    * CORRECTNESS row instead of surfacing only as a bench footnote. */
+  def recallChecked(s: SparkSession, dir: String, approx: DataFrame): DataFrame = {
+    val exact = annBrute(s, dir).select(col("query_id"), col("neighbor_id"))
+    val hits = exact
+      .join(approx.select(col("query_id"), col("neighbor_id")),
+        Seq("query_id", "neighbor_id"))
+      .groupBy(col("query_id")).agg(count(lit(1)).as("n_hit"))
+    val per = exact.groupBy(col("query_id")).agg(count(lit(1)).as("n_exact"))
+      .join(hits, Seq("query_id"), "left")
+      .select(col("query_id"),
+        coalesce(col("n_hit"), lit(0L)).as("n_hit"), col("n_exact"))
+    val gate = per.agg(
+      when(sum(col("n_hit")) * 5 >= sum(col("n_exact")) * 4, 1L)
+        .otherwise(0L).as("above_floor"))
+    per.crossJoin(broadcast(gate))
+      .select(col("query_id"),
+        round(col("n_hit") / col("n_exact"), 2).as("recall"),
+        col("above_floor"))
+      .orderBy(col("query_id"))
+  }
+
+  // The driver-contract checked forms of s02–s05 (the raw top-k frames
+  // remain the library API; these wrap them in the recall gate the
+  // oracle can re-derive).
+  def annLshChecked(s: SparkSession, dir: String): DataFrame =
+    recallChecked(s, dir, annLsh(s, dir))
+  def annIvfChecked(s: SparkSession, dir: String): DataFrame =
+    recallChecked(s, dir, annIvf(s, dir))
+  def annIvfPqChecked(s: SparkSession, dir: String): DataFrame =
+    recallChecked(s, dir, annIvfPq(s, dir))
+  def annIvfPqIndexedChecked(s: SparkSession, dir: String): DataFrame =
+    recallChecked(s, dir, annIvfPqIndexed(s, dir))
+
   /** Mean per-query recall of `approx` against the exact brute-force
     * top-k over the same dir — the round-over-round regression metric
     * the bench records next to each ANN timing (a one-time spec pin

@@ -60,4 +60,25 @@ class OracleExportsSpec extends SparkSpec {
     assert(cents === again)
     assert(cents.map(_._1).toSeq === cents.indices.map(_.toLong))
   }
+
+  test("s02-s05 ANN exports: a second run reproduces the approx frame bit-for-bit") {
+    // the export re-runs the approximate query (hash-derived planes,
+    // seeded k-center training, frozen persisted quantizer) — the
+    // recall the oracle recomputes from it is only the recall the
+    // checked query measured if the two runs agree exactly
+    import graft.operators.Similarity
+    def sets(df: org.apache.spark.sql.DataFrame) = df
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    Seq[(String, () => org.apache.spark.sql.DataFrame)](
+      ("s02", () => Similarity.annLsh(spark, Sf0001)),
+      ("s03", () => Similarity.annIvf(spark, Sf0001)),
+      ("s04", () => Similarity.annIvfPq(spark, Sf0001)),
+      ("s05", () => Similarity.annIvfPqIndexed(spark, Sf0001))
+    ).foreach { case (name, mk) =>
+      val a = sets(mk()); val b = sets(mk())
+      assert(a === b, s"$name approx frame not deterministic across runs")
+      assert(a.nonEmpty)
+    }
+  }
 }

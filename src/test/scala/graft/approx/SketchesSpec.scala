@@ -40,4 +40,28 @@ class SketchesSpec extends SparkSpec {
     assert(cms.estimateCount("cold1") >= 1)
     assert(cms.totalCount() == 1100)
   }
+
+  test("a01/a02 bound-assertion gates: green on real sketches, high-cardinality stress holds") {
+    // the r17 driver encoding: the queries emit a 0/1 within-3-sigma
+    // gate the oracle pins to literal 1. Green path at the driver SF:
+    val a01 = graft.operators.Approx.approxDistinct(spark, Sf001).collect()
+    assert(a01.length == 5 && a01.forall(_.getAs[Long]("within_bound") == 1L))
+    val a02 = graft.operators.Approx.hllMerge(spark, Sf001).head()
+    assert(a02.getAs[Long]("within_bound") == 1L
+      && a02.getAs[Long]("n_sketches") == 5L
+      && a02.getAs[Long]("exact_users") == 150L)
+    // the gate is a REAL 3-sigma check, not a tautology: at 500k
+    // distinct values (where HLL error is fully expressed, unlike the
+    // exact-mode driver cardinalities) the estimate still lands inside
+    // 3*rsd = 4.875% -- and the arithmetic flags a synthetic estimate
+    // planted just outside it
+    import spark.implicits._
+    val n = 500000
+    val est = (1 to n).toDF("v")
+      .agg(Sketches.approxDistinct(col("v")).as("e")).head().getLong(0)
+    val bound = 3.0 * Sketches.rsdForPrecision(12)
+    assert(math.abs(est - n).toDouble / n <= bound, s"estimate $est for $n")
+    assert(math.abs((n * 1.06).toLong - n).toDouble / n > bound,
+      "a 6% drift must fall outside the gate the oracle pins")
+  }
 }

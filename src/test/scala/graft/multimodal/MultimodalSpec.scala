@@ -129,6 +129,27 @@ class MultimodalSpec extends SparkSpec {
     assert(byMod("image").getAs[Double]("avg_width") == 16.0)
     assert(byMod("video").getAs[Double]("avg_width") == 16.0)
     assert(byMod("audio").getAs[Double]("avg_rate") == 8000.0)
+    // r17 oracle-green columns: planted durations, the per-modality
+    // feature-sanity gate, and the image bin-1 luma mass
+    assert(byMod("image").getAs[Double]("avg_duration") == 0.0)
+    assert(byMod("audio").getAs[Double]("avg_duration") == 0.05)
+    assert(byMod("video").getAs[Double]("avg_duration") == 0.3)
+    assert(rows.forall(_.getAs[Long]("feat_ok") == 1L),
+      "every decoded row must clear its modality's feature-sanity gate")
+    // img_f1 equals the text-derived expectation computed INDEPENDENTLY
+    // of the codec path: PNG is lossless and gray luma = the planted
+    // byte, so the decoded histogram must reproduce the cycled text
+    // bytes bit-for-bit (what the DuckDB oracle also re-derives)
+    val docs = graft.core.Tables.load(spark, Sf0001, "documents")
+      .select("doc_id", "text").collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("text")).toMap
+    val imgDocs = docs.keys.filter(_ % 3 == 0).toSeq
+    val expect = imgDocs.map { id =>
+      val bytes = docs(id).getBytes("UTF-8")
+      (0 until 256).count(i => (bytes(i % bytes.length) & 0xFF) < 64) / 256.0
+    }.sum / imgDocs.size
+    val got = byMod("image").getAs[Double]("img_f1")
+    assert(math.abs(got - expect) < 5e-5, s"img_f1 $got vs text-derived $expect")
   }
 
   test("MJPEG-AVI round-trip: header info, frame chunks, sampled decode") {

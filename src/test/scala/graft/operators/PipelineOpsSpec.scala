@@ -619,4 +619,25 @@ class PipelineOpsSpec extends SparkSpec {
     // none of them may reach 1.0 via the planting itself
     assert(cov.size >= 500)
   }
+
+  test("recallChecked: green on the real LSH path, gate flips on a degraded approx set") {
+    import org.apache.spark.sql.functions._
+    val real = Similarity.recallChecked(spark, Sf001,
+      Similarity.annLsh(spark, Sf001)).collect()
+    assert(real.length == 5 && real.forall(_.getAs[Long]("above_floor") == 1L),
+      "the shipping LSH path must clear the mean-recall floor")
+    // a regressed ANN (here: garbage neighbors for most queries) must
+    // flip the gate to 0 — this is exactly what the driver oracle pins
+    // to literal 1, so the regression fails a CORRECTNESS row
+    val s2 = spark
+    import s2.implicits._
+    val junk = (0L until 5L).flatMap(q => (900L to 909L).map(n => (q, n)))
+      .toDF("query_id", "neighbor_id")
+    val bad = Similarity.recallChecked(spark, Sf001, junk).collect()
+    assert(bad.forall(_.getAs[Long]("above_floor") == 0L),
+      "a collapsed approx set must fail the mean-recall gate")
+    // per-query recall is a real recomputation, not a constant: the
+    // junk set scores ~0 everywhere
+    assert(bad.forall(_.getAs[Double]("recall") <= 0.1))
+  }
 }
