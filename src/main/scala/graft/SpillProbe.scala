@@ -144,7 +144,11 @@ object SpillProbe {
       val t0 = System.nanoTime()
       val outcome =
         try {
-          SparkEntry.queries.getOrElse(name, ScalingBench.Extra(name))(
+          // benchQueries: probe the SERVING form where the driver-gate
+          // form is a gate-only wrapper (s02–s05) — same reasoning as
+          // Bench/ScalingBench, and it keeps spill rows comparable
+          // with the committed pre-r17 record
+          SparkEntry.benchQueries.getOrElse(name, ScalingBench.Extra(name))(
             spark, sfDir).count()
           "ok"
         }
