@@ -175,7 +175,8 @@ object Multimodal {
     * external media files. */
   def synthesizeMedia(spark: SparkSession, dir: String): Dataset[MediaRecord] = {
     import spark.implicits._
-    fromDocuments(spark, dir).as[MediaRecord].mapPartitions { it =>
+    graft.core.Parallelize.spread(fromDocuments(spark, dir), col("media_id"))
+      .as[MediaRecord].mapPartitions { it =>
       javax.imageio.ImageIO.setUseCache(false)
       it.map { r =>
         val content = if (r.content == null) Array.emptyByteArray else r.content
@@ -472,9 +473,10 @@ object Multimodal {
   def syntheticAudioCorpus(docs: DataFrame): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    docs.select(col("doc_id")).as[Long].mapPartitions { it =>
-      it.map(id => (id, renderFamilyWav(id)))
-    }.toDF("media_id", "content")
+    graft.core.Parallelize.spread(docs.select(col("doc_id")), col("doc_id"))
+      .as[Long].mapPartitions { it =>
+        it.map(id => (id, renderFamilyWav(id)))
+      }.toDF("media_id", "content")
   }
 
   /** Audio near-duplicate pairs (m04): decode every clip with the REAL
@@ -516,10 +518,11 @@ object Multimodal {
   def syntheticImageCorpus(docs: DataFrame): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    docs.select(col("doc_id")).as[Long].mapPartitions { it =>
-      javax.imageio.ImageIO.setUseCache(false) // per-partition codec setup
-      it.map(id => (id, renderFamilyPng(id)))
-    }.toDF("media_id", "content")
+    graft.core.Parallelize.spread(docs.select(col("doc_id")), col("doc_id"))
+      .as[Long].mapPartitions { it =>
+        javax.imageio.ImageIO.setUseCache(false) // per-partition codec setup
+        it.map(id => (id, renderFamilyPng(id)))
+      }.toDF("media_id", "content")
   }
 
   /** Image near-duplicate pairs (m03): decode every image with the REAL
@@ -563,10 +566,11 @@ object Multimodal {
   def syntheticVideoCorpus(docs: DataFrame): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    docs.select(col("doc_id")).as[Long].mapPartitions { it =>
-      javax.imageio.ImageIO.setUseCache(false)
-      it.map(id => (id, renderFamilyAvi(id)))
-    }.toDF("media_id", "content")
+    graft.core.Parallelize.spread(docs.select(col("doc_id")), col("doc_id"))
+      .as[Long].mapPartitions { it =>
+        javax.imageio.ImageIO.setUseCache(false)
+        it.map(id => (id, renderFamilyAvi(id)))
+      }.toDF("media_id", "content")
   }
 
   /** Decode-and-hash pass for the video modality: (media_id, sig) via
@@ -837,7 +841,8 @@ object Multimodal {
   /** Aggregate extracted features per modality (deterministic output for
     * the driver's rows-only check). */
   def featureSummary(spark: SparkSession, dir: String): DataFrame = {
-    val feats = extractFeatures(spark, fromDocuments(spark, dir))
+    val feats = extractFeatures(spark,
+      graft.core.Parallelize.spread(fromDocuments(spark, dir), col("media_id")))
     feats.toDF()
       .select(Seq(col("modality"), col("n_bytes")) ++
         (0 until 8).map(i => element_at(col("features"), i + 1).as(s"f$i")): _*)

@@ -230,7 +230,8 @@ object Dedup {
     jaccardVerified(hashed, bucketPairs(bandedSignatures(hashed), Seq("bh")))
 
   def minhashLsh(s: SparkSession, dir: String): DataFrame =
-    minhashLsh(Tables.load(s, dir, "documents"))
+    minhashLsh(graft.core.Parallelize.spread(
+      Tables.load(s, dir, "documents"), col("doc_id")))
 
   /** Max hamming distance for SimHash near-dups. Short small-vocabulary
     * documents flip a few bits per token edit (measured: true near-dups
@@ -286,7 +287,8 @@ object Dedup {
         docs.sparkSession, tokens(col("text"))).as("simhash"))
 
   def simhashSigs(s: SparkSession, dir: String): DataFrame =
-    simhashSigFrame(Tables.load(s, dir, "documents"))
+    simhashSigFrame(graft.core.Parallelize.spread(
+      Tables.load(s, dir, "documents"), col("doc_id")))
 
   /** Generic 64-bit-signature hamming near-dup: the d03 bucket geometry
     * over ANY (doc_id, 64-bit signature) frame — text SimHash (d03) and
@@ -348,7 +350,8 @@ object Dedup {
   }
 
   def simhash(s: SparkSession, dir: String): DataFrame =
-    simhash(Tables.load(s, dir, "documents"))
+    simhash(graft.core.Parallelize.spread(
+      Tables.load(s, dir, "documents"), col("doc_id")))
 
   /** Hamming near-dup pairs TOUCHING a delta batch of 64-bit
     * signatures, probed against a PERSISTED bucket corpus
@@ -544,7 +547,8 @@ object Dedup {
   }
 
   def ngramJaccard(s: SparkSession, dir: String): DataFrame =
-    ngramJaccard(Tables.load(s, dir, "documents"))
+    ngramJaccard(graft.core.Parallelize.spread(
+      Tables.load(s, dir, "documents"), col("doc_id")))
 
   // ---- embedding near-dup: hyperplane-LSH candidates + exact verify ----
 
@@ -994,7 +998,8 @@ object Dedup {
   }
 
   def embeddingNearDup(s: SparkSession, dir: String): DataFrame =
-    embeddingNearDup(Tables.load(s, dir, "embeddings"))
+    embeddingNearDup(graft.core.Parallelize.spread(
+      Tables.load(s, dir, "embeddings"), col("vec_id")))
 
   /** The d06 demo corpus: `embeddings` plus a perturbed re-entry of the
     * first 20 vectors under `vec_id + 10⁶` (deterministic per-dimension
@@ -1026,8 +1031,9 @@ object Dedup {
     * Demonstrated over [[plantedProductionCorpus]] so the result (and
     * its oracle row) is non-empty at test SFs. */
   def embeddingNearDupHi(s: SparkSession, dir: String): DataFrame =
-    embeddingNearDup(plantedProductionCorpus(Tables.load(s, dir, "embeddings")),
-      ProductionEmbTau)
+    embeddingNearDup(graft.core.Parallelize.spread(
+      plantedProductionCorpus(Tables.load(s, dir, "embeddings")),
+      col("vec_id")), ProductionEmbTau)
 
   // ---- incremental near-dup against a persisted signature index ----
 
@@ -1071,8 +1077,11 @@ object Dedup {
     val idx = graft.index.SignatureIndex
     // Both materialized: deltaSh feeds the band derivation AND the
     // verify-side union — un-checkpointed, the verify job re-shingles
-    // the whole delta from raw text a second time.
-    val deltaSh = hashedShingleSets(deltaDocs).localCheckpoint(true)
+    // the whole delta from raw text a second time. The delta arrives as
+    // a (often single-file) scan slice, so the shingle kernel gets the
+    // spread copy — delta-proportional work should still use every slot.
+    val deltaSh = hashedShingleSets(graft.core.Parallelize.spread(
+      deltaDocs, col("doc_id"))).localCheckpoint(true)
     val deltaBands = bandedSignatures(deltaSh).localCheckpoint(true)
     incrementalPairsFrames(deltaSh, deltaBands,
       idx.bands(s, indexPath), idx.shingles(s, indexPath),
@@ -1217,7 +1226,9 @@ object Dedup {
     val s = deltaEmb.sparkSession
     val idx = graft.index.EmbSignatureIndex
     val bits = idx.meta(s, indexPath)._1
-    val e = embNormed(deltaEmb)
+    // the delta is a scan slice: spread it so the signature/sketch
+    // kernels and the verify use every slot (delta-proportional work)
+    val e = embNormed(graft.core.Parallelize.spread(deltaEmb, col("vec_id")))
     val dBase = idx.signatureRows(e, bits).localCheckpoint(true)
     incrementalEmbPairsFrames(e, dBase, bits,
       idx.sigs(s, indexPath), idx.vecs(s, indexPath),
@@ -1396,7 +1407,8 @@ object Dedup {
   }
 
   def substringDedup(s: SparkSession, dir: String): DataFrame =
-    substringDedup(Tables.load(s, dir, "documents"))
+    substringDedup(graft.core.Parallelize.spread(
+      Tables.load(s, dir, "documents"), col("doc_id")))
 
   // ---- duplicate-cluster extraction (connected components) ----
 

@@ -54,9 +54,13 @@ final class DedupPipeline(
     sys.error("video-modality derivation on a pipeline without video"))
 
   /** Exact-verified text near-dup pairs (the d02 result), computed and
-    * materialized once per pipeline. Result-sized. */
+    * materialized once per pipeline. Result-sized. Pair FORMATION gets
+    * the spread copy of the corpus (the shingle/signature kernels are
+    * the expensive map stage); the decision joins below keep the RAW
+    * frame so the corpus side still streams un-shuffled. */
   lazy val textPairs: DataFrame =
-    Dedup.minhashLsh(docsF).localCheckpoint(true)
+    Dedup.minhashLsh(graft.core.Parallelize.spread(docsF, col("doc_id")))
+      .localCheckpoint(true)
 
   /** Text-modality duplicate clusters (the d08 result): connected
     * components over [[textPairs]]. Survivor-decision-sized. */
@@ -67,7 +71,9 @@ final class DedupPipeline(
   /** Exact-verified embedding near-dup pairs at [[tau]] (the d06
     * result over the instance's embedding frame). */
   lazy val embPairs: DataFrame =
-    Dedup.embeddingNearDup(embF, tau).localCheckpoint(true)
+    Dedup.embeddingNearDup(
+      graft.core.Parallelize.spread(embF, col("vec_id")), tau)
+      .localCheckpoint(true)
 
   /** Embedding-modality duplicate clusters (the d09 result). */
   lazy val embClusters: DataFrame =

@@ -47,7 +47,10 @@ object TrainingCorpus {
     * integer-exact quality — the only pass that touches text in the
     * gate/dedup stages (shared by the full build and the delta path). */
   private[graft] def scoredScan(docs: DataFrame): DataFrame =
-    docs.select(
+    // every caller hands a scan slice (train split / delta batch), and
+    // the fingerprint+token+quality kernels are the expensive map work
+    // — spread so they use every slot instead of one scan task
+    graft.core.Parallelize.spread(docs, col("doc_id")).select(
       col("doc_id"), col("source"),
       md5Fingerprint(col("text")).as("fp"),
       tokenCount(col("text")).as("n_tokens"),
@@ -93,9 +96,12 @@ object TrainingCorpus {
       .localCheckpoint(true)
     // decontamination: shingle-explode ONLY the gate survivors (the
     // semi-join prune runs before the expensive 5-gram explode), then
-    // the t09 hash join against the benchmark shingle set
-    val survivorText = trainDocs.join(
-      kept.select(col("doc_id")), Seq("doc_id"), "left_semi")
+    // the t09 hash join against the benchmark shingle set. The scan
+    // side spreads BEFORE the semi-join so the explode inherits full
+    // parallelism (a broadcast semi-join preserves the big side's
+    // partitioning — 1 scan task otherwise)
+    val survivorText = graft.core.Parallelize.spread(trainDocs, col("doc_id"))
+      .join(kept.select(col("doc_id")), Seq("doc_id"), "left_semi")
     val contaminated = TextAnalysis.decontaminate(survivorText, benchmarkDocs)
       .select(col("doc_id"))
     kept.join(contaminated, Seq("doc_id"), "left_anti")
@@ -193,14 +199,17 @@ object TrainingCorpus {
       .select(col("doc_id"), col("source"), col("n_tokens"))
       .localCheckpoint(true)
     // near-dup closure over the gated pool only — the LSH shingle
-    // pass is the expensive scan, so it runs over gate survivors
-    val keptText = trainDocs.join(
+    // pass is the expensive scan, so it runs over gate survivors.
+    // The scan side spreads before each semi-join (broadcast semi
+    // preserves big-side partitioning; see cleanPool)
+    val trainSpread = graft.core.Parallelize.spread(trainDocs, col("doc_id"))
+    val keptText = trainSpread.join(
       kept.select(col("doc_id")), Seq("doc_id"), "left_semi")
     val dropped = DedupPipeline.text(keptText).textDropIds
     val fuzzy = kept.join(dropped, Seq("doc_id"), "left_anti")
       .localCheckpoint(true)
     // decontaminate only the fuzzy survivors (semi-join before explode)
-    val survivorText = trainDocs.join(
+    val survivorText = trainSpread.join(
       fuzzy.select(col("doc_id")), Seq("doc_id"), "left_semi")
     val contaminated = TextAnalysis.decontaminate(survivorText, benchmarkDocs)
       .select(col("doc_id"))
@@ -316,8 +325,8 @@ object TrainingCorpus {
     // decontaminate ONLY the delta survivors against the persisted
     // benchmark shingle set (same semi-join-before-explode prune as
     // the full build)
-    val survivorText = deltaDocs.join(
-      kept.select(col("doc_id")), Seq("doc_id"), "left_semi")
+    val survivorText = graft.core.Parallelize.spread(deltaDocs, col("doc_id"))
+      .join(kept.select(col("doc_id")), Seq("doc_id"), "left_semi")
     val deltaSh = survivorText.select(col("doc_id"),
       explode(graft.functions.LshFunctions.hashedShingles(
         s, tokens(col("text")), 5)).as("h"))
@@ -416,7 +425,7 @@ object TrainingCorpus {
 
     // delta pair formation against the persisted signature index
     // (pairs touching tombstoned docs are dropped inside the fold)
-    val deltaKeptText = deltaDocs
+    val deltaKeptText = graft.core.Parallelize.spread(deltaDocs, col("doc_id"))
       .join(keptFlag.select(col("doc_id")), Seq("doc_id"), "left_semi")
     val deltaSh = Dedup.hashedShingleSets(deltaKeptText) // materialized inside
     val deltaBands = Dedup.bandedSignatures(deltaSh).localCheckpoint(true)
