@@ -763,10 +763,17 @@ object Multimodal {
     * only because this build ran inside the probe's timed region). */
   private[graft] def ensureJointMediaIndexes(s: SparkSession,
       dir: String, mod: Int = 3): Unit = {
-    Seq(("img", ensureImageIndexMod(s, dir, mod)),
-        ("aud", ensureAudioIndexMod(s, dir, mod)),
-        ("vid8b", ensureVideoIndexMod(s, dir, mod))).foreach {
-      case (tag, hashPath) =>
+    // one future per modality (guide §2.6): the three decode+hash+CC
+    // build DAGs are independent and write disjoint index paths, so a
+    // cold build overlaps instead of serializing three corpus decodes
+    import scala.concurrent.{Await, Future, blocking}
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val builds = Seq[(String, () => String)](
+      ("img", () => ensureImageIndexMod(s, dir, mod)),
+      ("aud", () => ensureAudioIndexMod(s, dir, mod)),
+      ("vid8b", () => ensureVideoIndexMod(s, dir, mod))).map {
+      case (tag, ensureHash) => Future(blocking {
+        val hashPath = ensureHash()
         val ccPath = graft.index.IndexCache.pathFor(
           s, s"$dir/documents.parquet", s"${tag}cc-mod=$mod")
         if (!graft.index.ClusterIndex.ready(s, ccPath))
@@ -775,7 +782,9 @@ object Multimodal {
               graft.index.MediaHashIndex.pairsFromIndex(s, hashPath, 5)
                 .select(col("media_a").as("doc_a"), col("media_b").as("doc_b"))),
             ccPath)
+      })
     }
+    builds.foreach(Await.result(_, scala.concurrent.duration.Duration.Inf))
   }
 
   /** Driver binding at the REALISTIC cadence (mod=30, the d07b daily-
@@ -816,9 +825,17 @@ object Multimodal {
         graft.index.ClusterIndex.load(s, ccPath), deltaPairs)
     }
 
-    val imgC = modalityClusters("img", syntheticImageCorpus, imageSigFrame)
-    val audC = modalityClusters("aud", syntheticAudioCorpus, audioSigFrame)
-    val vidC = modalityClusters("vid8b", syntheticVideoCorpus, videoSigFrame)
+    // the three delta probe+merge chains are independent until the
+    // decision join — overlap them (guide §2.6; same shape as the
+    // DedupPipeline media chains). modalityClusters materializes its
+    // delta-sized frames eagerly inside the future.
+    import scala.concurrent.{Await, Future, blocking}
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val Seq(imgC, audC, vidC) = Await.result(Future.sequence(Seq(
+      Future(blocking(modalityClusters("img", syntheticImageCorpus, imageSigFrame))),
+      Future(blocking(modalityClusters("aud", syntheticAudioCorpus, audioSigFrame))),
+      Future(blocking(modalityClusters("vid8b", syntheticVideoCorpus, videoSigFrame))))),
+      scala.concurrent.duration.Duration.Inf)
     def dropIds(c: DataFrame) =
       c.filter(col("doc_id") =!= col("cluster_id")).select(col("doc_id"))
     // materialize the decision-sized drop set once and size the join

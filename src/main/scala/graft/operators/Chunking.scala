@@ -53,5 +53,6 @@ object Chunking {
   }
 
   def tokenChunks(s: SparkSession, dir: String): DataFrame =
-    tokenChunks(Tables.load(s, dir, "documents"))
+    tokenChunks(graft.core.Parallelize.spread(
+      Tables.load(s, dir, "documents"), col("doc_id")))
 }

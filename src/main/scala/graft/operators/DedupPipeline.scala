@@ -53,34 +53,72 @@ final class DedupPipeline(
   private def videoF = video.getOrElse(
     sys.error("video-modality derivation on a pipeline without video"))
 
+  // ---- per-modality pair+cluster chains, one future each -------------
+  //
+  // Each modality's pairs→clusters chain is an INDEPENDENT job DAG.
+  // Computing them on separate driver threads lets the scheduler
+  // back-fill one chain's stragglers/barriers with another chain's
+  // tasks (optimization guide §2.6 — actions are only sequential
+  // because driver code calls them sequentially); the multi-modality
+  // decisions (d12's jointSurvivors, m05's jointMediaSurvivors) kick
+  // every chain they need BEFORE awaiting any. Results are unchanged:
+  // every chain is a deterministic function materialized by eager
+  // localCheckpoints, and the decision joins await all inputs.
+  //
+  // Deadlock note: a chain future must never touch this object's lazy
+  // vals (Scala lazy-val init synchronizes on the instance, and the
+  // awaiting accessor holds that monitor) — chain bodies close over
+  // the constructor frames and library calls only.
+
+  private def chainF[A](body: => A): scala.concurrent.Future[A] =
+    scala.concurrent.Future(scala.concurrent.blocking(body))(
+      scala.concurrent.ExecutionContext.global)
+  private def await[A](f: scala.concurrent.Future[A]): A =
+    scala.concurrent.Await.result(f, scala.concurrent.duration.Duration.Inf)
+
+  /** Text chain: minhash-LSH exact-verified pairs (d02) → connected
+    * components (d08). Pair FORMATION gets the spread copy of the
+    * corpus (the shingle/signature kernels are the expensive map
+    * stage); the decision joins below keep the RAW frame so the corpus
+    * side still streams un-shuffled. */
+  private lazy val textChain: scala.concurrent.Future[(DataFrame, DataFrame)] = {
+    val in = graft.core.Parallelize.spread(docsF, col("doc_id"))
+    chainF {
+      val pairs = Dedup.minhashLsh(in).localCheckpoint(true)
+      val clusters = Dedup.clustersFromPairs(
+        pairs.select(col("doc_a"), col("doc_b"))).localCheckpoint(true)
+      (pairs, clusters)
+    }
+  }
+
+  /** Embedding chain: cosine≥τ exact-verified pairs (d06) → connected
+    * components (d09). */
+  private lazy val embChain: scala.concurrent.Future[(DataFrame, DataFrame)] = {
+    val in = graft.core.Parallelize.spread(embF, col("vec_id"))
+    chainF {
+      val pairs = Dedup.embeddingNearDup(in, tau).localCheckpoint(true)
+      val clusters = Dedup.clustersFromPairs(
+        pairs.select(col("vec_a").as("doc_a"), col("vec_b").as("doc_b")))
+        .select(col("doc_id").as("vec_id"), col("cluster_id"))
+        .localCheckpoint(true)
+      (pairs, clusters)
+    }
+  }
+
   /** Exact-verified text near-dup pairs (the d02 result), computed and
-    * materialized once per pipeline. Result-sized. Pair FORMATION gets
-    * the spread copy of the corpus (the shingle/signature kernels are
-    * the expensive map stage); the decision joins below keep the RAW
-    * frame so the corpus side still streams un-shuffled. */
-  lazy val textPairs: DataFrame =
-    Dedup.minhashLsh(graft.core.Parallelize.spread(docsF, col("doc_id")))
-      .localCheckpoint(true)
+    * materialized once per pipeline. Result-sized. */
+  lazy val textPairs: DataFrame = await(textChain)._1
 
   /** Text-modality duplicate clusters (the d08 result): connected
     * components over [[textPairs]]. Survivor-decision-sized. */
-  lazy val textClusters: DataFrame =
-    Dedup.clustersFromPairs(textPairs.select(col("doc_a"), col("doc_b")))
-      .localCheckpoint(true)
+  lazy val textClusters: DataFrame = await(textChain)._2
 
   /** Exact-verified embedding near-dup pairs at [[tau]] (the d06
     * result over the instance's embedding frame). */
-  lazy val embPairs: DataFrame =
-    Dedup.embeddingNearDup(
-      graft.core.Parallelize.spread(embF, col("vec_id")), tau)
-      .localCheckpoint(true)
+  lazy val embPairs: DataFrame = await(embChain)._1
 
   /** Embedding-modality duplicate clusters (the d09 result). */
-  lazy val embClusters: DataFrame =
-    Dedup.clustersFromPairs(
-      embPairs.select(col("vec_a").as("doc_a"), col("vec_b").as("doc_b")))
-      .select(col("doc_id").as("vec_id"), col("cluster_id"))
-      .localCheckpoint(true)
+  lazy val embClusters: DataFrame = await(embChain)._2
 
   /** Doc ids the text modality drops: cluster members that are not
     * their component's min. */
@@ -124,38 +162,54 @@ final class DedupPipeline(
   /** Cross-modal survivors (d12): both modalities' drop sets union
     * into one anti-join. Ids present in only one modality are judged
     * by that modality alone. */
-  def jointSurvivors: DataFrame =
+  def jointSurvivors: DataFrame = {
+    // kick BOTH modality chains before awaiting either — the scheduler
+    // overlaps their independent job DAGs (guide §2.6)
+    textChain; embChain
     docsF.join(dropHint(textClusterCount + embClusterCount)(
         textDropIds.unionByName(embDropIds).distinct()),
         Seq("doc_id"), "left_anti")
       .select(col("doc_id"), col("n_chars"))
       .orderBy(col("doc_id"))
+  }
+
+  /** Media chain for one perceptual modality: synth/decode+hash+LSH
+    * pairs → connected components, relabeled to (media_id,
+    * cluster_id). Same future-per-chain shape as [[textChain]]. */
+  private def mediaChainF(frame: DataFrame,
+      neardup: DataFrame => DataFrame)
+      : scala.concurrent.Future[(DataFrame, DataFrame)] =
+    chainF {
+      val pairs = neardup(frame).localCheckpoint(true)
+      val clusters = Dedup.clustersFromPairs(pairs
+          .select(col("media_a").as("doc_a"), col("media_b").as("doc_b")))
+        .select(col("doc_id").as("media_id"), col("cluster_id"))
+        .localCheckpoint(true)
+      (pairs, clusters)
+    }
+
+  private lazy val imageChain = mediaChainF(imagesF,
+    graft.multimodal.Multimodal.imageNeardup)
+  private lazy val audioChain = mediaChainF(audioF,
+    graft.multimodal.Multimodal.audioNeardup)
+  private lazy val videoChain = mediaChainF(videoF,
+    graft.multimodal.Multimodal.videoNeardup)
 
   /** Perceptual image near-dup pairs (the m03 result over the
     * instance's image frame) — decode + dHash + combination-LSH. */
-  lazy val imagePairs: DataFrame =
-    graft.multimodal.Multimodal.imageNeardup(imagesF).localCheckpoint(true)
+  lazy val imagePairs: DataFrame = await(imageChain)._1
 
   /** Image-modality duplicate clusters: [[Dedup.clustersFromPairs]] is
     * modality-agnostic, so media ids flow through the same CC step as
     * text/embeddings (media_id and doc_id share the id space — the
     * cross-modal join contract, as with vec_id). */
-  lazy val imageClusters: DataFrame =
-    Dedup.clustersFromPairs(imagePairs
-        .select(col("media_a").as("doc_a"), col("media_b").as("doc_b")))
-      .select(col("doc_id").as("media_id"), col("cluster_id"))
-      .localCheckpoint(true)
+  lazy val imageClusters: DataFrame = await(imageChain)._2
 
   /** Perceptual audio near-dup pairs (the m04 result). */
-  lazy val audioPairs: DataFrame =
-    graft.multimodal.Multimodal.audioNeardup(audioF).localCheckpoint(true)
+  lazy val audioPairs: DataFrame = await(audioChain)._1
 
   /** Audio-modality duplicate clusters. */
-  lazy val audioClusters: DataFrame =
-    Dedup.clustersFromPairs(audioPairs
-        .select(col("media_a").as("doc_a"), col("media_b").as("doc_b")))
-      .select(col("doc_id").as("media_id"), col("cluster_id"))
-      .localCheckpoint(true)
+  lazy val audioClusters: DataFrame = await(audioChain)._2
 
   /** Ids the image modality drops (cluster members that are not their
     * component's min), as a doc_id frame. */
@@ -171,16 +225,11 @@ final class DedupPipeline(
   /** Perceptual video near-dup pairs (the m06 result over the
     * instance's clip frame) — AVI decode + middle-frame dHash +
     * combination-LSH; the pair machinery sees 8-byte sigs only. */
-  lazy val videoPairs: DataFrame =
-    graft.multimodal.Multimodal.videoNeardup(videoF).localCheckpoint(true)
+  lazy val videoPairs: DataFrame = await(videoChain)._1
 
   /** Video-modality duplicate clusters — the third member of the
     * perceptual family, through the same modality-agnostic CC step. */
-  lazy val videoClusters: DataFrame =
-    Dedup.clustersFromPairs(videoPairs
-        .select(col("media_a").as("doc_a"), col("media_b").as("doc_b")))
-      .select(col("doc_id").as("media_id"), col("cluster_id"))
-      .localCheckpoint(true)
+  lazy val videoClusters: DataFrame = await(videoChain)._2
 
   /** Ids the video modality drops. */
   def videoDropIds: DataFrame =
@@ -195,6 +244,10 @@ final class DedupPipeline(
     * decision-sized drop sets union, the corpus streams through
     * un-shuffled. */
   def jointMediaSurvivors: DataFrame = {
+    // kick every present media chain before awaiting any (guide §2.6):
+    // the three synth/decode+LSH+CC DAGs are independent until the
+    // final decision join
+    imageChain; audioChain; if (video.nonEmpty) videoChain
     val twoWay = imageDropIds.unionByName(audioDropIds)
     val drops =
       if (video.isEmpty) twoWay.distinct()

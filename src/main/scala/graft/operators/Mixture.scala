@@ -203,11 +203,14 @@ object Mixture {
   }
 
   def domainMixture(s: SparkSession, dir: String): DataFrame =
-    domainMixture(Tables.load(s, dir, "documents"))
+    domainMixture(graft.core.Parallelize.spread(
+      Tables.load(s, dir, "documents"), col("doc_id")))
 
   def temperatureMixture(s: SparkSession, dir: String): DataFrame =
-    temperatureMixture(Tables.load(s, dir, "documents"))
+    temperatureMixture(graft.core.Parallelize.spread(
+      Tables.load(s, dir, "documents"), col("doc_id")))
 
   def mixtureEpochs(s: SparkSession, dir: String): DataFrame =
-    mixtureEpochs(Tables.load(s, dir, "documents"), targetPct = EpochsTargetPct)
+    mixtureEpochs(graft.core.Parallelize.spread(
+      Tables.load(s, dir, "documents"), col("doc_id")), targetPct = EpochsTargetPct)
 }

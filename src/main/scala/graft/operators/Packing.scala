@@ -107,5 +107,6 @@ object Packing {
   }
 
   def sequencePacking(s: SparkSession, dir: String): DataFrame =
-    sequencePacking(Tables.load(s, dir, "documents"))
+    sequencePacking(graft.core.Parallelize.spread(
+      Tables.load(s, dir, "documents"), col("doc_id")))
 }

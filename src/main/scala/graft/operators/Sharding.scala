@@ -79,5 +79,6 @@ object Sharding {
   }
 
   def shardExport(s: SparkSession, dir: String): DataFrame =
-    shardExport(Tables.load(s, dir, "documents"))
+    shardExport(graft.core.Parallelize.spread(
+      Tables.load(s, dir, "documents"), col("doc_id")))
 }

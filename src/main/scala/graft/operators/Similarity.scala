@@ -61,7 +61,8 @@ object Similarity {
   }
 
   def annBrute(s: SparkSession, dir: String): DataFrame = {
-    val all = Tables.load(s, dir, "embeddings")
+    val all = graft.core.Parallelize.spread(
+      Tables.load(s, dir, "embeddings"), col("vec_id"))
     annBrute(all, all.filter(col("vec_id") < NumQueries), K)
   }
 
@@ -308,7 +309,8 @@ object Similarity {
   }
 
   def annIvf(s: SparkSession, dir: String): DataFrame = {
-    val all = Tables.load(s, dir, "embeddings")
+    val all = graft.core.Parallelize.spread(
+      Tables.load(s, dir, "embeddings"), col("vec_id"))
     annIvf(all, all.filter(col("vec_id") < NumQueries), K)
   }
 
@@ -556,7 +558,8 @@ object Similarity {
   }
 
   def annIvfPq(s: SparkSession, dir: String): DataFrame = {
-    val all = Tables.load(s, dir, "embeddings")
+    val all = graft.core.Parallelize.spread(
+      Tables.load(s, dir, "embeddings"), col("vec_id"))
     annIvfPq(all, all.filter(col("vec_id") < NumQueries), K)
   }
 
@@ -633,7 +636,8 @@ object Similarity {
   }
 
   def annLsh(s: SparkSession, dir: String): DataFrame = {
-    val all = Tables.load(s, dir, "embeddings")
+    val all = graft.core.Parallelize.spread(
+      Tables.load(s, dir, "embeddings"), col("vec_id"))
     annLsh(all, all.filter(col("vec_id") < NumQueries), K)
   }
 

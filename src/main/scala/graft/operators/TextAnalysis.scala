@@ -11,6 +11,14 @@ import graft.functions.TextFunctions._
   * shuffle except the final presentation sort. */
 object TextAnalysis {
 
+  /** The documents scan spread across task slots ([[graft.core.Parallelize]])
+    * — every binding below feeds a per-row-heavy text kernel (tokenize/
+    * shingle/score), which otherwise serializes on the single scan task
+    * the one-row-group bench inputs plan to. No-op at production scale. */
+  private def docsSpread(s: SparkSession, dir: String): DataFrame =
+    graft.core.Parallelize.spread(Tables.load(s, dir, "documents"), col("doc_id"))
+
+
   // Every operator has a FRAME-parametric form (the library API: any
   // DataFrame carrying `doc_id`/`text`, plus the columns a specific
   // operator names) and a (SparkSession, dir) wrapper binding it to the
@@ -28,7 +36,7 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
 
   def textStats(s: SparkSession, dir: String): DataFrame =
-    textStats(Tables.load(s, dir, "documents"))
+    textStats(docsSpread(s, dir))
 
   /** Quality scoring: stopword ratio, punctuation ratio, composite. */
   def qualityScoring(docs: DataFrame): DataFrame =
@@ -41,7 +49,7 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
 
   def qualityScoring(s: SparkSession, dir: String): DataFrame =
-    qualityScoring(Tables.load(s, dir, "documents"))
+    qualityScoring(docsSpread(s, dir))
 
   /** Deterministic language guess + corpus-level agreement stats. */
   def langId(docs: DataFrame): DataFrame =
@@ -52,7 +60,7 @@ object TextAnalysis {
       .orderBy(col("lang"), col("lang_guess"))
 
   def langId(s: SparkSession, dir: String): DataFrame =
-    langId(Tables.load(s, dir, "documents"))
+    langId(docsSpread(s, dir))
 
   /** End-to-end curation pipeline — the flagship training-data shape:
     * score → filter (quality + length gates) → exact-dedup (keep lowest
@@ -85,7 +93,7 @@ object TextAnalysis {
   }
 
   def curation(s: SparkSession, dir: String): DataFrame =
-    curation(Tables.load(s, dir, "documents"))
+    curation(docsSpread(s, dir))
 
   /** Token search (the reference's inverted-index surface, SURVEY #35,
     * mapped to a tokenized-array membership predicate — at scale this
@@ -111,7 +119,7 @@ object TextAnalysis {
   }
 
   def textSearch(s: SparkSession, dir: String): DataFrame =
-    textSearch(Tables.load(s, dir, "documents"),
+    textSearch(docsSpread(s, dir),
       anyOf = Seq("dup"), allOf = Seq("spark", "window"))
       .select(col("doc_id"), col("source"), col("n_chars"))
       .orderBy(col("doc_id"))
@@ -169,7 +177,7 @@ object TextAnalysis {
     * derived PII first (the DuckDB oracle builds the identical augmented
     * text) — the redaction path has real work at every SF. */
   def piiRedaction(s: SparkSession, dir: String): DataFrame =
-    piiRedaction(Tables.load(s, dir, "documents")
+    piiRedaction(docsSpread(s, dir)
       .withColumn("text", when(col("doc_id") % 7 === 0,
         concat(col("text"),
           lit(" contact user"), col("doc_id").cast("string"),
@@ -202,7 +210,9 @@ object TextAnalysis {
 
   def decontaminate(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.load(s, dir, "documents")
-    decontaminate(docs.filter(col("doc_id") % 23 =!= 0),
+    decontaminate(
+      graft.core.Parallelize.spread(
+        docs.filter(col("doc_id") % 23 =!= 0), col("doc_id")),
       docs.filter(col("doc_id") % 23 === 0))
   }
 
@@ -246,6 +256,10 @@ object TextAnalysis {
 
   def decontaminateBloom(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.load(s, dir, "documents")
+    // NOT spread: the decontaminateBloom plan pins its bloom probe scan-local
+    // (PlanSpec — zero exchange below the probe); a spread exchange
+    // would sit under the probe at bench scale. The probe already
+    // prunes inside the single scan task.
     decontaminateBloom(docs.filter(col("doc_id") % 23 =!= 0),
       docs.filter(col("doc_id") % 23 === 0))
   }
@@ -284,7 +298,9 @@ object TextAnalysis {
 
   def contaminationRatio(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.load(s, dir, "documents")
-    contaminationRatio(docs.filter(col("doc_id") % 23 =!= 0),
+    contaminationRatio(
+      graft.core.Parallelize.spread(
+        docs.filter(col("doc_id") % 23 =!= 0), col("doc_id")),
       docs.filter(col("doc_id") % 23 === 0))
   }
 
@@ -309,7 +325,7 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
 
   def repetition(s: SparkSession, dir: String): DataFrame =
-    repetition(Tables.load(s, dir, "documents"))
+    repetition(docsSpread(s, dir))
 
   // BM25 constants (Robertson et al., TREC-3; the k1/b defaults every
   // Lucene-family engine ships)
@@ -370,7 +386,7 @@ object TextAnalysis {
     * ordered by doc_id (hash-stable across engines; ranking order is
     * score-tie-sensitive, so the ranked form is [[bm25TopK]] + spec). */
   def bm25Search(s: SparkSession, dir: String): DataFrame =
-    bm25(Tables.load(s, dir, "documents"), Seq("spark", "window", "dup"))
+    bm25(docsSpread(s, dir), Seq("spark", "window", "dup"))
       .orderBy(col("doc_id"))
 
   /** Ranked form: top-k by score (ties broken by doc_id so the result
@@ -448,7 +464,7 @@ object TextAnalysis {
       (1L, "spark"), (1L, "window"),
       (2L, "dup"), (2L, "spark"),
       (3L, "window"), (3L, "dup")).toDF("query_id", "term")
-    bm25MultiQuery(Tables.load(s, dir, "documents"), q, k = 10)
+    bm25MultiQuery(docsSpread(s, dir), q, k = 10)
   }
 
   /** BM25 over the persisted [[graft.index.Bm25Index]] — identical
@@ -587,7 +603,7 @@ object TextAnalysis {
   }
 
   def keywords(s: SparkSession, dir: String): DataFrame =
-    keywords(Tables.load(s, dir, "documents"))
+    keywords(docsSpread(s, dir))
 
   /** Content fingerprints: md5 (exact-dup key) + order-sensitive rolling
     * hash (cheap near-identity check for shifted content). */
@@ -600,7 +616,7 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
 
   def fingerprints(s: SparkSession, dir: String): DataFrame =
-    fingerprints(Tables.load(s, dir, "documents"))
+    fingerprints(docsSpread(s, dir))
 
   /** Tokenizer-vocabulary coverage table (t21): the top-`k` corpus
     * terms by occurrence count with each prefix's cumulative share of
@@ -632,7 +648,7 @@ object TextAnalysis {
   }
 
   def vocabulary(s: SparkSession, dir: String): DataFrame =
-    vocabulary(Tables.load(s, dir, "documents"))
+    vocabulary(docsSpread(s, dir))
 
   /** Terms a fixed-size tokenizer vocabulary keeps: top `v` by corpus
     * occurrence count, ties on term. Driver-materialized — bounded by
@@ -675,7 +691,7 @@ object TextAnalysis {
   }
 
   def oovRatio(s: SparkSession, dir: String): DataFrame =
-    oovRatio(Tables.load(s, dir, "documents"))
+    oovRatio(docsSpread(s, dir))
 
   /** Language-model perplexity scoring (t25) — the CCNet-style quality
     * filter (Wenzek et al., LREC 2020; the GPT-3 pipeline's quality
@@ -830,12 +846,16 @@ object TextAnalysis {
   }
 
   def segmentDedup(s: SparkSession, dir: String): DataFrame =
-    segmentDedup(Tables.load(s, dir, "documents"))
+    segmentDedup(docsSpread(s, dir))
 
   /** Driver binding: reference split = every 23rd doc (the t09/p01
     * convention), training candidates the rest. */
   def lmPerplexity(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.load(s, dir, "documents")
+    // NOT spread: the lmPerplexity plan pins its bloom probe scan-local
+    // (PlanSpec — zero exchange below the probe); a spread exchange
+    // would sit under the probe at bench scale. The probe already
+    // prunes inside the single scan task.
     lmPerplexity(docs.filter(col("doc_id") % 23 =!= 0),
       docs.filter(col("doc_id") % 23 === 0))
   }

@@ -205,15 +205,42 @@ object TrainingCorpus {
     val trainSpread = graft.core.Parallelize.spread(trainDocs, col("doc_id"))
     val keptText = trainSpread.join(
       kept.select(col("doc_id")), Seq("doc_id"), "left_semi")
-    val dropped = DedupPipeline.text(keptText).textDropIds
-    val fuzzy = kept.join(dropped, Seq("doc_id"), "left_anti")
+    // The near-dup closure and the decontamination pass are the two
+    // expensive text scans left, and they are INDEPENDENT given the
+    // gated pool: contamination is a per-doc property, so computing it
+    // over gate survivors and anti-joining after the fuzzy stage keeps
+    // exactly the rows that decontaminating the fuzzy survivors keeps
+    // (fuzzy ⊆ kept, and membership of a doc in the contaminated set
+    // does not depend on any other doc). Overlapping the two scans
+    // (guide §2.6) costs one extra shingle pass over the near-dup drop
+    // fraction (a few % of the pool) and halves the critical path.
+    import scala.concurrent.{Await, Future, blocking}
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val droppedF = Future(blocking(
+      DedupPipeline.text(keptText).textDropIds.localCheckpoint(true)))
+    val contaminatedF = Future(blocking(
+      TextAnalysis.decontaminate(keptText, benchmarkDocs)
+        .select(col("doc_id")).localCheckpoint(true)))
+    val fuzzy = kept.join(
+        Await.result(droppedF, scala.concurrent.duration.Duration.Inf),
+        Seq("doc_id"), "left_anti")
       .localCheckpoint(true)
-    // decontaminate only the fuzzy survivors (semi-join before explode)
-    val survivorText = trainSpread.join(
-      fuzzy.select(col("doc_id")), Seq("doc_id"), "left_semi")
-    val contaminated = TextAnalysis.decontaminate(survivorText, benchmarkDocs)
-      .select(col("doc_id"))
-    fuzzy.join(contaminated, Seq("doc_id"), "left_anti")
+    fuzzy.join(
+      Await.result(contaminatedF, scala.concurrent.duration.Duration.Inf),
+      Seq("doc_id"), "left_anti")
+  }
+
+  /** The decontamination branch of the fuzzy pool, un-materialized —
+    * the plan-pin surface for the semi-join-before-explode discipline:
+    * [[fuzzyCleanPool]]'s overlap checkpoints truncate lineage, so the
+    * spec asserts the LeftSemi prune on this form (same construction,
+    * minus the near-dup anti-join that needs the other branch). */
+  private[graft] def fuzzyDecontamBranch(trainDocs: DataFrame,
+      benchmarkDocs: DataFrame): DataFrame = {
+    val kept = gatedKeepers(trainDocs).select(col("doc_id"))
+    val keptText = graft.core.Parallelize.spread(trainDocs, col("doc_id"))
+      .join(kept, Seq("doc_id"), "left_semi")
+    TextAnalysis.decontaminate(keptText, benchmarkDocs)
   }
 
   /** Driver binding for the fuzzy assembly (same split convention as

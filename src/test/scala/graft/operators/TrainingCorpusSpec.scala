@@ -185,14 +185,16 @@ class TrainingCorpusSpec extends SparkSpec {
     fm.foreach { r =>
       assert(r.getLong(3) === off); off += r.getLong(2)
     }
-    // the near-dup stage shingles only gate survivors: the pool plan
-    // carries the LeftSemi prune ahead of the shingle explode
+    // the near-dup and decontamination stages shingle only gate
+    // survivors. fuzzyCleanPool's overlapped branches are eagerly
+    // checkpointed (lineage truncated), so the LeftSemi prune ahead of
+    // the shingle explode is pinned on the un-materialized branch form
     val docs = Tables.load(spark, Sf001, "documents")
-    val poolPlan = TrainingCorpus.fuzzyCleanPool(
+    val branchPlan = TrainingCorpus.fuzzyDecontamBranch(
       docs.filter(col("doc_id") % 23 =!= 0),
       docs.filter(col("doc_id") % 23 === 0))
       .queryExecution.executedPlan.toString
-    assert(poolPlan.contains("LeftSemi"))
+    assert(branchPlan.contains("LeftSemi"))
   }
 
   test("multi-batch ingest advances the index: batch 2 sees corpus ∪ batch 1") {
