@@ -53,6 +53,5 @@ object Chunking {
   }
 
   def tokenChunks(s: SparkSession, dir: String): DataFrame =
-    tokenChunks(graft.core.Parallelize.spread(
-      Tables.load(s, dir, "documents"), col("doc_id")))
+    tokenChunks(Tables.load(s, dir, "documents"))
 }

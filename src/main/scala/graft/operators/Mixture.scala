@@ -203,14 +203,11 @@ object Mixture {
   }
 
   def domainMixture(s: SparkSession, dir: String): DataFrame =
-    domainMixture(graft.core.Parallelize.spread(
-      Tables.load(s, dir, "documents"), col("doc_id")))
+    domainMixture(Tables.load(s, dir, "documents"))
 
   def temperatureMixture(s: SparkSession, dir: String): DataFrame =
-    temperatureMixture(graft.core.Parallelize.spread(
-      Tables.load(s, dir, "documents"), col("doc_id")))
+    temperatureMixture(Tables.load(s, dir, "documents"))
 
   def mixtureEpochs(s: SparkSession, dir: String): DataFrame =
-    mixtureEpochs(graft.core.Parallelize.spread(
-      Tables.load(s, dir, "documents"), col("doc_id")), targetPct = EpochsTargetPct)
+    mixtureEpochs(Tables.load(s, dir, "documents"), targetPct = EpochsTargetPct)
 }

@@ -107,6 +107,5 @@ object Packing {
   }
 
   def sequencePacking(s: SparkSession, dir: String): DataFrame =
-    sequencePacking(graft.core.Parallelize.spread(
-      Tables.load(s, dir, "documents"), col("doc_id")))
+    sequencePacking(Tables.load(s, dir, "documents"))
 }

@@ -292,9 +292,8 @@ object SemanticDedup {
     * convention) so the decision frame is non-trivially populated at
     * test SFs — the isotropic base corpus has no ≥τ semantic pairs. */
   def semanticDedup(s: SparkSession, dir: String): DataFrame =
-    semanticDedup(graft.core.Parallelize.spread(
-      Dedup.plantedProductionCorpus(Tables.load(s, dir, "embeddings")),
-      col("vec_id")))
+    semanticDedup(Dedup.plantedProductionCorpus(
+      Tables.load(s, dir, "embeddings")))
 
   /** Incremental SemDeDup decisions for a 1-in-`mod` delta against the
     * persisted index (d15b — the d07/d13 cadence shape for semantic
@@ -324,8 +323,7 @@ object SemanticDedup {
       mod: Int): DataFrame = {
     val e = Dedup.plantedProductionCorpus(Tables.load(s, dir, "embeddings"))
     val idxPath = ensureSemDedupIndexMod(s, dir, mod)
-    graft.index.SemDedupIndex.probe(graft.core.Parallelize.spread(
-      e.filter(col("vec_id") % mod === 0), col("vec_id")), idxPath)
+    graft.index.SemDedupIndex.probe(e.filter(col("vec_id") % mod === 0), idxPath)
   }
 
   /** The trained centroid frame (cell, cv) of the d15 batch layout

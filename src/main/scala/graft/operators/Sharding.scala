@@ -79,6 +79,5 @@ object Sharding {
   }
 
   def shardExport(s: SparkSession, dir: String): DataFrame =
-    shardExport(graft.core.Parallelize.spread(
-      Tables.load(s, dir, "documents"), col("doc_id")))
+    shardExport(Tables.load(s, dir, "documents"))
 }

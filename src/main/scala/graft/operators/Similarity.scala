@@ -61,8 +61,7 @@ object Similarity {
   }
 
   def annBrute(s: SparkSession, dir: String): DataFrame = {
-    val all = graft.core.Parallelize.spread(
-      Tables.load(s, dir, "embeddings"), col("vec_id"))
+    val all = Tables.load(s, dir, "embeddings")
     annBrute(all, all.filter(col("vec_id") < NumQueries), K)
   }
 
@@ -309,8 +308,7 @@ object Similarity {
   }
 
   def annIvf(s: SparkSession, dir: String): DataFrame = {
-    val all = graft.core.Parallelize.spread(
-      Tables.load(s, dir, "embeddings"), col("vec_id"))
+    val all = Tables.load(s, dir, "embeddings")
     annIvf(all, all.filter(col("vec_id") < NumQueries), K)
   }
 
@@ -558,8 +556,7 @@ object Similarity {
   }
 
   def annIvfPq(s: SparkSession, dir: String): DataFrame = {
-    val all = graft.core.Parallelize.spread(
-      Tables.load(s, dir, "embeddings"), col("vec_id"))
+    val all = Tables.load(s, dir, "embeddings")
     annIvfPq(all, all.filter(col("vec_id") < NumQueries), K)
   }
 
@@ -636,8 +633,7 @@ object Similarity {
   }
 
   def annLsh(s: SparkSession, dir: String): DataFrame = {
-    val all = graft.core.Parallelize.spread(
-      Tables.load(s, dir, "embeddings"), col("vec_id"))
+    val all = Tables.load(s, dir, "embeddings")
     annLsh(all, all.filter(col("vec_id") < NumQueries), K)
   }
 

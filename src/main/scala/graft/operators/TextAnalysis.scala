@@ -11,14 +11,6 @@ import graft.functions.TextFunctions._
   * shuffle except the final presentation sort. */
 object TextAnalysis {
 
-  /** The documents scan spread across task slots ([[graft.core.Parallelize]])
-    * — every binding below feeds a per-row-heavy text kernel (tokenize/
-    * shingle/score), which otherwise serializes on the single scan task
-    * the one-row-group bench inputs plan to. No-op at production scale. */
-  private def docsSpread(s: SparkSession, dir: String): DataFrame =
-    graft.core.Parallelize.spread(Tables.load(s, dir, "documents"), col("doc_id"))
-
-
   // Every operator has a FRAME-parametric form (the library API: any
   // DataFrame carrying `doc_id`/`text`, plus the columns a specific
   // operator names) and a (SparkSession, dir) wrapper binding it to the
@@ -36,7 +28,7 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
 
   def textStats(s: SparkSession, dir: String): DataFrame =
-    textStats(docsSpread(s, dir))
+    textStats(Tables.load(s, dir, "documents"))
 
   /** Quality scoring: stopword ratio, punctuation ratio, composite. */
   def qualityScoring(docs: DataFrame): DataFrame =
@@ -49,7 +41,7 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
 
   def qualityScoring(s: SparkSession, dir: String): DataFrame =
-    qualityScoring(docsSpread(s, dir))
+    qualityScoring(Tables.load(s, dir, "documents"))
 
   /** Deterministic language guess + corpus-level agreement stats. */
   def langId(docs: DataFrame): DataFrame =
@@ -60,7 +52,7 @@ object TextAnalysis {
       .orderBy(col("lang"), col("lang_guess"))
 
   def langId(s: SparkSession, dir: String): DataFrame =
-    langId(docsSpread(s, dir))
+    langId(Tables.load(s, dir, "documents"))
 
   /** End-to-end curation pipeline — the flagship training-data shape:
     * score → filter (quality + length gates) → exact-dedup (keep lowest
@@ -93,7 +85,7 @@ object TextAnalysis {
   }
 
   def curation(s: SparkSession, dir: String): DataFrame =
-    curation(docsSpread(s, dir))
+    curation(Tables.load(s, dir, "documents"))
 
   /** Token search (the reference's inverted-index surface, SURVEY #35,
     * mapped to a tokenized-array membership predicate — at scale this
@@ -119,7 +111,7 @@ object TextAnalysis {
   }
 
   def textSearch(s: SparkSession, dir: String): DataFrame =
-    textSearch(docsSpread(s, dir),
+    textSearch(Tables.load(s, dir, "documents"),
       anyOf = Seq("dup"), allOf = Seq("spark", "window"))
       .select(col("doc_id"), col("source"), col("n_chars"))
       .orderBy(col("doc_id"))
@@ -177,7 +169,7 @@ object TextAnalysis {
     * derived PII first (the DuckDB oracle builds the identical augmented
     * text) — the redaction path has real work at every SF. */
   def piiRedaction(s: SparkSession, dir: String): DataFrame =
-    piiRedaction(docsSpread(s, dir)
+    piiRedaction(Tables.load(s, dir, "documents")
       .withColumn("text", when(col("doc_id") % 7 === 0,
         concat(col("text"),
           lit(" contact user"), col("doc_id").cast("string"),
@@ -210,9 +202,7 @@ object TextAnalysis {
 
   def decontaminate(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.load(s, dir, "documents")
-    decontaminate(
-      graft.core.Parallelize.spread(
-        docs.filter(col("doc_id") % 23 =!= 0), col("doc_id")),
+    decontaminate(docs.filter(col("doc_id") % 23 =!= 0),
       docs.filter(col("doc_id") % 23 === 0))
   }
 
@@ -256,10 +246,6 @@ object TextAnalysis {
 
   def decontaminateBloom(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.load(s, dir, "documents")
-    // NOT spread: the decontaminateBloom plan pins its bloom probe scan-local
-    // (PlanSpec — zero exchange below the probe); a spread exchange
-    // would sit under the probe at bench scale. The probe already
-    // prunes inside the single scan task.
     decontaminateBloom(docs.filter(col("doc_id") % 23 =!= 0),
       docs.filter(col("doc_id") % 23 === 0))
   }
@@ -298,9 +284,7 @@ object TextAnalysis {
 
   def contaminationRatio(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.load(s, dir, "documents")
-    contaminationRatio(
-      graft.core.Parallelize.spread(
-        docs.filter(col("doc_id") % 23 =!= 0), col("doc_id")),
+    contaminationRatio(docs.filter(col("doc_id") % 23 =!= 0),
       docs.filter(col("doc_id") % 23 === 0))
   }
 
@@ -325,7 +309,7 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
 
   def repetition(s: SparkSession, dir: String): DataFrame =
-    repetition(docsSpread(s, dir))
+    repetition(Tables.load(s, dir, "documents"))
 
   // BM25 constants (Robertson et al., TREC-3; the k1/b defaults every
   // Lucene-family engine ships)
@@ -386,7 +370,7 @@ object TextAnalysis {
     * ordered by doc_id (hash-stable across engines; ranking order is
     * score-tie-sensitive, so the ranked form is [[bm25TopK]] + spec). */
   def bm25Search(s: SparkSession, dir: String): DataFrame =
-    bm25(docsSpread(s, dir), Seq("spark", "window", "dup"))
+    bm25(Tables.load(s, dir, "documents"), Seq("spark", "window", "dup"))
       .orderBy(col("doc_id"))
 
   /** Ranked form: top-k by score (ties broken by doc_id so the result
@@ -464,7 +448,7 @@ object TextAnalysis {
       (1L, "spark"), (1L, "window"),
       (2L, "dup"), (2L, "spark"),
       (3L, "window"), (3L, "dup")).toDF("query_id", "term")
-    bm25MultiQuery(docsSpread(s, dir), q, k = 10)
+    bm25MultiQuery(Tables.load(s, dir, "documents"), q, k = 10)
   }
 
   /** BM25 over the persisted [[graft.index.Bm25Index]] — identical
@@ -603,7 +587,7 @@ object TextAnalysis {
   }
 
   def keywords(s: SparkSession, dir: String): DataFrame =
-    keywords(docsSpread(s, dir))
+    keywords(Tables.load(s, dir, "documents"))
 
   /** Content fingerprints: md5 (exact-dup key) + order-sensitive rolling
     * hash (cheap near-identity check for shifted content). */
@@ -616,7 +600,7 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
 
   def fingerprints(s: SparkSession, dir: String): DataFrame =
-    fingerprints(docsSpread(s, dir))
+    fingerprints(Tables.load(s, dir, "documents"))
 
   /** Tokenizer-vocabulary coverage table (t21): the top-`k` corpus
     * terms by occurrence count with each prefix's cumulative share of
@@ -648,7 +632,7 @@ object TextAnalysis {
   }
 
   def vocabulary(s: SparkSession, dir: String): DataFrame =
-    vocabulary(docsSpread(s, dir))
+    vocabulary(Tables.load(s, dir, "documents"))
 
   /** Terms a fixed-size tokenizer vocabulary keeps: top `v` by corpus
     * occurrence count, ties on term. Driver-materialized — bounded by
@@ -691,7 +675,7 @@ object TextAnalysis {
   }
 
   def oovRatio(s: SparkSession, dir: String): DataFrame =
-    oovRatio(docsSpread(s, dir))
+    oovRatio(Tables.load(s, dir, "documents"))
 
   /** Language-model perplexity scoring (t25) — the CCNet-style quality
     * filter (Wenzek et al., LREC 2020; the GPT-3 pipeline's quality
@@ -846,16 +830,12 @@ object TextAnalysis {
   }
 
   def segmentDedup(s: SparkSession, dir: String): DataFrame =
-    segmentDedup(docsSpread(s, dir))
+    segmentDedup(Tables.load(s, dir, "documents"))
 
   /** Driver binding: reference split = every 23rd doc (the t09/p01
     * convention), training candidates the rest. */
   def lmPerplexity(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.load(s, dir, "documents")
-    // NOT spread: the lmPerplexity plan pins its bloom probe scan-local
-    // (PlanSpec — zero exchange below the probe); a spread exchange
-    // would sit under the probe at bench scale. The probe already
-    // prunes inside the single scan task.
     lmPerplexity(docs.filter(col("doc_id") % 23 =!= 0),
       docs.filter(col("doc_id") % 23 === 0))
   }
