@@ -444,16 +444,23 @@ object TrainingCorpus {
     // delta gate survivors (combined-min rule) + their contamination
     val (kept, contamIds, deltaFps, nDeltaFps) =
       deltaGatedFp(deltaDocs, fps, benchSh)
-    val keptFlag = kept
+    // The contamination flag join (materializing contamIds' 5-gram
+    // explode) and the LSH signing+probing below are independent given
+    // `kept` — the signing prune needs only the kept doc ids, which
+    // keptFlag shares with kept by construction. Overlap them
+    // (guide §2.6); the fold awaits the flags.
+    import scala.concurrent.{Await, Future, blocking}
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val keptFlagF = Future(blocking(kept
       .join(contamIds.withColumn("contam", lit(true)), Seq("doc_id"), "left")
       .select(col("doc_id"), col("source"), col("n_tokens"), col("fp"),
         coalesce(col("contam"), lit(false)).as("contam"))
-      .localCheckpoint(true)
+      .localCheckpoint(true)))
 
     // delta pair formation against the persisted signature index
     // (pairs touching tombstoned docs are dropped inside the fold)
     val deltaKeptText = graft.core.Parallelize.spread(deltaDocs, col("doc_id"))
-      .join(keptFlag.select(col("doc_id")), Seq("doc_id"), "left_semi")
+      .join(kept.select(col("doc_id")), Seq("doc_id"), "left_semi")
     val deltaSh = Dedup.hashedShingleSets(deltaKeptText) // materialized inside
     val deltaBands = Dedup.bandedSignatures(deltaSh).localCheckpoint(true)
     val sp = idx.sigPath(indexPath)
@@ -466,7 +473,8 @@ object TrainingCorpus {
     val d = foldFuzzyDecisions(
       idx.gated(s, indexPath), idx.pairs(s, indexPath),
       idx.clusters(s, indexPath), idx.retired(s, indexPath),
-      keptFlag, s.range(0).select(col("id").as("doc_id")),
+      Await.result(keptFlagF, scala.concurrent.duration.Duration.Inf),
+      s.range(0).select(col("id").as("doc_id")),
       deltaFps, nDeltaFps, probed)
     FuzzyState(d.gated, d.pairs, d.clusters, d.retired, deltaBands, deltaSh)
   }
