@@ -1077,11 +1077,8 @@ object Dedup {
     val idx = graft.index.SignatureIndex
     // Both materialized: deltaSh feeds the band derivation AND the
     // verify-side union — un-checkpointed, the verify job re-shingles
-    // the whole delta from raw text a second time. The delta arrives as
-    // a (often single-file) scan slice, so the shingle kernel gets the
-    // spread copy — delta-proportional work should still use every slot.
-    val deltaSh = hashedShingleSets(graft.core.Parallelize.spread(
-      deltaDocs, col("doc_id"))).localCheckpoint(true)
+    // the whole delta from raw text a second time.
+    val deltaSh = hashedShingleSets(deltaDocs).localCheckpoint(true)
     val deltaBands = bandedSignatures(deltaSh).localCheckpoint(true)
     incrementalPairsFrames(deltaSh, deltaBands,
       idx.bands(s, indexPath), idx.shingles(s, indexPath),
@@ -1226,9 +1223,7 @@ object Dedup {
     val s = deltaEmb.sparkSession
     val idx = graft.index.EmbSignatureIndex
     val bits = idx.meta(s, indexPath)._1
-    // the delta is a scan slice: spread it so the signature/sketch
-    // kernels and the verify use every slot (delta-proportional work)
-    val e = embNormed(graft.core.Parallelize.spread(deltaEmb, col("vec_id")))
+    val e = embNormed(deltaEmb)
     val dBase = idx.signatureRows(e, bits).localCheckpoint(true)
     incrementalEmbPairsFrames(e, dBase, bits,
       idx.sigs(s, indexPath), idx.vecs(s, indexPath),
