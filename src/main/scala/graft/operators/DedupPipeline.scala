@@ -105,20 +105,31 @@ final class DedupPipeline(
     }
   }
 
+  /** A two-modality (text+emb) instance is one corpus pass: touching
+    * either cluster frame submits BOTH independent DAGs so the
+    * scheduler overlaps them (the dp_cluster_build shape — text and
+    * emb chains are materialized back to back by every consumer of
+    * such an instance). Media instances keep text lazy: their docs
+    * frame only feeds the decision join, and kicking a never-used
+    * text LSH pass would be pure waste. */
+  private def kickSiblings(): Unit =
+    if (docs.nonEmpty && embeddings.nonEmpty && images.isEmpty &&
+        audio.isEmpty && video.isEmpty) { textChain; embChain; () }
+
   /** Exact-verified text near-dup pairs (the d02 result), computed and
     * materialized once per pipeline. Result-sized. */
-  lazy val textPairs: DataFrame = await(textChain)._1
+  lazy val textPairs: DataFrame = { kickSiblings(); await(textChain)._1 }
 
   /** Text-modality duplicate clusters (the d08 result): connected
     * components over [[textPairs]]. Survivor-decision-sized. */
-  lazy val textClusters: DataFrame = await(textChain)._2
+  lazy val textClusters: DataFrame = { kickSiblings(); await(textChain)._2 }
 
   /** Exact-verified embedding near-dup pairs at [[tau]] (the d06
     * result over the instance's embedding frame). */
-  lazy val embPairs: DataFrame = await(embChain)._1
+  lazy val embPairs: DataFrame = { kickSiblings(); await(embChain)._1 }
 
   /** Embedding-modality duplicate clusters (the d09 result). */
-  lazy val embClusters: DataFrame = await(embChain)._2
+  lazy val embClusters: DataFrame = { kickSiblings(); await(embChain)._2 }
 
   /** Doc ids the text modality drops: cluster members that are not
     * their component's min. */
