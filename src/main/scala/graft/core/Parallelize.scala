@@ -34,10 +34,28 @@ import org.apache.spark.sql.{Column, DataFrame}
 object Parallelize {
 
   /** `df` hash-repartitioned on `key` to the session's task-slot count,
-    * iff it currently plans to fewer partitions (else `df` unchanged). */
+    * iff it currently plans to fewer partitions (else `df` unchanged).
+    *
+    * The partition-count probe (`df.rdd.getNumPartitions`) is only safe
+    * on exchange-free scan slices: under AQE, `.rdd` on a frame whose
+    * plan contains exchanges/joins MATERIALIZES the upstream query
+    * stages as real Spark jobs at plan-construction time, and that work
+    * is discarded rather than reused by the later execution (measured:
+    * the p03 text chain re-ran its semi-join once per spread probe). A
+    * frame that already passed a wide operator has had its parallelism
+    * established there — a shuffle plans to spark.sql.shuffle.partitions
+    * and a broadcast join preserves its (already-spread) big side's
+    * partitioning — so such frames return unchanged without probing. */
   def spread(df: DataFrame, key: Column): DataFrame = {
     val p = df.sparkSession.sparkContext.defaultParallelism
-    if (p <= 1 || df.rdd.getNumPartitions >= p) df
+    if (p <= 1) return df
+    import org.apache.spark.sql.catalyst.plans.logical._
+    val wide = df.queryExecution.analyzed.exists {
+      case _: Join | _: Aggregate | _: Window | _: Distinct |
+           _: RepartitionOperation | _: Sort => true
+      case _ => false
+    }
+    if (wide || df.rdd.getNumPartitions >= p) df
     else df.repartition(p, key)
   }
 }

@@ -784,7 +784,19 @@ object Multimodal {
             ccPath)
       })
     }
-    builds.foreach(Await.result(_, scala.concurrent.duration.Duration.Inf))
+    // await ALL three builds before rethrowing any failure: a
+    // sequential foreach(Await) would propagate the first failure
+    // while sibling builds keep running detached, leaving concurrent
+    // Spark jobs and partially-written index state behind the thrown
+    // exception. Collect every outcome first, then surface the first
+    // failure (with any others as suppressed).
+    val outcomes = builds.map(f => scala.util.Try(
+      Await.result(f, scala.concurrent.duration.Duration.Inf)))
+    val failures = outcomes.collect { case scala.util.Failure(e) => e }
+    failures.headOption.foreach { first =>
+      failures.drop(1).foreach(first.addSuppressed)
+      throw first
+    }
   }
 
   /** Driver binding at the REALISTIC cadence (mod=30, the d07b daily-
@@ -858,8 +870,11 @@ object Multimodal {
   /** Aggregate extracted features per modality (deterministic output for
     * the driver's rows-only check). */
   def featureSummary(spark: SparkSession, dir: String): DataFrame = {
-    val feats = extractFeatures(spark,
-      graft.core.Parallelize.spread(fromDocuments(spark, dir), col("media_id")))
+    // NO spread here (the m02 decode path keeps its): the per-row
+    // feature kernel is a trivial byte histogram — the r17 driver
+    // record measured the added exchange a net loss (m01 0.71×), the
+    // same cheap-kernel class as the reverted t-family sweep
+    val feats = extractFeatures(spark, fromDocuments(spark, dir))
     feats.toDF()
       .select(Seq(col("modality"), col("n_bytes")) ++
         (0 until 8).map(i => element_at(col("features"), i + 1).as(s"f$i")): _*)

@@ -281,7 +281,15 @@ object DedupPipeline {
       tau: Double = Dedup.ProductionEmbTau): DedupPipeline =
     new DedupPipeline(None, Some(embeddings), tau)
 
-  /** Full two-modality pipeline (everything through d12). */
+  /** Full two-modality pipeline (everything through d12).
+    *
+    * EAGER-BOTH contract: an instance built through this factory runs
+    * BOTH full LSH+CC chains on the first access to ANY per-modality
+    * accessor (pairs or clusters of either modality) — the two
+    * independent DAGs overlap on the scheduler (guide §2.6), which is
+    * what a joint corpus pass wants. A consumer that needs only ONE
+    * modality must use [[text]] or [[emb]] instead, or it silently
+    * pays the other modality's full pass. */
   def apply(docs: DataFrame, embeddings: DataFrame,
       tau: Double = Dedup.ProductionEmbTau): DedupPipeline =
     new DedupPipeline(Some(docs), Some(embeddings), tau)

@@ -45,16 +45,39 @@ object TrainingCorpus {
 
   /** One scored scan of a documents frame: fingerprint + token count +
     * integer-exact quality — the only pass that touches text in the
-    * gate/dedup stages (shared by the full build and the delta path). */
-  private[graft] def scoredScan(docs: DataFrame): DataFrame =
-    // every caller hands a scan slice (train split / delta batch), and
-    // the fingerprint+token+quality kernels are the expensive map work
+    * gate/dedup stages (shared by the full build and the delta path).
+    *
+    * `spread=false` for DELTA-sized inputs: the r17 A/B (documented on
+    * [[graft.core.Parallelize.spread]]) measured that 32-partitioning a
+    * ~600–1700-row delta taxes the ~10 downstream delta-sized jobs more
+    * than the parallel kernel saves — the full-corpus callers keep the
+    * spread, the delta paths pass false. */
+  private[graft] def scoredScan(docs: DataFrame,
+      spread: Boolean = true): DataFrame = {
+    // full-corpus callers hand a scan slice (train split), and the
+    // fingerprint+token+quality kernels are the expensive map work
     // — spread so they use every slot instead of one scan task
-    graft.core.Parallelize.spread(docs, col("doc_id")).select(
+    val in = if (spread) graft.core.Parallelize.spread(docs, col("doc_id"))
+             else docs
+    in.select(
       col("doc_id"), col("source"),
       md5Fingerprint(col("text")).as("fp"),
       tokenCount(col("text")).as("n_tokens"),
       qualityScore(col("text")).as("quality"))
+  }
+
+  /** The spread corpus text pruned to surviving ids — the shared
+    * semi-join-before-explode construction ahead of every expensive
+    * full-corpus text pass (decontamination explode, fuzzy LSH). ONE
+    * helper so the plan the spec pins (LeftSemi prune before the
+    * shingle explode, on [[fuzzyDecontamBranch]]) is the production
+    * code path, not a parallel reconstruction. The scan side spreads
+    * BEFORE the semi-join: a broadcast semi-join preserves the big
+    * side's partitioning (1 scan task otherwise). */
+  private[graft] def prunedSurvivorText(docs: DataFrame,
+      keptIds: DataFrame): DataFrame =
+    graft.core.Parallelize.spread(docs, col("doc_id"))
+      .join(keptIds, Seq("doc_id"), "left_semi")
 
   /** The t05 quality/length gate over a scored row. */
   private[graft] def gateCond =
@@ -96,12 +119,8 @@ object TrainingCorpus {
       .localCheckpoint(true)
     // decontamination: shingle-explode ONLY the gate survivors (the
     // semi-join prune runs before the expensive 5-gram explode), then
-    // the t09 hash join against the benchmark shingle set. The scan
-    // side spreads BEFORE the semi-join so the explode inherits full
-    // parallelism (a broadcast semi-join preserves the big side's
-    // partitioning — 1 scan task otherwise)
-    val survivorText = graft.core.Parallelize.spread(trainDocs, col("doc_id"))
-      .join(kept.select(col("doc_id")), Seq("doc_id"), "left_semi")
+    // the t09 hash join against the benchmark shingle set
+    val survivorText = prunedSurvivorText(trainDocs, kept.select(col("doc_id")))
     val contaminated = TextAnalysis.decontaminate(survivorText, benchmarkDocs)
       .select(col("doc_id"))
     kept.join(contaminated, Seq("doc_id"), "left_anti")
@@ -199,12 +218,9 @@ object TrainingCorpus {
       .select(col("doc_id"), col("source"), col("n_tokens"))
       .localCheckpoint(true)
     // near-dup closure over the gated pool only — the LSH shingle
-    // pass is the expensive scan, so it runs over gate survivors.
-    // The scan side spreads before each semi-join (broadcast semi
-    // preserves big-side partitioning; see cleanPool)
-    val trainSpread = graft.core.Parallelize.spread(trainDocs, col("doc_id"))
-    val keptText = trainSpread.join(
-      kept.select(col("doc_id")), Seq("doc_id"), "left_semi")
+    // pass is the expensive scan, so it runs over gate survivors
+    // (spread-then-semi-join via the shared helper)
+    val keptText = prunedSurvivorText(trainDocs, kept.select(col("doc_id")))
     // The near-dup closure and the decontamination pass are the two
     // expensive text scans left, and they are INDEPENDENT given the
     // gated pool: contamination is a per-doc property, so computing it
@@ -238,9 +254,8 @@ object TrainingCorpus {
   private[graft] def fuzzyDecontamBranch(trainDocs: DataFrame,
       benchmarkDocs: DataFrame): DataFrame = {
     val kept = gatedKeepers(trainDocs).select(col("doc_id"))
-    val keptText = graft.core.Parallelize.spread(trainDocs, col("doc_id"))
-      .join(kept, Seq("doc_id"), "left_semi")
-    TextAnalysis.decontaminate(keptText, benchmarkDocs)
+    TextAnalysis.decontaminate(
+      prunedSurvivorText(trainDocs, kept), benchmarkDocs)
   }
 
   /** Driver binding for the fuzzy assembly (same split convention as
@@ -327,7 +342,9 @@ object TrainingCorpus {
       extFps: DataFrame, benchSh: DataFrame)
       : (DataFrame, DataFrame, DataFrame, Long) = {
     val s = deltaDocs.sparkSession
-    val scored = scoredScan(deltaDocs).localCheckpoint(true)
+    // delta-sized input: no spread (the r17 A/B — 32-partitioning a
+    // delta taxes every downstream delta-sized job)
+    val scored = scoredScan(deltaDocs, spread = false).localCheckpoint(true)
     // per-fingerprint min WITHIN the delta (delta-sized window)
     val dminned = scored.withColumn("dmin",
       min(col("doc_id")).over(Window.partitionBy(col("fp"))))
@@ -351,8 +368,11 @@ object TrainingCorpus {
       .localCheckpoint(true)
     // decontaminate ONLY the delta survivors against the persisted
     // benchmark shingle set (same semi-join-before-explode prune as
-    // the full build)
-    val survivorText = graft.core.Parallelize.spread(deltaDocs, col("doc_id"))
+    // the full build). The delta side is NOT spread: the r17 A/B
+    // measured the delta-frame spread slower (it 32-partitions a
+    // ~600–1700-row batch and every downstream delta-sized job
+    // inherits the partition count) — the verdict's top-next item
+    val survivorText = deltaDocs
       .join(kept.select(col("doc_id")), Seq("doc_id"), "left_semi")
     val deltaSh = survivorText.select(col("doc_id"),
       explode(graft.functions.LshFunctions.hashedShingles(
@@ -368,7 +388,7 @@ object TrainingCorpus {
     * still out-mins later duplicates, as the recompute's window
     * (which runs before the gates) would. */
   private[graft] def deltaFpMins(deltaDocs: DataFrame): DataFrame =
-    scoredScan(deltaDocs)
+    scoredScan(deltaDocs, spread = false)
       .groupBy(col("fp")).agg(min(col("doc_id")).as("dmin"))
 
   /** Incremental corpus assembly: [[incrementalPool]] then the global
@@ -458,8 +478,9 @@ object TrainingCorpus {
       .localCheckpoint(true)))
 
     // delta pair formation against the persisted signature index
-    // (pairs touching tombstoned docs are dropped inside the fold)
-    val deltaKeptText = graft.core.Parallelize.spread(deltaDocs, col("doc_id"))
+    // (pairs touching tombstoned docs are dropped inside the fold).
+    // No spread on the delta side — same r17 A/B rule as above
+    val deltaKeptText = deltaDocs
       .join(kept.select(col("doc_id")), Seq("doc_id"), "left_semi")
     val deltaSh = Dedup.hashedShingleSets(deltaKeptText) // materialized inside
     val deltaBands = Dedup.bandedSignatures(deltaSh).localCheckpoint(true)
