@@ -997,9 +997,12 @@ object Dedup {
     out.orderBy(col("vec_a"), col("vec_b"))
   }
 
+  // No spread on the embeddings scan (r18 A/B, both sf0.1 and sf1:
+  // spread 9.37/22.31 s vs raw 7.55/20.66 s on the d05/d06/d09/d12/d13
+  // subset): the hyperplane-sig kernel is too cheap to amortize the
+  // added exchange — the same cheap-kernel class as the t-family.
   def embeddingNearDup(s: SparkSession, dir: String): DataFrame =
-    embeddingNearDup(graft.core.Parallelize.spread(
-      Tables.load(s, dir, "embeddings"), col("vec_id")))
+    embeddingNearDup(Tables.load(s, dir, "embeddings"))
 
   /** The d06 demo corpus: `embeddings` plus a perturbed re-entry of the
     * first 20 vectors under `vec_id + 10⁶` (deterministic per-dimension
@@ -1031,9 +1034,8 @@ object Dedup {
     * Demonstrated over [[plantedProductionCorpus]] so the result (and
     * its oracle row) is non-empty at test SFs. */
   def embeddingNearDupHi(s: SparkSession, dir: String): DataFrame =
-    embeddingNearDup(graft.core.Parallelize.spread(
-      plantedProductionCorpus(Tables.load(s, dir, "embeddings")),
-      col("vec_id")), ProductionEmbTau)
+    embeddingNearDup(plantedProductionCorpus(Tables.load(s, dir, "embeddings")),
+      ProductionEmbTau)
 
   // ---- incremental near-dup against a persisted signature index ----
 

@@ -92,9 +92,11 @@ final class DedupPipeline(
   }
 
   /** Embedding chain: cosine≥τ exact-verified pairs (d06) → connected
-    * components (d09). */
+    * components (d09). The embeddings frame is NOT spread (unlike the
+    * text chain): the hyperplane-sig kernel is cheap and the r18 A/B
+    * measured the added exchange a net loss at sf0.1 AND sf1. */
   private lazy val embChain: scala.concurrent.Future[(DataFrame, DataFrame)] = {
-    val in = graft.core.Parallelize.spread(embF, col("vec_id"))
+    val in = embF
     chainF {
       val pairs = Dedup.embeddingNearDup(in, tau).localCheckpoint(true)
       val clusters = Dedup.clustersFromPairs(
