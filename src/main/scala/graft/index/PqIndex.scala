@@ -49,19 +49,24 @@ object PqIndex {
 
   /** (cells, n) recorded at build/append time. */
   def meta(s: SparkSession, path: String): (Int, Long) = {
-    val r = s.read.parquet(s"$path/meta").collect()(0)
-    (r.getInt(0), r.getLong(1))
+    val (cells, n, _) = metaAll(s, path)
+    (cells, n)
   }
 
-  /** Corpus size at quantizer-TRAIN time (`n0`): the staleness
-    * denominator [[ensure]]'s re-train policy divides by. Indexes
-    * written before the column existed read `n0 = n` (their quantizers
-    * were trained on exactly the recorded corpus). */
-  private def metaN0(s: SparkSession, path: String): Long = {
+  /** (cells, n, n0) in ONE meta read — `n0` is the corpus size at
+    * quantizer-TRAIN time, the staleness denominator [[ensure]]'s
+    * re-train policy divides by. Indexes written before the column
+    * existed read `n0 = n` (their quantizers were trained on exactly
+    * the recorded corpus). [[ensure]] needs all three, and reading the
+    * tiny meta parquet once instead of three times drops two
+    * driver-side jobs from every warm serving call. */
+  private def metaAll(s: SparkSession, path: String): (Int, Long, Long) = {
     val df = s.read.parquet(s"$path/meta")
     val r = df.collect()(0)
+    val n = r.getLong(df.columns.indexOf("n"))
     val i = df.columns.indexOf("n0")
-    if (i >= 0) r.getLong(i) else r.getLong(df.columns.indexOf("n"))
+    (r.getInt(df.columns.indexOf("cells")), n,
+      if (i >= 0) r.getLong(i) else n)
   }
 
   /** Trained coarse centroids, driver-side (≤1024 × dim doubles). */
@@ -97,8 +102,14 @@ object PqIndex {
     val e = Similarity.withNorm(s, embeddings).localCheckpoint(true)
     val n = e.count()
     val cells = Similarity.ivfConfig(if (totalN > 0) totalN else n)._1
-    val cents = Similarity.kmeansCentroids(s, e, cells)
-    val cb = Similarity.pqCodebooks(s, e, cents)
+    // one shared sample collect for both quantizer trainings (the two
+    // samples are prefixes of the same deterministic hash order)
+    val shared = Similarity.trainSample(e,
+      math.max(Similarity.centroidSampleN(cells), Similarity.PqSampleN))
+    val cents = Similarity.kmeansCentroidsFrom(
+      shared.take(Similarity.centroidSampleN(cells)), cells)
+    val cb = Similarity.pqCodebooksFrom(
+      shared.take(Similarity.PqSampleN), cents)
     // one file per cell: without the repartition every write task
     // emits a file into every cell dir it touches (tasks × cells files
     // — 32k at sf10, and the read pays per-file open cost that dwarfed
@@ -146,11 +157,13 @@ object PqIndex {
   def ensure(embeddings: DataFrame, path: String, projectedN: Long): Int = {
     val s = embeddings.sparkSession
     val needed = Similarity.ivfConfig(projectedN)._1
-    val stale = !ready(s, path) || meta(s, path)._1 < needed ||
-      meta(s, path)._2 > RetrainFactor * metaN0(s, path)
+    val recorded =
+      if (ready(s, path)) Some(metaAll(s, path)) else None
+    val stale = recorded.forall { case (cells, n, n0) =>
+      cells < needed || n > RetrainFactor * n0
+    }
     if (stale) {
-      if (ready(s, path)) {
-        val covered = meta(s, path)._2
+      recorded.foreach { case (_, covered, _) =>
         val handed = embeddings.count()
         require(handed >= covered,
           s"PqIndex.ensure rebuild would drop vectors: handed frame has " +
@@ -158,8 +171,8 @@ object PqIndex {
             "corpus-plus-appends frame")
       }
       build(embeddings, path, projectedN)
-    }
-    meta(s, path)._1
+      meta(s, path)._1
+    } else recorded.get._1
   }
 
   /** Ingest a batch at the FROZEN quantizers: delta-sized projections
@@ -168,8 +181,7 @@ object PqIndex {
   def append(deltaEmb: DataFrame, path: String): Unit = {
     val s = deltaEmb.sparkSession
     import s.implicits._
-    val (cells, nCur) = meta(s, path)
-    val n0 = metaN0(s, path)
+    val (cells, nCur, n0) = metaAll(s, path)
     val cents = centroids(s, path)
     val cb = codebooks(s, path)
     fs(s, path).delete(marker(path), false)
@@ -190,13 +202,24 @@ object PqIndex {
     * (cell-partition-pruned by the probe join) and vectors. */
   def query(s: SparkSession, path: String, queries: DataFrame, k: Int,
       excludeSelf: Boolean = true, rerank: Int = 0): DataFrame = {
-    val (cells, n) = meta(s, path)
-    val cents = centroids(s, path)
-    val cb = codebooks(s, path)
-    val codes = s.read.parquet(s"$path/codes")
-    val vecs = s.read.parquet(s"$path/vecs")
+    // the five setup reads are independent driver-side work — three
+    // small-parquet collects (meta, cents, books) plus the two frame
+    // reads whose file-listing/schema discovery walks the per-cell
+    // partition tree (≈180 dirs). Sequential, they dominated the warm
+    // query (measured ~0.9 s of the s05 1.5 s at sf0.1); overlapped
+    // (guide §2.6) they cost max, not sum.
+    import scala.concurrent.{Await, Future, blocking}
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val metaF = Future(blocking(meta(s, path)))
+    val centsF = Future(blocking(centroids(s, path)))
+    val cbF = Future(blocking(codebooks(s, path)))
+    val codesF = Future(blocking(s.read.parquet(s"$path/codes")))
+    val vecsF = Future(blocking(s.read.parquet(s"$path/vecs")))
+    def get[A](f: Future[A]): A =
+      Await.result(f, scala.concurrent.duration.Duration.Inf)
+    val (cells, n) = get(metaF)
     val cRerank = if (rerank > 0) rerank else Similarity.defaultRerank(k, n)
-    Similarity.pqSearch(codes, vecs, queries, k, cents, cb,
-      Similarity.probeFor(cells), cRerank, excludeSelf)
+    Similarity.pqSearch(get(codesF), get(vecsF), queries, k, get(centsF),
+      get(cbF), Similarity.probeFor(cells), cRerank, excludeSelf)
   }
 }

@@ -125,9 +125,13 @@ object Similarity {
     * array: merging in index order keeps float accumulation
     * deterministic regardless of thread finish order. Small inputs run
     * inline (one chunk): below ~8k elements the submit/join overhead
-    * exceeds the loop itself. */
-  private def parChunks(n: Int)(work: (Int, Int, Int) => Unit): Unit =
-    if (n < 8192) work(0, 0, n)
+    * exceeds the loop itself — UNLESS `force` is set, for loops whose
+    * per-element work is O(cells·dim) rather than O(dim) (the Lloyd
+    * assignment passes: a 2.8k-sample × 180-cell × 64-dim round is
+    * ~33 MFLOP, far past the submit overhead even though n is small). */
+  private def parChunks(n: Int, force: Boolean = false)(
+      work: (Int, Int, Int) => Unit): Unit =
+    if (n < 8192 && !force) work(0, 0, n)
     else {
       val chunk = (n + ParChunkN - 1) / ParChunkN
       val futs = (0 until ParChunkN).flatMap { t =>
@@ -146,22 +150,34 @@ object Similarity {
     * (deterministic 2-approx k-center seeding — no RNG anywhere), then
     * `KmIters` Lloyd rounds with cosine assignment and re-normalized
     * mean centroids. Returns unit-norm centroids. */
-  private[graft] def kmeansCentroids(s: SparkSession, e: DataFrame,
-      cells: Int = Cells): Array[Array[Double]] = {
-    // ≥16 sample points per centroid keeps Lloyd stable as cells grow
-    // while bounding driver-side training (10 iters × sample × cells
-    // dot products) to ~1 s at the 256-cell cap
-    val sampleN = math.max(1024, 16 * cells)
-    val sample: Array[Array[Double]] = e
-      .filter(col("norm") > 0)
+  /** ≥16 sample points per centroid keeps Lloyd stable as cells grow
+    * while bounding driver-side training (10 iters × sample × cells
+    * dot products) to ~1 s at the 256-cell cap. */
+  private[graft] def centroidSampleN(cells: Int): Int =
+    math.max(1024, 16 * cells)
+
+  /** The first `n` rows of the deterministic hash-order sample, unit
+    * normalized. BOTH quantizer trainings (coarse centroids, PQ
+    * codebooks) draw prefixes of this same ordering, so the IVF-PQ
+    * build collects ONE shared sample and slices it — one TakeOrdered
+    * job instead of two, bit-identical samples on each side. */
+  private[graft] def trainSample(e: DataFrame, n: Int): Array[Array[Double]] =
+    e.filter(col("norm") > 0)
       .orderBy(xxhash64(col("vec_id")), col("vec_id"))
-      .limit(sampleN)
+      .limit(n)
       .select(col("v"), col("norm"))
       .collect()
       .map { r =>
-        val n = r.getDouble(1)
-        r.getSeq[Double](0).toArray.map(_ / n)
+        val nr = r.getDouble(1)
+        r.getSeq[Double](0).toArray.map(_ / nr)
       }
+
+  private[graft] def kmeansCentroids(s: SparkSession, e: DataFrame,
+      cells: Int = Cells): Array[Array[Double]] =
+    kmeansCentroidsFrom(trainSample(e, centroidSampleN(cells)), cells)
+
+  private[graft] def kmeansCentroidsFrom(sample: Array[Array[Double]],
+      cells: Int): Array[Array[Double]] = {
     require(sample.nonEmpty, "no non-zero vectors to train IVF centroids on")
     def dot(a: Array[Double], b: Array[Double]): Double = {
       var s0 = 0.0; var i = 0
@@ -202,9 +218,10 @@ object Similarity {
     for (_ <- 0 until KmIters) {
       // assignment is O(sample·cells·dim) per round — the training cost
       // the raised cell cap buys back by running chunks on every core,
-      // each with private accumulators merged after the join
+      // each with private accumulators merged after the join (force:
+      // the per-element work is cells×dim, not dim — see parChunks)
       val partials = new Array[(Array[Array[Double]], Array[Int])](ParChunkN)
-      parChunks(sample.length) { (t, lo, hi) =>
+      parChunks(sample.length, force = true) { (t, lo, hi) =>
         val sums = Array.fill(k)(new Array[Double](dim))
         val counts = new Array[Int](k)
         var si = lo
@@ -312,20 +329,6 @@ object Similarity {
     annIvf(all, all.filter(col("vec_id") < NumQueries), K)
   }
 
-  /** Bounded unit-normalized hash-sample for PQ codebook training —
-    * the same TakeOrdered sample discipline as [[kmeansCentroids]]
-    * (≥16 points per centroid, ~2 MB at the (8, 256) config). */
-  private def pqSample(e: DataFrame): Array[Array[Double]] =
-    e.filter(col("norm") > 0)
-      .orderBy(xxhash64(col("vec_id")), col("vec_id"))
-      .limit(16 * graft.functions.PqKernel.Ks)
-      .select(col("v"), col("norm"))
-      .collect()
-      .map { r =>
-        val n = r.getDouble(1)
-        r.getSeq[Double](0).toArray.map(_ / n)
-      }
-
   /** Deterministic plain-L2 k-means — the PQ-codebook sibling of the
     * spherical [[kmeansCentroids]]: farthest-first (k-center) seeding,
     * then [[KmIters]] Lloyd rounds with MEAN updates (subspace slices
@@ -414,13 +417,20 @@ object Similarity {
     * (recall 0.26 at 200k vectors); residual spread is a fraction of
     * the sphere's, which is the whole point of the IVFADC coupling. */
   private[graft] def pqCodebooks(s: SparkSession, e: DataFrame,
+      cents: Array[Array[Double]]): Array[Array[Array[Double]]] =
+    pqCodebooksFrom(trainSample(e, PqSampleN), cents)
+
+  /** PQ codebook sample depth: ≥16 points per codeword. */
+  private[graft] val PqSampleN = 16 * graft.functions.PqKernel.Ks
+
+  private[graft] def pqCodebooksFrom(sample: Array[Array[Double]],
       cents: Array[Array[Double]]): Array[Array[Array[Double]]] = {
     import graft.functions.PqKernel
-    val sample = pqSample(e)
     require(sample.nonEmpty, "no non-zero vectors to train PQ codebooks on")
     val dim = sample(0).length
     val residuals = new Array[Array[Double]](sample.length)
-    parChunks(sample.length) { (_, lo, hi) =>
+    // force: per-element work is cells×dim (nearest-cell assignment)
+    parChunks(sample.length, force = true) { (_, lo, hi) =>
       var i = lo
       while (i < hi) {
         val u = sample(i)
@@ -442,13 +452,23 @@ object Similarity {
       }
     }
     val w = PqKernel.width(dim)
-    Array.tabulate(PqKernel.M) { m =>
-      val lo = m * w
-      val hi = math.min(lo + w, dim)
-      if (lo >= hi) Array(Array.emptyDoubleArray)
-      else l2Kmeans(residuals.map(v => java.util.Arrays.copyOfRange(v, lo, hi)),
-        PqKernel.Ks)
+    // the M per-subspace trainings are independent — run them
+    // concurrently on the global EC (guide §2.6 applied driver-side;
+    // the inner l2Kmeans chunk loops stay inline at this sample size,
+    // so there is no pool nesting). Results land in a fixed
+    // subspace-indexed array: deterministic regardless of finish order.
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val subs = (0 until PqKernel.M).map { m =>
+      Future {
+        val lo = m * w
+        val hi = math.min(lo + w, dim)
+        if (lo >= hi) Array(Array.emptyDoubleArray)
+        else l2Kmeans(residuals.map(v => java.util.Arrays.copyOfRange(v, lo, hi)),
+          PqKernel.Ks)
+      }
     }
+    subs.map(Await.result(_, scala.concurrent.duration.Duration.Inf)).toArray
   }
 
   /** ADC shortlist floor per query, ×k. The DEFAULT depth is
@@ -494,10 +514,15 @@ object Similarity {
     val cCells = if (cells > 0) cells else ivfConfig(n)._1
     val cProbe = if (nProbe > 0) nProbe else probeFor(cCells)
     val cRerank = if (rerank > 0) rerank else defaultRerank(k, n)
-    val cents = kmeansCentroids(s, e, cCells)
+    // ONE shared TakeOrdered sample collect serves both quantizer
+    // trainings: the coarse-centroid and codebook samples are prefixes
+    // of the same deterministic hash order, so slicing reproduces each
+    // side bit-for-bit while halving the driver-side sample jobs
+    val shared = trainSample(e, math.max(centroidSampleN(cCells), PqSampleN))
+    val cents = kmeansCentroidsFrom(shared.take(centroidSampleN(cCells)), cCells)
     // codebooks quantize the RESIDUAL u − cellCentroid (IVFADC); the
     // exact coarse term dot(q, centroid) is the probe's csim
-    val cb = pqCodebooks(s, e, cents)
+    val cb = pqCodebooksFrom(shared.take(PqSampleN), cents)
     // the slim code frame: the ONLY corpus-sized input to the probe
     // join. Assignment and residual encoding are two PROJECTIONS over
     // the corpus row — no aggregate, no join, no shuffle in the build
