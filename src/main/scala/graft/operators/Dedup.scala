@@ -1443,6 +1443,9 @@ object Dedup {
     * checkpoint to that durable directory — the cluster-scale option:
     * localCheckpoint blocks die with an executor, and a lost block
     * kills the whole iterative job at depth. */
+  /** Monotone id source for per-round CC observation names. */
+  private val CcObsId = new java.util.concurrent.atomic.AtomicLong(0)
+
   private[graft] def clustersFromPairs(pairs: DataFrame): DataFrame = {
     val s = pairs.sparkSession
     val ccDir = s.conf.getOption("spark.graft.cc.checkpointDir")
@@ -1488,13 +1491,23 @@ object Dedup {
       val nbr = edges.join(p, "v")
         .groupBy(col("u")).agg(min(col("p")).as("np"))
         .withColumnRenamed("u", "v")
-      // the round frame keeps the previous label (p0) next to the new
-      // one: convergence is a filter over this checkpointed frame, not
-      // another join against the previous round
+      // convergence rides the checkpoint job as an OBSERVED metric
+      // (sum of changed labels) instead of a second count job over the
+      // materialized frame: one barrier per round, not two — and the
+      // checkpointed frame narrows to (v, p) since p0 no longer needs
+      // to survive the round. Observed metrics are delivered on both
+      // checkpoint flavors (verified: localCheckpoint and durable).
+      // globally unique name: concurrent CC runs (the per-modality
+      // chain futures) must not share an observation namespace
+      val obs = org.apache.spark.sql.Observation(
+        s"cc-${CcObsId.incrementAndGet()}")
       val next = ck(jumped2.join(nbr, Seq("v"))
-        .select(col("v"), col("p0"), least(col("p0"), col("jp2"), col("np")).as("p")))
-      changed = next.filter(col("p") =!= col("p0")).count()
-      p = next.select(col("v"), col("p"))
+        .select(col("v"), col("p0"), least(col("p0"), col("jp2"), col("np")).as("p"))
+        .observe(obs, coalesce(sum((col("p") =!= col("p0")).cast("long")),
+          lit(0L)).as("changed"))
+        .select(col("v"), col("p")))
+      changed = obs.get("changed").asInstanceOf[Long]
+      p = next
     }
     p.select(col("v").as("doc_id"), col("p").as("cluster_id"))
       .orderBy(col("doc_id"))
