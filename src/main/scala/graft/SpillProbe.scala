@@ -66,7 +66,14 @@ object SpillProbe {
     // index invariant — batch pairs (decode + block-LSH under
     // pressure) and the streaming micro-batch form (frozen video
     // index + pending-log union)
-    "m06_video_neardup", "sn05b_stream_video_batch")
+    "m06_video_neardup", "sn05b_stream_video_batch",
+    // round-18 addition: the d08 text-graph stack (bucket window sort
+    // + iterative CC) — the r17 record flagged its sf100 window sort
+    // as sitting near the spill edge in crowded sessions; this row
+    // pins that the plan DEGRADES to spill (zero TaskMemoryManager
+    // escalation, zero failed tasks) rather than OOM. Run it at the
+    // sf100d ladder dir for the scale pin.
+    "d08_dedup_clusters")
 
   def main(args: Array[String]): Unit = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
