@@ -1,6 +1,7 @@
 package graft.core
 
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, Observation, SparkSession}
+import org.apache.spark.sql.functions.{coalesce, lit, sum}
 
 /** Block-manager hygiene for long-lived sessions.
   *
@@ -23,6 +24,25 @@ import org.apache.spark.sql.SparkSession
   * middle of one.
   */
 object Caching {
+
+  private val ObsId = new java.util.concurrent.atomic.AtomicLong(0)
+
+  /** Eager localCheckpoint with the row count OBSERVED on the
+    * checkpoint job itself — the incremental folds' dominant shape is
+    * `X.localCheckpoint(true)` immediately followed by `X.count()` (a
+    * broadcast-budget bound), which pays a second driver barrier per
+    * step just to read a number the materialization already knows.
+    * Observed metrics are delivered on checkpoint actions (verified
+    * for both localCheckpoint and durable checkpoint), so this fuses
+    * the two jobs into one. Names draw from a global counter — safe
+    * under concurrent chain futures. */
+  def checkpointCounted(df: DataFrame): (DataFrame, Long) = {
+    val obs = Observation(s"ckpt-n-${ObsId.incrementAndGet()}")
+    val out = df
+      .observe(obs, coalesce(sum(lit(1L)), lit(0L)).as("n"))
+      .localCheckpoint(true)
+    (out, obs.get("n").asInstanceOf[Long])
+  }
 
   /** Unpersist every persistent / localCheckpointed RDD in the
     * context (non-blocking). Returns the number of RDDs released. */

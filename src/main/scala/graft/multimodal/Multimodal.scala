@@ -857,11 +857,10 @@ object Multimodal {
     // past the byte budget. The explicit hint keeps the decision join
     // broadcast (corpus streams) or shuffled-hash — never a corpus
     // sort (checkpointed frames read as unknown-size to the planner)
-    val dropSet = dropIds(imgC).unionByName(dropIds(audC))
-      .unionByName(dropIds(vidC)).distinct()
-      .localCheckpoint(true)
-    docs.join(graft.operators.Dedup.bcastOrHashIf(8, dropSet.count())(
-        dropSet),
+    val (dropSet, nDrop) = graft.core.Caching.checkpointCounted(
+      dropIds(imgC).unionByName(dropIds(audC))
+        .unionByName(dropIds(vidC)).distinct())
+    docs.join(graft.operators.Dedup.bcastOrHashIf(8, nDrop)(dropSet),
         Seq("doc_id"), "left_anti")
       .select(col("doc_id"), col("n_chars"))
       .orderBy(col("doc_id"))

@@ -160,11 +160,12 @@ object Dedup {
     * the [[bcastIf]] guard degrades the prune to a shuffle semi-join if
     * a pathological corpus makes the candidate set itself huge. */
   private def jaccardVerified(sh: DataFrame, pairs0: DataFrame): DataFrame = {
-    val pairs = pairs0.localCheckpoint(true)
+    // count observed on the checkpoint job itself (one barrier, not two)
+    val (pairs, nPairs) = graft.core.Caching.checkpointCounted(pairs0)
     val candDocs = pairs.select(col("doc_a").as("doc_id"))
       .unionByName(pairs.select(col("doc_b").as("doc_id"))).distinct()
     val candSh = sh.join(
-      bcastIf(40, 2 * pairs.count())(candDocs), Seq("doc_id"), "left_semi")
+      bcastIf(40, 2 * nPairs)(candDocs), Seq("doc_id"), "left_semi")
     pairs
       .join(candSh.select(col("doc_id").as("doc_a"), col("hs").as("sh_a")), "doc_a")
       .join(candSh.select(col("doc_id").as("doc_b"), col("hs").as("sh_b")), "doc_b")
@@ -1292,8 +1293,8 @@ object Dedup {
     // sketch screen then exact verify, both against corpus∪delta state
     // semi-pruned to candidate ids (the jaccardVerified pattern: the
     // corpus-sized tables are scanned once, only candidate rows join)
-    val pairs = cand.unionByName(hotPairs).localCheckpoint(true)
-    val nP = pairs.count()
+    val (pairs, nP) = graft.core.Caching.checkpointCounted(
+      cand.unionByName(hotPairs))
     val candIds = pairs.select(col("vec_a").as("vec_id"))
       .unionByName(pairs.select(col("vec_b").as("vec_id"))).distinct()
     val candIdsB = bcastIf(16, 2 * nP)(candIds)

@@ -348,9 +348,8 @@ object TrainingCorpus {
     // per-fingerprint min WITHIN the delta (delta-sized window)
     val dminned = scored.withColumn("dmin",
       min(col("doc_id")).over(Window.partitionBy(col("fp"))))
-    val deltaFps = dminned.select(col("fp"), col("dmin")).distinct()
-      .localCheckpoint(true)
-    val nDeltaFps = deltaFps.count()
+    val (deltaFps, nDeltaFps) = graft.core.Caching.checkpointCounted(
+      dminned.select(col("fp"), col("dmin")).distinct())
     // external mins for ONLY the delta's fingerprints: the corpus fps
     // table streams against the broadcast delta fp set (an over-budget
     // delta degrades to a hash join — never a corpus broadcast); the
@@ -529,16 +528,16 @@ object TrainingCorpus {
     // retractions: gated corpus keepers out-minned by a delta arrival
     // (the gated frame streams once against the broadcast fp-min set),
     // plus the caller's extra retraction set
-    val r = gated
+    // the fold's serial chain fuses each bound-count into its
+    // checkpoint job (one barrier per step, not two)
+    val (r, nR) = graft.core.Caching.checkpointCounted(gated
       .join(Dedup.bcastIf(48, nDeltaFps)(deltaFps), Seq("fp"))
       .filter(col("dmin") < col("doc_id"))
       .select(col("doc_id"))
       .unionByName(retractedExtra)
-      .distinct()
-      .localCheckpoint(true)
-    val nR = r.count()
-    val dead = retired.unionByName(r).distinct().localCheckpoint(true)
-    val nDead = dead.count()
+      .distinct())
+    val (dead, nDead) = graft.core.Caching.checkpointCounted(
+      retired.unionByName(r).distinct())
     def notDead(df: DataFrame, side: String): DataFrame =
       df.join(Dedup.bcastIf(8, nDead)(
         dead.withColumnRenamed("doc_id", side)), Seq(side), "left_anti")
@@ -550,19 +549,16 @@ object TrainingCorpus {
 
     // affected components: those holding a retracted node or a new
     // pair's endpoint — the only components whose labels can change
-    val touched = r
+    val (touched, nTouched) = graft.core.Caching.checkpointCounted(r
       .unionByName(newPairs.select(col("doc_a").as("doc_id")))
       .unionByName(newPairs.select(col("doc_b").as("doc_id")))
-      .distinct().localCheckpoint(true)
-    val nTouched = touched.count()
-    val affLabels = clusters
+      .distinct())
+    val (affLabels, nLabels) = graft.core.Caching.checkpointCounted(clusters
       .join(Dedup.bcastIf(16, nTouched)(touched), Seq("doc_id"), "left_semi")
-      .select(col("cluster_id")).distinct().localCheckpoint(true)
-    val nLabels = affLabels.count()
-    val affNodes = clusters
+      .select(col("cluster_id")).distinct())
+    val (affNodes, nAff) = graft.core.Caching.checkpointCounted(clusters
       .join(Dedup.bcastIf(16, nLabels)(affLabels), Seq("cluster_id"), "left_semi")
-      .select(col("doc_id")).localCheckpoint(true)
-    val nAff = affNodes.count()
+      .select(col("doc_id")))
     // every current edge of an affected component (both endpoints share
     // the component, so the doc_a side decides membership), minus edges
     // to retracted nodes, plus the delta's new pairs
