@@ -81,13 +81,15 @@ final class DedupPipeline(
     * corpus (the shingle/signature kernels are the expensive map
     * stage); the decision joins below keep the RAW frame so the corpus
     * side still streams un-shuffled. */
-  private lazy val textChain: scala.concurrent.Future[(DataFrame, DataFrame)] = {
+  private lazy val textChain: scala.concurrent.Future[(DataFrame, DataFrame, Long)] = {
     val in = graft.core.Parallelize.spread(docsF, col("doc_id"))
     chainF {
       val pairs = Dedup.minhashLsh(in).localCheckpoint(true)
-      val clusters = Dedup.clustersFromPairs(
-        pairs.select(col("doc_a"), col("doc_b"))).localCheckpoint(true)
-      (pairs, clusters)
+      // cluster count observed on the chain's own checkpoint job — the
+      // decision joins' dropHint bound costs no extra job
+      val (clusters, n) = graft.core.Caching.checkpointCounted(
+        Dedup.clustersFromPairs(pairs.select(col("doc_a"), col("doc_b"))))
+      (pairs, clusters, n)
     }
   }
 
@@ -95,15 +97,15 @@ final class DedupPipeline(
     * components (d09). The embeddings frame is NOT spread (unlike the
     * text chain): the hyperplane-sig kernel is cheap and the r18 A/B
     * measured the added exchange a net loss at sf0.1 AND sf1. */
-  private lazy val embChain: scala.concurrent.Future[(DataFrame, DataFrame)] = {
+  private lazy val embChain: scala.concurrent.Future[(DataFrame, DataFrame, Long)] = {
     val in = embF
     chainF {
       val pairs = Dedup.embeddingNearDup(in, tau).localCheckpoint(true)
-      val clusters = Dedup.clustersFromPairs(
-        pairs.select(col("vec_a").as("doc_a"), col("vec_b").as("doc_b")))
-        .select(col("doc_id").as("vec_id"), col("cluster_id"))
-        .localCheckpoint(true)
-      (pairs, clusters)
+      val (clusters, n) = graft.core.Caching.checkpointCounted(
+        Dedup.clustersFromPairs(
+          pairs.select(col("vec_a").as("doc_a"), col("vec_b").as("doc_b")))
+          .select(col("doc_id").as("vec_id"), col("cluster_id")))
+      (pairs, clusters, n)
     }
   }
 
@@ -155,13 +157,13 @@ final class DedupPipeline(
   private def dropHint(n: => Long)(drops: DataFrame): DataFrame =
     Dedup.bcastOrHashIf(8, n)(drops)
 
-  // cluster-frame counts, one cheap job each per instance (the frames
-  // are checkpointed) — shared by every decision join's dropHint
-  private lazy val textClusterCount: Long = textClusters.count()
-  private lazy val embClusterCount: Long = embClusters.count()
-  private lazy val imageClusterCount: Long = imageClusters.count()
-  private lazy val audioClusterCount: Long = audioClusters.count()
-  private lazy val videoClusterCount: Long = videoClusters.count()
+  // cluster-frame counts, observed on each chain's checkpoint job —
+  // shared by every decision join's dropHint at zero extra jobs
+  private lazy val textClusterCount: Long = { kickSiblings(); await(textChain)._3 }
+  private lazy val embClusterCount: Long = { kickSiblings(); await(embChain)._3 }
+  private lazy val imageClusterCount: Long = await(imageChain)._3
+  private lazy val audioClusterCount: Long = await(audioChain)._3
+  private lazy val videoClusterCount: Long = await(videoChain)._3
 
   /** The deduplicated corpus (d10): one anti-join of the corpus
     * against the text drop set; the corpus streams through
@@ -191,14 +193,14 @@ final class DedupPipeline(
     * cluster_id). Same future-per-chain shape as [[textChain]]. */
   private def mediaChainF(frame: DataFrame,
       neardup: DataFrame => DataFrame)
-      : scala.concurrent.Future[(DataFrame, DataFrame)] =
+      : scala.concurrent.Future[(DataFrame, DataFrame, Long)] =
     chainF {
       val pairs = neardup(frame).localCheckpoint(true)
-      val clusters = Dedup.clustersFromPairs(pairs
-          .select(col("media_a").as("doc_a"), col("media_b").as("doc_b")))
-        .select(col("doc_id").as("media_id"), col("cluster_id"))
-        .localCheckpoint(true)
-      (pairs, clusters)
+      val (clusters, n) = graft.core.Caching.checkpointCounted(
+        Dedup.clustersFromPairs(pairs
+            .select(col("media_a").as("doc_a"), col("media_b").as("doc_b")))
+          .select(col("doc_id").as("media_id"), col("cluster_id")))
+      (pairs, clusters, n)
     }
 
   private lazy val imageChain = mediaChainF(imagesF,

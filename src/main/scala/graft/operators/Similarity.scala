@@ -509,8 +509,9 @@ object Similarity {
       cells: Int = 0, nProbe: Int = 0, rerank: Int = 0): DataFrame = {
     val s = corpus.sparkSession
     import graft.functions.PqFunctions
-    val e = withNorm(s, corpus).localCheckpoint(true) // train + encode + re-rank reuse
-    val n = corpus.count()
+    // train + encode + re-rank reuse; n observed on the checkpoint job
+    // (one barrier) instead of a second scan of the source
+    val (e, n) = graft.core.Caching.checkpointCounted(withNorm(s, corpus))
     val cCells = if (cells > 0) cells else ivfConfig(n)._1
     val cProbe = if (nProbe > 0) nProbe else probeFor(cCells)
     val cRerank = if (rerank > 0) rerank else defaultRerank(k, n)
@@ -593,7 +594,13 @@ object Similarity {
   def annIvfPqIndexed(s: SparkSession, dir: String): DataFrame = {
     val all = Tables.load(s, dir, "embeddings")
     val path = graft.index.IndexCache.pathFor(s, s"$dir/embeddings.parquet", "pqidx")
-    graft.index.PqIndex.ensure(all, path, all.count())
+    // the cache path is content-fingerprinted: any corpus change lands
+    // at a NEW path, so a ready index at THIS path cannot have drifted
+    // — ensure() (and its corpus count + meta read) only runs cold.
+    // The library ensure() keeps its drift policy for append-style
+    // paths whose location is stable across ingests.
+    if (!graft.index.PqIndex.ready(s, path))
+      graft.index.PqIndex.ensure(all, path, all.count())
     graft.index.PqIndex.query(s, path, all.filter(col("vec_id") < NumQueries), K)
   }
 
@@ -627,7 +634,8 @@ object Similarity {
       df.select(col("vec_id").as(idAs),
         posexplode(graft.functions.LshFunctions.lshSigs(
           s, col("v"), SigSeed, Planes, AnnTables)).as(Seq("tbl", "sig")))
-    val e = withNorm(s, corpus).localCheckpoint(true) // sigs + scoring reuse
+    // sigs + scoring reuse; the bcast-bound count rides the ckpt job
+    val (e, nE) = graft.core.Caching.checkpointCounted(withNorm(s, corpus))
     val q = withNorm(s, queries)
       .select(col("vec_id").as("query_id"), col("v").as("qv"), col("norm").as("qn"))
     val flips: Seq[Long] = 0L +: (0 until Planes).map(b => 1L << b)
@@ -647,7 +655,7 @@ object Similarity {
       // path pays no shuffle for the attach (the r7 slim-dedup rewrite
       // cost ~2× at sf0.1 through exactly this join) while the sf10
       // shape — shuffle equi-join — is unchanged
-      .join(Dedup.bcastIf(540, e.count())(e), "vec_id")
+      .join(Dedup.bcastIf(540, nE)(e), "vec_id")
       .join(broadcast(q), "query_id")
       .withColumn("cosine", VectorFunctions.dot(s, col("v"), col("qv")) / (col("norm") * col("qn")))
       .withColumn("rank", row_number().over(w).cast("long"))
