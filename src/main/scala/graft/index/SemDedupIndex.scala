@@ -189,9 +189,10 @@ object SemDedupIndex {
       : (DataFrame, DataFrame) = {
     val s = delta.sparkSession
     val (_, _, _, tau) = meta(s, path)
-    val dA = assignDelta(delta, path)
-      .localCheckpoint(true) // delta-sized; consumed 3 ways below
-    (dA, newDropsAgainst(dA, dA.count(), members(s, path), tau))
+    // delta-sized; consumed 3 ways below — count observed on the ckpt
+    val (dA, nDA) = graft.core.Caching.checkpointCounted(
+      assignDelta(delta, path))
+    (dA, newDropsAgainst(dA, nDA, members(s, path), tau))
   }
 
   /** The batch's decision-update frame: the delta's decision rows plus

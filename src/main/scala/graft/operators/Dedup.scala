@@ -1510,8 +1510,12 @@ object Dedup {
       changed = obs.get("changed").asInstanceOf[Long]
       p = next
     }
+    // UNSORTED by contract: every caller either materializes this
+    // frame for joins/counts (chains, index builds, merge folds —
+    // where a sort is pure waste, 5M rows of it at the sf100 point) or
+    // re-sorts at its public result surface (dedupClusters /
+    // embDedupClusters / mergeClusters apply their own orderBy).
     p.select(col("v").as("doc_id"), col("p").as("cluster_id"))
-      .orderBy(col("doc_id"))
   }
 
   /** Duplicate clusters from the MinHash near-dup pair graph (d08):

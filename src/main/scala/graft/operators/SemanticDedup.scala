@@ -314,8 +314,12 @@ object SemanticDedup {
     val e = Dedup.plantedProductionCorpus(Tables.load(s, dir, "embeddings"))
     val idxPath = graft.index.IndexCache.pathFor(
       s, s"$dir/embeddings.parquet", s"semdedup-mod=$mod")
-    graft.index.SemDedupIndex.ensure(
-      e.filter(col("vec_id") % mod =!= 0), idxPath)
+    // content-fingerprinted path: a ready index cannot have drifted, so
+    // the warm call skips ensure()'s per-call corpus count (the library
+    // ensure keeps its staleness policy for stable-location paths)
+    if (!graft.index.SemDedupIndex.ready(s, idxPath))
+      graft.index.SemDedupIndex.ensure(
+        e.filter(col("vec_id") % mod =!= 0), idxPath)
     idxPath
   }
 
